@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loads the driver testdata tables (TESTDATA.md / FIXTURES.md §B) from a
+  * scale-factor directory and registers them as temp views for SQL queries.
+  *
+  * At 100 TB these parquet directories would be Hive-partitioned table roots;
+  * `spark.read.parquet` + Catalyst gives partition discovery/pruning, predicate
+  * pushdown and column pruning with no engine code — see SURVEY.md §4.2.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's TimestampType
+      // (µs) cannot represent and refuses to read. Read the raw int64 and
+      // truncate ns→µs with integral division — exactly what DuckDB does on
+      // its ns→µs read, so oracle comparisons and orderings agree.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every table as a temp view (idempotent; cheap — schema read only). */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

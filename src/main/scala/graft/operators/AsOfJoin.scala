@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join (SURVEY.md §2.3 J6): for every left row, attach the greatest
+  * right-side timestamp (and a chosen payload) with `rightTs <= leftTs` for
+  * the same key — "most recent right event at or before the left event".
+  *
+  * Spark has no native as-of join. Instead of a per-key cross product, we
+  * union-tag both sides and run one window pass:
+  *
+  *   1. tag right rows side=0, left rows side=1 (right sorts first on ties so
+  *      an exactly-equal timestamp counts as "prior or equal");
+  *   2. sort by (key, ts, side) inside a single `Window.partitionBy(key)`;
+  *   3. `last(rightTs, ignoreNulls)` over rows UNBOUNDED PRECEDING..CURRENT
+  *      carries the latest right timestamp forward onto each left row.
+  *
+  * Cost at scale: ONE hash shuffle of |L|+|R| rows on the key plus a
+  * per-partition sort — the same shape as a sort-merge join, with no risk of
+  * row explosion. Skewed keys behave like any skewed aggregation (AQE salting
+  * applies). This is the standard large-scale formulation (a translation of
+  * the reference's event-at-or-before lookup; cf. EventBridge->job ordering,
+  * /root/reference/health-etl/main.tf:182-193 — control-plane only there).
+  */
+object AsOfJoin {
+
+  /** @param left      rows to enrich (keeps all its columns)
+    * @param right     lookup side
+    * @param key       equi-join key column name (present in both)
+    * @param leftTs    timestamp column name in `left`
+    * @param rightTs   timestamp column name in `right`
+    * @param asOfCol   output column name for the matched right timestamp
+    */
+  def apply(left: DataFrame, right: DataFrame, key: String,
+            leftTs: String, rightTs: String,
+            asOfCol: String = "asof_ts"): DataFrame = {
+    val r = right.select(
+      col(key).as("__k"), col(rightTs).as("__t"),
+      col(rightTs).as("__carry"), lit(0).as("__side"))
+    val l = left
+      .withColumn("__k", col(key)).withColumn("__t", col(leftTs))
+      .withColumn("__carry", lit(null).cast(r.schema("__carry").dataType))
+      .withColumn("__side", lit(1))
+    val w = Window.partitionBy("__k").orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn(asOfCol, last(col("__carry"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__k", "__t", "__carry", "__side")
+  }
+}

@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Local dev mirror of the driver's correctness gate (NOT part of the
+shipped library): run `sbt "runMain graft.Verify <sfDir> <outDir>"`, then this
+script executes each oracle_sql.json entry in DuckDB over the same parquet
+tables and compares with the Spark parquet dump — exact values, columns
+sorted by name, row order preserved.
+
+Usage: python3 tools/check_oracle.py <sfDir> <outDir>
+"""
+import sys, os, glob, math, json
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    return v
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    declared = sorted(d for d in os.listdir(out_dir)
+                      if os.path.isdir(os.path.join(out_dir, d)))
+    for name in declared:
+        files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+        if not files:
+            print(f"NOORACLE? {name}: no parquet output"); n_fail += 1; continue
+        spark_tbl = pq.read_table(files[0])
+        if name not in oracle:
+            print(f"ROWSONLY  {name}: rows={spark_tbl.num_rows} (no oracle declared)")
+            continue
+        try:
+            duck = con.sql(oracle[name])
+            duck_rows = duck.fetchall()
+            duck_cols = list(duck.columns)
+        except Exception as e:
+            print(f"FAIL      {name}: oracle SQL error: {str(e)[:200]}"); n_fail += 1; continue
+        s_cols = sorted(spark_tbl.column_names)
+        d_cols = sorted(duck_cols)
+        if s_cols != d_cols:
+            print(f"FAIL      {name}: columns spark={s_cols} duck={d_cols}"); n_fail += 1; continue
+        # spark rows in column-name-sorted order
+        s_data = spark_tbl.select(s_cols).to_pylist()
+        s_rows = [tuple(norm(r[c]) for c in s_cols) for r in s_data]
+        idx = [duck_cols.index(c) for c in d_cols]
+        d_rows = [tuple(norm(r[i]) for i in idx) for r in duck_rows]
+        if len(s_rows) != len(d_rows):
+            print(f"FAIL      {name}: rows spark={len(s_rows)} duck={len(d_rows)}"); n_fail += 1; continue
+        bad = [(i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b]
+        if bad:
+            i, a, b = bad[0]
+            print(f"FAIL      {name}: {len(bad)}/{len(s_rows)} rows differ; first at {i}:")
+            print(f"          cols:  {d_cols}")
+            print(f"          spark: {a}")
+            print(f"          duck:  {b}")
+            n_fail += 1
+        else:
+            # type check (schema match): compare python types of first row
+            if s_rows and any(type(a) is not type(b) and not (a is None or b is None)
+                              for a, b in zip(s_rows[0], d_rows[0])):
+                print(f"WARNTYPE  {name}: value types differ: "
+                      f"{[ (type(a).__name__, type(b).__name__) for a,b in zip(s_rows[0], d_rows[0])]}")
+            print(f"PASS      {name}: {len(s_rows)} rows")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, "
+          f"{len(declared) - n_pass - n_fail} rows-only")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
