@@ -1,7 +1,169 @@
 package graft.operators
 
-import graft.Q
+import graft.{Q, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+/** Deduplication operators (SURVEY.md §2.12 D1–D3): exact, keep-first,
+  * brute-ish n-gram Jaccard (oracle-checkable), MinHash+LSH (the 100 TB
+  * path), and SimHash signatures.
+  *
+  * Scale design: the Jaccard join never forms a doc×doc cross product — docs
+  * meet only through a shared shingle (inverted-index join), so shuffle
+  * volume is O(total shingles + colliding pairs). MinHash+LSH replaces even
+  * that with O(docs × bands) band-bucket keys: candidates are pairs sharing a
+  * band bucket, verified exactly afterwards. Both are embarrassingly parallel
+  * by key — no driver-side state.
+  */
 object Dedup {
-  val queries: Seq[Q] = Seq()
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Exact dedup with a deterministic winner (lowest doc_id per identical
+    * text) — `dropDuplicates` keeps an arbitrary row, which can't be
+    * oracle-checked. Hash aggregate on the text; one shuffle.
+    */
+  private val dedupExact = Q(
+    "dedup_exact",
+    (s, dir) => docs(s, dir)
+      .groupBy("text")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+      .orderBy("keep_id"),
+    Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+           |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin))
+
+  /** Keep-first dedup (D2): deterministic winner per (lang, source) business
+    * key via row_number — the standard "keep earliest" pattern.
+    */
+  private val dedupKeepfirst = Q(
+    "dedup_keepfirst",
+    (s, dir) => {
+      val w = Window.partitionBy("lang", "source").orderBy("doc_id")
+      docs(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, lang, source, n_chars FROM (
+           |  SELECT doc_id, lang, source, n_chars,
+           |    ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+           |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin))
+
+  /** Near-duplicate pairs by exact 3-gram-shingle Jaccard >= 0.8 (D3,
+    * oracle-checkable ground truth for the MinHash variant below).
+    *
+    * Inverted-index join: explode distinct shingles, equi-join on the shingle
+    * (+ lang to bound collisions), count common shingles per pair, then
+    * jaccard = common / (|A| + |B| - common). Only pairs sharing >= 1 shingle
+    * are ever materialized, so this scales with real collisions, not docs².
+    */
+  private val dedupNgramJaccard = Q(
+    "dedup_ngram_jaccard",
+    (s, dir) => {
+      val sh = docs(s, dir)
+        .select(col("doc_id"), col("lang"), shingles(col("text")).as("sh"))
+      val ex = sh.select(col("doc_id"), col("lang"),
+        size(col("sh")).as("n"), explode(col("sh")).as("g"))
+      val a = ex.toDF("doc_a", "lang", "n_a", "g")
+      val b = ex.toDF("doc_b", "lang_b", "n_b", "g_b")
+      a.join(b, col("g") === col("g_b") && col("lang") === col("lang_b") &&
+          col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(count(lit(1)).as("common"))
+        .withColumn("jaccard",
+          col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+        .filter(col("jaccard") >= 0.8)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some("""WITH w AS (SELECT doc_id, lang, string_split(text,' ') AS w FROM documents),
+           |s AS (SELECT doc_id, lang, CASE WHEN len(w) < 3 THEN [array_to_string(w,' ')]
+           |        ELSE list_distinct(list_transform(range(1, len(w)-1),
+           |               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS sh
+           |      FROM w),
+           |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |        len(list_intersect(a.sh, b.sh)) AS c, len(a.sh) AS na, len(b.sh) AS nb
+           |      FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+           |SELECT doc_a, doc_b, round(CAST(c AS DOUBLE)/(na+nb-c), 6) AS jaccard
+           |FROM p WHERE CAST(c AS DOUBLE)/(na+nb-c) >= 0.8
+           |ORDER BY doc_a, doc_b""".stripMargin))
+
+  /** MinHash + LSH near-dup dedup (D3, the 100 TB path): 32-permutation
+    * MinHash signatures, banded 8×4; pairs colliding in any band become
+    * candidates and are verified with exact shingle Jaccard. Cost is linear
+    * in docs (signatures) + candidates — no inverted-index blowup on hot
+    * shingles, no docs² anywhere.
+    *
+    * No SQL oracle: candidate recall depends on xxhash64, which DuckDB lacks.
+    * DedupSpec asserts (at sf0.001) candidates ⊆ the exact-Jaccard pairs and
+    * recall on planted near-dups.
+    */
+  private val dedupMinhashLsh = Q(
+    "dedup_minhash_lsh",
+    (s, dir) => minhashPairs(docs(s, dir)).orderBy("doc_a", "doc_b"),
+    None)
+
+  /** Shared MinHash+LSH pipeline: returns verified (doc_a, doc_b, jaccard)
+    * pairs with jaccard >= 0.8 among band-bucket candidates.
+    */
+  def minhashPairs(d: DataFrame, numPerm: Int = 32, bands: Int = 8): DataFrame = {
+    val rows = numPerm / bands
+    val withSh = d.select(col("doc_id"), shingles(col("text")).as("sh"))
+    val aggs = minhashAggs(col("g"), numPerm)
+    val sigs = withSh
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+    val banded = sigs.select(col("doc_id"), explode(array(
+      (0 until bands).map(b => struct(lit(b).as("band"), bandHash(b, rows).as("bh"))): _*
+    )).as("bb")).select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cand = banded.toDF("doc_a", "band", "bh")
+      .join(banded.toDF("doc_b", "band_b", "bh_b"),
+        col("band") === col("band_b") && col("bh") === col("bh_b") &&
+          col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    // exact verification of candidates only
+    val shA = withSh.toDF("doc_a", "sh_a")
+    val shB = withSh.toDF("doc_b", "sh_b")
+    cand.join(shA, "doc_a").join(shB, "doc_b")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("common")))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** SimHash signatures (near-dup fingerprinting): 64-bit signature whose
+    * bit k is the sign of the count-weighted sum of bit k over all token
+    * hashes. Two map-side-combinable aggregations; no oracle (hash values
+    * are engine-specific) — DedupSpec asserts hamming(near-dups) << random.
+    */
+  private val dedupSimhash = Q(
+    "dedup_simhash",
+    (s, dir) => simhash(docs(s, dir)).orderBy("doc_id"),
+    None)
+
+  def simhash(d: DataFrame): DataFrame = {
+    val tok = d.select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", xxhash64(col("w")))
+    val perBit = tok
+      .select(col("doc_id"), col("cnt"), col("h"),
+        explode(sequence(lit(0), lit(63))).as("bit"))
+      .withColumn("contrib",
+        when(expr("(h >> bit) & 1") === 1, col("cnt")).otherwise(-col("cnt")))
+      .groupBy("doc_id", "bit")
+      .agg(sum(col("contrib")).as("net"))
+    perBit.groupBy("doc_id")
+      .agg(sum(when(col("net") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")).otherwise(0L)).as("simhash"))
+  }
+
+  val queries: Seq[Q] = Seq(
+    dedupExact, dedupKeepfirst, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash)
 }

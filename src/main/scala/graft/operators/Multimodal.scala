@@ -1,7 +1,83 @@
 package graft.operators
 
-import graft.Q
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
 
+/** Multimodal column plumbing (SURVEY.md §2.12 D6): media payloads travel as
+  * opaque `binary` columns with typed metadata alongside. The Spark-side
+  * machinery — schema, partition-preserving batch processing, decode fan-out
+  * — is real; the actual codec is a clearly-marked deterministic STUB
+  * (image/audio libraries are not in this container).
+  */
 object Multimodal {
-  val queries: Seq[Q] = Seq()
+
+  /** Decoded-media metadata row. */
+  final case class MediaMeta(doc_id: Long, width: Int, height: Int,
+      n_channels: Int, mean_intensity: Double)
+
+  /** Binary-column metadata extraction, fully oracle-checked: payload size,
+    * leading-bytes hex ("magic number" inspection) and a content checksum.
+    * The binary payload is synthesized from `text` (UTF-8 bytes) since the
+    * testdata ships no real media — the point is that Catalyst handles
+    * BinaryType end to end (scan → expressions → exchange).
+    */
+  private val multimodalMeta = Q(
+    "multimodal_meta",
+    (s, dir) => Tables.load(s, dir, "documents")
+      .withColumn("payload", col("text").cast("binary"))
+      .select(
+        col("doc_id"),
+        length(col("payload")).as("n_bytes"),
+        upper(hex(substring(col("payload"), 1, 8))).as("magic_hex"),
+        md5(col("text")).as("checksum"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+           | CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           | upper(hex(encode(substring(text, 1, 8)))) AS magic_hex,
+           | md5(text) AS checksum
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** Decode / feature-extract over binary payloads via `mapPartitions` —
+    * the Scala analogue of a batched `mapInPandas` decode: one decoder
+    * context per partition, streaming the rows through it. Declared
+    * rows-only (the stub's values aren't SQL semantics to mirror);
+    * MultimodalSpec pins the batch shape and determinism.
+    */
+  private val multimodalDecode = Q(
+    "multimodal_decode",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      decodeImages(s, d)
+        .select(col("doc_id"), col("width"), col("height"),
+          col("n_channels"), round(col("mean_intensity"), 6).as("mean_intensity"))
+        .orderBy("doc_id")
+    },
+    None)
+
+  /** Batched fake-decode: partition-local "codec" applied per row, no
+    * shuffle, schema typed via the case-class encoder.
+    *
+    * STUB: a real build links an image codec here (JPEG/PNG header parse +
+    * pixel decode). The fake derives dimensions/intensity deterministically
+    * from the payload bytes so tests are stable.
+    */
+  def decodeImages(s: SparkSession, df: DataFrame): Dataset[MediaMeta] = {
+    import s.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition decoder init would go here (one codec per partition)
+        rows.map { case (id, bytes) =>
+          val b0 = if (bytes.nonEmpty) bytes(0) & 0xff else 0
+          val b1 = if (bytes.length > 1) bytes(1) & 0xff else 0
+          val mean = if (bytes.isEmpty) 0.0
+            else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
+          MediaMeta(id, 16 + b0 % 240, 16 + b1 % 240, 3, mean)
+        }
+      }
+  }
+
+  val queries: Seq[Q] = Seq(multimodalMeta, multimodalDecode)
 }

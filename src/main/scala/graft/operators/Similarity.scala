@@ -1,7 +1,129 @@
 package graft.operators
 
-import graft.Q
+import graft.{Q, Tables}
+import graft.functions.VectorKernels
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+/** Similarity search over the `embeddings` table (SURVEY.md §2.12 D4):
+  * brute-force cosine top-k as the exact baseline, and random-hyperplane
+  * LSH-bucketed ANN as the scale path.
+  *
+  * The dot/norm kernels are custom codegen Catalyst expressions
+  * ([[graft.functions.FloatVecDot]]) — Spark's built-in higher-order
+  * functions are CodegenFallback and dominated the candidate re-rank at
+  * sf0.1. Same arithmetic (float widened to double, sequential
+  * accumulation), so oracle compatibility is unchanged.
+  */
 object Similarity {
-  val queries: Seq[Q] = Seq()
+
+  private def emb(s: SparkSession, dir: String): DataFrame = {
+    VectorKernels.register(s)
+    Tables.load(s, dir, "embeddings")
+  }
+
+  /** Σ aᵢ·bᵢ in double (codegen kernel; session must be registered). */
+  def dot(a: Column, b: Column): Column = VectorKernels.fdot(a, b)
+
+  /** L2 norm in double (codegen kernel; session must be registered). */
+  def l2norm(a: Column): Column = VectorKernels.fnorm(a)
+
+  /** Brute-force exact cosine top-5 neighbors for the query subset
+    * (vec_id < 10). Query side is tiny → broadcast; candidate side streams.
+    * Ranking uses round(cos, 9) + id tiebreak so cross-engine last-ulp noise
+    * can't reorder neighbors.
+    */
+  private val simBruteTopk = Q(
+    "sim_brute_topk",
+    (s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"))
+      val q = broadcast(e.filter(col("vec_id") < 10)
+        .toDF("q_id", "q_emb", "q_nrm"))
+      val n = e.toDF("n_id", "n_emb", "n_nrm")
+      val w = Window.partitionBy("q_id")
+        .orderBy(round(col("cos"), 9).desc, col("n_id"))
+      q.join(n, col("q_id") =!= col("n_id"))
+        .withColumn("cos",
+          dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cosine"), col("rank"))
+        .orderBy("q_id", "rank")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding,
+           |   sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+           | FROM embeddings),
+           |p AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+           |   list_sum(list_transform(range(1, 65),
+           |     i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)))
+           |     / (q.nrm * n.nrm) AS cos
+           | FROM e q JOIN e n ON q.vec_id < 10 AND n.vec_id != q.vec_id),
+           |r AS (SELECT q_id, n_id, cos,
+           |   CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+           |     ORDER BY round(cos, 9) DESC, n_id) AS INT) AS rank FROM p)
+           |SELECT q_id, n_id, round(cos, 6) AS cosine, rank
+           |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin))
+
+  /** Random-hyperplane LSH ANN: 16 Rademacher (±1) hyperplanes → 4 bands ×
+    * 4 sign bits; vectors sharing any band bucket become candidate pairs,
+    * re-ranked by exact cosine, top-5 kept per query vector.
+    *
+    * Scale: candidates per band ≈ Σ bucketᵢ² — linear-ish shuffle instead of
+    * the vectors² cross product; bands/bits tune recall vs cost. Planes are
+    * seeded-RNG literals, so the plan is deterministic run-to-run. No SQL
+    * oracle (bucket recall is hash-dependent); SimilaritySpec measures
+    * recall against sim_brute_topk ground truth.
+    */
+  private val simLshAnn = Q(
+    "sim_lsh_ann",
+    (s, dir) => lshTopK(emb(s, dir)).orderBy("q_id", "rank"),
+    None)
+
+  private val NumPlanes = 16
+  private val Bands = 4
+  private val BitsPerBand = NumPlanes / Bands
+
+  /** Deterministic ±1 hyperplanes (seed 42), 64-dim each; float so they feed
+    * the array<float> kernel directly.
+    */
+  private lazy val planes: Array[Array[Float]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(NumPlanes, 64)(if (rnd.nextBoolean()) 1.0f else -1.0f)
+  }
+
+  def lshTopK(e: DataFrame, k: Int = 5): DataFrame = {
+    VectorKernels.register(e.sparkSession)
+    val withNorm = e.select(col("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("nrm"))
+    // sign bit per plane, packed into one bucket id per band
+    val bucketCols = (0 until Bands).map { b =>
+      val bits = (0 until BitsPerBand).map { j =>
+        val plane = array(planes(b * BitsPerBand + j).map(lit): _*)
+        when(dot(col("embedding"), plane) >= 0, lit(1L << j)).otherwise(lit(0L))
+      }
+      struct(lit(b).as("band"), bits.reduce(_ + _).as("bucket")).as(s"bb_$b")
+    }
+    val banded = withNorm
+      .withColumn("bb", explode(array(bucketCols: _*)))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val a = banded.toDF("q_id", "q_emb", "q_nrm", "band", "bucket")
+    val b = banded.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+      col("nrm").as("n_nrm"), col("band").as("band_b"), col("bucket").as("bucket_b"))
+    val cand = a.join(b, col("band") === col("band_b") &&
+        col("bucket") === col("bucket_b") && col("q_id") =!= col("n_id"))
+      .select("q_id", "q_emb", "q_nrm", "n_id", "n_emb", "n_nrm")
+      .dropDuplicates("q_id", "n_id")
+    val w = Window.partitionBy("q_id")
+      .orderBy(round(col("cos"), 9).desc, col("n_id"))
+    cand
+      .withColumn("cos", dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cosine"), col("rank"))
+  }
+
+  val queries: Seq[Q] = Seq(simBruteTopk, simLshAnn)
 }

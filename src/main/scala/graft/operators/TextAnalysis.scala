@@ -1,7 +1,191 @@
 package graft.operators
 
-import graft.Q
+import graft.{Q, Tables}
+import graft.functions.Deterministic._
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+/** Text analysis operators (SURVEY.md §2.12 D5): token statistics, corpus
+  * term frequency, tf-idf, quality scoring, language-ID heuristic, and
+  * document fingerprinting (sorted-token md5 + Rabin-Karp-style rolling
+  * hash). All per-document work is higher-order array functions (codegen'd,
+  * no shuffle); corpus-level stats are two-phase hash aggregates.
+  */
 object TextAnalysis {
-  val queries: Seq[Q] = Seq()
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Per-document token statistics: whitespace tokens, distinct tokens,
+    * regex ("BPE-ish" `[a-z0-9]+`) tokens, mean token length.
+    */
+  private val textTokens = Q(
+    "text_tokens",
+    (s, dir) => {
+      val w = words(col("text"))
+      docs(s, dir).select(
+        col("doc_id"),
+        size(w).as("n_tokens"),
+        size(array_distinct(w)).as("n_distinct"),
+        size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).as("n_re_tokens"),
+        (aggregate(transform(w, t => length(t)), lit(0), (acc, x) => acc + x)
+          .cast("double") / size(w)).as("mean_token_len"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+           | CAST(len(string_split(text,' ')) AS INT) AS n_tokens,
+           | CAST(len(list_distinct(string_split(text,' '))) AS INT) AS n_distinct,
+           | CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INT) AS n_re_tokens,
+           | CAST(list_sum(list_transform(string_split(text,' '), t -> length(t))) AS DOUBLE)
+           |   / len(string_split(text,' ')) AS mean_token_len
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** Corpus-wide top-50 tokens: explode → two-phase count → distributed
+    * top-k (TakeOrderedAndProject).
+    */
+  private val textTokenFreq = Q(
+    "text_token_freq",
+    (s, dir) => docs(s, dir)
+      .select(explode(words(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(50),
+    Some("""SELECT token, count(*) AS freq
+           |FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents)
+           |GROUP BY token ORDER BY freq DESC, token LIMIT 50""".stripMargin))
+
+  /** tf-idf: top term per document by tf · ln(N/df). Term frequencies and
+    * document frequencies are hash aggregates; the idf join broadcasts the
+    * (small) vocabulary. Ranking uses round(·,9) + term tiebreak so last-ulp
+    * ln() differences can't reorder terms across engines.
+    */
+  private val textTfidf = Q(
+    "text_tfidf",
+    (s, dir) => {
+      val d = docs(s, dir)
+      // corpus size as a 1-row broadcast, not a driver-side collect
+      val n = d.agg(count(lit(1)).as("n_docs"))
+      val tf = d.select(col("doc_id"), explode(words(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(round(col("tfidf"), 9).desc, col("term"))
+      tf.join(broadcast(df), "term").crossJoin(broadcast(n))
+        .withColumn("tfidf", col("tf") * log(col("n_docs").cast("double") / col("df")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("term"), round(col("tfidf"), 6).as("tfidf"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tf AS (SELECT doc_id, term, count(*) AS tf
+           |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents)
+           |  GROUP BY doc_id, term),
+           |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+           |n AS (SELECT count(*) AS n_docs FROM documents),
+           |x AS (SELECT tf.doc_id, tf.term,
+           |        tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf
+           |      FROM tf JOIN df USING (term) CROSS JOIN n),
+           |r AS (SELECT doc_id, term, tfidf, ROW_NUMBER() OVER (
+           |        PARTITION BY doc_id ORDER BY round(tfidf, 9) DESC, term) AS rn
+           |      FROM x)
+           |SELECT doc_id, term, round(tfidf, 6) AS tfidf
+           |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin))
+
+  /** Quality scoring: length / stopword-ratio / alpha-ratio composite in
+    * [0,1] — the usual cheap pre-filter before expensive pipeline stages.
+    * Every float op is written identically on both engines.
+    */
+  private val textQuality = Q(
+    "text_quality",
+    (s, dir) => {
+      val w = words(col("text"))
+      val stop = Seq("the", "of", "and", "a", "to", "in", "is", "on", "for", "with")
+      val nStop = size(filter(w, t => t.isin(stop.map(x => x: Any): _*)))
+      val alpha = (length(regexp_replace(col("text"), "[^a-z ]", ""))
+        .cast("double") / length(col("text"))).as("alpha_ratio")
+      docs(s, dir).select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_actual"),
+        size(w).as("n_tokens"),
+        round(nStop.cast("double") / size(w), 6).as("stop_ratio"),
+        round(alpha, 6).as("alpha_ratio"),
+        round(least(size(w).cast("double") / 50.0, lit(1.0)) * 0.5 +
+          (lit(1.0) - nStop.cast("double") / size(w)) * 0.5, 6).as("quality"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+           | CAST(length(text) AS INT) AS n_chars_actual,
+           | CAST(len(string_split(text,' ')) AS INT) AS n_tokens,
+           | round(CAST(len(list_filter(string_split(text,' '),
+           |     t -> list_contains(['the','of','and','a','to','in','is','on','for','with'], t)))
+           |   AS DOUBLE) / len(string_split(text,' ')), 6) AS stop_ratio,
+           | round(CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE)
+           |   / length(text), 6) AS alpha_ratio,
+           | round(least(CAST(len(string_split(text,' ')) AS DOUBLE) / 50.0, 1.0) * 0.5 +
+           |   (1.0 - CAST(len(list_filter(string_split(text,' '),
+           |     t -> list_contains(['the','of','and','a','to','in','is','on','for','with'], t)))
+           |   AS DOUBLE) / len(string_split(text,' '))) * 0.5, 6) AS quality
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** Language-ID n-gram/stopword heuristic: argmax over per-language marker
+    * token hit counts; `und` when nothing matches. Declared rows-only (the
+    * testdata's word soup carries no real language signal); TextSpec checks
+    * real sentences in 5 languages.
+    */
+  private val textLangid = Q(
+    "text_langid",
+    (s, dir) => docs(s, dir)
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        langId(col("text")).as("lang_guess"))
+      .orderBy("doc_id"),
+    None)
+
+  /** Marker-token language scores; returns the best-scoring language code. */
+  def langId(text: Column): Column = {
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "and", "of", "to", "is", "that", "with"),
+      "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+      "fr" -> Seq("le", "la", "les", "et", "est", "que", "une"),
+      "es" -> Seq("el", "los", "las", "es", "que", "una", "para"))
+    val w = split(lower(text), "\\s+")
+    val scores = markers.map { case (code, ms) =>
+      struct(size(filter(w, t => t.isin(ms.map(x => x: Any): _*))).as("score"),
+        lit(code).as("code"))
+    }
+    // CJK: any han character dominates
+    val best = greatest(scores: _*) // struct compare: score first, then code
+    when(length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", "")) > 0, lit("zh"))
+      .otherwise(when(best.getField("score") > 0, best.getField("code"))
+        .otherwise(lit("und")))
+  }
+
+  /** Document fingerprints: (a) md5 of the sorted token multiset — equal for
+    * any token permutation; (b) order-sensitive polynomial rolling hash
+    * (Rabin-Karp style, base 31 mod 2^31-1) over cross-engine-reproducible
+    * 32-bit md5 word hashes, so even this hash is oracle-checked.
+    */
+  private val textFingerprint = Q(
+    "text_fingerprint",
+    (s, dir) => {
+      val w = words(col("text"))
+      docs(s, dir).select(
+        col("doc_id"),
+        md5(array_join(sort_array(w), " ")).as("fp_sorted_md5"),
+        aggregate(w, lit(0L),
+          (acc, t) => (acc * 31 + md5Hash32(t)) % 2147483647L).as("fp_rolling"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+           | md5(array_to_string(list_sort(string_split(text,' ')), ' ')) AS fp_sorted_md5,
+           | list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |     list_transform(string_split(text,' '),
+           |       t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT))),
+           |   (a, b) -> (a * 31 + b) % 2147483647) AS fp_rolling
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  val queries: Seq[Q] = Seq(
+    textTokens, textTokenFreq, textTfidf, textQuality, textLangid, textFingerprint)
 }

@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.Dedup
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+/** MinHash/SimHash internals the DuckDB oracle can't express (hash values
+  * are engine-specific): candidate soundness, recall on planted near-dups,
+  * and signature locality.
+  */
+class DedupSpec extends SparkSuite {
+
+  private lazy val docs = Tables.load(spark, sfDir, "documents")
+
+  /** Exact all-pairs shingle-Jaccard >= 0.8 (no lang restriction — ground
+    * truth for MinHash, which doesn't see lang).
+    */
+  private lazy val exactPairs: Set[(Long, Long)] = {
+    val sh = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+    val a = sh.toDF("doc_a", "sh_a")
+    val b = sh.toDF("doc_b", "sh_b")
+    a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("j", col("common").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("common")))
+      .filter(col("j") >= 0.8)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  private lazy val minhashPairs: Set[(Long, Long)] =
+    Dedup.minhashPairs(docs)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("minhash verified pairs are sound (subset of exact Jaccard >= 0.8)") {
+    assert(minhashPairs.subsetOf(exactPairs),
+      s"unsound pairs: ${minhashPairs.diff(exactPairs)}")
+  }
+
+  test("minhash recall on planted near-dups >= 0.8") {
+    assert(exactPairs.nonEmpty, "testdata should contain planted near-dups")
+    val recall = minhashPairs.size.toDouble / exactPairs.size
+    assert(recall >= 0.8, s"recall $recall over ${exactPairs.size} true pairs")
+  }
+
+  test("simhash: near-dup pairs are closer in hamming distance than random pairs") {
+    val sig = Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val nearDistances = exactPairs.toSeq.map { case (a, b) => hamming(sig(a), sig(b)) }
+    val ids = sig.keys.toArray.sorted
+    val randomDistances = (for {
+      i <- 0 until 200
+      a = ids(i % ids.length); b = ids((i * 37 + 11) % ids.length) if a != b
+    } yield hamming(sig(a), sig(b)))
+    val nearAvg = nearDistances.sum.toDouble / nearDistances.size
+    val randAvg = randomDistances.sum.toDouble / randomDistances.size
+    assert(nearAvg < randAvg / 2,
+      s"near-dup avg hamming $nearAvg not << random $randAvg")
+  }
+
+  test("exact dedup is idempotent") {
+    val once = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
+    val twice = once.groupBy("text").agg(min("doc_id").as("doc_id"))
+    assert(once.count() == twice.count())
+  }
+}
