@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{DataType, DoubleType}
 
 /** Custom Catalyst expressions for the embedding-similarity hot path.
   *
@@ -18,10 +18,10 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * stay bit-compatible with the DuckDB oracle formulation.
   */
 case class FloatVecDot(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression {
 
-  override def inputTypes: Seq[AbstractDataType] =
-    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  // Spark 4 makes AbstractDataType private[sql], so no ExpectsInputTypes here;
+  // call sites (Similarity/VectorKernels.fdot) guarantee array<float> inputs.
   override def dataType: DataType = DoubleType
   override def prettyName: String = "fvec_dot"
 
@@ -56,9 +56,8 @@ case class FloatVecDot(left: Expression, right: Expression)
 
 /** L2 norm of an array<float>, same codegen treatment as [[FloatVecDot]]. */
 case class FloatVecNorm(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes {
+    extends UnaryExpression {
 
-  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "fvec_norm"
 
