@@ -26,6 +26,15 @@ object Tables {
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Rebalance rows across the session's shuffle parallelism before heavy
+    * per-row compute (shingling, hashing, vector math). At cluster scale a
+    * scan arrives in many partitions already; a local small-file scan is ONE
+    * partition, which would serialize all downstream per-row work on a
+    * single thread. One round-robin exchange buys full-width parallelism.
+    */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+
   /** Register every table as a temp view (idempotent; cheap — schema read only). */
   def registerViews(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))

@@ -23,17 +23,7 @@ object TextFunctions {
         i => array_join(slice(w, i + lit(1), lit(n)), " "))))
   }
 
-  /** MinHash signature: for each of `k` hash permutations, the minimum
-    * xxhash64 over the shingle set. Emitted as `k` aggregate expressions for
-    * a single-shuffle groupBy (two-phase partial/final hash aggregate).
-    */
-  def minhashAggs(shingle: Column, k: Int): Seq[Column] =
-    (0 until k).map(i => min(xxhash64(lit(i), shingle)).as(s"sig_$i"))
-
-  /** LSH band key for signature columns `sig_{b*rows} .. sig_{b*rows+rows-1}`:
-    * one 64-bit hash per band. Two docs collide in a band iff all `rows`
-    * signature slots match.
-    */
-  def bandHash(b: Int, rows: Int): Column =
-    xxhash64((b * rows until (b + 1) * rows).map(i => col(s"sig_$i")): _*)
+  // Shingle hashing / MinHash / SimHash kernels live in [[TextKernels]] —
+  // compiled per-row loops; the higher-order-function formulation evaluated
+  // one interpreted expression tree per element and was ~10× slower.
 }

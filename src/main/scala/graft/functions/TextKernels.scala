@@ -1,0 +1,188 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the text-dedup hot path.
+  *
+  * The higher-order-function formulation (`transform` + `xxhash64` +
+  * `element_at` lambdas) evaluates one interpreted expression tree per
+  * ELEMENT — profiled at ~4s just to shingle 5k docs at sf0.1. These kernels
+  * do the same work in one compiled Scala loop per ROW (CodegenFallback:
+  * a single virtual eval call per row; everything inside is JIT-compiled).
+  *
+  * Hash values are engine-internal (band buckets, join keys, signatures) —
+  * never oracle-compared — so the exact hash family is free to choose:
+  * FNV-1a 64 over UTF-8 bytes per word, polynomial combine across a
+  * shingle, splitmix64 re-mix per MinHash permutation.
+  */
+object TextHash {
+  final val FnvOffset = 0xcbf29ce484222325L
+  final val FnvPrime = 0x100000001b3L
+
+  /** FNV-1a 64 over the UTF-8 bytes of a word. */
+  def fnv(word: UTF8String): Long = {
+    val bytes = word.getBytes
+    var h = FnvOffset
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= FnvPrime; i += 1 }
+    h
+  }
+
+  /** splitmix64 finalizer — decorrelates MinHash permutations. */
+  def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Sorted distinct n-word shingle hashes of a whitespace-tokenized text. */
+  def shingleHashes(text: UTF8String, n: Int): Array[Long] = {
+    val words = text.split(UTF8String.fromString(" "), -1)
+    if (words.length < n) return Array(fnv(text))
+    val wh = new Array[Long](words.length)
+    var i = 0
+    while (i < words.length) { wh(i) = fnv(words(i)); i += 1 }
+    val out = new Array[Long](words.length - n + 1)
+    i = 0
+    while (i <= words.length - n) {
+      var h = FnvOffset
+      var j = 0
+      while (j < n) { h = h * 31 + wh(i + j); j += 1 }
+      out(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var w = 1
+    i = 1
+    while (i < out.length) {
+      if (out(i) != out(i - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(out, w)
+  }
+}
+
+/** `shingle_hash64(text)` → sorted distinct array<long> of 3-word shingle
+  * hashes. See /root/reference/glue_job_script.py for the reference's (absent)
+  * text surface — this is [EXT] SURVEY.md §2.12 D3 machinery.
+  */
+case class ShingleHash64(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hash64"
+  override def nullSafeEval(t: Any): Any =
+    new GenericArrayData(TextHash.shingleHashes(t.asInstanceOf[UTF8String], n))
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `minhash_bands(shingle_hashes, numPerm, bands)` → array<long> of `bands`
+  * band-bucket keys: permutation i's signature is min over the shingle set of
+  * splitmix64-mixed hashes; each band key combines `numPerm/bands`
+  * consecutive signatures polynomially. Two docs collide in a band iff all
+  * that band's signatures agree — the standard LSH banding construction.
+  */
+case class MinHashBands(child: Expression, numPerm: Int, bands: Int)
+    extends UnaryExpression with CodegenFallback {
+  private val rows = numPerm / bands
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_bands"
+
+  override def nullSafeEval(a: Any): Any = {
+    val sh = a.asInstanceOf[ArrayData]
+    val m = sh.numElements()
+    val sig = new Array[Long](numPerm)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < m) {
+      val h = sh.getLong(i)
+      var p = 0
+      while (p < numPerm) {
+        val v = TextHash.mix(h ^ (p * 0x9e3779b97f4a7c15L))
+        if (v < sig(p)) sig(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = TextHash.FnvOffset
+      var j = 0
+      while (j < rows) { h = h * 31 + sig(b * rows + j); j += 1 }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `simhash64(text)` → 64-bit SimHash over count-weighted whitespace tokens:
+  * bit k of the signature is set iff the sum over distinct tokens of
+  * (count × ±1 depending on bit k of the token hash) is positive. Entirely
+  * per-row — replaces an explode + two groupBy shuffles.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(t: Any): Any = {
+    val words = t.asInstanceOf[UTF8String].split(UTF8String.fromString(" "), -1)
+    // token -> count, then count-weighted per-bit vote
+    val counts = new java.util.HashMap[Long, Int](words.length * 2)
+    var i = 0
+    while (i < words.length) {
+      val h = TextHash.fnv(words(i))
+      counts.put(h, counts.getOrDefault(h, 0) + 1)
+      i += 1
+    }
+    val votes = new Array[Long](64)
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val h = e.getKey
+      val c = e.getValue.toLong
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += c else votes(b) -= c
+        b += 1
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Session registration + Column-level API (same pattern as [[VectorKernels]]). */
+object TextKernels {
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("shingle_hash64",
+      exprs => ShingleHash64(exprs.head, 3), "built-in")
+    reg.createOrReplaceTempFunction("minhash_bands",
+      exprs => MinHashBands(exprs.head, 32, 8), "built-in")
+    reg.createOrReplaceTempFunction("simhash64",
+      exprs => SimHash64(exprs.head), "built-in")
+  }
+
+  def shingleHash64(text: Column): Column = call_function("shingle_hash64", text)
+  def minhashBands(sh: Column): Column = call_function("minhash_bands", sh)
+  def simhash64(text: Column): Column = call_function("simhash64", text)
+}

@@ -65,10 +65,16 @@ object Dedup {
   private val dedupNgramJaccard = Q(
     "dedup_ngram_jaccard",
     (s, dir) => {
-      val sh = docs(s, dir)
-        .select(col("doc_id"), col("lang"), shingles(col("text")).as("sh"))
+      // Shingle hashes, not shingle strings: same distinct-set semantics
+      // (collision odds ~1e-8 at sf0.1) with 8-byte join keys and no string
+      // building; `spread` parallelizes the per-doc shingling.
+      graft.functions.TextKernels.register(s)
+      val sh = Tables.spread(docs(s, dir))
+        .select(col("doc_id"), col("lang"),
+          graft.functions.TextKernels.shingleHash64(col("text")).as("sh"))
       val ex = sh.select(col("doc_id"), col("lang"),
         size(col("sh")).as("n"), explode(col("sh")).as("g"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val a = ex.toDF("doc_a", "lang", "n_a", "g")
       val b = ex.toDF("doc_b", "lang_b", "n_b", "g_b")
       a.join(b, col("g") === col("g_b") && col("lang") === col("lang_b") &&
@@ -108,20 +114,23 @@ object Dedup {
     (s, dir) => minhashPairs(docs(s, dir)).orderBy("doc_a", "doc_b"),
     None)
 
-  /** Shared MinHash+LSH pipeline: returns verified (doc_a, doc_b, jaccard)
-    * pairs with jaccard >= 0.8 among band-bucket candidates.
+  /** Shared MinHash+LSH pipeline (32 permutations, 8 bands × 4 rows — fixed
+    * in the [[graft.functions.TextKernels]] registration): returns verified
+    * (doc_a, doc_b, jaccard) pairs with jaccard >= 0.8 among band-bucket
+    * candidates.
     */
-  def minhashPairs(d: DataFrame, numPerm: Int = 32, bands: Int = 8): DataFrame = {
-    val rows = numPerm / bands
-    val withSh = d.select(col("doc_id"), shingles(col("text")).as("sh"))
-    val aggs = minhashAggs(col("g"), numPerm)
-    val sigs = withSh
-      .select(col("doc_id"), explode(col("sh")).as("g"))
-      .groupBy("doc_id")
-      .agg(aggs.head, aggs.tail: _*)
-    val banded = sigs.select(col("doc_id"), explode(array(
-      (0 until bands).map(b => struct(lit(b).as("band"), bandHash(b, rows).as("bh"))): _*
-    )).as("bb")).select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  def minhashPairs(d: DataFrame): DataFrame = {
+    import graft.functions.TextKernels
+    TextKernels.register(d.sparkSession)
+    // Shingling + signatures are one compiled kernel pass per row
+    // (TextKernels); withSh is persisted because it feeds the banding pass
+    // AND both sides of the verification join.
+    val withSh = Tables.spread(d)
+      .select(col("doc_id"), TextKernels.shingleHash64(col("text")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = withSh
+      .select(col("doc_id"),
+        posexplode(TextKernels.minhashBands(col("sh"))).as(Seq("band", "bh")))
     val cand = banded.toDF("doc_a", "band", "bh")
       .join(banded.toDF("doc_b", "band_b", "bh_b"),
         col("band") === col("band_b") && col("bh") === col("bh_b") &&
@@ -149,19 +158,13 @@ object Dedup {
     None)
 
   def simhash(d: DataFrame): DataFrame = {
-    val tok = d.select(col("doc_id"), explode(words(col("text"))).as("w"))
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
-      .withColumn("h", xxhash64(col("w")))
-    val perBit = tok
-      .select(col("doc_id"), col("cnt"), col("h"),
-        explode(sequence(lit(0), lit(63))).as("bit"))
-      .withColumn("contrib",
-        when(expr("(h >> bit) & 1") === 1, col("cnt")).otherwise(-col("cnt")))
-      .groupBy("doc_id", "bit")
-      .agg(sum(col("contrib")).as("net"))
-    perBit.groupBy("doc_id")
-      .agg(sum(when(col("net") > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")).otherwise(0L)).as("simhash"))
+    // Entirely per-row (one kernel call per doc) — the explode + double
+    // groupBy formulation paid two shuffles of docs×tokens×bits rows for
+    // the same signature.
+    graft.functions.TextKernels.register(d.sparkSession)
+    Tables.spread(d)
+      .select(col("doc_id"),
+        graft.functions.TextKernels.simhash64(col("text")).as("simhash"))
   }
 
   val queries: Seq[Q] = Seq(

@@ -20,7 +20,9 @@ object Similarity {
 
   private def emb(s: SparkSession, dir: String): DataFrame = {
     VectorKernels.register(s)
-    Tables.load(s, dir, "embeddings")
+    // spread: the local embeddings file is a single scan partition; dot
+    // products would otherwise run single-threaded (see Tables.spread).
+    Tables.spread(Tables.load(s, dir, "embeddings"))
   }
 
   /** Σ aᵢ·bᵢ in double (codegen kernel; session must be registered). */
@@ -37,11 +39,16 @@ object Similarity {
   private val simBruteTopk = Q(
     "sim_brute_topk",
     (s, dir) => {
-      val e = emb(s, dir).select(col("vec_id"), col("embedding"),
-        l2norm(col("embedding")).as("nrm"))
-      val q = broadcast(e.filter(col("vec_id") < 10)
+      VectorKernels.register(s)
+      // Query side: straight off the scan so `vec_id < 10` pushes into
+      // parquet (10-row read); candidate side: spread for parallel dots.
+      val raw = Tables.load(s, dir, "embeddings")
+      val q = broadcast(raw.filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
         .toDF("q_id", "q_emb", "q_nrm"))
-      val n = e.toDF("n_id", "n_emb", "n_nrm")
+      val n = emb(s, dir).select(col("vec_id"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"))
+        .toDF("n_id", "n_emb", "n_nrm")
       val w = Window.partitionBy("q_id")
         .orderBy(round(col("cos"), 9).desc, col("n_id"))
       q.join(n, col("q_id") =!= col("n_id"))
@@ -95,8 +102,12 @@ object Similarity {
 
   def lshTopK(e: DataFrame, k: Int = 5): DataFrame = {
     VectorKernels.register(e.sparkSession)
+    // Consumed three times (bucketing, query side, neighbor side) — persist
+    // so the norm pass runs once. At cluster scale this is the standard
+    // MEMORY_AND_DISK persist of a prepared candidate set.
     val withNorm = e.select(col("vec_id"), col("embedding"),
       l2norm(col("embedding")).as("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // sign bit per plane, packed into one bucket id per band
     val bucketCols = (0 until Bands).map { b =>
       val bits = (0 until BitsPerBand).map { j =>
@@ -105,20 +116,24 @@ object Similarity {
       }
       struct(lit(b).as("band"), bits.reduce(_ + _).as("bucket")).as(s"bb_$b")
     }
+    // Candidate generation shuffles ONLY (vec_id, band, bucket) — 24 bytes/row.
+    // Dragging the 64-float embeddings through the self-join + distinct would
+    // multiply shuffle volume ~40×; the wide rows are joined back afterwards,
+    // once per surviving candidate pair.
     val banded = withNorm
       .withColumn("bb", explode(array(bucketCols: _*)))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
+      .select(col("vec_id"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val a = banded.toDF("q_id", "q_emb", "q_nrm", "band", "bucket")
-    val b = banded.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
-      col("nrm").as("n_nrm"), col("band").as("band_b"), col("bucket").as("bucket_b"))
-    val cand = a.join(b, col("band") === col("band_b") &&
-        col("bucket") === col("bucket_b") && col("q_id") =!= col("n_id"))
-      .select("q_id", "q_emb", "q_nrm", "n_id", "n_emb", "n_nrm")
-      .dropDuplicates("q_id", "n_id")
+    val cand = banded.toDF("q_id", "band", "bucket")
+      .join(banded.toDF("n_id", "band_b", "bucket_b"),
+        col("band") === col("band_b") &&
+          col("bucket") === col("bucket_b") && col("q_id") =!= col("n_id"))
+      .select("q_id", "n_id").distinct()
+    val qSide = withNorm.toDF("q_id", "q_emb", "q_nrm")
+    val nSide = withNorm.toDF("n_id", "n_emb", "n_nrm")
     val w = Window.partitionBy("q_id")
       .orderBy(round(col("cos"), 9).desc, col("n_id"))
-    cand
+    cand.join(qSide, "q_id").join(nSide, "n_id")
       .withColumn("cos", dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -18,6 +18,15 @@ object TextAnalysis {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** Spread variant for the pure per-row queries (tokens/quality/langid/
+    * fingerprint): their only shuffle is the final sort, so without a
+    * rebalance all per-row compute runs on the single scan partition.
+    * The explode→groupBy queries (token_freq, tfidf) parallelize through
+    * their own aggregation shuffle and skip the extra exchange.
+    */
+  private def docsSpread(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(docs(s, dir))
+
   /** Per-document token statistics: whitespace tokens, distinct tokens,
     * regex ("BPE-ish" `[a-z0-9]+`) tokens, mean token length.
     */
@@ -25,7 +34,7 @@ object TextAnalysis {
     "text_tokens",
     (s, dir) => {
       val w = words(col("text"))
-      docs(s, dir).select(
+      docsSpread(s, dir).select(
         col("doc_id"),
         size(w).as("n_tokens"),
         size(array_distinct(w)).as("n_distinct"),
@@ -106,7 +115,7 @@ object TextAnalysis {
       val nStop = size(filter(w, t => t.isin(stop.map(x => x: Any): _*)))
       val alpha = (length(regexp_replace(col("text"), "[^a-z ]", ""))
         .cast("double") / length(col("text"))).as("alpha_ratio")
-      docs(s, dir).select(
+      docsSpread(s, dir).select(
         col("doc_id"),
         length(col("text")).as("n_chars_actual"),
         size(w).as("n_tokens"),
@@ -137,7 +146,7 @@ object TextAnalysis {
     */
   private val textLangid = Q(
     "text_langid",
-    (s, dir) => docs(s, dir)
+    (s, dir) => docsSpread(s, dir)
       .select(col("doc_id"), col("lang").as("labeled_lang"),
         langId(col("text")).as("lang_guess"))
       .orderBy("doc_id"),
@@ -171,7 +180,7 @@ object TextAnalysis {
     "text_fingerprint",
     (s, dir) => {
       val w = words(col("text"))
-      docs(s, dir).select(
+      docsSpread(s, dir).select(
         col("doc_id"),
         md5(array_join(sort_array(w), " ")).as("fp_sorted_md5"),
         aggregate(w, lit(0L),
