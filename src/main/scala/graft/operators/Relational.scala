@@ -550,11 +550,118 @@ object Relational {
            | round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))), 6) AS l2_norm
            |FROM embeddings ORDER BY vec_id""".stripMargin))
 
+  /** Statistical aggregates (§2.4 extension): stddev/variance/correlation/
+    * covariance/median per group. The moments are exact decimal power sums
+    * (2-dp inputs ⇒ 4-dp squares, both exact), combined into doubles with
+    * the identical expression sequence on both engines — so even corr is
+    * bit-deterministic, where the built-in running-double `corr()` would
+    * depend on partitioning.
+    */
+  private val aggStats = Q(
+    "agg_stats",
+    (s, dir) => {
+      val x = col("l_quantity").cast(DecimalType(18, 2))
+      val y = col("l_extendedprice").cast(DecimalType(18, 2))
+      val nD = col("n").cast("double")
+      val sx = col("sx").cast("double"); val sxx = col("sxx").cast("double")
+      val sy = col("sy").cast("double"); val syy = col("syy").cast("double")
+      val sxy = col("sxy").cast("double")
+      val varX = (sxx - sx * sx / nD) / (nD - 1.0)
+      val varY = (syy - sy * sy / nD) / (nD - 1.0)
+      val cov = (sxy - sx * sy / nD) / (nD - 1.0)
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(x * x).as("sxx"),
+          sum(y).as("sy"), sum(y * y).as("syy"),
+          sum(x * y).as("sxy"),
+          expr("percentile(l_quantity, 0.5D)").as("median_qty"))
+        .select(
+          col("l_returnflag"), col("n"),
+          round(varX, 6).as("var_qty"),
+          round(sqrt(varX), 6).as("stddev_qty"),
+          round(sqrt(varY), 6).as("stddev_price"),
+          round(cov, 6).as("covar_qty_price"),
+          round((sxy - sx * sy / nD) / sqrt((sxx - sx * sx / nD) * (syy - sy * sy / nD)), 6)
+            .as("corr_qty_price"),
+          round(col("median_qty"), 6).as("median_qty"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, n,
+           | round((sxx - sx*sx/n)/(n-1.0), 6) AS var_qty,
+           | round(sqrt((sxx - sx*sx/n)/(n-1.0)), 6) AS stddev_qty,
+           | round(sqrt((syy - sy*sy/n)/(n-1.0)), 6) AS stddev_price,
+           | round((sxy - sx*sy/n)/(n-1.0), 6) AS covar_qty_price,
+           | round((sxy - sx*sy/n)/sqrt((sxx - sx*sx/n)*(syy - sy*sy/n)), 6) AS corr_qty_price,
+           | round(median_qty, 6) AS median_qty
+           |FROM (SELECT l_returnflag, count(*) AS n,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+           |  quantile_cont(l_quantity, 0.5) AS median_qty
+           | FROM lineitem GROUP BY l_returnflag)
+           |ORDER BY l_returnflag""".stripMargin))
+
+  /** PIVOT (§2.4 extension): revenue matrix status × priority. The pivot
+    * value list is a compile-time literal (no extra distinct-values job);
+    * plans as a single two-phase hash aggregate, same as the CASE-WHEN
+    * formulation the oracle uses.
+    */
+  private val aggPivot = Q(
+    "agg_pivot",
+    (s, dir) => t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double"))
+      .select(col("o_orderstatus"),
+        col("`1-URGENT`").as("p_urgent"), col("`2-HIGH`").as("p_high"),
+        col("`3-MEDIUM`").as("p_medium"),
+        col("`4-NOT SPECIFIED`").as("p_notspec"), col("`5-LOW`").as("p_low"))
+      .orderBy("o_orderstatus"),
+    Some("""SELECT o_orderstatus,
+           | CAST(SUM(CASE WHEN o_orderpriority='1-URGENT' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p_urgent,
+           | CAST(SUM(CASE WHEN o_orderpriority='2-HIGH' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p_high,
+           | CAST(SUM(CASE WHEN o_orderpriority='3-MEDIUM' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p_medium,
+           | CAST(SUM(CASE WHEN o_orderpriority='4-NOT SPECIFIED' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p_notspec,
+           | CAST(SUM(CASE WHEN o_orderpriority='5-LOW' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p_low
+           |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+
+  /** Deterministic hash-split sampling — the train/val/test assignment a
+    * training-data pipeline needs: stable under reruns, reshuffles and
+    * engine changes (md5-derived 32-bit key hash, NOT `rand()` or
+    * TABLESAMPLE). Scales embarrassingly: a per-row projection + two-phase
+    * aggregate.
+    */
+  private val sampleHashSplit = Q(
+    "sample_hash_split",
+    (s, dir) => t(s, dir, "orders")
+      .withColumn("bucket", pmod(md5Hash32(col("o_orderkey").cast("string")), lit(10)))
+      .withColumn("split",
+        when(col("bucket") < 8, "train")
+          .when(col("bucket") === 8, "val")
+          .otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("split"),
+    Some("""SELECT split, count(*) AS n_orders,
+           | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+           |FROM (SELECT CASE
+           |    WHEN CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT) % 10 < 8 THEN 'train'
+           |    WHEN CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT) % 10 = 8 THEN 'val'
+           |    ELSE 'test' END AS split, o_totalprice
+           |  FROM orders)
+           |GROUP BY split ORDER BY split""".stripMargin))
+
   val queries: Seq[Q] = Seq(
     refPartitionCount, aggPricingSummary, filterProject, filterString,
     joinInnerStar, joinLeftOuter, joinSemi, joinAnti, joinFullOuter,
     joinRange, joinAsof, windowTopkPerGroup, windowRunningSum,
     windowLagLead, topkOrders, setOps, aggDistinctGroup, aggRollup,
-    aggCube, aggGroupingSets, aggApproxDistinct, scalarStringFuncs,
+    aggCube, aggGroupingSets, aggApproxDistinct, aggStats, aggPivot,
+    sampleHashSplit, scalarStringFuncs,
     scalarDateFuncs, scalarMathFuncs, scalarJsonFuncs, scalarArrayFuncs)
 }

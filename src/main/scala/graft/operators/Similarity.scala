@@ -140,5 +140,97 @@ object Similarity {
       .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cosine"), col("rank"))
   }
 
-  val queries: Seq[Q] = Seq(simBruteTopk, simLshAnn)
+  /** Embedding-cosine near-duplicate pairs (SURVEY.md §2.12 D3/D4 bridge):
+    * all vector pairs with cosine >= 0.4 — the top ~1e-4 of the pair
+    * distribution in this corpus (which plants no true duplicates; max
+    * pairwise cosine ≈ 0.51). Brute-force here is a broadcast nested-loop
+    * over the smaller side; the 100 TB path swaps in the LSH band join of
+    * [[simLshAnn]] as a candidate pre-filter with identical verification.
+    */
+  private val dedupEmbeddingCosine = Q(
+    "dedup_embedding_cosine",
+    (s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"))
+      val a = e.toDF("vec_a", "emb_a", "nrm_a")
+      val b = broadcast(e.toDF("vec_b", "emb_b", "nrm_b"))
+      a.join(b, col("vec_a") < col("vec_b"))
+        .withColumn("cos", dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+        .filter(round(col("cos"), 9) >= 0.4)
+        .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
+        .orderBy("vec_a", "vec_b")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding,
+           |   sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+           | FROM embeddings),
+           |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           |   list_sum(list_transform(range(1, 65),
+           |     i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+           |     / (a.nrm * b.nrm) AS cos
+           | FROM e a JOIN e b ON a.vec_id < b.vec_id)
+           |SELECT vec_a, vec_b, round(cos, 6) AS cosine
+           |FROM p WHERE round(cos, 9) >= 0.4
+           |ORDER BY vec_a, vec_b""".stripMargin))
+
+  /** IVF (inverted-file) ANN: assign every vector to its nearest of K coarse
+    * centroids, then answer queries by scanning only the `nprobe` closest
+    * cells — the classic IVF-Flat layout. Centroids here are K deterministic
+    * seed vectors (`vec_id < K`, a pushed-down 8-row scan); at 100 TB they'd
+    * come from k-means over a sample, but the query-side plan — broadcast
+    * centroids, cell equi-join, exact re-rank — is exactly this one.
+    * Rows-only (recall is centroid-dependent); SimilaritySpec measures
+    * recall and verifies the cell scan is a genuine pre-filter.
+    */
+  private val simIvfAnn = Q(
+    "sim_ivf_ann",
+    (s, dir) => ivfTopK(emb(s, dir),
+      Tables.load(s, dir, "embeddings")).orderBy("q_id", "rank"),
+    None)
+
+  private val IvfK = 8       // coarse cells
+  private val IvfNProbe = 3  // cells scanned per query
+
+  /** `e`: spread full vector set; `raw`: unspread scan for the pushed-down
+    * centroid/query reads.
+    */
+  def ivfTopK(e: DataFrame, raw: DataFrame, k: Int = 5): DataFrame = {
+    VectorKernels.register(e.sparkSession)
+    val cents = broadcast(raw.filter(col("vec_id") < IvfK)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
+        l2norm(col("embedding")).as("c_nrm")))
+    // cell assignment: one broadcast pass, argmax cosine via min_by-style window
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(round(col("cos_c"), 9).desc, col("cent_id"))
+    val assigned = e.select(col("vec_id"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"))
+      .crossJoin(cents)
+      .withColumn("cos_c",
+        dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("cent_id"), col("vec_id").as("n_id"),
+        col("embedding").as("n_emb"), col("nrm").as("n_nrm"))
+    // query side: nprobe nearest cells per query vector
+    val wProbe = Window.partitionBy("q_id")
+      .orderBy(round(col("cos_c"), 9).desc, col("cent_id"))
+    val probes = raw.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        l2norm(col("embedding")).as("q_nrm"))
+      .crossJoin(cents)
+      .withColumn("cos_c", dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= IvfNProbe)
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("cent_id"))
+    // scan only the probed cells, exact re-rank
+    val wRank = Window.partitionBy("q_id")
+      .orderBy(round(col("cos"), 9).desc, col("n_id"))
+    broadcast(probes).join(assigned, "cent_id")
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cosine"), col("rank"))
+  }
+
+  val queries: Seq[Q] = Seq(simBruteTopk, simLshAnn, dedupEmbeddingCosine, simIvfAnn)
 }
