@@ -10,8 +10,12 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val df = SparkEntry.entry(spark)
-    println("ENTRY_ROWS=" + df.count())
-    df.show(5, false)
+    val dir = "/root/testdata/sf0.001"
+    for (name <- Seq("filter_project", "join_inner_star", "topk_orders")) {
+      println(s"===== $name =====")
+      println(Queries.byName(name).run(spark, dir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    spark.stop()
   }
 }

@@ -79,5 +79,87 @@ object Multimodal {
       }
   }
 
-  val queries: Seq[Q] = Seq(multimodalMeta, multimodalDecode)
+  /** Resized-image metadata row. */
+  final case class ResizedMeta(doc_id: Long, out_width: Int, out_height: Int,
+      mean_intensity: Double)
+
+  /** One sampled frame. */
+  final case class Frame(doc_id: Long, frame_idx: Int, n_bytes: Int, checksum: Long)
+
+  /** Decode → resize to a fixed target — the standard image-normalization
+    * stage before feature extraction. Same partition-local batch shape as
+    * [[decodeImages]]; the resample itself is the STUB (bytes re-hashed into
+    * a fixed 32×32 intensity summary, deterministic for tests).
+    */
+  def resizeImages(s: SparkSession, df: DataFrame,
+                   outW: Int = 32, outH: Int = 32): Dataset[ResizedMeta] = {
+    import s.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          // STUB resample: mean over outW×outH strided byte samples
+          val n = math.max(bytes.length, 1)
+          var acc = 0.0
+          var i = 0
+          val samples = outW * outH
+          while (i < samples) { acc += (bytes(i * n / samples % n) & 0xff); i += 1 }
+          ResizedMeta(id, outW, outH, acc / samples)
+        }
+      }
+  }
+
+  /** Frame sampling over a "video" payload: every `stride`-th fixed-size
+    * window of the byte stream becomes a frame row (1→N fan-out, the
+    * `flatMap`-shaped batch decode a real codec plugs into). Each frame gets
+    * a position-independent checksum so downstream exact dedup of frames is
+    * oracle-able in principle.
+    */
+  def sampleFrames(s: SparkSession, df: DataFrame,
+                   frameBytes: Int = 64, stride: Int = 4): Dataset[Frame] = {
+    import s.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val nFrames = math.max(bytes.length / frameBytes, 1)
+        (0 until nFrames by stride).map { f =>
+          val from = math.min(f * frameBytes, math.max(bytes.length - 1, 0))
+          val until = math.min(from + frameBytes, bytes.length)
+          var h = 0xcbf29ce484222325L
+          var i = from
+          while (i < until) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+          Frame(id, f, until - from, h)
+        }
+      }
+  }
+
+  /** Resize stage over the synthesized payloads; rows-only (stub values),
+    * shape + determinism pinned in TextMultimodalSpec.
+    */
+  private val multimodalResize = Q(
+    "multimodal_resize",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      resizeImages(s, d)
+        .select(col("doc_id"), col("out_width"), col("out_height"),
+          round(col("mean_intensity"), 6).as("mean_intensity"))
+        .orderBy("doc_id")
+    },
+    None)
+
+  /** Frame-sampling stage; rows-only (stub values). */
+  private val multimodalFrames = Q(
+    "multimodal_frames",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      sampleFrames(s, d)
+        .orderBy("doc_id", "frame_idx")
+        .toDF()
+    },
+    None)
+
+  val queries: Seq[Q] = Seq(
+    multimodalMeta, multimodalDecode, multimodalResize, multimodalFrames)
 }

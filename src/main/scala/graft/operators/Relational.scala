@@ -310,6 +310,37 @@ object Relational {
            |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
            |ORDER BY event_id""".stripMargin))
 
+  /** Distribution windows: ntile quartiles + first/last/nth value over the
+    * full partition frame (§2.5 extension).
+    */
+  private val windowNtileFirstLast = Q(
+    "window_ntile_first_last",
+    (s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          ntile(4).over(w).as("quartile"),
+          first(col("o_totalprice")).over(wf).as("top_price"),
+          last(col("o_totalprice")).over(wf).as("bottom_price"),
+          nth_value(col("o_totalprice"), 3).over(wf).as("third_price"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_orderpriority, o_totalprice,
+           | CAST(ntile(4) OVER w AS INT) AS quartile,
+           | first_value(o_totalprice) OVER wf AS top_price,
+           | last_value(o_totalprice) OVER wf AS bottom_price,
+           | nth_value(o_totalprice, 3) OVER wf AS third_price
+           |FROM orders
+           |WINDOW w AS (PARTITION BY o_orderpriority
+           |             ORDER BY o_totalprice DESC, o_orderkey),
+           |  wf AS (PARTITION BY o_orderpriority
+           |         ORDER BY o_totalprice DESC, o_orderkey
+           |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           |ORDER BY o_orderkey""".stripMargin))
+
   /** Global top-k: plans as TakeOrderedAndProject (per-partition heap +
     * driver merge), NOT a full sort — the shape that survives 100 TB.
     */
@@ -660,7 +691,8 @@ object Relational {
     refPartitionCount, aggPricingSummary, filterProject, filterString,
     joinInnerStar, joinLeftOuter, joinSemi, joinAnti, joinFullOuter,
     joinRange, joinAsof, windowTopkPerGroup, windowRunningSum,
-    windowLagLead, topkOrders, setOps, aggDistinctGroup, aggRollup,
+    windowLagLead, windowNtileFirstLast, topkOrders, setOps,
+    aggDistinctGroup, aggRollup,
     aggCube, aggGroupingSets, aggApproxDistinct, aggStats, aggPivot,
     sampleHashSplit, scalarStringFuncs,
     scalarDateFuncs, scalarMathFuncs, scalarJsonFuncs, scalarArrayFuncs)

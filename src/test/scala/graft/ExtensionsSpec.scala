@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** End-to-end check of the `spark.sql.extensions` entry point: a session
+  * built with `graft.GraftExtensions` resolves the kernel functions in plain
+  * SQL with no per-session register calls.
+  */
+class ExtensionsSpec extends SparkSuite {
+
+  test("GraftExtensions injects the kernel functions into SQL") {
+    // force the shared context to exist first, then build a sibling session
+    // with extensions on the same SparkContext
+    spark.sparkContext
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // spark.sql.extensions is a static conf — honored only when the
+    // SparkContext is created, so a config() here would be ignored against
+    // the shared test context. withExtensions is the equivalent supported
+    // path for an existing context and exercises the same class.
+    val extSession = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val row = extSession.sql(
+        """SELECT fvec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+          |                array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
+          |       fvec_norm(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS n,
+          |       size(shingle_hash64('a b c d e')) AS n_shingles,
+          |       size(minhash_bands(shingle_hash64('a b c d e'))) AS n_bands,
+          |       simhash64('a b c') AS sh
+          |""".stripMargin).head()
+      assert(row.getDouble(0) == 11.0)
+      assert(row.getDouble(1) == 5.0)
+      assert(row.getInt(2) == 3)   // 5 words → 3 trigram shingles
+      assert(row.getInt(3) == 8)   // 8 LSH bands
+      assert(row.getLong(4) != 0L)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+}

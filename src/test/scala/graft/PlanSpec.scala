@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Physical-plan regression tests: the scale-critical plan shapes claimed in
+  * SURVEY.md §4 must actually appear — filter/column pushdown into the
+  * parquet scan, broadcast joins for dims, TakeOrderedAndProject for top-k,
+  * partial (two-phase) aggregation. A change that silently degrades one of
+  * these (e.g. a filter that stops pushing past a new projection) fails here
+  * long before it shows up as an sf0.1 bench regression.
+  */
+class PlanSpec extends SparkSuite {
+
+  private def plan(name: String): String = {
+    val df: DataFrame = Queries.byName(name).run(spark, sfDir)
+    df.queryExecution.explainString(FormattedMode)
+  }
+
+  test("filter_project pushes every predicate and prunes to 5 columns") {
+    val p = plan("filter_project")
+    assert(p.contains("PushedFilters:"), p)
+    Seq("EqualTo(l_returnflag,R)", "GreaterThan(l_quantity,45.0)",
+      "GreaterThanOrEqual(l_discount,0.05)", "LessThanOrEqual(l_discount,0.08)")
+      .foreach(f => assert(p.contains(f), s"missing pushed filter $f\n$p"))
+    // column pruning: unused lineitem columns must not reach the scan
+    Seq("l_partkey", "l_suppkey", "l_tax", "l_commitdate")
+      .foreach(c => assert(!p.contains(c), s"scan should not read $c\n$p"))
+  }
+
+  test("join_inner_star broadcasts all dimension sides, never sort-merges") {
+    val p = plan("join_inner_star")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // lineitem scan pruned to join key + measures
+    assert(p.contains("struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>"), p)
+  }
+
+  test("topk_orders plans as distributed TakeOrderedAndProject, not a global sort") {
+    val p = plan("topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("rangepartitioning"), p)
+  }
+
+  test("ref_partition_count is a two-phase (partial/final) hash aggregate") {
+    val p = plan("ref_partition_count")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("join_range keeps the equi-key hash join; range predicate stays a residual") {
+    val p = plan("join_range")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("agg_pricing_summary scans only the aggregated columns") {
+    val p = plan("agg_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    assert(!p.contains("l_orderkey"), s"pricing summary should not read the key columns\n$p")
+  }
+}

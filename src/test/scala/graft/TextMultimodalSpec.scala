@@ -38,6 +38,36 @@ class TextMultimodalSpec extends SparkSuite {
     assert(fp(1L)._2 != fp(2L)._2) // rolling hash is order-sensitive
   }
 
+  test("media resize: fixed target shape, deterministic, intensity in range") {
+    val d = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val r1 = Multimodal.resizeImages(spark, d).collect().sortBy(_.doc_id)
+    val r2 = Multimodal.resizeImages(spark, d).collect().sortBy(_.doc_id)
+    assert(r1.length == 500 && r1.toSeq == r2.toSeq)
+    r1.foreach { m =>
+      assert(m.out_width == 32 && m.out_height == 32)
+      assert(m.mean_intensity >= 0 && m.mean_intensity < 256)
+    }
+  }
+
+  test("frame sampling: 1→N fan-out with stride, deterministic checksums") {
+    val d = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val frames = Multimodal.sampleFrames(spark, d).collect()
+    val byDoc = frames.groupBy(_.doc_id)
+    assert(byDoc.size == 500)
+    byDoc.values.foreach { fs =>
+      // stride 4: frame indices are 0, 4, 8, …
+      assert(fs.map(_.frame_idx).forall(_ % 4 == 0))
+      assert(fs.forall(f => f.n_bytes > 0 && f.n_bytes <= 64))
+    }
+    // fan-out actually happened for long docs
+    assert(frames.length > 500, s"expected multi-frame docs, got ${frames.length}")
+    val again = Multimodal.sampleFrames(spark, d).collect()
+    assert(frames.sortBy(f => (f.doc_id, f.frame_idx)).toSeq ==
+      again.sortBy(f => (f.doc_id, f.frame_idx)).toSeq)
+  }
+
   test("media decode: deterministic, right batch shape, plausible values") {
     val d = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
