@@ -558,6 +558,27 @@ object Relational {
            | max(CAST(json_extract_string(props,'$.k') AS INT)) AS max_k
            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  /** Map functions over parsed JSON (§2.8): `from_json` into
+    * map<string,int>, exploded to entry rows, aggregated per (type, key).
+    */
+  private val scalarMapFuncs = Q(
+    "scalar_map_funcs",
+    (s, dir) => t(s, dir, "events")
+      .select(col("event_type"),
+        explode(from_json(col("props"), "map<string,int>", Map.empty[String, String]))
+          .as(Seq("k", "v")))
+      .groupBy("event_type", "k")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+      .orderBy("event_type", "k"),
+    Some("""SELECT event_type, k, count(*) AS n,
+           | CAST(SUM(v) AS BIGINT) AS sum_v, min(v) AS min_v, max(v) AS max_v
+           |FROM (SELECT event_type, k,
+           |        CAST(json_extract_string(props, '$."' || k || '"') AS INT) AS v
+           |      FROM (SELECT event_type, props,
+           |              unnest(json_keys(props)) AS k FROM events))
+           |GROUP BY event_type, k ORDER BY event_type, k""".stripMargin))
+
   /** Array / higher-order function family over the embedding vectors:
     * element access, min/max, L2 norm via fold — no UDF, stays in codegen.
     */
@@ -695,5 +716,6 @@ object Relational {
     aggDistinctGroup, aggRollup,
     aggCube, aggGroupingSets, aggApproxDistinct, aggStats, aggPivot,
     sampleHashSplit, scalarStringFuncs,
-    scalarDateFuncs, scalarMathFuncs, scalarJsonFuncs, scalarArrayFuncs)
+    scalarDateFuncs, scalarMathFuncs, scalarJsonFuncs, scalarMapFuncs,
+    scalarArrayFuncs)
 }

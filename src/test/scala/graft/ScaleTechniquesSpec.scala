@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.SkewJoin
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
+
+/** The 100 TB plan-shape techniques that small-scale correctness tests can't
+  * see: salt-spread skew joins and bucketed (exchange-free) co-located joins.
+  */
+class ScaleTechniquesSpec extends SparkSuite {
+
+  test("salted join returns exactly the plain join's rows") {
+    val orders = Tables.load(spark, sfDir, "orders")
+    val customer = Tables.load(spark, sfDir, "customer")
+    val plain = orders.join(customer,
+        orders("o_custkey") === customer("c_custkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = SkewJoin.salted(
+        orders.withColumnRenamed("o_custkey", "custkey"),
+        customer.withColumnRenamed("c_custkey", "custkey"),
+        "custkey", salt = 8)
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+
+  test("salted join key includes the salt column (hot key spreads over reducers)") {
+    val orders = Tables.load(spark, sfDir, "orders").withColumnRenamed("o_custkey", "custkey")
+    val customer = Tables.load(spark, sfDir, "customer").withColumnRenamed("c_custkey", "custkey")
+    val p = SkewJoin.salted(orders, customer, "custkey", salt = 8)
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("__salt"), p)
+  }
+
+  test("bucketed tables join without any exchange") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sql("DROP TABLE IF EXISTS orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS customer_bkt")
+      Tables.load(spark, sfDir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .mode("overwrite").saveAsTable("orders_bkt")
+      Tables.load(spark, sfDir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .mode("overwrite").saveAsTable("customer_bkt")
+      val joined = spark.table("orders_bkt").join(spark.table("customer_bkt"),
+        col("o_custkey") === col("c_custkey"))
+      val p = joined.queryExecution.executedPlan.toString
+      // co-located bucketed scans satisfy the join's distribution directly
+      assert(!p.contains("Exchange hashpartitioning"), p)
+      assert(p.contains("SortMergeJoin"), p)
+      // and the result is still correct
+      assert(joined.count() ==
+        Tables.load(spark, sfDir, "orders").join(
+          Tables.load(spark, sfDir, "customer"),
+          col("o_custkey") === col("c_custkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS customer_bkt")
+    }
+  }
+}
