@@ -434,7 +434,7 @@ object Relational {
   private val aggGroupingSets = Q(
     "agg_grouping_sets",
     (s, dir) => {
-      Tables.registerViews(s, dir)
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
       s.sql("""SELECT COALESCE(l_returnflag,'ALL') AS returnflag,
               | COALESCE(l_linestatus,'ALL') AS linestatus, count(*) AS n
               |FROM lineitem

@@ -116,25 +116,28 @@ object Similarity {
       }
       struct(lit(b).as("band"), bits.reduce(_ + _).as("bucket")).as(s"bb_$b")
     }
-    // Candidate generation shuffles ONLY (vec_id, band, bucket) — 24 bytes/row.
-    // Dragging the 64-float embeddings through the self-join + distinct would
-    // multiply shuffle volume ~40×; the wide rows are joined back afterwards,
-    // once per surviving candidate pair.
+    // Embeddings ride through the band self-join: the pre-join shuffle is
+    // bands × corpus wide-rows (linear in the corpus, the standard LSH
+    // replication cost), and every row AFTER the join is just
+    // (q_id, n_id, cos) — 24 bytes. The alternative (id-only candidates,
+    // then join the wide vectors back per candidate) shuffles
+    // O(candidates × vector width), ~20× more here.
     val banded = withNorm
       .withColumn("bb", explode(array(bucketCols: _*)))
-      .select(col("vec_id"),
+      .select(col("vec_id"), col("embedding"), col("nrm"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val cand = banded.toDF("q_id", "band", "bucket")
-      .join(banded.toDF("n_id", "band_b", "bucket_b"),
+    val scored = banded.toDF("q_id", "q_emb", "q_nrm", "band", "bucket")
+      .join(banded.toDF("n_id", "n_emb", "n_nrm", "band_b", "bucket_b"),
         col("band") === col("band_b") &&
           col("bucket") === col("bucket_b") && col("q_id") =!= col("n_id"))
-      .select("q_id", "n_id").distinct()
-    val qSide = withNorm.toDF("q_id", "q_emb", "q_nrm")
-    val nSide = withNorm.toDF("n_id", "n_emb", "n_nrm")
+      .select(col("q_id"), col("n_id"),
+        (dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm"))).as("cos"))
     val w = Window.partitionBy("q_id")
       .orderBy(round(col("cos"), 9).desc, col("n_id"))
-    cand.join(qSide, "q_id").join(nSide, "n_id")
-      .withColumn("cos", dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
+    scored
+      // a pair colliding in several bands appears once per band; same cos
+      // each time — max() is pure dedup
+      .groupBy("q_id", "n_id").agg(max(col("cos")).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cosine"), col("rank"))
