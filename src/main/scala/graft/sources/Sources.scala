@@ -1,0 +1,70 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Reader/writer surface (SURVEY.md §2.1 S1–S5), formalized.
+  *
+  * Readers take an explicit schema by default; `csvInferred` reproduces the
+  * reference's inference-based read (glue_job_script.py:39-42) for parity,
+  * clearly marked as the non-production path (extra pass + type drift).
+  *
+  * Writers: partitioned Parquet is the curated-layer sink
+  * (glue_job_script.py:48-53). `partitionedParquet` repartitions by the
+  * partition columns first so each partition directory is written by the
+  * tasks owning its rows — file-per-partition without the reference's
+  * `repartition(1)` single-task bottleneck (glue_job_script.py:49).
+  */
+object Sources {
+
+  // ------------------------------------------------------------- readers
+
+  /** CSV with a declared schema (production path; S1/S5: `path` may be a
+    * single object or a whole directory prefix).
+    */
+  def csv(spark: SparkSession, path: String, schema: StructType,
+          header: Boolean = true): DataFrame =
+    spark.read.schema(schema)
+      .option("header", header.toString)
+      .option("pathGlobFilter", "*.csv")
+      .csv(path)
+
+  /** CSV with inference — reference parity only (S1). */
+  def csvInferred(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true")
+      .option("pathGlobFilter", "*.csv").csv(path)
+
+  /** JSON-lines with a declared schema. */
+  def json(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Parquet (S3): schema travels with the files; partition columns are
+    * discovered from the Hive layout and prunable.
+    */
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  // ------------------------------------------------------------- writers
+
+  /** Hive-partitioned Parquet append (S2), scalable: one exchange on the
+    * partition columns instead of `repartition(1)`.
+    */
+  def partitionedParquet(df: DataFrame, out: String,
+                         partitionCols: Seq[String],
+                         mode: String = "append"): Unit =
+    df.repartition(partitionCols.map(col): _*)
+      .write.mode(mode).partitionBy(partitionCols: _*).parquet(out)
+
+  /** Un-partitioned Parquet. */
+  def parquetSink(df: DataFrame, out: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).parquet(out)
+
+  /** CSV export (header on, one directory of part files). */
+  def csvSink(df: DataFrame, out: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).option("header", "true").csv(out)
+
+  /** JSON-lines export. */
+  def jsonSink(df: DataFrame, out: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).json(out)
+}
