@@ -32,10 +32,14 @@ object AsOfJoin {
     * @param leftTs    timestamp column name in `left`
     * @param rightTs   timestamp column name in `right`
     * @param asOfCol   output column name for the matched right timestamp
+    * @param forward   false = latest right at-or-before (default);
+    *                  true = earliest right at-or-after (the same window
+    *                  pass over a reversed sort)
     */
   def apply(left: DataFrame, right: DataFrame, key: String,
             leftTs: String, rightTs: String,
-            asOfCol: String = "asof_ts"): DataFrame = {
+            asOfCol: String = "asof_ts",
+            forward: Boolean = false): DataFrame = {
     val r = right.select(
       col(key).as("__k"), col(rightTs).as("__t"),
       col(rightTs).as("__carry"), lit(0).as("__side"))
@@ -43,7 +47,10 @@ object AsOfJoin {
       .withColumn("__k", col(key)).withColumn("__t", col(leftTs))
       .withColumn("__carry", lit(null).cast(r.schema("__carry").dataType))
       .withColumn("__side", lit(1))
-    val w = Window.partitionBy("__k").orderBy(col("__t"), col("__side"))
+    // ties: right (side 0) sorts first either direction, so an exactly-equal
+    // timestamp counts as "at-or-before" / "at-or-after"
+    val ord = if (forward) col("__t").desc else col("__t").asc
+    val w = Window.partitionBy("__k").orderBy(ord, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r, allowMissingColumns = true)
       .withColumn(asOfCol, last(col("__carry"), ignoreNulls = true).over(w))

@@ -248,6 +248,29 @@ object Relational {
            |FROM events p WHERE p.event_type = 'purchase'
            |ORDER BY p.event_id""".stripMargin))
 
+  /** Forward as-of join (J6 mirror): each purchase gets the EARLIEST
+    * at-or-after view by the same user — same single-shuffle window pass as
+    * [[AsOfJoin]] over a reversed sort.
+    */
+  private val joinAsofForward = Q(
+    "join_asof_forward",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val views = ev.filter(col("event_type") === "view")
+        .select("user_id", "ts")
+      AsOfJoin(purchases, views, "user_id", "ts", "ts", "next_view_ts", forward = true)
+        .select(col("event_id"), col("user_id"),
+          col("ts").as("purchase_ts"), col("value"), col("next_view_ts"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS purchase_ts, p.value,
+           | (SELECT CAST(min(v.ts) AS TIMESTAMP) FROM events v
+           |  WHERE v.event_type = 'view' AND v.user_id = p.user_id AND v.ts >= p.ts) AS next_view_ts
+           |FROM events p WHERE p.event_type = 'purchase'
+           |ORDER BY p.event_id""".stripMargin))
+
   /** Ranking window: top-3 orders per priority (top-k per group). */
   private val windowTopkPerGroup = Q(
     "window_topk_per_group",
@@ -711,7 +734,7 @@ object Relational {
   val queries: Seq[Q] = Seq(
     refPartitionCount, aggPricingSummary, filterProject, filterString,
     joinInnerStar, joinLeftOuter, joinSemi, joinAnti, joinFullOuter,
-    joinRange, joinAsof, windowTopkPerGroup, windowRunningSum,
+    joinRange, joinAsof, joinAsofForward, windowTopkPerGroup, windowRunningSum,
     windowLagLead, windowNtileFirstLast, topkOrders, setOps,
     aggDistinctGroup, aggRollup,
     aggCube, aggGroupingSets, aggApproxDistinct, aggStats, aggPivot,

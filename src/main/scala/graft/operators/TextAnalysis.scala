@@ -195,6 +195,57 @@ object TextAnalysis {
            |   (a, b) -> (a * 31 + b) % 2147483647) AS fp_rolling
            |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** Normalization / redaction — the cheap scrub stage ahead of dedup and
+    * tokenization: lowercase, digit-run redaction to a sentinel token,
+    * punctuation strip, whitespace collapse. Pure per-row regex (codegen).
+    */
+  private val textNormalize = Q(
+    "text_normalize",
+    (s, dir) => docsSpread(s, dir)
+      .select(
+        col("doc_id"),
+        trim(regexp_replace(regexp_replace(regexp_replace(
+          lower(col("text")), "[0-9]+", "<num>"), "[^a-z< >]", ""), " +", " "))
+          .as("normalized"),
+        size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).as("n_redacted"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+           | trim(regexp_replace(regexp_replace(regexp_replace(
+           |   lower(text), '[0-9]+', '<num>', 'g'), '[^a-z< >]', '', 'g'), ' +', ' ', 'g'))
+           |   AS normalized,
+           | CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_redacted
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** Sequence packing: documents are concatenated per language in doc_id
+    * order and chunked into fixed token-budget bins (GPT-style packing);
+    * each doc is assigned the bin its first token lands in. A prefix-sum
+    * window per language — embarrassingly parallel across languages, and at
+    * 100 TB the partition key becomes (lang, shard) with per-shard budgets.
+    */
+  private val textPack = Q(
+    "text_pack",
+    (s, dir) => {
+      val binTokens = 2048
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"), size(words(col("text"))).as("n_tokens"))
+        .withColumn("offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .withColumn("bin_id", floor(col("offset") / binTokens).cast("long"))
+        .select("doc_id", "lang", "n_tokens", "offset", "bin_id")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, lang,
+           | CAST(len(string_split(text,' ')) AS INT) AS n_tokens,
+           | CAST(COALESCE(SUM(len(string_split(text,' '))) OVER (
+           |   PARTITION BY lang ORDER BY doc_id
+           |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset,
+           | CAST(FLOOR(CAST(COALESCE(SUM(len(string_split(text,' '))) OVER (
+           |   PARTITION BY lang ORDER BY doc_id
+           |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE) / 2048) AS BIGINT) AS bin_id
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
   val queries: Seq[Q] = Seq(
-    textTokens, textTokenFreq, textTfidf, textQuality, textLangid, textFingerprint)
+    textTokens, textTokenFreq, textTfidf, textQuality, textLangid,
+    textFingerprint, textNormalize, textPack)
 }
