@@ -20,6 +20,8 @@ import graft.functions.{FloatVecDot, FloatVecNorm, MinHashBands, ShingleHash64, 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // custom physical operator: grouped top-k via bounded heaps
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     ext.injectFunction((
       FunctionIdentifier("fvec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "fvec_dot"),

@@ -364,6 +364,27 @@ object Relational {
            |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
            |ORDER BY o_orderkey""".stripMargin))
 
+  /** Grouped top-k via the custom bounded-heap physical operator
+    * ([[graft.plans.TopKPerGroup]]): same rows as `window_topk_per_group`
+    * but O(n log k) with map-side partial top-k instead of a full
+    * per-partition sort — the plan a window function can't produce.
+    */
+  private val topkPerGroupCustom = Q(
+    "topk_per_group_custom",
+    (s, dir) => graft.plans.TopK.perGroup(
+        t(s, dir, "orders"),
+        groupCols = Seq("o_orderpriority"),
+        orderCols = Seq(col("o_totalprice").desc, col("o_orderkey")),
+        k = 3)
+      .select("o_orderpriority", "o_orderkey", "o_totalprice")
+      .orderBy("o_orderpriority", "o_orderkey"),
+    Some("""SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+           |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+           |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+           |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+           |  FROM orders) WHERE rk <= 3
+           |ORDER BY o_orderpriority, o_orderkey""".stripMargin))
+
   /** Global top-k: plans as TakeOrderedAndProject (per-partition heap +
     * driver merge), NOT a full sort — the shape that survives 100 TB.
     */
@@ -735,7 +756,7 @@ object Relational {
     refPartitionCount, aggPricingSummary, filterProject, filterString,
     joinInnerStar, joinLeftOuter, joinSemi, joinAnti, joinFullOuter,
     joinRange, joinAsof, joinAsofForward, windowTopkPerGroup, windowRunningSum,
-    windowLagLead, windowNtileFirstLast, topkOrders, setOps,
+    windowLagLead, windowNtileFirstLast, topkOrders, topkPerGroupCustom, setOps,
     aggDistinctGroup, aggRollup,
     aggCube, aggGroupingSets, aggApproxDistinct, aggStats, aggPivot,
     sampleHashSplit, scalarStringFuncs,
