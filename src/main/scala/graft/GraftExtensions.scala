@@ -20,8 +20,10 @@ import graft.functions.{FloatVecDot, FloatVecNorm, MinHashBands, ShingleHash64, 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    // custom physical operator: grouped top-k via bounded heaps
+    // custom physical operator: grouped top-k via bounded heaps, plus the
+    // optimizer rewrite that turns row_number()<=k windows into it
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteWindowTopK)
     ext.injectFunction((
       FunctionIdentifier("fvec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "fvec_dot"),

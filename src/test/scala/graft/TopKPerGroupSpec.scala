@@ -43,6 +43,41 @@ class TopKPerGroupSpec extends SparkSuite {
     assert(windowPlan.contains("Sort "), windowPlan)
   }
 
+  test("optimizer rule rewrites row_number()<=k windows into the heap operator") {
+    spark.sparkContext
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val ext = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val o = Tables.load(ext, sfDir, "orders")
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val df = o.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("TopKPerGroup"), opt)
+      assert(!opt.contains("Window ["), opt)
+      // and rows are identical to the unrewritten session's
+      val want = windowTopK(3).collect().map(_.toSeq).toSet
+      assert(df.collect().map(_.toSeq).toSet == want)
+      // rank still projected => NOT rewritten (rule must preserve output)
+      val keepRank = o.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3).select("o_orderkey", "rk")
+      assert(!keepRank.queryExecution.optimizedPlan.toString.contains("TopKPerGroup"))
+    } finally {
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("k larger than every group returns all rows") {
     val small = orders.limit(50)
     val got = TopK.perGroup(small, Seq("o_orderstatus"),
