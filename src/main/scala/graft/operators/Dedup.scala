@@ -167,6 +167,83 @@ object Dedup {
         graft.functions.TextKernels.simhash64(col("text")).as("simhash"))
   }
 
+  /** Iterative min-label propagation: each vertex repeatedly takes the
+    * minimum label among itself and its neighbors until fixpoint — O(cluster
+    * diameter) rounds of one join + one aggregate, the standard distributed
+    * connected-components loop (at 100 TB, add localCheckpoint every few
+    * rounds to cut lineage; near-dup clusters are shallow so rounds stay
+    * single-digit).
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(edges.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("u")).distinct().withColumn("label", col("u"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("u").as("v"), col("label").as("nl")), "v")
+        .groupBy("u").agg(min(col("nl")).as("cand"))
+      val next = labels.join(nbrMin, Seq("u"), "left")
+        .select(col("u"), least(col("label"), coalesce(col("cand"), col("label"))).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.join(labels.select(col("u"), col("label").as("old")), "u")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      i += 1
+    }
+    labels.select(col("u").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Duplicate-cluster resolution: connected components over the verified
+    * near-dup pair graph — the transitive-closure step after pairwise
+    * detection (a≈b, b≈c ⇒ one cluster keeps one representative). Cluster id
+    * = minimum doc_id in the component; oracle is a DuckDB recursive CTE
+    * over the same pairs.
+    */
+  private val dedupClusters = Q(
+    "dedup_clusters",
+    (s, dir) => {
+      graft.functions.TextKernels.register(s)
+      val sh = Tables.spread(docs(s, dir))
+        .select(col("doc_id"), col("lang"),
+          graft.functions.TextKernels.shingleHash64(col("text")).as("sh"))
+      val ex = sh.select(col("doc_id"), col("lang"),
+        size(col("sh")).as("n"), explode(col("sh")).as("g"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val a = ex.toDF("doc_a", "lang", "n_a", "g")
+      val b = ex.toDF("doc_b", "lang_b", "n_b", "g_b")
+      val pairs = a.join(b, col("g") === col("g_b") && col("lang") === col("lang_b") &&
+          col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(count(lit(1)).as("common"))
+        .withColumn("jaccard",
+          col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+        .filter(col("jaccard") >= 0.8)
+        .select("doc_a", "doc_b")
+      connectedComponents(pairs).orderBy("doc_id")
+    },
+    Some("""WITH RECURSIVE
+           |w AS (SELECT doc_id, lang, string_split(text,' ') AS w FROM documents),
+           |s AS (SELECT doc_id, lang, CASE WHEN len(w) < 3 THEN [array_to_string(w,' ')]
+           |        ELSE list_distinct(list_transform(range(1, len(w)-1),
+           |               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS sh
+           |      FROM w),
+           |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |        len(list_intersect(a.sh, b.sh)) AS c, len(a.sh) AS na, len(b.sh) AS nb
+           |      FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id),
+           |pairs AS (SELECT doc_a, doc_b FROM p WHERE CAST(c AS DOUBLE)/(na+nb-c) >= 0.8),
+           |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+           |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+           |reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+           |                UNION
+           |                SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)
+           |SELECT u AS doc_id, min(v) AS cluster_id FROM reach
+           |GROUP BY u ORDER BY doc_id""".stripMargin))
+
   val queries: Seq[Q] = Seq(
-    dedupExact, dedupKeepfirst, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash)
+    dedupExact, dedupKeepfirst, dedupNgramJaccard, dedupMinhashLsh,
+    dedupSimhash, dedupClusters)
 }

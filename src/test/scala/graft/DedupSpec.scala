@@ -60,6 +60,17 @@ class DedupSpec extends SparkSuite {
       s"near-dup avg hamming $nearAvg not << random $randAvg")
   }
 
+  test("connected components: paths, triangles and disjoint pairs resolve to min-id clusters") {
+    import spark.implicits._
+    // components: {1,2,3,4} (path), {10,11,12} (triangle), {20,21} (pair)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("exact dedup is idempotent") {
     val once = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
     val twice = once.groupBy("text").agg(min("doc_id").as("doc_id"))
