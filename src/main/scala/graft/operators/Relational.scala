@@ -491,6 +491,40 @@ object Relational {
            |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
            |ORDER BY returnflag, linestatus""".stripMargin))
 
+  /** Collection aggregates (§2.4): per-nation sorted distinct segment list +
+    * its cardinality. `collect_set` order is nondeterministic, so the array
+    * is sorted before leaving the aggregate — the only oracle-safe shape.
+    */
+  private val aggCollect = Q(
+    "agg_collect",
+    (s, dir) => t(s, dir, "customer")
+      .groupBy("c_nationkey")
+      .agg(
+        sort_array(collect_set(col("c_mktsegment"))).as("segments"),
+        countDistinct(col("c_mktsegment")).as("n_segments"))
+      .select(col("c_nationkey"), concat_ws(",", col("segments")).as("segments"),
+        col("n_segments"))
+      .orderBy("c_nationkey"),
+    Some("""SELECT c_nationkey,
+           | array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
+           | count(DISTINCT c_mktsegment) AS n_segments
+           |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin))
+
+  /** Approximate quantiles (§2.4): t-digest style sketch per group — values
+    * are engine-specific, so rows-only; RelationalSpec bounds the error
+    * against exact percentiles.
+    */
+  private val aggApproxQuantiles = Q(
+    "agg_approx_quantiles",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99"))
+      .orderBy("l_returnflag"),
+    None)
+
   /** HLL approximate distinct — engine-specific sketch values, so no SQL
     * oracle (driver records a rows-only check); accuracy is asserted against
     * exact counts in ScalaTest instead.
@@ -758,7 +792,8 @@ object Relational {
     joinRange, joinAsof, joinAsofForward, windowTopkPerGroup, windowRunningSum,
     windowLagLead, windowNtileFirstLast, topkOrders, topkPerGroupCustom, setOps,
     aggDistinctGroup, aggRollup,
-    aggCube, aggGroupingSets, aggApproxDistinct, aggStats, aggPivot,
+    aggCube, aggGroupingSets, aggApproxDistinct, aggApproxQuantiles,
+    aggCollect, aggStats, aggPivot,
     sampleHashSplit, scalarStringFuncs,
     scalarDateFuncs, scalarMathFuncs, scalarJsonFuncs, scalarMapFuncs,
     scalarArrayFuncs)

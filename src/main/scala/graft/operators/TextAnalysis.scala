@@ -245,7 +245,31 @@ object TextAnalysis {
            |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE) / 2048) AS BIGINT) AS bin_id
            |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** Vocabulary construction: dense ids for the corpus vocabulary ordered
+    * by (frequency desc, token) — the tokenizer-building step. The global
+    * ranking window runs over the already-aggregated (small) vocab, not the
+    * corpus: the heavy explode→count is fully distributed, and a vocabulary
+    * fits one reducer by definition.
+    */
+  private val textVocab = Q(
+    "text_vocab",
+    (s, dir) => {
+      val freq = docs(s, dir)
+        .select(explode(words(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+      val w = Window.orderBy(col("freq").desc, col("token"))
+      freq.withColumn("token_id", row_number().over(w))
+        .select("token_id", "token", "freq")
+        .orderBy("token_id")
+    },
+    Some("""SELECT CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS INT) AS token_id,
+           | token, freq
+           |FROM (SELECT token, count(*) AS freq
+           |      FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents)
+           |      GROUP BY token)
+           |ORDER BY token_id""".stripMargin))
+
   val queries: Seq[Q] = Seq(
     textTokens, textTokenFreq, textTfidf, textQuality, textLangid,
-    textFingerprint, textNormalize, textPack)
+    textFingerprint, textNormalize, textPack, textVocab)
 }
