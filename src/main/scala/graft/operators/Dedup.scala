@@ -175,11 +175,17 @@ object Dedup {
     * single-digit).
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    val sym = edges.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .union(edges.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    // persist BEFORE the symmetrizing union: both union branches read the
+    // (possibly expensive) edge computation, and every iteration reads sym
+    val e = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sym = e.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(e.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager localCheckpoint instead of persist: truncates the per-iteration
+    // lineage AND keeps AQE free to coalesce the (tiny, post-dedup) shuffle
+    // partitions — an InMemoryRelation would pin the full partition count
     var labels = sym.select(col("u")).distinct().withColumn("label", col("u"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -188,7 +194,7 @@ object Dedup {
         .groupBy("u").agg(min(col("nl")).as("cand"))
       val next = labels.join(nbrMin, Seq("u"), "left")
         .select(col("u"), least(col("label"), coalesce(col("cand"), col("label"))).as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       changed = next.join(labels.select(col("u"), col("label").as("old")), "u")
         .filter(col("label") =!= col("old")).count()
       labels = next
