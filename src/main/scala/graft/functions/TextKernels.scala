@@ -68,6 +68,66 @@ object TextHash {
     }
     java.util.Arrays.copyOf(out, w)
   }
+
+  /** Banded MinHash over a shingle-hash set: `bands` keys, each combining
+    * `numPerm / bands` permutation minima.
+    */
+  def minhashBands(sh: Array[Long], numPerm: Int, bands: Int): Array[Long] = {
+    val rows = numPerm / bands
+    val sig = new Array[Long](numPerm)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < sh.length) {
+      val h = sh(i)
+      var p = 0
+      while (p < numPerm) {
+        val v = mix(h ^ (p * 0x9e3779b97f4a7c15L))
+        if (v < sig(p)) sig(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = FnvOffset
+      var j = 0
+      while (j < rows) { h = h * 31 + sig(b * rows + j); j += 1 }
+      out(b) = h
+      b += 1
+    }
+    out
+  }
+
+  /** Count-weighted 64-bit SimHash over whitespace tokens (bag-of-words —
+    * permutation invariant by construction).
+    */
+  def simhash(text: UTF8String): Long = {
+    val words = text.split(UTF8String.fromString(" "), -1)
+    val counts = new java.util.HashMap[Long, Int](words.length * 2)
+    var i = 0
+    while (i < words.length) {
+      val h = fnv(words(i))
+      counts.put(h, counts.getOrDefault(h, 0) + 1)
+      i += 1
+    }
+    val votes = new Array[Long](64)
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val h = e.getKey
+      val c = e.getValue.toLong
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += c else votes(b) -= c
+        b += 1
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
 }
 
 /** `shingle_hash64(text)` → sorted distinct array<long> of 3-word shingle
@@ -96,33 +156,9 @@ case class MinHashBands(child: Expression, numPerm: Int, bands: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_bands"
 
-  override def nullSafeEval(a: Any): Any = {
-    val sh = a.asInstanceOf[ArrayData]
-    val m = sh.numElements()
-    val sig = new Array[Long](numPerm)
-    java.util.Arrays.fill(sig, Long.MaxValue)
-    var i = 0
-    while (i < m) {
-      val h = sh.getLong(i)
-      var p = 0
-      while (p < numPerm) {
-        val v = TextHash.mix(h ^ (p * 0x9e3779b97f4a7c15L))
-        if (v < sig(p)) sig(p) = v
-        p += 1
-      }
-      i += 1
-    }
-    val out = new Array[Long](bands)
-    var b = 0
-    while (b < bands) {
-      var h = TextHash.FnvOffset
-      var j = 0
-      while (j < rows) { h = h * 31 + sig(b * rows + j); j += 1 }
-      out(b) = h
-      b += 1
-    }
-    new GenericArrayData(out)
-  }
+  override def nullSafeEval(a: Any): Any =
+    new GenericArrayData(
+      TextHash.minhashBands(a.asInstanceOf[ArrayData].toLongArray(), numPerm, bands))
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -138,33 +174,8 @@ case class SimHash64(child: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
-  override def nullSafeEval(t: Any): Any = {
-    val words = t.asInstanceOf[UTF8String].split(UTF8String.fromString(" "), -1)
-    // token -> count, then count-weighted per-bit vote
-    val counts = new java.util.HashMap[Long, Int](words.length * 2)
-    var i = 0
-    while (i < words.length) {
-      val h = TextHash.fnv(words(i))
-      counts.put(h, counts.getOrDefault(h, 0) + 1)
-      i += 1
-    }
-    val votes = new Array[Long](64)
-    val it = counts.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      val h = e.getKey
-      val c = e.getValue.toLong
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) votes(b) += c else votes(b) -= c
-        b += 1
-      }
-    }
-    var sig = 0L
-    var b = 0
-    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
-    sig
-  }
+  override def nullSafeEval(t: Any): Any =
+    TextHash.simhash(t.asInstanceOf[UTF8String])
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
