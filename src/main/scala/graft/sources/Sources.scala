@@ -30,6 +30,25 @@ object Sources {
       .option("pathGlobFilter", "*.csv")
       .csv(path)
 
+  /** CSV with a declared schema and explicit malformed-row policy:
+    * "PERMISSIVE" nulls unparseable fields and captures the raw line in
+    * `_corrupt_record`, "DROPMALFORMED" silently drops bad rows,
+    * "FAILFAST" aborts. The reference's inference-based read has no policy
+    * at all — a malformed file just changes the inferred schema.
+    */
+  def csvStrict(spark: SparkSession, path: String, schema: StructType,
+                mode: String = "PERMISSIVE"): DataFrame = {
+    val withCorrupt =
+      if (mode == "PERMISSIVE")
+        schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+      else schema
+    spark.read.schema(withCorrupt)
+      .option("header", "true")
+      .option("mode", mode)
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+  }
+
   /** CSV with inference — reference parity only (S1). */
   def csvInferred(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", "true").option("inferSchema", "true")

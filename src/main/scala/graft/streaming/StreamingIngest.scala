@@ -44,4 +44,27 @@ object StreamingIngest {
       .trigger(trigger)
       .start()
   }
+
+  /** foreachBatch variant: each micro-batch is handed to arbitrary batch
+    * logic with its batch id — the standard escape hatch for sinks Spark
+    * doesn't ship (idempotent upserts, multi-table writes, JDBC merges).
+    * The checkpoint still tracks source progress; the handler makes writes
+    * idempotent by keying on `batchId` (re-delivered batches after a crash
+    * carry the same id).
+    */
+  def startForeachBatch(spark: SparkSession, srcDir: String,
+                        checkpointDir: String, schema: StructType,
+                        trigger: Trigger = Trigger.AvailableNow())(
+      handler: (org.apache.spark.sql.DataFrame, Long) => Unit): StreamingQuery = {
+    spark.readStream
+      .schema(schema)
+      .option("header", "true")
+      .option("pathGlobFilter", "*.csv")
+      .csv(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(handler)
+      .trigger(trigger)
+      .start()
+  }
 }

@@ -57,6 +57,41 @@ class SourcesSpec extends SparkSuite {
       "partition filter should prune, not post-filter")
   }
 
+  test("malformed CSV rows: PERMISSIVE captures, DROPMALFORMED drops, row counts differ") {
+    val dir = tmp("graft-corrupt")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "data.csv"),
+      "o_orderkey,o_custkey\n1,10\noops\n3,30\n")
+    val schema = org.apache.spark.sql.types.StructType(
+      TableSchemas.orders.fields.take(2))
+    // Spark disallows querying only _corrupt_record straight off the file —
+    // parse once into cache first (the documented pattern)
+    val permissive = Sources.csvStrict(spark, dir, schema, "PERMISSIVE").cache()
+    assert(permissive.count() == 3)
+    assert(permissive.filter(col("_corrupt_record").isNotNull).count() == 1)
+    assert(permissive.filter(col("o_orderkey").isNull).count() == 1)
+    val dropped = Sources.csvStrict(spark, dir, schema, "DROPMALFORMED")
+    // count() parses no columns under CSV column pruning, so malformed rows
+    // are only dropped when fields are actually read — assert on real rows
+    assert(dropped.select("o_orderkey", "o_custkey").collect().length == 2)
+    assert(dropped.agg(sum("o_custkey")).head.getLong(0) == 40)
+  }
+
+  test("foreachBatch ingest: custom batch sink sees each file-batch exactly once") {
+    val src = tmp("graft-febatch-src")
+    val ckpt = tmp("graft-febatch-ckpt")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(src, "a.csv"),
+      "o_orderkey,o_custkey\n1,10\n2,20\n")
+    val seen = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    val schema = org.apache.spark.sql.types.StructType(
+      TableSchemas.orders.fields.take(2))
+    val q = graft.streaming.StreamingIngest.startForeachBatch(
+      spark, src, ckpt, schema) { (df, batchId) =>
+      seen.put(batchId, df.count())
+    }
+    q.awaitTermination(60000)
+    assert(seen.size == 1 && seen.values().iterator().next() == 2, seen.toString)
+  }
+
   test("inferred csv read reproduces the reference parity path") {
     val dir = tmp("graft-infer")
     Sources.csvSink(orders.select("o_orderkey", "o_totalprice"), dir)
