@@ -680,6 +680,92 @@ object Relational {
            | round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))), 6) AS l2_norm
            |FROM embeddings ORDER BY vec_id""".stripMargin))
 
+  /** TPC-H Q3-shaped shipping priority: selective dim filter → fact join →
+    * revenue rollup → top-10. Catalyst broadcasts the filtered customer set;
+    * the top-10 is TakeOrderedAndProject.
+    */
+  private val q3ShippingPriority = Q(
+    "q3_shipping_priority",
+    (s, dir) => {
+      val cutoff = lit("2000-06-01").cast("timestamp")
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders").filter(col("o_orderdate") < cutoff)
+      val li = t(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("order_date"),
+          col("o_orderpriority"))
+        .agg(sum(dmul(col("l_extendedprice"), lit(1.0) - col("l_discount")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some("""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_orderpriority,
+           | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0-l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |WHERE c_mktsegment = 'BUILDING'
+           |  AND o_orderdate < TIMESTAMP '2000-06-01 00:00:00'
+           |  AND l_shipdate > TIMESTAMP '2000-06-01 00:00:00'
+           |GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+           |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin))
+
+  /** Funnel analysis over the event stream: users entering at `view` and
+    * the subset converting to a later-or-equal `purchase` — the two-step
+    * conversion shape (first-touch join + semi-count).
+    */
+  private val eventsFunnel = Q(
+    "events_funnel",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val firstView = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("first_view"))
+      val entered = firstView.agg(count(lit(1)).as("n_users"))
+        .withColumn("step", lit("1_view"))
+      val converted = ev.filter(col("event_type") === "purchase")
+        .join(firstView, "user_id")
+        .filter(col("ts") >= col("first_view"))
+        .select("user_id").distinct()
+        .agg(count(lit(1)).as("n_users"))
+        .withColumn("step", lit("2_view_then_purchase"))
+      entered.unionByName(converted).select("step", "n_users").orderBy("step")
+    },
+    Some("""WITH fv AS (SELECT user_id, min(ts) AS first_view FROM events
+           |            WHERE event_type = 'view' GROUP BY user_id)
+           |SELECT '1_view' AS step, count(*) AS n_users FROM fv
+           |UNION ALL
+           |SELECT '2_view_then_purchase', count(DISTINCT e.user_id)
+           |FROM events e JOIN fv ON e.user_id = fv.user_id
+           |WHERE e.event_type = 'purchase' AND e.ts >= fv.first_view
+           |ORDER BY step""".stripMargin))
+
+  /** Cohort retention: users grouped by first-activity day-of-week-start
+    * ("cohort week"), counted per whole-week offset of later activity —
+    * the classic retention triangle as two hash aggregates + one join.
+    */
+  private val eventsCohortRetention = Q(
+    "events_cohort_retention",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val cohort = ev.groupBy("user_id").agg(min(col("day")).as("first_day"))
+      ev.join(cohort, "user_id")
+        .select(col("user_id"), col("first_day"),
+          (datediff(col("day"), col("first_day")) / 7).cast("int").as("week_offset"))
+        .distinct()
+        .groupBy("first_day", "week_offset")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("first_day", "week_offset")
+    },
+    Some("""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+           |c AS (SELECT user_id, min(day) AS first_day FROM ev GROUP BY user_id)
+           |SELECT first_day, week_offset, count(*) AS n_users FROM (
+           |  SELECT DISTINCT ev.user_id, c.first_day,
+           |    CAST(date_diff('day', c.first_day, ev.day) // 7 AS INT) AS week_offset
+           |  FROM ev JOIN c ON ev.user_id = c.user_id)
+           |GROUP BY first_day, week_offset ORDER BY first_day, week_offset""".stripMargin))
+
   /** Statistical aggregates (§2.4 extension): stddev/variance/correlation/
     * covariance/median per group. The moments are exact decimal power sums
     * (2-dp inputs ⇒ 4-dp squares, both exact), combined into doubles with
@@ -787,7 +873,8 @@ object Relational {
            |GROUP BY split ORDER BY split""".stripMargin))
 
   val queries: Seq[Q] = Seq(
-    refPartitionCount, aggPricingSummary, filterProject, filterString,
+    refPartitionCount, aggPricingSummary, q3ShippingPriority, eventsFunnel,
+    eventsCohortRetention, filterProject, filterString,
     joinInnerStar, joinLeftOuter, joinSemi, joinAnti, joinFullOuter,
     joinRange, joinAsof, joinAsofForward, windowTopkPerGroup, windowRunningSum,
     windowLagLead, windowNtileFirstLast, topkOrders, topkPerGroupCustom, setOps,
