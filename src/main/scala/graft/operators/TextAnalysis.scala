@@ -269,7 +269,25 @@ object TextAnalysis {
            |      GROUP BY token)
            |ORDER BY token_id""".stripMargin))
 
+  /** Heavy hitters via the custom SpaceSaving typed Aggregator: one-pass
+    * bounded-memory top tokens. Rows-only (sketch counts are approximate in
+    * general); TextMultimodalSpec asserts exactness while the vocabulary
+    * fits the sketch capacity.
+    */
+  private val textHeavyHitters = Q(
+    "text_heavy_hitters",
+    (s, dir) => {
+      val hh = udaf(new graft.functions.HeavyHitters(256, 20))
+      docs(s, dir)
+        .select(explode(words(col("text"))).as("token"))
+        .agg(hh(col("token")).as("hh"))
+        .select(explode(col("hh")).as("kv"))
+        .select(col("kv._1").as("token"), col("kv._2").as("freq"))
+        .orderBy(col("freq").desc, col("token"))
+    },
+    None)
+
   val queries: Seq[Q] = Seq(
     textTokens, textTokenFreq, textTfidf, textQuality, textLangid,
-    textFingerprint, textNormalize, textPack, textVocab)
+    textFingerprint, textNormalize, textPack, textVocab, textHeavyHitters)
 }

@@ -68,6 +68,15 @@ class TextMultimodalSpec extends SparkSuite {
       again.sortBy(f => (f.doc_id, f.frame_idx)).toSeq)
   }
 
+  test("heavy-hitters sketch is exact while the vocabulary fits its capacity") {
+    val got = Queries.byName("text_heavy_hitters").run(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val exact = Queries.byName("text_token_freq").run(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).take(20)
+    assert(got.toSeq == exact.toSeq,
+      s"sketch=${got.take(5).mkString(",")} exact=${exact.take(5).mkString(",")}")
+  }
+
   test("media decode: deterministic, right batch shape, plausible values") {
     val d = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
