@@ -711,6 +711,47 @@ object Relational {
            |GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
            |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin))
 
+  /** TPC-H Q5-shaped local supplier volume: revenue per nation where the
+    * customer and supplier share a nation, one region, one year. Five joins
+    * — the two big ones shuffle on their keys, region/nation broadcast, and
+    * the c↔s nation equality rides as a residual on the supplier join.
+    */
+  private val q5LocalSupplierVolume = Q(
+    "q5_local_supplier_volume",
+    (s, dir) => {
+      val lo = lit("1997-01-01").cast("timestamp")
+      val hi = lit("1998-01-01").cast("timestamp")
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      val li = t(s, dir, "lineitem")
+      val su = t(s, dir, "supplier")
+      val n = broadcast(t(s, dir, "nation"))
+      val r = broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA"))
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum(dmul(col("l_extendedprice"), lit(1.0) - col("l_discount")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some("""SELECT n_name,
+           | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0-l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+           |FROM customer
+           |JOIN orders   ON c_custkey = o_custkey
+           |JOIN lineitem ON o_orderkey = l_orderkey
+           |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           |JOIN nation   ON s_nationkey = n_nationkey
+           |JOIN region   ON n_regionkey = r_regionkey
+           |WHERE r_name = 'ASIA'
+           |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+           |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+           |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin))
+
   /** Funnel analysis over the event stream: users entering at `view` and
     * the subset converting to a later-or-equal `purchase` — the two-step
     * conversion shape (first-touch join + semi-count).
@@ -873,7 +914,8 @@ object Relational {
            |GROUP BY split ORDER BY split""".stripMargin))
 
   val queries: Seq[Q] = Seq(
-    refPartitionCount, aggPricingSummary, q3ShippingPriority, eventsFunnel,
+    refPartitionCount, aggPricingSummary, q3ShippingPriority,
+    q5LocalSupplierVolume, eventsFunnel,
     eventsCohortRetention, filterProject, filterString,
     joinInnerStar, joinLeftOuter, joinSemi, joinAnti, joinFullOuter,
     joinRange, joinAsof, joinAsofForward, windowTopkPerGroup, windowRunningSum,
