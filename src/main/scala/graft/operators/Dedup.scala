@@ -192,12 +192,16 @@ object Dedup {
       val nbrMin = sym
         .join(labels.select(col("u").as("v"), col("label").as("nl")), "v")
         .groupBy("u").agg(min(col("nl")).as("cand"))
+      // carry the did-it-change flag through the checkpoint: the convergence
+      // count then scans the already-materialized rows instead of paying
+      // another join per iteration
       val next = labels.join(nbrMin, Seq("u"), "left")
-        .select(col("u"), least(col("label"), coalesce(col("cand"), col("label"))).as("label"))
+        .select(col("u"),
+          least(col("label"), coalesce(col("cand"), col("label"))).as("label"),
+          coalesce(col("cand") < col("label"), lit(false)).as("chg"))
         .localCheckpoint(true)
-      changed = next.join(labels.select(col("u"), col("label").as("old")), "u")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("chg")).count()
+      labels = next.drop("chg")
       i += 1
     }
     labels.select(col("u").as("doc_id"), col("label").as("cluster_id"))
