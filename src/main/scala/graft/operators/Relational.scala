@@ -491,6 +491,29 @@ object Relational {
            |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
            |ORDER BY returnflag, linestatus""".stripMargin))
 
+  /** Correlated scalar subquery (decorrelated by Catalyst into an aggregate
+    * + join): orders at more than twice their customer's average spend.
+    */
+  private val subqueryAboveAvg = Q(
+    "subquery_above_avg",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""SELECT o_orderkey, o_custkey, o_totalprice
+              |FROM orders o
+              |WHERE o_totalprice > 2 * (
+              |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+              |         / COUNT(*)
+              |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+              |ORDER BY o_orderkey""".stripMargin)
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice
+           |FROM orders o
+           |WHERE o_totalprice > 2 * (
+           |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           |         / COUNT(*)
+           |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+           |ORDER BY o_orderkey""".stripMargin))
+
   /** Collection aggregates (§2.4): per-nation sorted distinct segment list +
     * its cardinality. `collect_set` order is nondeterministic, so the array
     * is sorted before leaving the aggregate — the only oracle-safe shape.
@@ -922,7 +945,7 @@ object Relational {
     windowLagLead, windowNtileFirstLast, topkOrders, topkPerGroupCustom, setOps,
     aggDistinctGroup, aggRollup,
     aggCube, aggGroupingSets, aggApproxDistinct, aggApproxQuantiles,
-    aggCollect, aggStats, aggPivot,
+    aggCollect, aggStats, aggPivot, subqueryAboveAvg,
     sampleHashSplit, scalarStringFuncs,
     scalarDateFuncs, scalarMathFuncs, scalarJsonFuncs, scalarMapFuncs,
     scalarArrayFuncs)

@@ -53,6 +53,16 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("no query plans a Cartesian product (broadcast NLJ only where intended)") {
+    // dedup_embedding_cosine / sim assignment stages use a deliberate
+    // broadcast nested-loop (all-pairs scoring); a CartesianProduct node
+    // anywhere is always a bug
+    Queries.all.foreach { q =>
+      val p = q.run(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"${q.name} plans a cartesian:\n$p")
+    }
+  }
+
   test("agg_pricing_summary scans only the aggregated columns") {
     val p = plan("agg_pricing_summary")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
