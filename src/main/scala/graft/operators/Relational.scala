@@ -333,6 +333,34 @@ object Relational {
            |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
            |ORDER BY event_id""".stripMargin))
 
+  /** Range-frame window (§2.5): trailing-30-day revenue per supplier —
+    * the frame is defined by the ORDER BY VALUE (epoch seconds), not row
+    * position, so ties and gaps behave correctly. Decimal summation keeps
+    * every frame total exact.
+    */
+  private val windowRangeTrailing = Q(
+    "window_range_trailing",
+    (s, dir) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("ship_epoch"))
+        .rangeBetween(-30L * 86400, 0)
+      t(s, dir, "lineitem")
+        .withColumn("ship_epoch", unix_timestamp(col("l_shipdate")))
+        .withColumn("trailing_30d_revenue",
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).over(w).cast("double"))
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_partkey",
+          "ship_epoch", "trailing_30d_revenue")
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "l_partkey")
+    },
+    Some("""SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey,
+           | CAST(epoch(l_shipdate) AS BIGINT) AS ship_epoch,
+           | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (
+           |   PARTITION BY l_suppkey ORDER BY CAST(epoch(l_shipdate) AS BIGINT)
+           |   RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           |   AS trailing_30d_revenue
+           |FROM lineitem
+           |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_partkey""".stripMargin))
+
   /** Distribution windows: ntile quartiles + first/last/nth value over the
     * full partition frame (§2.5 extension).
     */
@@ -942,7 +970,8 @@ object Relational {
     eventsCohortRetention, filterProject, filterString,
     joinInnerStar, joinLeftOuter, joinSemi, joinAnti, joinFullOuter,
     joinRange, joinAsof, joinAsofForward, windowTopkPerGroup, windowRunningSum,
-    windowLagLead, windowNtileFirstLast, topkOrders, topkPerGroupCustom, setOps,
+    windowLagLead, windowNtileFirstLast, windowRangeTrailing,
+    topkOrders, topkPerGroupCustom, setOps,
     aggDistinctGroup, aggRollup,
     aggCube, aggGroupingSets, aggApproxDistinct, aggApproxQuantiles,
     aggCollect, aggStats, aggPivot, subqueryAboveAvg,
