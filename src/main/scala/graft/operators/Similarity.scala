@@ -111,7 +111,9 @@ object Similarity {
     // sign bit per plane, packed into one bucket id per band
     val bucketCols = (0 until Bands).map { b =>
       val bits = (0 until BitsPerBand).map { j =>
-        val plane = array(planes(b * BitsPerBand + j).map(lit): _*)
+        val plane = array(
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(
+            planes(b * BitsPerBand + j).map(lit)): _*)
         when(dot(col("embedding"), plane) >= 0, lit(1L << j)).otherwise(lit(0L))
       }
       struct(lit(b).as("band"), bits.reduce(_ + _).as("bucket")).as(s"bb_$b")
