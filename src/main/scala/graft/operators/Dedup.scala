@@ -253,7 +253,66 @@ object Dedup {
            |SELECT u AS doc_id, min(v) AS cluster_id FROM reach
            |GROUP BY u ORDER BY doc_id""".stripMargin))
 
+  /** The full cleaning pipeline as one query — docs in, surviving
+    * representatives out: exact dedup (min doc_id per text) → same-lang
+    * 3-gram-Jaccard near-dup pairs → connected components → drop every
+    * cluster member that isn't its cluster's min-id representative. The
+    * composition a training-data pipeline actually runs.
+    */
+  private val dedupPipelineSurvivors = Q(
+    "dedup_pipeline_survivors",
+    (s, dir) => {
+      graft.functions.TextKernels.register(s)
+      val d = docs(s, dir)
+      val keepIds = d.groupBy("text").agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val kept = Tables.spread(d.join(keepIds, "doc_id"))
+      val sh = kept.select(col("doc_id"), col("lang"),
+        graft.functions.TextKernels.shingleHash64(col("text")).as("sh"))
+      val ex = sh.select(col("doc_id"), col("lang"),
+        size(col("sh")).as("n"), explode(col("sh")).as("g"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val a = ex.toDF("doc_a", "lang", "n_a", "g")
+      val b = ex.toDF("doc_b", "lang_b", "n_b", "g_b")
+      val pairs = a.join(b, col("g") === col("g_b") && col("lang") === col("lang_b") &&
+          col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(count(lit(1)).as("common"))
+        .withColumn("jaccard",
+          col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+        .filter(col("jaccard") >= 0.8)
+        .select("doc_a", "doc_b")
+      val nonReps = connectedComponents(pairs)
+        .filter(col("cluster_id") =!= col("doc_id"))
+        .select("doc_id")
+      kept.join(nonReps, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+    Some("""WITH RECURSIVE
+           |k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+           |d AS (SELECT doc_id, text, lang, source, n_chars FROM documents
+           |      WHERE doc_id IN (SELECT doc_id FROM k)),
+           |w AS (SELECT doc_id, lang, string_split(text,' ') AS w FROM d),
+           |s AS (SELECT doc_id, lang, CASE WHEN len(w) < 3 THEN [array_to_string(w,' ')]
+           |        ELSE list_distinct(list_transform(range(1, len(w)-1),
+           |               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS sh
+           |      FROM w),
+           |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |        len(list_intersect(a.sh, b.sh)) AS c, len(a.sh) AS na, len(b.sh) AS nb
+           |      FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id),
+           |pairs AS (SELECT doc_a, doc_b FROM p WHERE CAST(c AS DOUBLE)/(na+nb-c) >= 0.8),
+           |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+           |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+           |reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+           |                UNION
+           |                SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+           |nonrep AS (SELECT u AS doc_id FROM reach GROUP BY u HAVING min(v) != u)
+           |SELECT doc_id, lang, source, n_chars FROM d
+           |WHERE doc_id NOT IN (SELECT doc_id FROM nonrep)
+           |ORDER BY doc_id""".stripMargin))
+
   val queries: Seq[Q] = Seq(
     dedupExact, dedupKeepfirst, dedupNgramJaccard, dedupMinhashLsh,
-    dedupSimhash, dedupClusters)
+    dedupSimhash, dedupClusters, dedupPipelineSurvivors)
 }

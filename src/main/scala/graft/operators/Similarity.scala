@@ -237,5 +237,46 @@ object Similarity {
       .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cosine"), col("rank"))
   }
 
-  val queries: Seq[Q] = Seq(simBruteTopk, simLshAnn, dedupEmbeddingCosine, simIvfAnn)
+  /** Semantic dedup clusters: the embedding-cosine near-dup pairs resolved
+    * into connected components (cluster id = min vec_id) — the
+    * embedding-space twin of `dedup_clusters`, sharing the same CC loop.
+    */
+  private val dedupSemanticClusters = Q(
+    "dedup_semantic_clusters",
+    (s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"))
+      val a = e.toDF("vec_a", "emb_a", "nrm_a")
+      val b = broadcast(e.toDF("vec_b", "emb_b", "nrm_b"))
+      val pairs = a.join(b, col("vec_a") < col("vec_b"))
+        .withColumn("cos", dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+        // tighter than dedup_embedding_cosine: transitive closure amplifies
+        // weak edges into sprawling components, so clusters use only the
+        // top ~1e-4 of the pair distribution
+        .filter(round(col("cos"), 9) >= 0.45)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      Dedup.connectedComponents(pairs)
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH RECURSIVE
+           |e AS (SELECT vec_id, embedding,
+           |   sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+           | FROM embeddings),
+           |p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+           |   list_sum(list_transform(range(1, 65),
+           |     i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+           |     / (a.nrm * b.nrm) AS cos
+           | FROM e a JOIN e b ON a.vec_id < b.vec_id),
+           |pairs AS (SELECT va, vb FROM p WHERE round(cos, 9) >= 0.45),
+           |edges AS (SELECT va AS u, vb AS v FROM pairs
+           |          UNION ALL SELECT vb, va FROM pairs),
+           |reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+           |                UNION
+           |                SELECT ed.u, r.v FROM edges ed JOIN reach r ON ed.v = r.u)
+           |SELECT u AS vec_id, min(v) AS cluster_id FROM reach
+           |GROUP BY u ORDER BY vec_id""".stripMargin))
+
+  val queries: Seq[Q] = Seq(
+    simBruteTopk, simLshAnn, dedupEmbeddingCosine, simIvfAnn, dedupSemanticClusters)
 }
