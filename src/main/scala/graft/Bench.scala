@@ -1,6 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Headline queries reported inline in the stdout JSON line. The driver
+    * keeps only a short tail of stdout, so the printed line must stay well
+    * under 2 KB — the full 70-query map goes to bench_full.json instead.
+    */
+  private val headline = Seq(
+    "q3_shipping_priority", "q5_local_supplier_volume", "agg_pricing_summary",
+    "join_inner_star", "window_topk_per_group", "events_window_session",
+    "dedup_clusters", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_pipeline_survivors", "dedup_embedding_cosine",
+    "dedup_semantic_clusters", "sim_lsh_ann", "sim_brute_topk", "text_tfidf")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -26,10 +37,19 @@ object Bench {
       }
     val p1 = pass().toMap
     val results = pass().map { case (name, t) => name -> math.min(t, p1(name)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double): String = f"$v%.3f"
+    def jsonOf(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sf = sfDir.split("/").last.stripPrefix("sf")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      s""""queries":${jsonOf(results.filter(r => headline.contains(r._1)))},"sf":$sf}"""
+    // full per-query map → file (the stdout line must fit the driver's tail)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"),
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""queries":${jsonOf(results)},"sf":$sf}""")
     spark.stop()
+    // last line of output, after Spark's shutdown noise
+    println(line)
   }
 }

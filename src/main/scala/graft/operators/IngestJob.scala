@@ -52,18 +52,24 @@ object IngestJob {
     Some(reader.csv(path))
   }
 
-  /** Full job: returns number of rows ingested (0 = guard skipped). */
+  /** Full job: returns number of rows ingested BY THIS RUN (0 = guard
+    * skipped). Counted from the job's own write metrics — re-reading the
+    * output partition would report cumulative rows on a same-date re-ingest
+    * (append mode), and a separate `df.count()` would pay a second source
+    * scan.
+    */
   def run(spark: SparkSession, cfg: Config): Long =
     read(spark, cfg) match {
       case None => 0L
       case Some(df) =>
-        val out = df.withColumn("ingest_date", lit(cfg.ingestDate))
-        out.write
+        val obs = org.apache.spark.sql.Observation()
+        df.withColumn("ingest_date", lit(cfg.ingestDate))
+          .observe(obs, count(lit(1)).as("rows"))
+          .write
           .mode(SaveMode.Append)
           .option("maxRecordsPerFile", cfg.maxRecordsPerFile)
           .partitionBy("ingest_date")
           .parquet(cfg.outDir)
-        spark.read.parquet(cfg.outDir)
-          .filter(col("ingest_date") === cfg.ingestDate).count()
+        obs.get("rows").asInstanceOf[Long]
     }
 }

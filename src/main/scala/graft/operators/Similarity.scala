@@ -145,26 +145,69 @@ object Similarity {
       .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cosine"), col("rank"))
   }
 
+  /** Exact all-pairs cosine >= `minCos` via a triangle-tiled self-join — the
+    * distributed shape for exact pairwise similarity when the threshold sits
+    * below LSH's useful regime.
+    *
+    * Why not LSH candidates here: measured on this corpus (whose pairwise
+    * cosine ceiling is ≈ 0.51), the cheapest banding that reaches recall 1.0
+    * at θ=0.4 (32 bands × 3 bits) admits 97.8 % of ALL pairs as candidates —
+    * at a weak-similarity threshold LSH is a no-op filter plus a recall
+    * coin-flip, so the exact path must own the n² compare. LSH banding
+    * ([[lshTopK]]) and MinHash banding ([[Dedup.minhashPairs]]) remain the
+    * scale path for true near-dup thresholds (>= 0.8), where the filter is
+    * sharp.
+    *
+    * The tiling: block b = vec_id mod `blocks`; every unordered block pair
+    * (i <= j) is one tile. A vector in block b is shuffled to the tiles whose
+    * ROW block is b (left side) and those whose COLUMN block is b (right
+    * side), and tiles meet through a plain equi-join on the tile id — so the
+    * plan is a shuffled hash/sort-merge join, never a broadcast nested-loop,
+    * and no executor ever holds the whole vector set. Shuffle volume is
+    * rows × (blocks+1); per-tile work is (n/blocks)², so the unavoidable n²/2
+    * comparisons spread evenly over blocks(blocks+1)/2 tasks. `blocks` scales
+    * with cluster cores (√tasks), independent of data volume per task.
+    */
+  def tiledCosinePairs(e: DataFrame, minCos: Double, blocks: Int = 16): DataFrame = {
+    VectorKernels.register(e.sparkSession)
+    val v = e.select(col("vec_id"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"))
+      .withColumn("blk", (col("vec_id") % blocks).cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // left: all tiles (blk, j) for j >= blk; right: all tiles (i, blk) for i <= blk
+    val left = v.withColumn("tile",
+        explode(transform(sequence(col("blk"), lit(blocks - 1)),
+          j => col("blk") * blocks + j)))
+      .select(col("tile"), col("vec_id").as("va"), col("embedding").as("emb_a"),
+        col("nrm").as("nrm_a"), col("blk").as("blk_a"))
+    val right = v.withColumn("tile",
+        explode(transform(sequence(lit(0), col("blk")),
+          i => i * blocks + col("blk"))))
+      .select(col("tile").as("tile_b"), col("vec_id").as("vb"),
+        col("embedding").as("emb_b"), col("nrm").as("nrm_b"), col("blk").as("blk_b"))
+    left.join(right, col("tile") === col("tile_b"))
+      // diagonal tiles carry both orientations of a pair — keep one; a pair
+      // spanning two blocks occurs in exactly one tile, either orientation
+      .filter(col("blk_a") =!= col("blk_b") || col("va") < col("vb"))
+      .withColumn("cos", dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(round(col("cos"), 9) >= minCos)
+      .select(least(col("va"), col("vb")).as("vec_a"),
+        greatest(col("va"), col("vb")).as("vec_b"), col("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (SURVEY.md §2.12 D3/D4 bridge):
     * all vector pairs with cosine >= 0.4 — the top ~1e-4 of the pair
     * distribution in this corpus (which plants no true duplicates; max
-    * pairwise cosine ≈ 0.51). Brute-force here is a broadcast nested-loop
-    * over the smaller side; the 100 TB path swaps in the LSH band join of
-    * [[simLshAnn]] as a candidate pre-filter with identical verification.
+    * pairwise cosine ≈ 0.51). Runs the tiled exact self-join
+    * ([[tiledCosinePairs]]) — no broadcast of the vector set, no
+    * nested-loop join; see there for why LSH candidates are unsound at this
+    * threshold.
     */
   private val dedupEmbeddingCosine = Q(
     "dedup_embedding_cosine",
-    (s, dir) => {
-      val e = emb(s, dir).select(col("vec_id"), col("embedding"),
-        l2norm(col("embedding")).as("nrm"))
-      val a = e.toDF("vec_a", "emb_a", "nrm_a")
-      val b = broadcast(e.toDF("vec_b", "emb_b", "nrm_b"))
-      a.join(b, col("vec_a") < col("vec_b"))
-        .withColumn("cos", dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
-        .filter(round(col("cos"), 9) >= 0.4)
-        .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
-        .orderBy("vec_a", "vec_b")
-    },
+    (s, dir) => tiledCosinePairs(emb(s, dir), 0.4)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
+      .orderBy("vec_a", "vec_b"),
     Some("""WITH e AS (SELECT vec_id, embedding,
            |   sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
            | FROM embeddings),
@@ -240,20 +283,14 @@ object Similarity {
   /** Semantic dedup clusters: the embedding-cosine near-dup pairs resolved
     * into connected components (cluster id = min vec_id) — the
     * embedding-space twin of `dedup_clusters`, sharing the same CC loop.
+    * Pair generation is the tiled exact self-join ([[tiledCosinePairs]]);
+    * the threshold is tighter than `dedup_embedding_cosine` because
+    * transitive closure amplifies weak edges into sprawling components.
     */
   private val dedupSemanticClusters = Q(
     "dedup_semantic_clusters",
     (s, dir) => {
-      val e = emb(s, dir).select(col("vec_id"), col("embedding"),
-        l2norm(col("embedding")).as("nrm"))
-      val a = e.toDF("vec_a", "emb_a", "nrm_a")
-      val b = broadcast(e.toDF("vec_b", "emb_b", "nrm_b"))
-      val pairs = a.join(b, col("vec_a") < col("vec_b"))
-        .withColumn("cos", dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
-        // tighter than dedup_embedding_cosine: transitive closure amplifies
-        // weak edges into sprawling components, so clusters use only the
-        // top ~1e-4 of the pair distribution
-        .filter(round(col("cos"), 9) >= 0.45)
+      val pairs = tiledCosinePairs(emb(s, dir), 0.45)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
       Dedup.connectedComponents(pairs)
         .select(col("doc_id").as("vec_id"), col("cluster_id"))

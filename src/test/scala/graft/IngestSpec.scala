@@ -42,7 +42,8 @@ class IngestSpec extends SparkSuite {
     val cfg = IngestJob.Config(src, Some("sample.csv"), out, "2026-08-12")
     IngestJob.run(spark, cfg)
     val n2 = IngestJob.run(spark, cfg)
-    assert(n2 == 4) // 2 rows per run, appended
+    assert(n2 == 2) // THIS run's rows, not the cumulative partition
+    assert(spark.read.parquet(out).count() == 4) // both runs appended
   }
 
   test("batch ingest: non-CSV object is skipped by the guard") {

@@ -98,6 +98,26 @@ class SimilaritySpec extends SparkSuite {
     assert(got == want, s"missing=${want.diff(got)} extra=${got.diff(want)}")
   }
 
+  test("tiled cosine pairs: equi-join plan with no all-pairs operator") {
+    for (name <- Seq("dedup_embedding_cosine", "dedup_semantic_clusters")) {
+      val plan = Queries.byName(name).run(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name: $plan")
+      assert(!plan.contains("CartesianProduct"), s"$name: $plan")
+    }
+  }
+
+  test("tiled cosine pairs cover every block pairing exactly once") {
+    // a tiny id universe exercises diagonal and off-diagonal tiles with
+    // blocks > distinct ids per block; every unordered pair must appear once
+    val e = emb.filter(col("vec_id") < 40)
+    val got = Similarity.tiledCosinePairs(e, minCos = -1.0, blocks = 4)
+      .groupBy("vec_a", "vec_b").count()
+    assert(got.filter(col("count") =!= 1).count() == 0, "duplicated pairs")
+    assert(got.count() == 40L * 39 / 2)
+    assert(got.filter(col("vec_a") >= col("vec_b")).count() == 0)
+  }
+
   test("brute-force top-k matches a driver-side recomputation on a sample") {
     val rows = Queries.byName("sim_brute_topk").run(spark, sfDir)
       .filter(col("q_id") === 0).collect()
