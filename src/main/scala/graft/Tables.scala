@@ -38,4 +38,32 @@ object Tables {
   /** Register every table as a temp view (idempotent; cheap — schema read only). */
   def registerViews(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Durable-catalog registration — the reference's Glue-database parity
+    * (crawler → database, health-etl/main.tf:196-204): every table becomes
+    * an EXTERNAL table in the session catalog (metadata only; data stays in
+    * place, no copy). Under a persistent metastore (Hive/Glue — a deployment
+    * setting, `spark.sql.catalogImplementation`) the registration survives
+    * sessions; the in-memory catalog used in tests keeps the same DDL path.
+    * Idempotent: re-registering points the table at the (possibly new) dir.
+    */
+  def registerCatalog(spark: SparkSession, dir: String, db: String = "graft",
+                      tables: Seq[String] = names): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    // events is TIMESTAMP(NANOS) parquet; the catalog table stores the raw
+    // int64 schema (see load() for the read-side conversion)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tables.foreach { n =>
+      spark.sql(s"DROP TABLE IF EXISTS $db.$n")
+      spark.catalog.createTable(s"$db.$n", s"$dir/$n.parquet", "parquet")
+    }
+  }
+
+  /** The reference's periodic re-crawl (T3): drop cached file listings and
+    * schema for every registered table so out-of-band appends become
+    * visible — `refreshTable` is exactly Glue's incremental crawl analogue.
+    */
+  def refreshCatalog(spark: SparkSession, db: String = "graft",
+                     tables: Seq[String] = names): Unit =
+    tables.foreach(n => spark.catalog.refreshTable(s"$db.$n"))
 }

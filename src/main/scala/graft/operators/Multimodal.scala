@@ -7,8 +7,11 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing (SURVEY.md §2.12 D6): media payloads travel as
   * opaque `binary` columns with typed metadata alongside. The Spark-side
   * machinery — schema, partition-preserving batch processing, decode fan-out
-  * — is real; the actual codec is a clearly-marked deterministic STUB
-  * (image/audio libraries are not in this container).
+  * — is real, and the image path uses a REAL codec (JDK `javax.imageio`
+  * PNG/JPEG/BMP/GIF decode + raster resample). Payloads no reader accepts
+  * (the testdata ships text bytes, not media) take a clearly-marked
+  * deterministic fallback; frame sampling remains a stubbed byte-windowing
+  * codec (no video codec in the JDK).
   */
 object Multimodal {
 
@@ -56,27 +59,61 @@ object Multimodal {
     },
     None)
 
-  /** Batched fake-decode: partition-local "codec" applied per row, no
-    * shuffle, schema typed via the case-class encoder.
+  /** Real PNG/JPEG decode via the JDK's `javax.imageio` (no external
+    * dependency): payloads that any registered ImageReader accepts are
+    * decoded to pixels — width/height/channel count from the image, mean
+    * intensity as the average per-pixel RGB luminance. Non-image payloads
+    * (e.g. the testdata's synthesized UTF-8 bytes) fall back to a
+    * deterministic byte-derived summary so the operator is total and tests
+    * are stable.
     *
-    * STUB: a real build links an image codec here (JPEG/PNG header parse +
-    * pixel decode). The fake derives dimensions/intensity deterministically
-    * from the payload bytes so tests are stable.
+    * Batch shape: partition-local codec applied per row inside
+    * `mapPartitions` (the Scala analogue of a batched `mapInPandas` decode)
+    * — no shuffle, schema typed via the case-class encoder.
     */
   def decodeImages(s: SparkSession, df: DataFrame): Dataset[MediaMeta] = {
     import s.implicits._
     df.select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        // per-partition decoder init would go here (one codec per partition)
+        // ImageIO's reader registry is JVM-global; per-partition we only pay
+        // stream setup per row
         rows.map { case (id, bytes) =>
-          val b0 = if (bytes.nonEmpty) bytes(0) & 0xff else 0
-          val b1 = if (bytes.length > 1) bytes(1) & 0xff else 0
-          val mean = if (bytes.isEmpty) 0.0
-            else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
-          MediaMeta(id, 16 + b0 % 240, 16 + b1 % 240, 3, mean)
+          decodeOne(bytes) match {
+            case Some(img) =>
+              MediaMeta(id, img.getWidth, img.getHeight,
+                img.getColorModel.getNumComponents, meanLuminance(img))
+            case None =>
+              val b0 = if (bytes.nonEmpty) bytes(0) & 0xff else 0
+              val b1 = if (bytes.length > 1) bytes(1) & 0xff else 0
+              val mean = if (bytes.isEmpty) 0.0
+                else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
+              MediaMeta(id, 16 + b0 % 240, 16 + b1 % 240, 3, mean)
+          }
         }
       }
+  }
+
+  /** ImageIO decode; None when no registered reader accepts the bytes. */
+  private def decodeOne(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: Exception => None }
+
+  /** Mean of per-pixel (r+g+b)/3 over the full image. */
+  private def meanLuminance(img: java.awt.image.BufferedImage): Double = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    var acc = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        acc += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+        x += 1
+      }
+      y += 1
+    }
+    acc / (w.toLong * h)
   }
 
   /** Resized-image metadata row. */
@@ -88,8 +125,10 @@ object Multimodal {
 
   /** Decode → resize to a fixed target — the standard image-normalization
     * stage before feature extraction. Same partition-local batch shape as
-    * [[decodeImages]]; the resample itself is the STUB (bytes re-hashed into
-    * a fixed 32×32 intensity summary, deterministic for tests).
+    * [[decodeImages]]. Real images go through an actual raster resample
+    * (Graphics2D nearest-neighbor draw onto the target raster —
+    * deterministic); non-image payloads fall back to a deterministic strided
+    * byte sample so the operator is total.
     */
   def resizeImages(s: SparkSession, df: DataFrame,
                    outW: Int = 32, outH: Int = 32): Dataset[ResizedMeta] = {
@@ -98,13 +137,23 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
-          // STUB resample: mean over outW×outH strided byte samples
-          val n = math.max(bytes.length, 1)
-          var acc = 0.0
-          var i = 0
-          val samples = outW * outH
-          while (i < samples) { acc += (bytes(i * n / samples % n) & 0xff); i += 1 }
-          ResizedMeta(id, outW, outH, acc / samples)
+          decodeOne(bytes) match {
+            case Some(img) =>
+              val out = new java.awt.image.BufferedImage(outW, outH,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g2 = out.createGraphics()
+              g2.drawImage(img, 0, 0, outW, outH, null)
+              g2.dispose()
+              ResizedMeta(id, outW, outH, meanLuminance(out))
+            case None =>
+              // deterministic fallback: mean over outW×outH strided byte samples
+              val n = math.max(bytes.length, 1)
+              var acc = 0.0
+              var i = 0
+              val samples = outW * outH
+              while (i < samples) { acc += (bytes(i * n / samples % n) & 0xff); i += 1 }
+              ResizedMeta(id, outW, outH, acc / samples)
+          }
         }
       }
   }

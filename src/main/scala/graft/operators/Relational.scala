@@ -964,8 +964,28 @@ object Relational {
            |  FROM orders)
            |GROUP BY split ORDER BY split""".stripMargin))
 
+  /** Catalog-backed aggregation (S4/T3 completion): the tables are reached
+    * through the durable catalog registration ([[Tables.registerCatalog]] —
+    * external tables, the reference's Glue-database parity) and queried by
+    * name via SQL, not via path reads. Same engine plan as a path read (the
+    * catalog resolves to the same parquet scan), so the oracle is the plain
+    * SQL twin.
+    */
+  private val catalogAgg = Q(
+    "catalog_agg",
+    (s, dir) => {
+      Tables.registerCatalog(s, dir)
+      Tables.refreshCatalog(s)
+      s.sql("""SELECT o_orderstatus, count(*) AS n_orders
+              |FROM graft.orders GROUP BY o_orderstatus
+              |ORDER BY o_orderstatus""".stripMargin)
+    },
+    Some("""SELECT o_orderstatus, count(*) AS n_orders
+           |FROM orders GROUP BY o_orderstatus
+           |ORDER BY o_orderstatus""".stripMargin))
+
   val queries: Seq[Q] = Seq(
-    refPartitionCount, aggPricingSummary, q3ShippingPriority,
+    catalogAgg, refPartitionCount, aggPricingSummary, q3ShippingPriority,
     q5LocalSupplierVolume, eventsFunnel,
     eventsCohortRetention, filterProject, filterString,
     joinInnerStar, joinLeftOuter, joinSemi, joinAnti, joinFullOuter,

@@ -140,9 +140,11 @@ object TextAnalysis {
            |FROM documents ORDER BY doc_id""".stripMargin))
 
   /** Language-ID n-gram/stopword heuristic: argmax over per-language marker
-    * token hit counts; `und` when nothing matches. Declared rows-only (the
-    * testdata's word soup carries no real language signal); TextSpec checks
-    * real sentences in 5 languages.
+    * token hit counts; `und` when nothing matches. The marker-count argmax is
+    * deterministic and SQL-expressible, so it's fully oracle-checked (the
+    * CASE order mirrors Spark's greatest-struct tie-break: equal scores go
+    * to the lexicographically largest code — fr > es > en > de); TextSpec
+    * additionally checks real sentences in 5 languages.
     */
   private val textLangid = Q(
     "text_langid",
@@ -150,7 +152,24 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang").as("labeled_lang"),
         langId(col("text")).as("lang_guess"))
       .orderBy("doc_id"),
-    None)
+    Some("""WITH s AS (SELECT doc_id, lang, text,
+           |  len(list_filter(string_split(lower(text),' '),
+           |    t -> list_contains(['the','and','of','to','is','that','with'], t))) AS s_en,
+           |  len(list_filter(string_split(lower(text),' '),
+           |    t -> list_contains(['der','die','das','und','ist','nicht','ein'], t))) AS s_de,
+           |  len(list_filter(string_split(lower(text),' '),
+           |    t -> list_contains(['le','la','les','et','est','que','une'], t))) AS s_fr,
+           |  len(list_filter(string_split(lower(text),' '),
+           |    t -> list_contains(['el','los','las','es','que','una','para'], t))) AS s_es
+           | FROM documents)
+           |SELECT doc_id, lang AS labeled_lang,
+           |  CASE WHEN length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) > 0 THEN 'zh'
+           |       WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+           |       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+           |       WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+           |       WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+           |       ELSE 'de' END AS lang_guess
+           |FROM s ORDER BY doc_id""".stripMargin))
 
   /** Marker-token language scores; returns the best-scoring language code. */
   def langId(text: Column): Column = {

@@ -44,6 +44,40 @@ class DedupSpec extends SparkSuite {
     assert(recall >= 0.8, s"recall $recall over ${exactPairs.size} true pairs")
   }
 
+  test("jaccard df cap: capped output identical to uncapped at test scale") {
+    def pairs(cap: Int) = Dedup.jaccardPairs(docs, dfCap = cap)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // default cap exceeds the corpus's max shingle df → provably identical
+    assert(pairs(Dedup.DefaultShingleDfCap) == pairs(Int.MaxValue))
+  }
+
+  test("jaccard df cap: hot shingles are dropped from candidates, rare survive") {
+    import spark.implicits._
+    // 20 boilerplate docs sharing ONLY corpus-hot shingles, plus one planted
+    // near-dup pair that shares rare shingles
+    val boiler = (0L until 20L).map(i =>
+      (i, "en", s"common header line repeated everywhere $i"))
+    val planted = Seq(
+      (100L, "en", "rare alpha beta gamma delta epsilon zeta"),
+      (101L, "en", "rare alpha beta gamma delta epsilon zeta"))
+    val d = (boiler ++ planted).toDF("doc_id", "lang", "text")
+    val got = Dedup.jaccardPairs(d, dfCap = 5)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the planted pair's shingles have df=2 <= cap → found; boilerplate
+    // shingles have df=20 > cap → contribute no candidates (and the
+    // boilerplate docs are genuinely below 0.8 jaccard pairwise anyway)
+    assert(got == Set((100L, 101L)), got.toString)
+    // worst-case candidate bound: with every shared shingle hot, the
+    // candidate join emits nothing — O(df²) blowup is capped out
+    val hotOnly = (0L until 20L).map(i => (i, "en", "exact same text every doc"))
+      .toDF("doc_id", "lang", "text")
+    assert(Dedup.jaccardPairs(hotOnly, dfCap = 5).count() == 0)
+    // ...and the same corpus under a permissive cap yields all C(20,2) pairs
+    assert(Dedup.jaccardPairs(hotOnly, dfCap = 50).count() == 190)
+  }
+
   test("simhash: near-dup pairs are closer in hamming distance than random pairs") {
     val sig = Dedup.simhash(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -64,4 +64,25 @@ class ScaleTechniquesSpec extends SparkSuite {
       spark.sql("DROP TABLE IF EXISTS customer_bkt")
     }
   }
+
+  test("scale defaults are valid, typed SQL confs that land in a session") {
+    // the keys are all runtime-settable SQL confs: applying them to a live
+    // session validates key names AND value syntax (a typo'd key or a
+    // malformed size literal throws), and the session reads them back
+    val saved = Sessions.scaleDefaults.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      Sessions.scaleDefaults.foreach { case (k, v) => spark.conf.set(k, v) }
+      assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+      assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+      assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "64m")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+    // and the builder carries every default (fresh-session path used by the
+    // driver mains — same map, so no drift between builder and assertions)
+    assert(Sessions.scaleDefaults.contains("spark.sql.adaptive.skewJoin.skewedPartitionFactor"))
+    assert(Sessions.scaleDefaults("spark.sql.files.maxPartitionBytes") == "134217728")
+  }
 }

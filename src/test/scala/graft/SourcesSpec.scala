@@ -92,6 +92,26 @@ class SourcesSpec extends SparkSuite {
     assert(seen.size == 1 && seen.values().iterator().next() == 2, seen.toString)
   }
 
+  test("catalog registration: external tables resolve by name, refresh sees appends") {
+    // external table over a writable copy of nation, so we can append
+    val dir = tmp("graft-catalog")
+    val nation = Tables.load(spark, TestSpark.Sf0001, "nation")
+    nation.write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    Tables.registerCatalog(spark, dir, db = "cat_test_nation", tables = Seq("nation"))
+    // table metadata only — data was not copied, and name-reads match path-reads
+    val viaCatalog = spark.table("cat_test_nation.nation")
+    assert(viaCatalog.count() == nation.count())
+    assert(spark.catalog.tableExists("cat_test_nation.nation"))
+    // out-of-band append (what the reference's crawler re-discovers)...
+    nation.limit(3).write.mode("append").parquet(s"$dir/nation.parquet")
+    Tables.refreshCatalog(spark, db = "cat_test_nation", tables = Seq("nation"))
+    // ...is visible after refresh
+    assert(spark.table("cat_test_nation.nation").count() == nation.count() + 3)
+    // registration is idempotent
+    Tables.registerCatalog(spark, dir, db = "cat_test_nation", tables = Seq("nation"))
+    assert(spark.table("cat_test_nation.nation").count() == nation.count() + 3)
+  }
+
   test("inferred csv read reproduces the reference parity path") {
     val dir = tmp("graft-infer")
     Sources.csvSink(orders.select("o_orderkey", "o_totalprice"), dir)

@@ -38,6 +38,34 @@ class TextMultimodalSpec extends SparkSuite {
     assert(fp(1L)._2 != fp(2L)._2) // rolling hash is order-sensitive
   }
 
+  test("real PNG payloads decode to true dimensions and pixel statistics") {
+    import spark.implicits._
+    // synthesize tiny real PNGs: a solid mid-gray 8×6 and a black/white
+    // 4×4 checkerboard, so the expected luminance is known exactly
+    def png(w: Int, h: Int, rgbAt: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgbAt(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val gray = png(8, 6, (_, _) => 0x808080)            // every channel 128
+    val checker = png(4, 4, (x, y) => if ((x + y) % 2 == 0) 0xffffff else 0x000000)
+    val d = Seq((1L, gray), (2L, checker)).toDF("doc_id", "payload")
+    val decoded = Multimodal.decodeImages(spark, d).collect().sortBy(_.doc_id)
+    assert(decoded(0).width == 8 && decoded(0).height == 6)
+    assert(decoded(0).mean_intensity == 128.0)
+    assert(decoded(1).width == 4 && decoded(1).height == 4)
+    assert(decoded(1).mean_intensity == 127.5) // half white (255), half black
+    // resize the checkerboard 4×4 → 2×2: nearest-neighbor keeps pure pixels
+    val resized = Multimodal.resizeImages(spark, d, outW = 2, outH = 2)
+      .collect().sortBy(_.doc_id)
+    assert(resized.forall(r => r.out_width == 2 && r.out_height == 2))
+    assert(resized(0).mean_intensity == 128.0) // solid gray survives resample
+    assert(resized(1).mean_intensity >= 0 && resized(1).mean_intensity <= 255)
+  }
+
   test("media resize: fixed target shape, deterministic, intensity in range") {
     val d = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
