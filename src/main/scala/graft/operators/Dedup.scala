@@ -70,12 +70,16 @@ object Dedup {
 
   /** Verified same-lang 3-gram-shingle Jaccard pairs >= `minJ`.
     *
-    * Two stages, both linear in real collisions (never docs²):
-    *  1. candidates — explode distinct shingle hashes, drop hot shingles
-    *     (df > `dfCap`, see [[DefaultShingleDfCap]]), equi-join on
-    *     (shingle, lang) with doc_a < doc_b, distinct pairs;
-    *  2. verify — join the full (uncapped) shingle arrays back per candidate
-    *     and compute exact jaccard = |A∩B| / (|A|+|B|-|A∩B|).
+    * Inverted-index join over the DF-CAPPED shingle index (hot shingles —
+    * df > `dfCap`, see [[DefaultShingleDfCap]] — never enter the self-join,
+    * so no O(df²) blowup), counting shared capped shingles per pair in the
+    * join's own aggregate. The count is then made EXACT by adding each
+    * pair's shared hot shingles via a join against the per-doc hot-shingle
+    * arrays: |A∩B| = |A∩B|_capped + |hotA ∩ hotB|, with n_a/n_b always the
+    * full set sizes. When nothing is hot (all test SFs) both hot-side
+    * inputs are empty and the correction joins are free; when boilerplate
+    * is real, the correction costs one join against only the boilerplate
+    * docs (AQE picks broadcast vs shuffle from the observed size).
     *
     * Shingle hashes, not shingle strings: same distinct-set semantics
     * (collision odds ~1e-8 at sf0.1) with 8-byte join keys and no string
@@ -84,27 +88,33 @@ object Dedup {
   def jaccardPairs(d: DataFrame, minJ: Double = 0.8,
                    dfCap: Int = DefaultShingleDfCap): DataFrame = {
     graft.functions.TextKernels.register(d.sparkSession)
-    val withSh = Tables.spread(d)
+    val ex = Tables.spread(d)
       .select(col("doc_id"), col("lang"),
         graft.functions.TextKernels.shingleHash64(col("text")).as("sh"))
+      .select(col("doc_id"), col("lang"), size(col("sh")).as("n"),
+        explode(col("sh")).as("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ex = withSh.select(col("doc_id"), col("lang"), explode(col("sh")).as("g"))
-    // the hot set is tiny by construction (df > cap) → broadcast anti-join
+    // the hot shingle set is small by construction (≤ total-shingles / cap)
     val hot = ex.groupBy("lang", "g").count().filter(col("count") > dfCap)
       .select("lang", "g")
     val capped = ex.join(broadcast(hot), Seq("lang", "g"), "left_anti")
-      .select(col("doc_id"), col("lang"), col("g"))
-    val cand = capped.toDF("doc_a", "lang", "g")
-      .join(capped.toDF("doc_b", "lang_b", "g_b"),
-        col("g") === col("g_b") && col("lang") === col("lang_b") &&
-          col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    val shA = withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val shB = withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    cand.join(shA, "doc_a").join(shB, "doc_b")
-      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .select(col("doc_id"), col("lang"), col("n"), col("g"))
+    // per-doc hot shingles — rows only for docs that contain boilerplate
+    val hotByDoc = ex.join(broadcast(hot), Seq("lang", "g"))
+      .groupBy("doc_id").agg(collect_list(col("g")).as("hot_sh"))
+    val a = capped.toDF("doc_a", "lang", "n_a", "g")
+    val b = capped.toDF("doc_b", "lang_b", "n_b", "g_b")
+    a.join(b, col("g") === col("g_b") && col("lang") === col("lang_b") &&
+        col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("common_capped"))
+      .join(hotByDoc.toDF("doc_a", "hot_a"), Seq("doc_a"), "left")
+      .join(hotByDoc.toDF("doc_b", "hot_b"), Seq("doc_b"), "left")
+      .withColumn("common", col("common_capped") +
+        when(col("hot_a").isNull || col("hot_b").isNull, lit(0))
+          .otherwise(size(array_intersect(col("hot_a"), col("hot_b")))))
       .withColumn("jaccard", col("common").cast("double") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("common")))
+        (col("n_a") + col("n_b") - col("common")))
       .filter(col("jaccard") >= minJ)
       .select("doc_a", "doc_b", "jaccard")
   }
@@ -311,7 +321,43 @@ object Dedup {
            |WHERE doc_id NOT IN (SELECT doc_id FROM nonrep)
            |ORDER BY doc_id""".stripMargin))
 
+  /** Benchmark decontamination — the eval-leak scrub a training pipeline
+    * runs before packing: every corpus document sharing >= 1 3-gram shingle
+    * with the benchmark set is flagged with its overlap size (downstream
+    * drops or audits them). The benchmark (stand-in here: doc_id < 20) is
+    * tiny by nature, so its distinct shingle set broadcasts; the corpus side
+    * is one explode + broadcast hash join + two-phase count — linear in
+    * corpus shingles, never doc × doc.
+    */
+  private val dedupDecontaminate = Q(
+    "dedup_decontaminate",
+    (s, dir) => {
+      graft.functions.TextKernels.register(s)
+      val d = docs(s, dir)
+      val benchSh = d.filter(col("doc_id") < 20)
+        .select(explode(
+          graft.functions.TextKernels.shingleHash64(col("text"))).as("g"))
+        .distinct()
+      val corpusEx = Tables.spread(d.filter(col("doc_id") >= 20))
+        .select(col("doc_id"), explode(
+          graft.functions.TextKernels.shingleHash64(col("text"))).as("g"))
+      // per-doc shingles are distinct and the bench side is distinct'd, so
+      // the post-join count IS the intersection size
+      corpusEx.join(broadcast(benchSh), "g")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+           |s AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w,' ')]
+           |        ELSE list_distinct(list_transform(range(1, len(w)-1),
+           |               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS sh
+           |      FROM w),
+           |b AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id < 20),
+           |c AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id >= 20)
+           |SELECT c.doc_id, count(*) AS n_shared FROM c JOIN b USING (g)
+           |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin))
+
   val queries: Seq[Q] = Seq(
     dedupExact, dedupKeepfirst, dedupNgramJaccard, dedupMinhashLsh,
-    dedupSimhash, dedupClusters, dedupPipelineSurvivors)
+    dedupSimhash, dedupClusters, dedupPipelineSurvivors, dedupDecontaminate)
 }

@@ -984,8 +984,32 @@ object Relational {
            |FROM orders GROUP BY o_orderstatus
            |ORDER BY o_orderstatus""".stripMargin))
 
+  /** Deterministic weighted source mixing — the corpus re-weighting step of
+    * a training-data pipeline (upsample curated sources, downsample crawl):
+    * each source's keep-rate derives from its declared weight and rows are
+    * kept by stable md5 bucket, so the mix reproduces under reruns,
+    * reshuffles and engine changes (never `rand()`). Pure per-row
+    * projection + two-phase aggregate; at 100 TB this is a single scan.
+    */
+  private val sampleMixture = Q(
+    "sample_mixture",
+    (s, dir) => t(s, dir, "documents")
+      // weight stand-in: source index mod 4 → keep 25/50/75/100 %
+      .withColumn("keep_pct",
+        (expr("CAST(substring(source, 4) AS INT)") % 4 + 1) * 25)
+      .filter(pmod(md5Hash32(col("doc_id").cast("string")), lit(100)) < col("keep_pct"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy("source"),
+    Some("""SELECT source, count(*) AS n_docs,
+           | CAST(sum(n_chars) AS BIGINT) AS total_chars
+           |FROM documents
+           |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
+           |      < (CAST(substr(source, 4) AS INT) % 4 + 1) * 25
+           |GROUP BY source ORDER BY source""".stripMargin))
+
   val queries: Seq[Q] = Seq(
-    catalogAgg, refPartitionCount, aggPricingSummary, q3ShippingPriority,
+    catalogAgg, sampleMixture, refPartitionCount, aggPricingSummary, q3ShippingPriority,
     q5LocalSupplierVolume, eventsFunnel,
     eventsCohortRetention, filterProject, filterString,
     joinInnerStar, joinLeftOuter, joinSemi, joinAnti, joinFullOuter,

@@ -78,6 +78,23 @@ class DedupSpec extends SparkSuite {
     assert(Dedup.jaccardPairs(hotOnly, dfCap = 50).count() == 190)
   }
 
+  test("jaccard df cap: shared hot shingles still count toward the exact score") {
+    import spark.implicits._
+    // every doc opens with the same boilerplate (those shingles go hot under
+    // cap=5), and docs 100/101 are fully identical — their jaccard must be
+    // exactly 1.0, which requires counting the hot shingles they share
+    val boilerplate = "zz yy xx ww vv uu"
+    val filler = (0L until 12L).map(i =>
+      (i, "en", s"$boilerplate tail$i mid$i end$i more$i"))
+    val twins = Seq(
+      (100L, "en", s"$boilerplate aa bb cc dd ee ff gg hh"),
+      (101L, "en", s"$boilerplate aa bb cc dd ee ff gg hh"))
+    val d = (filler ++ twins).toDF("doc_id", "lang", "text")
+    val rows = Dedup.jaccardPairs(d, minJ = 0.8, dfCap = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq((100L, 101L, 1.0)), rows.mkString(","))
+  }
+
   test("simhash: near-dup pairs are closer in hamming distance than random pairs") {
     val sig = Dedup.simhash(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

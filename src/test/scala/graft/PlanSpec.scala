@@ -63,6 +63,16 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("dedup_decontaminate broadcasts the benchmark shingle set") {
+    val p = plan("dedup_decontaminate")
+    // the eval set is tiny by nature — its shingles must broadcast, never
+    // shuffle the corpus side
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // corpus scan pruned to the two columns the shingle explode needs
+    assert(!p.contains("n_chars") && !p.contains("source"), p)
+  }
+
   test("agg_pricing_summary scans only the aggregated columns") {
     val p = plan("agg_pricing_summary")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
