@@ -97,22 +97,37 @@ object Dedup {
     // the hot shingle set is small by construction (≤ total-shingles / cap)
     val hot = ex.groupBy("lang", "g").count().filter(col("count") > dfCap)
       .select("lang", "g")
-    val capped = ex.join(broadcast(hot), Seq("lang", "g"), "left_anti")
-      .select(col("doc_id"), col("lang"), col("n"), col("g"))
-    // per-doc hot shingles — rows only for docs that contain boilerplate
-    val hotByDoc = ex.join(broadcast(hot), Seq("lang", "g"))
-      .groupBy("doc_id").agg(collect_list(col("g")).as("hot_sh"))
-    val a = capped.toDF("doc_a", "lang", "n_a", "g")
-    val b = capped.toDF("doc_b", "lang_b", "n_b", "g_b")
-    a.join(b, col("g") === col("g_b") && col("lang") === col("lang_b") &&
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one cheap stats job decides the plan — the CBO move: a clean corpus
+    // (no shingle over the cap) keeps the lean two-stage plan with zero
+    // correction machinery; a boilerplate-heavy corpus pays the anti-join +
+    // correction that protect the self-join from the O(df²) blowup
+    val anyHot = hot.limit(1).count() > 0
+    val base =
+      if (anyHot) ex.join(broadcast(hot), Seq("lang", "g"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("n"), col("g"))
+      else ex
+    val a = base.toDF("doc_a", "lang", "n_a", "g")
+    val b = base.toDF("doc_b", "lang_b", "n_b", "g_b")
+    val pairs = a.join(b, col("g") === col("g_b") && col("lang") === col("lang_b") &&
         col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b", "n_a", "n_b")
       .agg(count(lit(1)).as("common_capped"))
-      .join(hotByDoc.toDF("doc_a", "hot_a"), Seq("doc_a"), "left")
-      .join(hotByDoc.toDF("doc_b", "hot_b"), Seq("doc_b"), "left")
-      .withColumn("common", col("common_capped") +
-        when(col("hot_a").isNull || col("hot_b").isNull, lit(0))
-          .otherwise(size(array_intersect(col("hot_a"), col("hot_b")))))
+    val withCommon =
+      if (!anyHot) pairs.withColumn("common", col("common_capped"))
+      else {
+        // per-doc hot shingles — rows only for docs containing boilerplate;
+        // |A∩B| = |A∩B|_capped + |hotA ∩ hotB| keeps the score exact
+        val hotByDoc = ex.join(broadcast(hot), Seq("lang", "g"))
+          .groupBy("doc_id").agg(collect_list(col("g")).as("hot_sh"))
+        pairs
+          .join(hotByDoc.toDF("doc_a", "hot_a"), Seq("doc_a"), "left")
+          .join(hotByDoc.toDF("doc_b", "hot_b"), Seq("doc_b"), "left")
+          .withColumn("common", col("common_capped") +
+            when(col("hot_a").isNull || col("hot_b").isNull, lit(0))
+              .otherwise(size(array_intersect(col("hot_a"), col("hot_b")))))
+      }
+    withCommon
       .withColumn("jaccard", col("common").cast("double") /
         (col("n_a") + col("n_b") - col("common")))
       .filter(col("jaccard") >= minJ)

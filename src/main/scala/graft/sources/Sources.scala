@@ -79,6 +79,21 @@ object Sources {
   def parquetSink(df: DataFrame, out: String, mode: String = "overwrite"): Unit =
     df.write.mode(mode).parquet(out)
 
+  /** Range-clustered Parquet layout — the data-skipping technique Hive
+    * partitioning can't give a high-cardinality column: range-partition on
+    * the cluster columns (each output file owns a disjoint key range) and
+    * sort rows inside each file, so parquet row-group min/max stats let a
+    * point or range predicate skip every other file/row-group at scan time.
+    * At 100 TB this is the difference between reading one file and reading
+    * the table: Z-order's 1-D special case, done with two built-in
+    * operators and zero custom code.
+    */
+  def rangeClusteredParquet(df: DataFrame, out: String, clusterCols: Seq[String],
+                            files: Int, mode: String = "overwrite"): Unit =
+    df.repartitionByRange(files, clusterCols.map(col): _*)
+      .sortWithinPartitions(clusterCols.map(col): _*)
+      .write.mode(mode).parquet(out)
+
   /** CSV export (header on, one directory of part files). */
   def csvSink(df: DataFrame, out: String, mode: String = "overwrite"): Unit =
     df.write.mode(mode).option("header", "true").csv(out)

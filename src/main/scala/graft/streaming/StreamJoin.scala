@@ -1,0 +1,33 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Stream-stream event-time interval join (SURVEY.md §2.10 extension): the
+  * attribution shape — match each right-stream event (e.g. a conversion) to
+  * left-stream events (e.g. impressions) for the same key within a bounded
+  * event-time window after the impression.
+  *
+  * Scale semantics: both sides carry watermarks and the join predicate
+  * bounds event-time distance, so Spark provably expires buffered state —
+  * unbounded stream-stream joins would hold both streams forever. State per
+  * key is O(events inside the interval), shuffled by the join key like any
+  * equi-join.
+  */
+object StreamJoin {
+
+  /** `left`/`right`: streaming frames with `ts` event-time columns already
+    * watermarked. Emits (key, left row ts, right row ts) pairs where the
+    * right event lands in [left.ts, left.ts + horizon].
+    */
+  def interval(left: DataFrame, right: DataFrame, key: String,
+               horizon: String = "10 minutes"): DataFrame = {
+    val l = left.toDF(left.columns.map(c => if (c == key) key else s"l_$c").toIndexedSeq: _*)
+    val r = right.toDF(right.columns.map(c => if (c == key) s"r_$key" else s"r_$c").toIndexedSeq: _*)
+    l.join(r,
+      col(key) === col(s"r_$key") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizon"))
+      .drop(s"r_$key")
+  }
+}

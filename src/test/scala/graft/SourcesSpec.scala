@@ -92,6 +92,27 @@ class SourcesSpec extends SparkSuite {
     assert(seen.size == 1 && seen.values().iterator().next() == 2, seen.toString)
   }
 
+  test("range-clustered layout: files own disjoint sorted key ranges") {
+    val dir = tmp("graft-range")
+    Sources.rangeClusteredParquet(orders, dir, Seq("o_custkey"), files = 8)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parts.length == 8, parts.length.toString)
+    // per-file key ranges must be pairwise disjoint — that's what lets
+    // row-group min/max stats skip every non-matching file at scan time
+    val ranges = parts.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min("o_custkey"), max("o_custkey")).head
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi <= lo2, ranges.mkString(","))
+      case _ =>
+    }
+    // nothing lost in the re-layout
+    assert(spark.read.parquet(dir).count() == orders.count())
+  }
+
   test("catalog registration: external tables resolve by name, refresh sees appends") {
     // external table over a writable copy of nation, so we can append
     val dir = tmp("graft-catalog")
