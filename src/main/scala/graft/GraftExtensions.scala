@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{FloatVecDot, FloatVecNorm, MinHashBands, ShingleHash64, SimHash64}
+import graft.functions.{ByteVecDot, FloatVecDot, FloatVecNorm, MinHashBands, ShingleHash64, SimHash64}
 
 /** SQL-extension entry point: `--conf spark.sql.extensions=graft.GraftExtensions`
   * makes every graft kernel available as a SQL function in any session of the
@@ -40,6 +40,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_bands"),
       new ExpressionInfo(classOf[MinHashBands].getName, "minhash_bands"),
       exprs => MinHashBands(exprs.head, 32, 8)))
+    ext.injectFunction((
+      FunctionIdentifier("bvec_dot"),
+      new ExpressionInfo(classOf[ByteVecDot].getName, "bvec_dot"),
+      exprs => ByteVecDot(exprs(0), exprs(1))))
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),

@@ -90,6 +90,46 @@ case class FloatVecNorm(child: Expression)
     copy(child = newChild)
 }
 
+/** Integer dot product over int8-quantized vectors (`array<tinyint>`): the
+  * scan/shuffle side of scalar-quantized similarity search carries 1 byte
+  * per dimension instead of 4, and the candidate scoring loop is pure
+  * integer multiply-add. Returns long (64 dims × 127² fits easily).
+  */
+case class ByteVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "bvec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x.getByte(i).toLong * y.getByte(i).toLong; i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long ${ev.value}_acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value}_acc += (long) $a.getByte($i) * (long) $b.getByte($i);
+         |}
+         |${ev.value} = ${ev.value}_acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Session registration + Column-level API for the kernels. */
 object VectorKernels {
 
@@ -102,8 +142,11 @@ object VectorKernels {
       exprs => FloatVecDot(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("fvec_norm",
       exprs => FloatVecNorm(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("bvec_dot",
+      exprs => ByteVecDot(exprs(0), exprs(1)), "built-in")
   }
 
   def fdot(a: Column, b: Column): Column = call_function("fvec_dot", a, b)
   def fnorm(a: Column): Column = call_function("fvec_norm", a)
+  def bdot(a: Column, b: Column): Column = call_function("bvec_dot", a, b)
 }

@@ -280,6 +280,63 @@ object Similarity {
       .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cosine"), col("rank"))
   }
 
+  /** Int8 scalar-quantized top-k — the FAISS/ScaNN SQ8 layout in DataFrame
+    * terms. Per-vector symmetric quantization (q_i = round(x_i / s), s =
+    * max|x| / 127) shrinks the candidate side to 1 byte per dimension, so
+    * the scoring pass moves 4× less data through shuffle and cache and runs
+    * the integer [[graft.functions.ByteVecDot]] codegen kernel; the top 4·k
+    * quantized candidates per query are then re-ranked exactly in float
+    * (only candidates × dims floats are ever fetched) and the true top-k
+    * kept. Rows-only (candidate sets are representation-dependent);
+    * SimilaritySpec measures recall against the exact baseline.
+    */
+  private val simQuantizedTopk = Q(
+    "sim_quantized_topk",
+    (s, dir) => quantizedTopK(emb(s, dir),
+      Tables.load(s, dir, "embeddings")).orderBy("q_id", "rank"),
+    None)
+
+  /** `e`: spread full vector set; `raw`: unspread scan for the pushed-down
+    * query-side read.
+    */
+  def quantizedTopK(e: DataFrame, raw: DataFrame, k: Int = 5): DataFrame = {
+    VectorKernels.register(e.sparkSession)
+    def quantized(d: DataFrame): DataFrame = d
+      .withColumn("scale",
+        greatest(array_max(transform(col("embedding"), x => abs(x))), lit(1e-30f))
+          .cast("double") / 127.0)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") / col("scale")).cast("tinyint")).as("qvec"),
+        col("scale"), l2norm(col("embedding")).as("nrm"))
+    val qs = broadcast(quantized(raw.filter(col("vec_id") < 10))
+      .toDF("q_id", "q_qvec", "q_scale", "q_nrm"))
+    val ns = quantized(e).toDF("n_id", "n_qvec", "n_scale", "n_nrm")
+    val wApprox = Window.partitionBy("q_id")
+      .orderBy(round(col("qcos"), 9).desc, col("n_id"))
+    val cand = qs.join(ns, col("q_id") =!= col("n_id"))
+      .withColumn("qcos",
+        VectorKernels.bdot(col("q_qvec"), col("n_qvec")) * col("q_scale") *
+          col("n_scale") / (col("q_nrm") * col("n_nrm")))
+      .withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= 4 * k)
+      .select("q_id", "n_id")
+    // exact re-rank of candidates only: float vectors join back by id
+    val nf = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+      l2norm(col("embedding")).as("n_nrm"))
+    val qf = broadcast(raw.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        l2norm(col("embedding")).as("q_nrm")))
+    val wExact = Window.partitionBy("q_id")
+      .orderBy(round(col("cos"), 9).desc, col("n_id"))
+    cand.join(nf, "n_id").join(qf, "q_id")
+      .withColumn("cos",
+        dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cosine"), col("rank"))
+  }
+
   /** Semantic dedup clusters: the embedding-cosine near-dup pairs resolved
     * into connected components (cluster id = min vec_id) — the
     * embedding-space twin of `dedup_clusters`, sharing the same CC loop.
@@ -315,5 +372,6 @@ object Similarity {
            |GROUP BY u ORDER BY vec_id""".stripMargin))
 
   val queries: Seq[Q] = Seq(
-    simBruteTopk, simLshAnn, dedupEmbeddingCosine, simIvfAnn, dedupSemanticClusters)
+    simBruteTopk, simLshAnn, dedupEmbeddingCosine, simIvfAnn,
+    dedupSemanticClusters, simQuantizedTopk)
 }

@@ -31,13 +31,16 @@ class ExtensionsSpec extends SparkSuite {
           |       fvec_norm(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS n,
           |       size(shingle_hash64('a b c d e')) AS n_shingles,
           |       size(minhash_bands(shingle_hash64('a b c d e'))) AS n_bands,
-          |       simhash64('a b c') AS sh
+          |       simhash64('a b c') AS sh,
+          |       bvec_dot(array(CAST(2 AS TINYINT), CAST(-3 AS TINYINT)),
+          |                array(CAST(4 AS TINYINT), CAST(5 AS TINYINT))) AS bd
           |""".stripMargin).head()
       assert(row.getDouble(0) == 11.0)
       assert(row.getDouble(1) == 5.0)
       assert(row.getInt(2) == 3)   // 5 words → 3 trigram shingles
       assert(row.getInt(3) == 8)   // 8 LSH bands
       assert(row.getLong(4) != 0L)
+      assert(row.getLong(5) == -7L)  // 2*4 + (-3)*5
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

@@ -98,6 +98,24 @@ class SimilaritySpec extends SparkSuite {
     assert(got == want, s"missing=${want.diff(got)} extra=${got.diff(want)}")
   }
 
+  test("int8-quantized top-k recovers the exact top-5 after re-rank") {
+    val raw = Tables.load(spark, sfDir, "embeddings")
+    val got = Similarity.quantizedTopK(raw, raw)
+      .select("q_id", "n_id")
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    val queries = bruteTop5.filter(_._1 < 10)
+    val hits = queries.toSeq.map { case (q, truth) =>
+      got.getOrElse(q, Set.empty).intersect(truth).size
+    }.sum
+    val recall = hits.toDouble / queries.values.map(_.size).sum
+    // int8 symmetric quantization on 64-dim floats perturbs cosines by
+    // ~1e-2 at most; a 4k candidate pool makes the exact re-rank recover
+    // essentially everything
+    assert(recall >= 0.9, s"recall@5 = $recall")
+    assert(got.values.forall(_.size <= 5))
+  }
+
   test("tiled cosine pairs: equi-join plan with no all-pairs operator") {
     for (name <- Seq("dedup_embedding_cosine", "dedup_semantic_clusters")) {
       val plan = Queries.byName(name).run(spark, sfDir)
