@@ -1008,8 +1008,33 @@ object Relational {
            |      < (CAST(substr(source, 4) AS INT) % 4 + 1) * 25
            |GROUP BY source ORDER BY source""".stripMargin))
 
+  /** Data-quality gate — the validation stage between ingest and publish:
+    * declared constraints (non-null, range, key uniqueness) evaluated in ONE
+    * scan as conditional aggregates, so the gate costs a single pass at any
+    * scale. A real pipeline fails the publish when any violation count is
+    * non-zero; the query reports the counts.
+    */
+  private val qualityChecks = Q(
+    "quality_checks",
+    (s, dir) => t(s, dir, "lineitem").agg(
+      count(lit(1)).as("n_rows"),
+      count(when(col("l_quantity") <= 0, 1)).as("nonpositive_qty"),
+      count(when(col("l_discount") < 0 || col("l_discount") > 1, 1)).as("bad_discount"),
+      count(when(col("l_shipdate").isNull, 1)).as("null_shipdate"),
+      (count(lit(1)) - countDistinct(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey")))
+        .as("dup_keys")),
+    Some("""SELECT count(*) AS n_rows,
+           | count(CASE WHEN l_quantity <= 0 THEN 1 END) AS nonpositive_qty,
+           | count(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 END) AS bad_discount,
+           | count(CASE WHEN l_shipdate IS NULL THEN 1 END) AS null_shipdate,
+           | count(*) - count(DISTINCT (l_orderkey, l_linenumber, l_partkey, l_suppkey))
+           |   AS dup_keys
+           |FROM lineitem""".stripMargin))
+
   val queries: Seq[Q] = Seq(
-    catalogAgg, sampleMixture, refPartitionCount, aggPricingSummary, q3ShippingPriority,
+    catalogAgg, sampleMixture, qualityChecks, refPartitionCount,
+    aggPricingSummary, q3ShippingPriority,
     q5LocalSupplierVolume, eventsFunnel,
     eventsCohortRetention, filterProject, filterString,
     joinInnerStar, joinLeftOuter, joinSemi, joinAnti, joinFullOuter,

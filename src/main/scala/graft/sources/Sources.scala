@@ -64,6 +64,15 @@ object Sources {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Parquet with schema evolution: a long-lived table accretes columns over
+    * its lifetime; `mergeSchema` reconciles every file footer into the union
+    * schema (old files surface the new columns as null). Footer merging
+    * costs one distributed metadata pass — why it's an explicit variant and
+    * not the default read.
+    */
+  def parquetEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   // ------------------------------------------------------------- writers
 
   /** Hive-partitioned Parquet append (S2), scalable: one exchange on the

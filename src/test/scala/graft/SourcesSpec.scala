@@ -92,6 +92,20 @@ class SourcesSpec extends SparkSuite {
     assert(seen.size == 1 && seen.values().iterator().next() == 2, seen.toString)
   }
 
+  test("schema evolution: merged read unions columns, old files read null") {
+    val dir = tmp("graft-evolve")
+    val v1 = orders.select("o_orderkey", "o_totalprice")
+    v1.write.mode("append").parquet(dir)
+    val v2 = orders.select("o_orderkey", "o_totalprice")
+      .withColumn("o_priority_score", col("o_totalprice") * 0.1)
+    v2.write.mode("append").parquet(dir)
+    val merged = Sources.parquetEvolved(spark, dir)
+    assert(merged.schema.fieldNames.contains("o_priority_score"))
+    assert(merged.count() == orders.count() * 2)
+    // rows from v1 files surface the evolved column as null
+    assert(merged.filter(col("o_priority_score").isNull).count() == orders.count())
+  }
+
   test("range-clustered layout: files own disjoint sorted key ranges") {
     val dir = tmp("graft-range")
     Sources.rangeClusteredParquet(orders, dir, Seq("o_custkey"), files = 8)
