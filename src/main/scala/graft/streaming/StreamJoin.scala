@@ -19,15 +19,22 @@ object StreamJoin {
   /** `left`/`right`: streaming frames with `ts` event-time columns already
     * watermarked. Emits (key, left row ts, right row ts) pairs where the
     * right event lands in [left.ts, left.ts + horizon].
+    *
+    * `joinType` "left_outer" adds the no-match rows (right columns null) —
+    * emitted only once the watermark proves no in-horizon match can still
+    * arrive, which is exactly the "unconverted impressions" feed an
+    * attribution pipeline needs.
     */
   def interval(left: DataFrame, right: DataFrame, key: String,
-               horizon: String = "10 minutes"): DataFrame = {
+               horizon: String = "10 minutes",
+               joinType: String = "inner"): DataFrame = {
     val l = left.toDF(left.columns.map(c => if (c == key) key else s"l_$c").toIndexedSeq: _*)
     val r = right.toDF(right.columns.map(c => if (c == key) s"r_$key" else s"r_$c").toIndexedSeq: _*)
     l.join(r,
       col(key) === col(s"r_$key") &&
         col("r_ts") >= col("l_ts") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizon"))
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizon"),
+      joinType)
       .drop(s"r_$key")
   }
 }

@@ -40,6 +40,39 @@ class StreamJoinSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits unmatched rows only after the watermark closes the window") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val impressions = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val joined = StreamJoin.interval(
+      impressions.toDF().withWatermark("ts", "5 minutes"),
+      clicks.toDF().withWatermark("ts", "5 minutes"),
+      key = "user_id", horizon = "10 minutes", joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("sj_outer")
+      .outputMode("append").start()
+    try {
+      impressions.addData(Ev(1, t(0), "imp", 0), Ev(9, t(0), "imp", 0))
+      clicks.addData(Ev(1, t(5), "click", 0))
+      q.processAllAvailable()
+      // user 9's no-match row cannot exist yet — a click could still arrive
+      val early = spark.table("sj_outer").filter($"user_id" === 9).count()
+      assert(early == 0, s"unmatched row emitted before watermark: $early")
+      // advance both watermarks far past t(0)+horizon...
+      impressions.addData(Ev(8, t(60), "imp", 0))
+      clicks.addData(Ev(8, t(61), "click", 0))
+      q.processAllAvailable()
+      impressions.addData(Ev(7, t(70), "imp", 0))
+      clicks.addData(Ev(7, t(71), "click", 0))
+      q.processAllAvailable()
+      // ...now the unmatched impression must have been flushed with nulls
+      val nine = spark.table("sj_outer").filter($"user_id" === 9).collect()
+      assert(nine.length == 1, spark.table("sj_outer").collect().mkString(","))
+      assert(nine.head.isNullAt(nine.head.fieldIndex("r_ts")))
+    } finally q.stop()
+  }
+
   test("interval join state is bounded: watermark predicate is accepted for append mode") {
     val s = spark
     import s.implicits._
