@@ -83,5 +83,35 @@ object EventWindows {
            |FROM y GROUP BY user_id, sid
            |ORDER BY user_id, session_start""".stripMargin))
 
-  val queries: Seq[Q] = Seq(windowTumbling, windowSliding, windowSession)
+  /** Event-time interval join in batch — the oracle-checkable twin of
+    * [[StreamJoin.interval]]: every (view → purchase) pair for the same user
+    * with the purchase inside the 30-minute attribution window after the
+    * view. Equi-join on the user with the time bound as a residual
+    * predicate — one key shuffle, no row explosion beyond true matches; the
+    * identical predicate under watermarks is the streaming variant.
+    */
+  private val eventsAttribution = Q(
+    "events_attribution",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val v = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"))
+      v.join(p, col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
+        .select(col("user_id"), col("view_id"), col("purchase_id"))
+        .orderBy("user_id", "view_id", "purchase_id")
+    },
+    Some("""SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
+           |FROM events v JOIN events p
+           |  ON v.user_id = p.user_id
+           | AND v.event_type = 'view' AND p.event_type = 'purchase'
+           | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+           |ORDER BY v.user_id, view_id, purchase_id""".stripMargin))
+
+  val queries: Seq[Q] = Seq(windowTumbling, windowSliding, windowSession,
+    eventsAttribution)
 }
