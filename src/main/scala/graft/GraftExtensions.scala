@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{ByteVecDot, FloatVecDot, FloatVecNorm, MinHashBands, ShingleHash64, SimHash64}
+import graft.functions.{ByteVecDot, FloatVecDot, FloatVecNorm, MinHashBands, ShingleExplode, ShingleHash64, SimHash64}
 
 /** SQL-extension entry point: `--conf spark.sql.extensions=graft.GraftExtensions`
   * makes every graft kernel available as a SQL function in any session of the
@@ -40,6 +40,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_bands"),
       new ExpressionInfo(classOf[MinHashBands].getName, "minhash_bands"),
       exprs => MinHashBands(exprs.head, 32, 8)))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_explode"),
+      new ExpressionInfo(classOf[ShingleExplode].getName, "shingle_explode"),
+      exprs => ShingleExplode(exprs.head, 3)))
     ext.injectFunction((
       FunctionIdentifier("bvec_dot"),
       new ExpressionInfo(classOf[ByteVecDot].getName, "bvec_dot"),

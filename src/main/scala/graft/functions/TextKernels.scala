@@ -181,6 +181,43 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** `shingle_explode(text)` → rows of (pos, g): a TRUE table function (custom
+  * Catalyst `Generator`, the UDTF leg of §2.11) streaming the sorted
+  * distinct shingle hashes of a document straight into the `Generate`
+  * operator — the fused form of `posexplode(shingle_hash64(text))` without
+  * materializing the intermediate array per row.
+  */
+case class ShingleExplode(child: Expression, n: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with CodegenFallback {
+
+  override def elementSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("g", LongType, nullable = false)))
+  override def prettyName: String = "shingle_explode"
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val t = child.eval(input)
+    if (t == null) Iterator.empty
+    else {
+      val hashes = TextHash.shingleHashes(t.asInstanceOf[UTF8String], n)
+      new Iterator[InternalRow] {
+        private var i = 0
+        override def hasNext: Boolean = i < hashes.length
+        override def next(): InternalRow = {
+          val r = InternalRow(i, hashes(i)); i += 1; r
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Session registration + Column-level API (same pattern as [[VectorKernels]]). */
 object TextKernels {
   def register(spark: SparkSession): Unit = {
@@ -191,9 +228,12 @@ object TextKernels {
       exprs => MinHashBands(exprs.head, 32, 8), "built-in")
     reg.createOrReplaceTempFunction("simhash64",
       exprs => SimHash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("shingle_explode",
+      exprs => ShingleExplode(exprs.head, 3), "built-in")
   }
 
   def shingleHash64(text: Column): Column = call_function("shingle_hash64", text)
   def minhashBands(sh: Column): Column = call_function("minhash_bands", sh)
   def simhash64(text: Column): Column = call_function("simhash64", text)
+  def shingleExplode(text: Column): Column = call_function("shingle_explode", text)
 }

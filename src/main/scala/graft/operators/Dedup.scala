@@ -349,13 +349,14 @@ object Dedup {
     (s, dir) => {
       graft.functions.TextKernels.register(s)
       val d = docs(s, dir)
+      // shingle_explode is the custom Generator (true UDTF): shingles stream
+      // straight into Generate with no per-row intermediate array
       val benchSh = d.filter(col("doc_id") < 20)
-        .select(explode(
-          graft.functions.TextKernels.shingleHash64(col("text"))).as("g"))
-        .distinct()
+        .select(graft.functions.TextKernels.shingleExplode(col("text")))
+        .select("g").distinct()
       val corpusEx = Tables.spread(d.filter(col("doc_id") >= 20))
-        .select(col("doc_id"), explode(
-          graft.functions.TextKernels.shingleHash64(col("text"))).as("g"))
+        .select(col("doc_id"), graft.functions.TextKernels.shingleExplode(col("text")))
+        .select("doc_id", "g")
       // per-doc shingles are distinct and the bench side is distinct'd, so
       // the post-join count IS the intersection size
       corpusEx.join(broadcast(benchSh), "g")

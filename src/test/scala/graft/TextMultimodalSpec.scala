@@ -38,6 +38,27 @@ class TextMultimodalSpec extends SparkSuite {
     assert(fp(1L)._2 != fp(2L)._2) // rolling hash is order-sensitive
   }
 
+  test("shingle_explode generator matches posexplode of the array kernel") {
+    import org.apache.spark.sql.functions._
+    graft.functions.TextKernels.register(spark)
+    val d = Tables.load(spark, sfDir, "documents").limit(50)
+    val viaGenerator = d.select(col("doc_id"),
+        graft.functions.TextKernels.shingleExplode(col("text")))
+      .select("doc_id", "pos", "g")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val viaArray = d.select(col("doc_id"),
+        posexplode(graft.functions.TextKernels.shingleHash64(col("text"))))
+      .toDF("doc_id", "pos", "g")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaGenerator == viaArray && viaGenerator.nonEmpty)
+    // generator is null-safe: null text contributes zero rows
+    import spark.implicits._
+    val withNull = Seq((1L, "a b c d"), (2L, null)).toDF("doc_id", "text")
+    val rows = withNull.select(col("doc_id"),
+      graft.functions.TextKernels.shingleExplode(col("text"))).collect()
+    assert(rows.forall(_.getLong(0) == 1L) && rows.length == 2) // 4 words → 2 shingles
+  }
+
   test("real PNG payloads decode to true dimensions and pixel statistics") {
     import spark.implicits._
     // synthesize tiny real PNGs: a solid mid-gray 8×6 and a black/white
