@@ -44,7 +44,8 @@ object Multimodal {
   /** Decode / feature-extract over binary payloads via `mapPartitions` —
     * the Scala analogue of a batched `mapInPandas` decode: one decoder
     * context per partition, streaming the rows through it. Declared
-    * rows-only (the stub's values aren't SQL semantics to mirror);
+    * rows-only (the testdata payloads are text bytes, so values come from
+    * the deterministic non-image fallback — not SQL semantics to mirror);
     * MultimodalSpec pins the batch shape and determinism.
     */
   private val multimodalDecode = Q(
@@ -182,7 +183,7 @@ object Multimodal {
       }
   }
 
-  /** Resize stage over the synthesized payloads; rows-only (stub values),
+  /** Resize stage over the synthesized payloads; rows-only (fallback values),
     * shape + determinism pinned in TextMultimodalSpec.
     */
   private val multimodalResize = Q(
@@ -197,7 +198,7 @@ object Multimodal {
     },
     None)
 
-  /** Frame-sampling stage; rows-only (stub values). */
+  /** Frame-sampling stage; rows-only (byte-window codec values). */
   private val multimodalFrames = Q(
     "multimodal_frames",
     (s, dir) => {
