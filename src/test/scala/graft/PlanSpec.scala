@@ -63,6 +63,13 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("catalog-table reads keep Catalyst column pruning") {
+    val p = plan("catalog_agg")
+    // resolving through the catalog must produce the same pruned parquet
+    // scan as a path read: only the grouping column is materialized
+    assert(p.contains("ReadSchema: struct<o_orderstatus:string>"), p)
+  }
+
   test("dedup_decontaminate broadcasts the benchmark shingle set") {
     val p = plan("dedup_decontaminate")
     // the eval set is tiny by nature — its shingles must broadcast, never
