@@ -30,6 +30,7 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         // drop intermediates persisted inside the query so later queries
         // aren't taxed by cache eviction / GC pressure (not timed)
+        Caches.release()
         spark.catalog.clearCache()
         name -> dt
       }
@@ -39,7 +40,10 @@ object Bench {
     def jsonOf(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val sf = sfDir.split("/").last.stripPrefix("sf")
+    // emit sf bare only when it parses as a number — a custom dataset dir
+    // name would otherwise produce invalid JSON
+    val sfRaw = sfDir.split("/").last.stripPrefix("sf")
+    val sf = if (sfRaw.toDoubleOption.isDefined) sfRaw else "\"" + sfRaw + "\""
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""queries":${jsonOf(results.filter(r => headline.contains(r._1)))},"sf":$sf}"""
     // full per-query map → file (the stdout line must fit the driver's tail)

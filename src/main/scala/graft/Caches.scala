@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Registry for DataFrames persisted inside operator builders.
+  *
+  * Builders return lazy DataFrames, so they cannot unpersist inline — the
+  * consumer hasn't materialized anything when the builder returns, and an
+  * eager unpersist would silently undo the persist. Instead every builder
+  * routes its persists through [[track]], and batch drivers (Bench, Verify)
+  * call [[release]] once the query's result is materialized. A long-lived
+  * session (a Bench run touches the Jaccard family six times) then holds no
+  * stale cached RDDs between queries.
+  */
+object Caches {
+  private val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  /** Persist `df` and remember it for the next [[release]]. */
+  def track(df: DataFrame,
+            level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
+    synchronized {
+      tracked += df
+      df.persist(level)
+    }
+
+  /** Unpersist (non-blocking) everything tracked since the last release. */
+  def release(): Unit = synchronized {
+    tracked.foreach(_.unpersist(false))
+    tracked.clear()
+  }
+}

@@ -218,6 +218,69 @@ case class ShingleExplode(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** `pair_explode(ds, cap)` → rows (doc_a, doc_b, n_a, n_b): all unordered
+  * doc pairs of one inverted-index posting list `ds: array<struct<doc_id:
+  * long, n:int>>`, id-ordered (doc_a < doc_b); a list longer than `cap`
+  * (a hot shingle) emits NOTHING — the df-cap decision fused into candidate
+  * generation itself. A true `Generator` for the same reason as
+  * [[ShingleExplode]]: the higher-order-function formulation
+  * (`flatten(transform(filter(...)))`) dispatches an interpreted lambda per
+  * PAIR, this is one compiled loop per LIST streaming straight into
+  * `Generate`.
+  */
+case class PairExplode(child: Expression, cap: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with CodegenFallback {
+
+  override def elementSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_a", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("doc_b", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_a",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_b",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+  override def prettyName: String = "pair_explode"
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val arr = child.eval(input)
+    if (arr == null) Iterator.empty
+    else {
+      val a = arr.asInstanceOf[ArrayData]
+      val k = a.numElements()
+      if (k < 2 || k > cap) Iterator.empty
+      else {
+        val ids = new Array[Long](k)
+        val ns = new Array[Int](k)
+        var i = 0
+        while (i < k) {
+          val r = a.getStruct(i, 2)
+          ids(i) = r.getLong(0)
+          ns(i) = r.getInt(1)
+          i += 1
+        }
+        new Iterator[InternalRow] {
+          private var x = 0
+          private var y = 1
+          override def hasNext: Boolean = x < k - 1
+          override def next(): InternalRow = {
+            val r =
+              if (ids(x) < ids(y)) InternalRow(ids(x), ids(y), ns(x), ns(y))
+              else InternalRow(ids(y), ids(x), ns(y), ns(x))
+            y += 1
+            if (y == k) { x += 1; y = x + 1 }
+            r
+          }
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Session registration + Column-level API (same pattern as [[VectorKernels]]). */
 object TextKernels {
   def register(spark: SparkSession): Unit = {
@@ -230,10 +293,15 @@ object TextKernels {
       exprs => SimHash64(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("shingle_explode",
       exprs => ShingleExplode(exprs.head, 3), "built-in")
+    reg.createOrReplaceTempFunction("pair_explode",
+      exprs => PairExplode(exprs(0),
+        exprs(1).eval(InternalRow.empty).asInstanceOf[Int]), "built-in")
   }
 
   def shingleHash64(text: Column): Column = call_function("shingle_hash64", text)
   def minhashBands(sh: Column): Column = call_function("minhash_bands", sh)
   def simhash64(text: Column): Column = call_function("simhash64", text)
   def shingleExplode(text: Column): Column = call_function("shingle_explode", text)
+  def pairExplode(ds: Column, cap: Int): Column =
+    call_function("pair_explode", ds, org.apache.spark.sql.functions.lit(cap))
 }

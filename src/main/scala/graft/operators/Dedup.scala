@@ -70,16 +70,26 @@ object Dedup {
 
   /** Verified same-lang 3-gram-shingle Jaccard pairs >= `minJ`.
     *
-    * Inverted-index join over the DF-CAPPED shingle index (hot shingles —
-    * df > `dfCap`, see [[DefaultShingleDfCap]] — never enter the self-join,
-    * so no O(df²) blowup), counting shared capped shingles per pair in the
-    * join's own aggregate. The count is then made EXACT by adding each
-    * pair's shared hot shingles via a join against the per-doc hot-shingle
-    * arrays: |A∩B| = |A∩B|_capped + |hotA ∩ hotB|, with n_a/n_b always the
-    * full set sizes. When nothing is hot (all test SFs) both hot-side
-    * inputs are empty and the correction joins are free; when boilerplate
-    * is real, the correction costs one join against only the boilerplate
-    * docs (AQE picks broadcast vs shuffle from the observed size).
+    * ONE aggregation builds the inverted index as per-shingle doc LISTS
+    * (`collect_list`): df is just `size(list)`, so the df-cap decision lives
+    * inside the candidate plan itself — no separate stats job, no index
+    * self-join. Sub-cap lists expand to ordered candidate pairs in place via
+    * higher-order functions (a df-k shingle emits k(k-1)/2 ≤ dfCap²/2 pairs —
+    * bounded, the O(df²) blowup structurally cannot happen); hot lists
+    * (df > `dfCap`, see [[DefaultShingleDfCap]]) never generate candidates
+    * and instead route to the exactness correction:
+    * |A∩B| = |A∩B|_capped + |hotA ∩ hotB|, with n_a/n_b always the full set
+    * sizes. When nothing is hot (all test SFs) the hot side is empty and the
+    * two correction joins stream zero build rows; when boilerplate is real
+    * they touch only the boilerplate docs.
+    *
+    * Scale note: a per-shingle doc-list row is O(df). Sub-cap rows are
+    * bounded by construction; a pathological corpus-wide shingle (df ~ 10⁸)
+    * would make its one hot row wide — the correction path needs those
+    * (doc, shingle) memberships materialized either way (they equal the old
+    * design's `hotByDoc` input), so the volume is inherent; only the
+    * single-row packaging would need a bounded-collect custom aggregate at
+    * the extreme.
     *
     * Shingle hashes, not shingle strings: same distinct-set semantics
     * (collision odds ~1e-8 at sf0.1) with 8-byte join keys and no string
@@ -93,41 +103,30 @@ object Dedup {
         graft.functions.TextKernels.shingleHash64(col("text")).as("sh"))
       .select(col("doc_id"), col("lang"), size(col("sh")).as("n"),
         explode(col("sh")).as("g"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the hot shingle set is small by construction (≤ total-shingles / cap)
-    val hot = ex.groupBy("lang", "g").count().filter(col("count") > dfCap)
-      .select("lang", "g")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // one cheap stats job decides the plan — the CBO move: a clean corpus
-    // (no shingle over the cap) keeps the lean two-stage plan with zero
-    // correction machinery; a boilerplate-heavy corpus pays the anti-join +
-    // correction that protect the self-join from the O(df²) blowup
-    val anyHot = hot.limit(1).count() > 0
-    val base =
-      if (anyHot) ex.join(broadcast(hot), Seq("lang", "g"), "left_anti")
-        .select(col("doc_id"), col("lang"), col("n"), col("g"))
-      else ex
-    val a = base.toDF("doc_a", "lang", "n_a", "g")
-    val b = base.toDF("doc_b", "lang_b", "n_b", "g_b")
-    val pairs = a.join(b, col("g") === col("g_b") && col("lang") === col("lang_b") &&
-        col("doc_a") < col("doc_b"))
+    // inverted index: one shuffle; read twice (pair gen + hot correction)
+    val idx = graft.Caches.track(ex.groupBy("lang", "g")
+      .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds")))
+    // candidate pairs from sub-cap shingles only, streamed by the
+    // pair_explode Generator (one compiled loop per posting list — the HOF
+    // formulation paid an interpreted lambda dispatch per PAIR); the
+    // Generator itself emits nothing for hot lists, fusing the df-cap
+    // decision into candidate generation
+    val pairs = idx
+      .select(graft.functions.TextKernels.pairExplode(col("ds"), dfCap))
       .groupBy("doc_a", "doc_b", "n_a", "n_b")
       .agg(count(lit(1)).as("common_capped"))
-    val withCommon =
-      if (!anyHot) pairs.withColumn("common", col("common_capped"))
-      else {
-        // per-doc hot shingles — rows only for docs containing boilerplate;
-        // |A∩B| = |A∩B|_capped + |hotA ∩ hotB| keeps the score exact
-        val hotByDoc = ex.join(broadcast(hot), Seq("lang", "g"))
-          .groupBy("doc_id").agg(collect_list(col("g")).as("hot_sh"))
-        pairs
-          .join(hotByDoc.toDF("doc_a", "hot_a"), Seq("doc_a"), "left")
-          .join(hotByDoc.toDF("doc_b", "hot_b"), Seq("doc_b"), "left")
-          .withColumn("common", col("common_capped") +
-            when(col("hot_a").isNull || col("hot_b").isNull, lit(0))
-              .otherwise(size(array_intersect(col("hot_a"), col("hot_b")))))
-      }
-    withCommon
+    // per-doc hot shingles — rows only for docs containing boilerplate
+    // (empty on clean corpora, so the left joins below cost nothing)
+    val hotByDoc = idx.filter(size(col("ds")) > dfCap)
+      .select(col("g"), explode(col("ds")).as("m"))
+      .select(col("m.doc_id").as("doc_id"), col("g"))
+      .groupBy("doc_id").agg(collect_list(col("g")).as("hot_sh"))
+    pairs
+      .join(hotByDoc.toDF("doc_a", "hot_a"), Seq("doc_a"), "left")
+      .join(hotByDoc.toDF("doc_b", "hot_b"), Seq("doc_b"), "left")
+      .withColumn("common", col("common_capped") +
+        when(col("hot_a").isNull || col("hot_b").isNull, lit(0))
+          .otherwise(size(array_intersect(col("hot_a"), col("hot_b")))))
       .withColumn("jaccard", col("common").cast("double") /
         (col("n_a") + col("n_b") - col("common")))
       .filter(col("jaccard") >= minJ)
@@ -181,9 +180,8 @@ object Dedup {
     // Shingling + signatures are one compiled kernel pass per row
     // (TextKernels); withSh is persisted because it feeds the banding pass
     // AND both sides of the verification join.
-    val withSh = Tables.spread(d)
-      .select(col("doc_id"), TextKernels.shingleHash64(col("text")).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withSh = graft.Caches.track(Tables.spread(d)
+      .select(col("doc_id"), TextKernels.shingleHash64(col("text")).as("sh")))
     val banded = withSh
       .select(col("doc_id"),
         posexplode(TextKernels.minhashBands(col("sh"))).as(Seq("band", "bh")))
@@ -223,23 +221,31 @@ object Dedup {
         graft.functions.TextKernels.simhash64(col("text")).as("simhash"))
   }
 
-  /** Iterative min-label propagation: each vertex repeatedly takes the
-    * minimum label among itself and its neighbors until fixpoint — O(cluster
-    * diameter) rounds of one join + one aggregate, the standard distributed
-    * connected-components loop (at 100 TB, add localCheckpoint every few
-    * rounds to cut lineage; near-dup clusters are shallow so rounds stay
-    * single-digit).
+  /** Iterations the most recent [[connectedComponents]] call took — spec
+    * hook only (asserts pointer jumping beats plain propagation on chains).
+    */
+  @volatile var lastCcIterations: Int = 0
+
+  /** Iterative min-label propagation WITH pointer jumping: each round a
+    * vertex takes the minimum of its own label, its neighbors' labels, and
+    * its label's label (`label(label(u))` — one extra self-join on the small
+    * labels table). Neighbor propagation alone needs O(diameter) rounds; the
+    * jump short-circuits already-discovered chains so label depth halves
+    * every round — O(log diameter) total, the Shiloach-Vishkin/large-star
+    * idea in DataFrame form. Each round is join + aggregate + join; eager
+    * localCheckpoint per round truncates lineage (and keeps AQE free to
+    * coalesce the tiny post-dedup shuffles; an InMemoryRelation would pin
+    * the full partition count). Near-dup clusters are shallow, but chain
+    * topologies (A≈B≈C≈...) are exactly what transitive closure produces —
+    * the jump is what keeps round count single-digit at 100 TB.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     // persist BEFORE the symmetrizing union: both union branches read the
     // (possibly expensive) edge computation, and every iteration reads sym
-    val e = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sym = e.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .union(e.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // eager localCheckpoint instead of persist: truncates the per-iteration
-    // lineage AND keeps AQE free to coalesce the (tiny, post-dedup) shuffle
-    // partitions — an InMemoryRelation would pin the full partition count
+    val e = graft.Caches.track(edges)
+    val sym = graft.Caches.track(
+      e.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .union(e.select(col("doc_b").as("u"), col("doc_a").as("v"))))
     var labels = sym.select(col("u")).distinct().withColumn("label", col("u"))
       .localCheckpoint(true)
     var changed = 1L
@@ -248,18 +254,26 @@ object Dedup {
       val nbrMin = sym
         .join(labels.select(col("u").as("v"), col("label").as("nl")), "v")
         .groupBy("u").agg(min(col("nl")).as("cand"))
+      // pointer jump: label(label(u)). label always names a vertex of the
+      // same component, so the lookup is a self-join of labels on label = u.
+      val jumped = labels.join(
+        labels.select(col("u").as("label"), col("label").as("l2")),
+        Seq("label"), "left")
       // carry the did-it-change flag through the checkpoint: the convergence
       // count then scans the already-materialized rows instead of paying
       // another join per iteration
-      val next = labels.join(nbrMin, Seq("u"), "left")
+      val next = jumped.join(nbrMin, Seq("u"), "left")
         .select(col("u"),
-          least(col("label"), coalesce(col("cand"), col("label"))).as("label"),
-          coalesce(col("cand") < col("label"), lit(false)).as("chg"))
+          least(col("label"), coalesce(col("cand"), col("label")),
+            coalesce(col("l2"), col("label"))).as("label"),
+          (least(coalesce(col("cand"), col("label")),
+            coalesce(col("l2"), col("label"))) < col("label")).as("chg"))
         .localCheckpoint(true)
       changed = next.filter(col("chg")).count()
       labels = next.drop("chg")
       i += 1
     }
+    lastCcIterations = i
     labels.select(col("u").as("doc_id"), col("label").as("cluster_id"))
   }
 
@@ -303,8 +317,7 @@ object Dedup {
       val d = docs(s, dir)
       val keepIds = d.groupBy("text").agg(min(col("doc_id")).as("doc_id"))
         .select("doc_id")
-      val kept = Tables.spread(d.join(keepIds, "doc_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val kept = graft.Caches.track(Tables.spread(d.join(keepIds, "doc_id")))
       val pairs = jaccardPairs(kept).select("doc_a", "doc_b")
       val nonReps = connectedComponents(pairs)
         .filter(col("cluster_id") =!= col("doc_id"))

@@ -105,9 +105,8 @@ object Similarity {
     // Consumed three times (bucketing, query side, neighbor side) — persist
     // so the norm pass runs once. At cluster scale this is the standard
     // MEMORY_AND_DISK persist of a prepared candidate set.
-    val withNorm = e.select(col("vec_id"), col("embedding"),
-      l2norm(col("embedding")).as("nrm"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withNorm = graft.Caches.track(e.select(col("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("nrm")))
     // sign bit per plane, packed into one bucket id per band
     val bucketCols = (0 until Bands).map { b =>
       val bits = (0 until BitsPerBand).map { j =>
@@ -170,10 +169,12 @@ object Similarity {
     */
   def tiledCosinePairs(e: DataFrame, minCos: Double, blocks: Int = 16): DataFrame = {
     VectorKernels.register(e.sparkSession)
-    val v = e.select(col("vec_id"), col("embedding"),
+    // pmod, not %: a negative vec_id under % would yield a negative block
+    // and a descending (empty) tile sequence — pmod keeps the helper safe
+    // for arbitrary id domains
+    val v = graft.Caches.track(e.select(col("vec_id"), col("embedding"),
         l2norm(col("embedding")).as("nrm"))
-      .withColumn("blk", (col("vec_id") % blocks).cast("int"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("blk", pmod(col("vec_id"), lit(blocks)).cast("int")))
     // left: all tiles (blk, j) for j >= blk; right: all tiles (i, blk) for i <= blk
     val left = v.withColumn("tile",
         explode(transform(sequence(col("blk"), lit(blocks - 1)),
@@ -226,14 +227,44 @@ object Similarity {
     * seed vectors (`vec_id < K`, a pushed-down 8-row scan); at 100 TB they'd
     * come from k-means over a sample, but the query-side plan — broadcast
     * centroids, cell equi-join, exact re-rank — is exactly this one.
-    * Rows-only (recall is centroid-dependent); SimilaritySpec measures
-    * recall and verifies the cell scan is a genuine pre-filter.
+    * Every stage is deterministic (seed centroids, round(·,9)+id tie-broken
+    * argmax, fixed nprobe, exact re-rank), so the whole pipeline is
+    * oracle-checked in SQL; SimilaritySpec additionally measures recall and
+    * verifies the cell scan is a genuine pre-filter.
     */
   private val simIvfAnn = Q(
     "sim_ivf_ann",
     (s, dir) => ivfTopK(emb(s, dir),
       Tables.load(s, dir, "embeddings")).orderBy("q_id", "rank"),
-    None)
+    Some("""WITH e AS (SELECT vec_id, embedding,
+           |   sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+           | FROM embeddings),
+           |c AS (SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
+           |      FROM e WHERE vec_id < 8),
+           |asg AS (SELECT cent_id, vec_id AS n_id, embedding AS n_emb, nrm AS n_nrm FROM (
+           |   SELECT e.vec_id, e.embedding, e.nrm, c.cent_id,
+           |     ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY round(
+           |       list_sum(list_transform(range(1, 65),
+           |         i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)))
+           |       / (e.nrm * c.c_nrm), 9) DESC, c.cent_id) AS rn
+           |   FROM e CROSS JOIN c) WHERE rn = 1),
+           |pr AS (SELECT q_id, q_emb, q_nrm, cent_id FROM (
+           |   SELECT e.vec_id AS q_id, e.embedding AS q_emb, e.nrm AS q_nrm, c.cent_id,
+           |     ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY round(
+           |       list_sum(list_transform(range(1, 65),
+           |         i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)))
+           |       / (e.nrm * c.c_nrm), 9) DESC, c.cent_id) AS rn
+           |   FROM e CROSS JOIN c WHERE e.vec_id < 10) WHERE rn <= 3),
+           |sc AS (SELECT pr.q_id, a.n_id,
+           |    list_sum(list_transform(range(1, 65),
+           |      i -> CAST(pr.q_emb[i] AS DOUBLE) * CAST(a.n_emb[i] AS DOUBLE)))
+           |      / (pr.q_nrm * a.n_nrm) AS cos
+           |  FROM pr JOIN asg a USING (cent_id) WHERE pr.q_id != a.n_id),
+           |r AS (SELECT q_id, n_id, cos, CAST(ROW_NUMBER() OVER (
+           |    PARTITION BY q_id ORDER BY round(cos, 9) DESC, n_id) AS INT) AS rank
+           |  FROM sc)
+           |SELECT q_id, n_id, round(cos, 6) AS cosine, rank
+           |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin))
 
   private val IvfK = 8       // coarse cells
   private val IvfNProbe = 3  // cells scanned per query
@@ -287,14 +318,43 @@ object Similarity {
     * the integer [[graft.functions.ByteVecDot]] codegen kernel; the top 4·k
     * quantized candidates per query are then re-ranked exactly in float
     * (only candidates × dims floats are ever fetched) and the true top-k
-    * kept. Rows-only (candidate sets are representation-dependent);
-    * SimilaritySpec measures recall against the exact baseline.
+    * kept. The quantization is deterministic arithmetic (`s = max|x|/127`,
+    * `q_i = round(x_i/s)`, integer dot), so the full pipeline — candidate
+    * set included — is oracle-checked in SQL; SimilaritySpec additionally
+    * measures recall against the exact baseline.
     */
   private val simQuantizedTopk = Q(
     "sim_quantized_topk",
     (s, dir) => quantizedTopK(emb(s, dir),
       Tables.load(s, dir, "embeddings")).orderBy("q_id", "rank"),
-    None)
+    Some("""WITH s1 AS (SELECT vec_id, embedding,
+           |   sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm,
+           |   CAST(greatest(list_max(list_transform(embedding, x -> abs(x))),
+           |     CAST(1e-30 AS REAL)) AS DOUBLE) / 127.0 AS scale
+           | FROM embeddings),
+           |qz AS (SELECT vec_id, nrm, scale,
+           |   list_transform(embedding,
+           |     x -> CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT)) AS qvec
+           | FROM s1),
+           |cand AS (SELECT q_id, n_id FROM (
+           |   SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+           |     ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY round(
+           |       CAST(list_sum(list_transform(range(1, 65),
+           |         i -> a.qvec[i] * b.qvec[i])) AS BIGINT)
+           |         * a.scale * b.scale / (a.nrm * b.nrm), 9) DESC, b.vec_id) AS arank
+           |   FROM qz a JOIN qz b ON a.vec_id < 10 AND b.vec_id != a.vec_id)
+           | WHERE arank <= 20),
+           |sc AS (SELECT cand.q_id, cand.n_id,
+           |    list_sum(list_transform(range(1, 65),
+           |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)))
+           |      / (q.nrm * n.nrm) AS cos
+           |  FROM cand JOIN s1 q ON q.vec_id = cand.q_id
+           |            JOIN s1 n ON n.vec_id = cand.n_id),
+           |r AS (SELECT q_id, n_id, cos, CAST(ROW_NUMBER() OVER (
+           |    PARTITION BY q_id ORDER BY round(cos, 9) DESC, n_id) AS INT) AS rank
+           |  FROM sc)
+           |SELECT q_id, n_id, round(cos, 6) AS cosine, rank
+           |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin))
 
   /** `e`: spread full vector set; `raw`: unspread scan for the pushed-down
     * query-side read.

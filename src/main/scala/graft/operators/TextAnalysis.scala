@@ -289,9 +289,13 @@ object TextAnalysis {
            |ORDER BY token_id""".stripMargin))
 
   /** Heavy hitters via the custom SpaceSaving typed Aggregator: one-pass
-    * bounded-memory top tokens. Rows-only (sketch counts are approximate in
-    * general); TextMultimodalSpec asserts exactness while the vocabulary
-    * fits the sketch capacity.
+    * bounded-memory top tokens. SpaceSaving is EXACT whenever the observed
+    * vocabulary fits the sketch capacity (31 distinct tokens ≤ 256 at the
+    * verify SF — TextMultimodalSpec proves the exactness condition), so the
+    * oracle is the plain exact top-20 by (freq desc, token) — the same
+    * tie-break the Aggregator's `finish` applies. On a corpus whose
+    * vocabulary overflows the capacity the counts become approximate and
+    * only the spec's SpaceSaving error bound applies.
     */
   private val textHeavyHitters = Q(
     "text_heavy_hitters",
@@ -304,7 +308,9 @@ object TextAnalysis {
         .select(col("kv._1").as("token"), col("kv._2").as("freq"))
         .orderBy(col("freq").desc, col("token"))
     },
-    None)
+    Some("""SELECT token, count(*) AS freq
+           |FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents)
+           |GROUP BY token ORDER BY freq DESC, token LIMIT 20""".stripMargin))
 
   val queries: Seq[Q] = Seq(
     textTokens, textTokenFreq, textTfidf, textQuality, textLangid,

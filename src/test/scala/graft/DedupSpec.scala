@@ -122,6 +122,21 @@ class DedupSpec extends SparkSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connected components: pointer jumping keeps chain rounds logarithmic") {
+    import spark.implicits._
+    // worst-case topology for label propagation: one chain of 32 vertices.
+    // Plain neighbor-min needs ~n rounds (would NOT converge inside the
+    // default maxIter=20); with the label(label(u)) jump the label depth
+    // halves per round, so 2·log₂(n) is a loose ceiling.
+    val n = 32
+    val edges = (1L until n.toLong).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to n.toLong).map(_ -> 1L).toMap)
+    assert(Dedup.lastCcIterations <= 2 * (math.log(n) / math.log(2)).toInt,
+      s"chain of $n took ${Dedup.lastCcIterations} rounds")
+  }
+
   test("exact dedup is idempotent") {
     val once = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
     val twice = once.groupBy("text").agg(min("doc_id").as("doc_id"))
