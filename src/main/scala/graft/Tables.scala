@@ -50,20 +50,39 @@ object Tables {
   def registerCatalog(spark: SparkSession, dir: String, db: String = "graft",
                       tables: Seq[String] = names): Unit = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
-    // events is TIMESTAMP(NANOS) parquet; the catalog table stores the raw
-    // int64 schema (see load() for the read-side conversion)
+    // events is TIMESTAMP(NANOS) parquet; the raw int64 lands in
+    // `<db>.events_raw` and `<db>.events` is a VIEW applying the same
+    // ns→µs conversion load() applies, so name-reads and path-reads of
+    // events agree (previously a name-read silently returned the raw long)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     tables.foreach { n =>
-      spark.sql(s"DROP TABLE IF EXISTS $db.$n")
-      spark.catalog.createTable(s"$db.$n", s"$dir/$n.parquet", "parquet")
+      if (n == "events") {
+        spark.sql(s"DROP VIEW IF EXISTS $db.events")
+        spark.sql(s"DROP TABLE IF EXISTS $db.events_raw")
+        spark.catalog.createTable(s"$db.events_raw", s"$dir/events.parquet", "parquet")
+        val cols = spark.read.parquet(s"$dir/events.parquet").schema.fieldNames
+          .map {
+            case "ts" => "timestamp_micros(ts div 1000) AS ts"
+            case f => s"`$f`"
+          }
+        spark.sql(s"CREATE OR REPLACE VIEW $db.events AS " +
+          s"SELECT ${cols.mkString(", ")} FROM $db.events_raw")
+      } else {
+        spark.sql(s"DROP TABLE IF EXISTS $db.$n")
+        spark.catalog.createTable(s"$db.$n", s"$dir/$n.parquet", "parquet")
+      }
     }
   }
 
   /** The reference's periodic re-crawl (T3): drop cached file listings and
     * schema for every registered table so out-of-band appends become
     * visible — `refreshTable` is exactly Glue's incremental crawl analogue.
+    * (`events` resolves to its backing external table, since the registered
+    * `events` itself is the conversion view.)
     */
   def refreshCatalog(spark: SparkSession, db: String = "graft",
                      tables: Seq[String] = names): Unit =
-    tables.foreach(n => spark.catalog.refreshTable(s"$db.$n"))
+    tables.foreach { n =>
+      spark.catalog.refreshTable(s"$db.${if (n == "events") "events_raw" else n}")
+    }
 }

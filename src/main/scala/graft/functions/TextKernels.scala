@@ -2,12 +2,26 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
+
+/** Analysis-time input validation (Spark 4 hides `ExpectsInputTypes` from
+  * external expressions — same pattern as
+  * [[graft.functions.VecTypeCheck]]): these are SQL-exposed, so a
+  * wrong-typed call must fail analysis, not read garbage.
+  */
+private[functions] object TextTypeCheck {
+  def expect(ok: Boolean, fn: String, want: String,
+             got: DataType): TypeCheckResult =
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$fn expects $want, got ${got.catalogString}")
+}
 
 /** Custom Catalyst expressions for the text-dedup hot path.
   *
@@ -138,6 +152,9 @@ case class ShingleHash64(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hash64"
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextTypeCheck.expect(child.dataType == StringType, prettyName,
+      "string", child.dataType)
   override def nullSafeEval(t: Any): Any =
     new GenericArrayData(TextHash.shingleHashes(t.asInstanceOf[UTF8String], n))
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -155,6 +172,11 @@ case class MinHashBands(child: Expression, numPerm: Int, bands: Int)
   private val rows = numPerm / bands
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_bands"
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextTypeCheck.expect(child.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }, prettyName, "array<bigint>", child.dataType)
 
   override def nullSafeEval(a: Any): Any =
     new GenericArrayData(
@@ -173,6 +195,9 @@ case class SimHash64(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextTypeCheck.expect(child.dataType == StringType, prettyName,
+      "string", child.dataType)
 
   override def nullSafeEval(t: Any): Any =
     TextHash.simhash(t.asInstanceOf[UTF8String])
@@ -198,6 +223,9 @@ case class ShingleExplode(child: Expression, n: Int)
         org.apache.spark.sql.types.IntegerType, nullable = false),
       org.apache.spark.sql.types.StructField("g", LongType, nullable = false)))
   override def prettyName: String = "shingle_explode"
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextTypeCheck.expect(child.dataType == StringType, prettyName,
+      "string", child.dataType)
 
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val t = child.eval(input)
@@ -242,6 +270,13 @@ case class PairExplode(child: Expression, cap: Int)
       org.apache.spark.sql.types.StructField("n_b",
         org.apache.spark.sql.types.IntegerType, nullable = false)))
   override def prettyName: String = "pair_explode"
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextTypeCheck.expect(child.dataType match {
+      case ArrayType(s: org.apache.spark.sql.types.StructType, _)
+        if s.length == 2 && s(0).dataType == LongType &&
+          s(1).dataType == org.apache.spark.sql.types.IntegerType => true
+      case _ => false
+    }, prettyName, "array<struct<bigint,int>>", child.dataType)
 
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val arr = child.eval(input)

@@ -1,11 +1,30 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType}
+
+/** Input validation shared by the SQL-exposed kernels. Spark 4 hides
+  * `AbstractDataType` (so `ExpectsInputTypes` is unavailable to external
+  * expressions); overriding `checkInputDataTypes` gives the same
+  * analysis-time failure — without it, `bvec_dot(array<int>, ...)` would
+  * pass analysis and silently read garbage through `ArrayData.getByte`.
+  */
+private[functions] object VecTypeCheck {
+  def arrayOf(elem: DataType, fn: String,
+              types: (String, DataType)*): TypeCheckResult = {
+    val bad = types.collectFirst {
+      case (name, t) if !t.isInstanceOf[ArrayType] ||
+        t.asInstanceOf[ArrayType].elementType != elem =>
+        s"$fn expects $name: array<${elem.catalogString}>, got ${t.catalogString}"
+    }
+    bad.map(TypeCheckResult.TypeCheckFailure).getOrElse(TypeCheckResult.TypeCheckSuccess)
+  }
+}
 
 /** Custom Catalyst expressions for the embedding-similarity hot path.
   *
@@ -20,10 +39,11 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class FloatVecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // Spark 4 makes AbstractDataType private[sql], so no ExpectsInputTypes here;
-  // call sites (Similarity/VectorKernels.fdot) guarantee array<float> inputs.
   override def dataType: DataType = DoubleType
   override def prettyName: String = "fvec_dot"
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeCheck.arrayOf(FloatType, prettyName,
+      "left" -> left.dataType, "right" -> right.dataType)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -60,6 +80,8 @@ case class FloatVecNorm(child: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "fvec_norm"
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeCheck.arrayOf(FloatType, prettyName, "input" -> child.dataType)
 
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -100,6 +122,9 @@ case class ByteVecDot(left: Expression, right: Expression)
 
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def prettyName: String = "bvec_dot"
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeCheck.arrayOf(ByteType, prettyName,
+      "left" -> left.dataType, "right" -> right.dataType)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

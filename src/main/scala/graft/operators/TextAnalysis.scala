@@ -265,10 +265,9 @@ object TextAnalysis {
            |FROM documents ORDER BY doc_id""".stripMargin))
 
   /** Vocabulary construction: dense ids for the corpus vocabulary ordered
-    * by (frequency desc, token) — the tokenizer-building step. The global
-    * ranking window runs over the already-aggregated (small) vocab, not the
-    * corpus: the heavy explode→count is fully distributed, and a vocabulary
-    * fits one reducer by definition.
+    * by (frequency desc, token) — the tokenizer-building step, ranked by
+    * [[rankedVocab]]'s two-phase scheme so no single reducer ever sees the
+    * whole vocabulary.
     */
   private val textVocab = Q(
     "text_vocab",
@@ -276,10 +275,7 @@ object TextAnalysis {
       val freq = docs(s, dir)
         .select(explode(words(col("text"))).as("token"))
         .groupBy("token").agg(count(lit(1)).as("freq"))
-      val w = Window.orderBy(col("freq").desc, col("token"))
-      freq.withColumn("token_id", row_number().over(w))
-        .select("token_id", "token", "freq")
-        .orderBy("token_id")
+      rankedVocab(freq)
     },
     Some("""SELECT CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS INT) AS token_id,
            | token, freq
@@ -287,6 +283,37 @@ object TextAnalysis {
            |      FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents)
            |      GROUP BY token)
            |ORDER BY token_id""".stripMargin))
+
+  /** Distributed dense ranking of a (token, freq) vocabulary by
+    * (freq desc, token) — the textbook two-phase global row_number:
+    * range-repartition on the sort key (distributed sample-based split, the
+    * same machinery as a global ORDER BY), rank locally within each range
+    * partition, then add per-partition offsets. The only empty-partition
+    * window left in the plan runs over the per-partition COUNTS — one row
+    * per reducer, bounded by cluster width, never by vocabulary size. The
+    * r4 formulation (`row_number over (ORDER BY ...)` on the full vocab)
+    * funneled every token through one reducer.
+    */
+  def rankedVocab(freq: DataFrame): DataFrame = {
+    val parts = freq.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    // persisted: read once for local ranks, once for partition counts, and
+    // pinning the materialized pids keeps both reads on identical ranges
+    val local = graft.Caches.track(freq
+      .repartitionByRange(parts, col("freq").desc, col("token"))
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("_pid").orderBy(col("freq").desc, col("token")))))
+    val wOff = Window.orderBy("_pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy("_pid").agg(count(lit(1)).as("_cnt"))
+      .withColumn("_off", coalesce(sum(col("_cnt")).over(wOff), lit(0L)))
+      .select("_pid", "_off")
+    local.join(broadcast(offsets), "_pid")
+      .withColumn("token_id", (col("_off") + col("_rn")).cast("int"))
+      .select("token_id", "token", "freq")
+      .orderBy("token_id")
+  }
 
   /** Heavy hitters via the custom SpaceSaving typed Aggregator: one-pass
     * bounded-memory top tokens. SpaceSaving is EXACT whenever the observed

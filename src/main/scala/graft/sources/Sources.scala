@@ -73,6 +73,54 @@ object Sources {
   def parquetEvolved(spark: SparkSession, path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)
 
+  /** JDBC read — the warehouse leg of the reference's stack (its curated
+    * layer is served to a SQL warehouse, README.md:92-101; Athena/Redshift
+    * both speak JDBC from Spark). Catalyst pushes filters and column
+    * pruning through the connector into the remote `WHERE`/`SELECT` list,
+    * so a predicate on the wrapped frame reaches the warehouse instead of
+    * materializing the table (`JDBCRelation ... PushedFilters` in the plan).
+    * One connection = one partition: this single-stream variant is for
+    * small dimension pulls only.
+    */
+  def jdbc(spark: SparkSession, url: String, table: String,
+           props: Map[String, String] = Map.empty): DataFrame =
+    props.foldLeft(
+      spark.read.format("jdbc").option("url", url).option("dbtable", table)) {
+      case (r, (k, v)) => r.option(k, v)
+    }.load()
+
+  /** Parallel JDBC read: `numPartitions` range-sliced queries on
+    * `partitionColumn ∈ [lower, upper]` — the only way a JDBC source scales
+    * past one connection. Bounds only shape the slicing; rows outside still
+    * arrive (Spark adds the stride predicates, no filtering). At 100 TB the
+    * warehouse side is the bottleneck, so `numPartitions` is a
+    * politeness/parallelism dial, not a throughput guarantee.
+    */
+  def jdbcPartitioned(spark: SparkSession, url: String, table: String,
+                      partitionColumn: String, lower: Long, upper: Long,
+                      numPartitions: Int,
+                      props: Map[String, String] = Map.empty): DataFrame =
+    props.foldLeft(
+      spark.read.format("jdbc")
+        .option("url", url).option("dbtable", table)
+        .option("partitionColumn", partitionColumn)
+        .option("lowerBound", lower).option("upperBound", upper)
+        .option("numPartitions", numPartitions)) {
+      case (r, (k, v)) => r.option(k, v)
+    }.load()
+
+  /** JDBC write (append/overwrite a warehouse table). `batchsize` rows per
+    * round-trip per task; writes run with the frame's parallelism, so
+    * repartition small before writing to a connection-limited warehouse.
+    */
+  def jdbcSink(df: DataFrame, url: String, table: String,
+               mode: String = "append",
+               props: Map[String, String] = Map.empty): Unit =
+    props.foldLeft(
+      df.write.format("jdbc").option("url", url).option("dbtable", table)) {
+      case (w, (k, v)) => w.option(k, v)
+    }.mode(mode).save()
+
   // ------------------------------------------------------------- writers
 
   /** Hive-partitioned Parquet append (S2), scalable: one exchange on the

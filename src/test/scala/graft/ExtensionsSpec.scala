@@ -48,4 +48,26 @@ class ExtensionsSpec extends SparkSuite {
       SparkSession.setActiveSession(spark)
     }
   }
+
+  test("kernel functions reject wrong-typed SQL inputs at analysis time") {
+    // without checkInputDataTypes these would pass analysis and read
+    // garbage through ArrayData accessors at runtime
+    graft.functions.VectorKernels.register(spark)
+    graft.functions.TextKernels.register(spark)
+    Seq(
+      "SELECT bvec_dot(array(1, 2), array(3, 4))",          // int, not tinyint
+      "SELECT fvec_dot(array(1.0, 2.0), array(3.0, 4.0))",  // double, not float
+      "SELECT fvec_norm('nope')",
+      "SELECT shingle_hash64(42)",
+      "SELECT minhash_bands(array('a'))",
+      "SELECT simhash64(array(1))",
+      "SELECT shingle_explode(7)",
+      "SELECT pair_explode(array(1, 2), 5)"
+    ).foreach { sql =>
+      val e = intercept[org.apache.spark.sql.AnalysisException](
+        spark.sql(sql).collect())
+      assert(e.getMessage.toLowerCase.contains("expects") ||
+        e.getMessage.contains("DATATYPE_MISMATCH"), s"$sql -> ${e.getMessage}")
+    }
+  }
 }

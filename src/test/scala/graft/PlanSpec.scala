@@ -80,6 +80,20 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("n_chars") && !p.contains("source"), p)
   }
 
+  test("text_vocab ranks without a vocabulary-wide single-reducer window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = Queries.byName("text_vocab").run(spark, sfDir)
+    // empty-partitionSpec windows funnel their whole input through one
+    // reducer — allowed only over the per-partition count rows (bounded by
+    // cluster width), never over the token rows themselves
+    val bad = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty &&
+        w.child.output.exists(_.name == "token") => w
+    }
+    assert(bad.isEmpty,
+      s"single-reducer window over the vocabulary:\n${bad.mkString("\n")}")
+  }
+
   test("agg_pricing_summary scans only the aggregated columns") {
     val p = plan("agg_pricing_summary")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)

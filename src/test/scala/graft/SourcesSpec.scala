@@ -147,6 +147,22 @@ class SourcesSpec extends SparkSuite {
     assert(spark.table("cat_test_nation.nation").count() == nation.count() + 3)
   }
 
+  test("catalog events view applies the same ns->us conversion as path reads") {
+    // events is TIMESTAMP(NANOS) parquet: a raw external table would expose
+    // the int64 nanos, silently diverging from Tables.load — the registered
+    // `events` must be the conversion view over `events_raw`
+    Tables.registerCatalog(spark, TestSpark.Sf0001,
+      db = "cat_test_events", tables = Seq("events"))
+    val byName = spark.table("cat_test_events.events")
+    val byPath = Tables.load(spark, TestSpark.Sf0001, "events")
+    assert(byName.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(byName.schema == byPath.schema)
+    val a = byName.orderBy("event_id").limit(5).collect().toSeq
+    val b = byPath.orderBy("event_id").limit(5).collect().toSeq
+    assert(a == b)
+  }
+
   test("inferred csv read reproduces the reference parity path") {
     val dir = tmp("graft-infer")
     Sources.csvSink(orders.select("o_orderkey", "o_totalprice"), dir)
