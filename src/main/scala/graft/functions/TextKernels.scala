@@ -246,20 +246,28 @@ case class ShingleExplode(child: Expression, n: Int)
     copy(child = newChild)
 }
 
-/** `pair_explode(ds, cap)` → rows (doc_a, doc_b, n_a, n_b): all unordered
-  * doc pairs of one inverted-index posting list `ds: array<struct<doc_id:
-  * long, n:int>>`, id-ordered (doc_a < doc_b); a list longer than `cap`
-  * (a hot shingle) emits NOTHING — the df-cap decision fused into candidate
-  * generation itself. A true `Generator` for the same reason as
-  * [[ShingleExplode]]: the higher-order-function formulation
-  * (`flatten(transform(filter(...)))`) dispatches an interpreted lambda per
-  * PAIR, this is one compiled loop per LIST streaming straight into
-  * `Generate`.
+/** `pair_explode(g, ds, cap)` → rows (doc_a, doc_b, n_a, n_b): ONE pass over
+  * an inverted-index posting list `ds: array<struct<doc_id: long, n: int>>`
+  * that emits both df-cap regimes so the (expensive, index-sized) input
+  * never needs a second scan:
+  *
+  *  - sub-cap list (2 ≤ df ≤ cap): every unordered doc pair, id-ordered
+  *    (`doc_a < doc_b`, `n_b ≥ 1`) — the candidate-join feed;
+  *  - hot list (df > cap): one MEMBERSHIP row per posting, tagged
+  *    `n_b = -1`, with `doc_a` = member doc id and `doc_b` = the shingle
+  *    hash `g` — the exact-correction feed (`hotA ∩ hotB`).
+  *
+  * Downstream splits the two regimes on the `n_b` sign. A true `Generator`
+  * for the same reason as [[ShingleExplode]]: the higher-order-function
+  * formulation dispatches an interpreted lambda per PAIR, this is one
+  * compiled loop per LIST streaming straight into `Generate`.
   */
-case class PairExplode(child: Expression, cap: Int)
-    extends UnaryExpression
+case class PairExplode(g: Expression, ds: Expression, cap: Int)
+    extends org.apache.spark.sql.catalyst.expressions.Expression
     with org.apache.spark.sql.catalyst.expressions.Generator
     with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(g, ds)
 
   override def elementSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(Seq(
@@ -270,21 +278,27 @@ case class PairExplode(child: Expression, cap: Int)
       org.apache.spark.sql.types.StructField("n_b",
         org.apache.spark.sql.types.IntegerType, nullable = false)))
   override def prettyName: String = "pair_explode"
-  override def checkInputDataTypes(): TypeCheckResult =
-    TextTypeCheck.expect(child.dataType match {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val dsOk = ds.dataType match {
       case ArrayType(s: org.apache.spark.sql.types.StructType, _)
         if s.length == 2 && s(0).dataType == LongType &&
           s(1).dataType == org.apache.spark.sql.types.IntegerType => true
       case _ => false
-    }, prettyName, "array<struct<bigint,int>>", child.dataType)
+    }
+    TextTypeCheck.expect(g.dataType == LongType && dsOk, prettyName,
+      "(bigint, array<struct<bigint,int>>)",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("g", g.dataType),
+        org.apache.spark.sql.types.StructField("ds", ds.dataType))))
+  }
 
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
-    val arr = child.eval(input)
+    val arr = ds.eval(input)
     if (arr == null) Iterator.empty
     else {
       val a = arr.asInstanceOf[ArrayData]
       val k = a.numElements()
-      if (k < 2 || k > cap) Iterator.empty
+      if (k < 2) Iterator.empty
       else {
         val ids = new Array[Long](k)
         val ns = new Array[Int](k)
@@ -295,7 +309,17 @@ case class PairExplode(child: Expression, cap: Int)
           ns(i) = r.getInt(1)
           i += 1
         }
-        new Iterator[InternalRow] {
+        if (k > cap) {
+          // hot posting list: memberships only, never the O(df²) pairs
+          val gv = g.eval(input).asInstanceOf[Long]
+          new Iterator[InternalRow] {
+            private var m = 0
+            override def hasNext: Boolean = m < k
+            override def next(): InternalRow = {
+              val r = InternalRow(ids(m), gv, ns(m), -1); m += 1; r
+            }
+          }
+        } else new Iterator[InternalRow] {
           private var x = 0
           private var y = 1
           override def hasNext: Boolean = x < k - 1
@@ -312,8 +336,10 @@ case class PairExplode(child: Expression, cap: Int)
     }
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
+  override def nullable: Boolean = false
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(g = newChildren(0), ds = newChildren(1))
 }
 
 /** Session registration + Column-level API (same pattern as [[VectorKernels]]). */
@@ -329,14 +355,14 @@ object TextKernels {
     reg.createOrReplaceTempFunction("shingle_explode",
       exprs => ShingleExplode(exprs.head, 3), "built-in")
     reg.createOrReplaceTempFunction("pair_explode",
-      exprs => PairExplode(exprs(0),
-        exprs(1).eval(InternalRow.empty).asInstanceOf[Int]), "built-in")
+      exprs => PairExplode(exprs(0), exprs(1),
+        exprs(2).eval(InternalRow.empty).asInstanceOf[Int]), "built-in")
   }
 
   def shingleHash64(text: Column): Column = call_function("shingle_hash64", text)
   def minhashBands(sh: Column): Column = call_function("minhash_bands", sh)
   def simhash64(text: Column): Column = call_function("simhash64", text)
   def shingleExplode(text: Column): Column = call_function("shingle_explode", text)
-  def pairExplode(ds: Column, cap: Int): Column =
-    call_function("pair_explode", ds, org.apache.spark.sql.functions.lit(cap))
+  def pairExplode(g: Column, ds: Column, cap: Int): Column =
+    call_function("pair_explode", g, ds, org.apache.spark.sql.functions.lit(cap))
 }

@@ -103,23 +103,24 @@ object Dedup {
         graft.functions.TextKernels.shingleHash64(col("text")).as("sh"))
       .select(col("doc_id"), col("lang"), size(col("sh")).as("n"),
         explode(col("sh")).as("g"))
-    // inverted index: one shuffle; read twice (pair gen + hot correction)
-    val idx = graft.Caches.track(ex.groupBy("lang", "g")
-      .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds")))
-    // candidate pairs from sub-cap shingles only, streamed by the
-    // pair_explode Generator (one compiled loop per posting list — the HOF
-    // formulation paid an interpreted lambda dispatch per PAIR); the
-    // Generator itself emits nothing for hot lists, fusing the df-cap
-    // decision into candidate generation
-    val pairs = idx
-      .select(graft.functions.TextKernels.pairExplode(col("ds"), dfCap))
+    // inverted index as posting lists (one shuffle, df = list size), then
+    // ONE pair_explode Generator pass emits BOTH regimes — candidate pairs
+    // for sub-cap lists, tagged hot memberships (n_b = -1) for hot lists —
+    // so the index itself is consumed once and never cached; only the far
+    // smaller generator output persists for its two aggregations. (The HOF
+    // pair-expansion formulation paid an interpreted lambda per PAIR; the
+    // Generator is one compiled loop per list.)
+    val gen = graft.Caches.track(ex
+      .groupBy("lang", "g")
+      .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
+      .select(graft.functions.TextKernels.pairExplode(col("g"), col("ds"), dfCap)))
+    val pairs = gen.filter(col("n_b") >= 0)
       .groupBy("doc_a", "doc_b", "n_a", "n_b")
       .agg(count(lit(1)).as("common_capped"))
     // per-doc hot shingles — rows only for docs containing boilerplate
     // (empty on clean corpora, so the left joins below cost nothing)
-    val hotByDoc = idx.filter(size(col("ds")) > dfCap)
-      .select(col("g"), explode(col("ds")).as("m"))
-      .select(col("m.doc_id").as("doc_id"), col("g"))
+    val hotByDoc = gen.filter(col("n_b") < 0)
+      .select(col("doc_a").as("doc_id"), col("doc_b").as("g"))
       .groupBy("doc_id").agg(collect_list(col("g")).as("hot_sh"))
     pairs
       .join(hotByDoc.toDF("doc_a", "hot_a"), Seq("doc_a"), "left")
@@ -254,11 +255,18 @@ object Dedup {
       val nbrMin = sym
         .join(labels.select(col("u").as("v"), col("label").as("nl")), "v")
         .groupBy("u").agg(min(col("nl")).as("cand"))
-      // pointer jump: label(label(u)). label always names a vertex of the
-      // same component, so the lookup is a self-join of labels on label = u.
-      val jumped = labels.join(
-        labels.select(col("u").as("label"), col("label").as("l2")),
-        Seq("label"), "left")
+      // pointer jump: label(label(u)) — a self-join of labels on label = u
+      // (label always names a vertex of the same component). The jump only
+      // pays off on components deeper than the rounds already run, so the
+      // first two rounds stay plain propagation (shallow clusters — the
+      // common near-dup case — converge right there without the extra
+      // join); from round 3 the jump halves the remaining label depth each
+      // round, keeping deep chains O(log diameter).
+      val jumped =
+        if (i < 2) labels.withColumn("l2", col("label"))
+        else labels.join(
+          labels.select(col("u").as("label"), col("label").as("l2")),
+          Seq("label"), "left")
       // carry the did-it-change flag through the checkpoint: the convergence
       // count then scans the already-materialized rows instead of paying
       // another join per iteration

@@ -198,7 +198,16 @@ object Multimodal {
     },
     None)
 
-  /** Frame-sampling stage; rows-only (byte-window codec values). */
+  /** Frame-sampling stage. The byte-window FNV-1a checksum is fully
+    * oracle-checked: DuckDB lacks wrapping 64-bit arithmetic and byte
+    * indexing, so the oracle emulates both — the hash accumulates in
+    * HUGEINT mod 2^64 (the wrapping multiply fits 128 bits: 2^64·prime <
+    * 2^104), the per-byte XOR touches only the low 8 bits (so it runs on a
+    * BIGINT slice of the accumulator), bytes come from `ascii(substr(...))`
+    * (byte = codepoint for the all-ASCII testdata payloads — asserted
+    * cheaply by the oracle equality itself: any non-ASCII byte would
+    * hash-mismatch), and the final value maps to signed two's-complement.
+    */
   private val multimodalFrames = Q(
     "multimodal_frames",
     (s, dir) => {
@@ -208,7 +217,27 @@ object Multimodal {
         .orderBy("doc_id", "frame_idx")
         .toDF()
     },
-    None)
+    Some("""WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS len FROM documents),
+           |f AS (SELECT doc_id, text, len,
+           |        CAST(unnest(range(0, greatest(len // 64, 1), 4)) AS BIGINT) AS frame_idx
+           |      FROM d),
+           |w AS (SELECT doc_id, frame_idx, text,
+           |        least(frame_idx * 64, greatest(len - 1, 0)) AS frm,
+           |        least(least(frame_idx * 64, greatest(len - 1, 0)) + 64, len) AS unt
+           |      FROM f),
+           |h AS (SELECT doc_id, frame_idx, frm, unt,
+           |        list_reduce(
+           |          list_prepend(CAST(14695981039346656037 AS HUGEINT),
+           |            list_transform(range(frm + 1, unt + 1),
+           |              i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS HUGEINT))),
+           |          (h, b) -> ((h - (h % 256) + xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)))
+           |                     * 1099511628211) % 18446744073709551616) AS uh
+           |      FROM w)
+           |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           |  CAST(unt - frm AS INT) AS n_bytes,
+           |  CAST(CASE WHEN uh >= 9223372036854775808
+           |            THEN uh - 18446744073709551616 ELSE uh END AS BIGINT) AS checksum
+           |FROM h ORDER BY doc_id, frame_idx""".stripMargin))
 
   val queries: Seq[Q] = Seq(
     multimodalMeta, multimodalDecode, multimodalResize, multimodalFrames)

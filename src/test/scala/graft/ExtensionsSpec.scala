@@ -62,7 +62,7 @@ class ExtensionsSpec extends SparkSuite {
       "SELECT minhash_bands(array('a'))",
       "SELECT simhash64(array(1))",
       "SELECT shingle_explode(7)",
-      "SELECT pair_explode(array(1, 2), 5)"
+      "SELECT pair_explode(CAST(7 AS BIGINT), array(1, 2), 5)"
     ).foreach { sql =>
       val e = intercept[org.apache.spark.sql.AnalysisException](
         spark.sql(sql).collect())
