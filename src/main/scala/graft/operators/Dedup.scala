@@ -394,7 +394,66 @@ object Dedup {
            |SELECT c.doc_id, count(*) AS n_shared FROM c JOIN b USING (g)
            |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin))
 
+  /** Incremental near-dup detection — the shape a production pipeline runs
+    * every ingest cycle: score only NEW docs against the EXISTING corpus,
+    * never corpus × corpus. The corpus side becomes the df-capped posting
+    * index (boilerplate lives there; same candidate trade as
+    * [[jaccardPairs]], provably inert at test SFs where max df < cap); the
+    * new batch explodes its shingles and probes the index with a plain
+    * equi-join, so per-cycle cost is linear in the BATCH, not the corpus.
+    * Jaccard is exact over the full shingle sets of every candidate pair.
+    */
+  def incrementalNearDups(oldDocs: DataFrame, newDocs: DataFrame,
+                          minJ: Double = 0.8,
+                          dfCap: Int = DefaultShingleDfCap): DataFrame = {
+    graft.functions.TextKernels.register(oldDocs.sparkSession)
+    def ex(d: DataFrame) = Tables.spread(d)
+      .select(col("doc_id"), col("lang"),
+        graft.functions.TextKernels.shingleHash64(col("text")).as("sh"))
+      .select(col("doc_id"), col("lang"), size(col("sh")).as("n"),
+        explode(col("sh")).as("g"))
+    val idxOld = ex(oldDocs).groupBy("lang", "g")
+      .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
+      .filter(size(col("ds")) <= dfCap)
+    ex(newDocs).toDF("new_id", "lang", "n_new", "g")
+      .join(idxOld, Seq("lang", "g"))
+      .select(col("new_id"), col("n_new"), explode(col("ds")).as("m"))
+      .select(col("new_id"), col("n_new"),
+        col("m.doc_id").as("old_id"), col("m.n").as("n_old"))
+      .groupBy("new_id", "old_id", "n_new", "n_old")
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("n_new") + col("n_old") - col("common")))
+      .filter(col("jaccard") >= minJ)
+      .select(col("new_id"), col("old_id"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Batch split stand-in: every 5th doc is "this cycle's arrivals", the
+    * rest are the standing corpus.
+    */
+  private val dedupIncremental = Q(
+    "dedup_incremental",
+    (s, dir) => {
+      val d = docs(s, dir)
+      incrementalNearDups(
+        d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0))
+        .orderBy("new_id", "old_id")
+    },
+    Some("""WITH w AS (SELECT doc_id, lang, string_split(text,' ') AS w FROM documents),
+           |s AS (SELECT doc_id, lang, CASE WHEN len(w) < 3 THEN [array_to_string(w,' ')]
+           |        ELSE list_distinct(list_transform(range(1, len(w)-1),
+           |               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS sh
+           |      FROM w),
+           |p AS (SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+           |        len(list_intersect(n.sh, o.sh)) AS c, len(n.sh) AS nn, len(o.sh) AS n_o
+           |      FROM s n JOIN s o ON n.lang = o.lang
+           |        AND n.doc_id % 5 = 0 AND o.doc_id % 5 != 0)
+           |SELECT new_id, old_id, round(CAST(c AS DOUBLE)/(nn+n_o-c), 6) AS jaccard
+           |FROM p WHERE CAST(c AS DOUBLE)/(nn+n_o-c) >= 0.8
+           |ORDER BY new_id, old_id""".stripMargin))
+
   val queries: Seq[Q] = Seq(
     dedupExact, dedupKeepfirst, dedupNgramJaccard, dedupMinhashLsh,
-    dedupSimhash, dedupClusters, dedupPipelineSurvivors, dedupDecontaminate)
+    dedupSimhash, dedupClusters, dedupPipelineSurvivors, dedupDecontaminate,
+    dedupIncremental)
 }

@@ -1008,6 +1008,33 @@ object Relational {
            |      < (CAST(substr(source, 4) AS INT) % 4 + 1) * 25
            |GROUP BY source ORDER BY source""".stripMargin))
 
+  /** Deterministic stratified sampling with an EXACT per-stratum budget —
+    * the balanced-mix step (e.g. equal documents per language) that
+    * keep-rate mixing ([[sampleMixture]]) can't give: rank rows inside each
+    * stratum by a stable md5 key and keep the first k. Reproduces under
+    * reruns/reshuffles (never `rand()`); one shuffle on the stratum key,
+    * rank work distributed per stratum — the window never sees more than
+    * one stratum on a reducer.
+    */
+  private val sampleStratified = Q(
+    "sample_stratified",
+    (s, dir) => {
+      val k = 50
+      val w = Window.partitionBy("lang")
+        .orderBy(md5Hash32(col("doc_id").cast("string")), col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("sample_rank", row_number().over(w))
+        .filter(col("sample_rank") <= k)
+        .select("doc_id", "lang", "sample_rank")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, lang, CAST(rn AS INT) AS sample_rank FROM (
+           |  SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
+           |    ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT),
+           |             doc_id) AS rn
+           |  FROM documents)
+           |WHERE rn <= 50 ORDER BY doc_id""".stripMargin))
+
   /** Data-quality gate — the validation stage between ingest and publish:
     * declared constraints (non-null, range, key uniqueness) evaluated in ONE
     * scan as conditional aggregates, so the gate costs a single pass at any
@@ -1044,7 +1071,7 @@ object Relational {
     aggDistinctGroup, aggRollup,
     aggCube, aggGroupingSets, aggApproxDistinct, aggApproxQuantiles,
     aggCollect, aggStats, aggPivot, subqueryAboveAvg,
-    sampleHashSplit, scalarStringFuncs,
+    sampleHashSplit, sampleStratified, scalarStringFuncs,
     scalarDateFuncs, scalarMathFuncs, scalarJsonFuncs, scalarMapFuncs,
     scalarArrayFuncs)
 }

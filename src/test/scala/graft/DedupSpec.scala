@@ -137,6 +137,36 @@ class DedupSpec extends SparkSuite {
       s"chain of $n took ${Dedup.lastCcIterations} rounds")
   }
 
+  test("incremental near-dups: scores new batch against corpus only") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "en", "alpha beta gamma delta epsilon zeta"),
+      (2L, "en", "one two three four five six seven"),
+      (3L, "en", "totally unrelated content goes right here")).toDF("doc_id", "lang", "text")
+    val batch = Seq(
+      (10L, "en", "alpha beta gamma delta epsilon zeta"), // dup of corpus 1
+      (11L, "en", "one two three four five six seven"),   // dup of corpus 2
+      (12L, "en", "fresh unseen words without any match"),
+      // dup of ANOTHER NEW doc, not of the corpus — must NOT be reported
+      (13L, "en", "fresh unseen words without any match")).toDF("doc_id", "lang", "text")
+    val got = Dedup.incrementalNearDups(corpus, batch)
+      .select("new_id", "old_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((10L, 1L), (11L, 2L)), got.toString)
+  }
+
+  test("stratified sample takes exactly k per stratum (or all when smaller)") {
+    val df = Queries.byName("sample_stratified").run(spark, sfDir)
+    val perLang = df.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val langSizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    langSizes.foreach { case (lang, n) =>
+      assert(perLang.getOrElse(lang, 0L) == math.min(n, 50L),
+        s"$lang: got ${perLang.get(lang)} of $n")
+    }
+  }
+
   test("exact dedup is idempotent") {
     val once = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
     val twice = once.groupBy("text").agg(min("doc_id").as("doc_id"))
