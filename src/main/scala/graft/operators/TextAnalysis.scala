@@ -315,6 +315,78 @@ object TextAnalysis {
       .orderBy("token_id")
   }
 
+  /** Overlapping fixed-budget chunking — the long-document split step ahead
+    * of embedding/training (window 50 tokens, stride 40 → 10-token overlap).
+    * Pure per-row explode: one `sequence` of chunk starts per doc, chunk
+    * content sliced from the token array in place; no shuffle except the
+    * final sort. Each chunk carries an md5 fingerprint of its exact token
+    * span so content (not just geometry) is oracle-checked.
+    */
+  private val textChunk = Q(
+    "text_chunk",
+    (s, dir) => {
+      val win = 50
+      val stride = 40
+      docsSpread(s, dir)
+        .select(col("doc_id"), words(col("text")).as("w"))
+        .select(col("doc_id"), size(col("w")).as("n_tokens"), col("w"))
+        .select(col("doc_id"), col("n_tokens"), col("w"),
+          explode(sequence(lit(0),
+            ((col("n_tokens") - 1) / stride).cast("int"))).as("chunk_idx"))
+        .withColumn("chunk_start", col("chunk_idx") * stride)
+        .withColumn("chunk_len",
+          least(lit(win), col("n_tokens") - col("chunk_start")).cast("int"))
+        .withColumn("chunk_fp",
+          md5(array_join(slice(col("w"), col("chunk_start") + 1, col("chunk_len")), " ")))
+        .select("doc_id", "chunk_idx", "chunk_start", "chunk_len", "chunk_fp")
+        .orderBy("doc_id", "chunk_idx")
+    },
+    Some("""WITH d AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+           |c AS (SELECT doc_id, len(w) AS n_tokens, w,
+           |        CAST(unnest(range(0, (len(w)-1)//40 + 1)) AS INT) AS chunk_idx
+           |      FROM d)
+           |SELECT doc_id, chunk_idx, chunk_idx*40 AS chunk_start,
+           |  CAST(least(50, n_tokens - chunk_idx*40) AS INT) AS chunk_len,
+           |  md5(array_to_string(list_slice(w, chunk_idx*40 + 1,
+           |    chunk_idx*40 + CAST(least(50, n_tokens - chunk_idx*40) AS INT)), ' ')) AS chunk_fp
+           |FROM c ORDER BY doc_id, chunk_idx""".stripMargin))
+
+  /** Vocabulary encoding — applying the built tokenizer: every token maps
+    * to its dense [[rankedVocab]] id, order preserved. The vocab broadcasts
+    * (a vocabulary is small relative to the corpus by definition); the
+    * corpus side is one explode → broadcast-join → re-assemble per doc. At
+    * 100 TB this is the standard dictionary-encode pass: linear, no
+    * corpus-side shuffle except the per-doc regroup.
+    */
+  private val textEncode = Q(
+    "text_encode",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val freq = d.select(explode(words(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+      val vocab = rankedVocab(freq).select("token", "token_id")
+      d.select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "token")))
+        .join(broadcast(vocab), "token")
+        .groupBy("doc_id")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("token_id")))),
+          x => x("token_id")).as("ids"))
+        .select(col("doc_id"), size(col("ids")).as("n_tokens"), col("ids"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH f AS (SELECT token, count(*) AS freq
+           |  FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents)
+           |  GROUP BY token),
+           |v AS (SELECT token, CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS INT) AS token_id
+           |  FROM f),
+           |d AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+           |t AS (SELECT doc_id, CAST(unnest(range(1, len(w)+1)) AS INT) AS ord, w FROM d),
+           |x AS (SELECT doc_id, ord, w[ord] AS token FROM t)
+           |SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+           |  array_agg(v.token_id ORDER BY x.ord) AS ids
+           |FROM x JOIN v USING (token)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   /** Heavy hitters via the custom SpaceSaving typed Aggregator: one-pass
     * bounded-memory top tokens. SpaceSaving is EXACT whenever the observed
     * vocabulary fits the sketch capacity (31 distinct tokens ≤ 256 at the
@@ -341,5 +413,6 @@ object TextAnalysis {
 
   val queries: Seq[Q] = Seq(
     textTokens, textTokenFreq, textTfidf, textQuality, textLangid,
-    textFingerprint, textNormalize, textPack, textVocab, textHeavyHitters)
+    textFingerprint, textNormalize, textPack, textVocab, textHeavyHitters,
+    textChunk, textEncode)
 }

@@ -117,6 +117,42 @@ class TextMultimodalSpec extends SparkSuite {
       again.sortBy(f => (f.doc_id, f.frame_idx)).toSeq)
   }
 
+  test("chunking tiles every document: full coverage, stride overlap, content fps") {
+    val chunks = Queries.byName("text_chunk").run(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .groupBy(_._1)
+    val nTokens = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    nTokens.foreach { case (id, n) =>
+      val cs = chunks(id).sortBy(_._2)
+      // starts advance by the stride from zero; last chunk reaches the end
+      assert(cs.head._3 == 0 && cs.map(_._3).toSeq == cs.indices.map(_ * 40))
+      assert(cs.last._3 + cs.last._4 == n, s"doc $id tail uncovered")
+      // every chunk takes the full window or whatever the doc has left
+      cs.foreach { c =>
+        assert(c._4 == math.min(50, n - c._3), s"doc $id chunk ${c._2} len ${c._4}")
+      }
+    }
+  }
+
+  test("vocab encoding round-trips: ids decode back to the original tokens") {
+    val vocab = TextAnalysis.rankedVocab(
+      Tables.load(spark, sfDir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq")))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    val encoded = Queries.byName("text_encode").run(spark, sfDir)
+      .select("doc_id", "ids").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val texts = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.foreach { case (id, text) =>
+      assert(encoded(id).map(vocab).mkString(" ") == text, s"doc $id mismatch")
+    }
+  }
+
   test("heavy-hitters sketch is exact while the vocabulary fits its capacity") {
     val got = Queries.byName("text_heavy_hitters").run(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getLong(1))
