@@ -94,6 +94,12 @@ class PlanSpec extends SparkSuite {
       s"single-reducer window over the vocabulary:\n${bad.mkString("\n")}")
   }
 
+  test("text_encode broadcasts the vocabulary, never shuffles the corpus for it") {
+    val p = plan("text_encode")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("agg_pricing_summary scans only the aggregated columns") {
     val p = plan("agg_pricing_summary")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
