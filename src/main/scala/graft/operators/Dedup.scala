@@ -406,7 +406,10 @@ object Dedup {
   def incrementalNearDups(oldDocs: DataFrame, newDocs: DataFrame,
                           minJ: Double = 0.8,
                           dfCap: Int = DefaultShingleDfCap): DataFrame = {
+    // register on BOTH sessions: inside foreachBatch the batch frame
+    // belongs to the stream's cloned session, not the corpus's
     graft.functions.TextKernels.register(oldDocs.sparkSession)
+    graft.functions.TextKernels.register(newDocs.sparkSession)
     def ex(d: DataFrame) = Tables.spread(d)
       .select(col("doc_id"), col("lang"),
         graft.functions.TextKernels.shingleHash64(col("text")).as("sh"))

@@ -21,4 +21,22 @@ object StreamingDedup {
     */
   def byKey(df: DataFrame, keyCols: Seq[String]): DataFrame =
     df.dropDuplicatesWithinWatermark(keyCols)
+
+  /** Streaming incremental near-dup flagging: every arriving micro-batch of
+    * documents is scored against the standing corpus with the same
+    * posting-index probe as
+    * [[graft.operators.Dedup.incrementalNearDups]] — the streaming twin of
+    * the per-ingest-cycle batch job. `foreachBatch` is the right harness
+    * here (not a record-at-a-time transform): the per-batch computation is
+    * a multi-stage batch plan (shingle explode → index probe → aggregate),
+    * and foreachBatch hands each micro-batch to exactly that plan while the
+    * stream supplies arrival semantics, checkpointing and retries. Cost per
+    * cycle stays linear in the batch, never corpus × corpus.
+    */
+  def nearDupsVsCorpus(stream: DataFrame, corpus: DataFrame)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(graft.operators.Dedup.incrementalNearDups(corpus, batch), batchId)
+    }
 }

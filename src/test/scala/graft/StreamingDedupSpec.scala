@@ -31,6 +31,34 @@ class StreamingDedupSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming incremental near-dups: each micro-batch scored against the corpus only") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Seq(
+      (1L, "en", "alpha beta gamma delta epsilon zeta"),
+      (2L, "en", "one two three four five six seven")).toDF("doc_id", "lang", "text")
+    val input = MemoryStream[(Long, String, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val q = graft.streaming.StreamingDedup.nearDupsVsCorpus(
+      input.toDF().toDF("doc_id", "lang", "text"), corpus) { (flags, batchId) =>
+        got.synchronized {
+          got ++= flags.collect().map(r => (r.getLong(0), r.getLong(1), batchId))
+        }
+      }.start()
+    try {
+      input.addData((10L, "en", "alpha beta gamma delta epsilon zeta"))
+      q.processAllAvailable()
+      input.addData(
+        (11L, "en", "one two three four five six seven"),
+        (12L, "en", "entirely novel content matching nothing at all"))
+      q.processAllAvailable()
+      // batch 0 flags 10→1; batch 1 flags 11→2; 12 matches nothing; and a
+      // doc never collides with an earlier BATCH (corpus-only scoring)
+      assert(got.toSet == Set((10L, 1L, 0L), (11L, 2L, 1L)), got.toString)
+    } finally q.stop()
+  }
+
   test("compaction rewrites many small files into the expected count, rows intact") {
     val src = Files.createTempDirectory("graft-smallfiles").toString
     val out = Files.createTempDirectory("graft-compacted").toString
