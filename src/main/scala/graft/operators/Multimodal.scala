@@ -43,10 +43,12 @@ object Multimodal {
 
   /** Decode / feature-extract over binary payloads via `mapPartitions` —
     * the Scala analogue of a batched `mapInPandas` decode: one decoder
-    * context per partition, streaming the rows through it. Declared
-    * rows-only (the testdata payloads are text bytes, so values come from
-    * the deterministic non-image fallback — not SQL semantics to mirror);
-    * MultimodalSpec pins the batch shape and determinism.
+    * context per partition, streaming the rows through it. The testdata
+    * payloads are text bytes no ImageReader accepts, so every row takes the
+    * deterministic byte-derived fallback — which is plain arithmetic over
+    * the payload bytes and therefore fully oracle-checked (byte =
+    * `ascii(substr(...))` on the all-ASCII corpus); the REAL codec path is
+    * pixel-exact spec'd against in-memory PNGs (TextMultimodalSpec).
     */
   private val multimodalDecode = Q(
     "multimodal_decode",
@@ -58,7 +60,13 @@ object Multimodal {
           col("n_channels"), round(col("mean_intensity"), 6).as("mean_intensity"))
         .orderBy("doc_id")
     },
-    None)
+    Some("""SELECT doc_id,
+           | CAST(16 + ascii(substr(text,1,1)) % 240 AS INT) AS width,
+           | CAST(16 + (CASE WHEN length(text) > 1 THEN ascii(substr(text,2,1)) ELSE 0 END) % 240 AS INT) AS height,
+           | CAST(3 AS INT) AS n_channels,
+           | round(CAST(list_sum(list_transform(range(1, length(text)+1),
+           |   i -> ascii(substr(text, CAST(i AS INT), 1)))) AS DOUBLE) / length(text), 6) AS mean_intensity
+           |FROM documents ORDER BY doc_id""".stripMargin))
 
   /** Real PNG/JPEG decode via the JDK's `javax.imageio` (no external
     * dependency): payloads that any registered ImageReader accepts are
@@ -183,8 +191,11 @@ object Multimodal {
       }
   }
 
-  /** Resize stage over the synthesized payloads; rows-only (fallback values),
-    * shape + determinism pinned in TextMultimodalSpec.
+  /** Resize stage over the synthesized payloads. Like [[multimodalDecode]],
+    * the testdata exercises the deterministic strided-byte-sample fallback,
+    * which the oracle reproduces exactly (floor division and modular
+    * striding over `ascii` bytes); the real raster resample is pixel-exact
+    * spec'd in TextMultimodalSpec.
     */
   private val multimodalResize = Q(
     "multimodal_resize",
@@ -196,7 +207,12 @@ object Multimodal {
           round(col("mean_intensity"), 6).as("mean_intensity"))
         .orderBy("doc_id")
     },
-    None)
+    Some("""SELECT doc_id, CAST(32 AS INT) AS out_width, CAST(32 AS INT) AS out_height,
+           | round(CAST(list_sum(list_transform(range(0, 1024),
+           |   i -> ascii(substr(text,
+           |     CAST((i*length(text))//1024 % length(text) AS INT) + 1, 1)))) AS DOUBLE)
+           |   / 1024, 6) AS mean_intensity
+           |FROM documents ORDER BY doc_id""".stripMargin))
 
   /** Frame-sampling stage. The byte-window FNV-1a checksum is fully
     * oracle-checked: DuckDB lacks wrapping 64-bit arithmetic and byte
