@@ -10,7 +10,8 @@ object Bench {
     "join_inner_star", "window_topk_per_group", "events_window_session",
     "dedup_clusters", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_pipeline_survivors", "dedup_embedding_cosine",
-    "dedup_semantic_clusters", "sim_lsh_ann", "sim_brute_topk", "text_tfidf")
+    "dedup_semantic_clusters", "dedup_incremental", "sim_lsh_ann",
+    "sim_brute_topk", "sim_ivf_ann", "text_tfidf", "text_encode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
