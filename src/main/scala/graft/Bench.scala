@@ -41,10 +41,13 @@ object Bench {
     def jsonOf(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // emit sf bare only when it parses as a number — a custom dataset dir
-    // name would otherwise produce invalid JSON
+    // emit sf bare only when it is a plain decimal number (toDoubleOption
+    // would also accept NaN/Infinity, which are invalid bare JSON); anything
+    // else is emitted as an escaped JSON string
     val sfRaw = sfDir.split("/").last.stripPrefix("sf")
-    val sf = if (sfRaw.toDoubleOption.isDefined) sfRaw else "\"" + sfRaw + "\""
+    val sf =
+      if (sfRaw.matches("[0-9]+(\\.[0-9]+)?")) sfRaw
+      else "\"" + sfRaw.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""queries":${jsonOf(results.filter(r => headline.contains(r._1)))},"sf":$sf}"""
     // full per-query map → file (the stdout line must fit the driver's tail)

@@ -18,9 +18,11 @@ object BenchOne {
       val ts = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        // cache teardown excluded from the timed window, same as Bench
         Caches.release()
         spark.catalog.clearCache()
-        (System.nanoTime() - t0) / 1e9
+        dt
       }
       println(f"BENCHONE $name%-28s best=${ts.min}%.3f runs=${ts.map(t => f"$t%.3f").mkString(",")}")
     }

@@ -12,6 +12,15 @@ import org.apache.spark.storage.StorageLevel
   * call [[release]] once the query's result is materialized. A long-lived
   * session (a Bench run touches the Jaccard family six times) then holds no
   * stale cached RDDs between queries.
+  *
+  * CONTRACT for library consumers: a long-lived session that calls the
+  * tracking operators must call [[release]] at its own operation
+  * boundaries, exactly as Bench/Verify do. Spark's SQL cache
+  * (`CacheManager`) holds cached plans by value, not by reference — an
+  * unreleased `df.persist()` is never reclaimed by GC with or without this
+  * registry — so the registry adds no new leak, it adds the handle that
+  * makes the existing one releasable without tearing down the whole cache
+  * (`spark.catalog.clearCache`) or the session.
   */
 object Caches {
   private val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]

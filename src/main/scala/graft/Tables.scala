@@ -53,11 +53,22 @@ object Tables {
     // events is TIMESTAMP(NANOS) parquet; the raw int64 lands in
     // `<db>.events_raw` and `<db>.events` is a VIEW applying the same
     // ns→µs conversion load() applies, so name-reads and path-reads of
-    // events agree (previously a name-read silently returned the raw long)
+    // events agree (previously a name-read silently returned the raw long).
+    // CAVEAT: the nanosAsLong conf is session-scoped and a view cannot
+    // capture it — under a persistent metastore a FRESH session must call
+    // registerCatalog/refreshCatalog (or set the conf) before reading
+    // `<db>.events`; the parquet reader refuses TIMESTAMP(NANOS) otherwise.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     tables.foreach { n =>
       if (n == "events") {
-        spark.sql(s"DROP VIEW IF EXISTS $db.events")
+        // `events` may pre-exist as either a VIEW (this layout) or a TABLE
+        // (pre-view registrations in a persistent metastore) — DROP VIEW on
+        // a table (and vice versa) throws, so pick the matching command
+        if (spark.catalog.tableExists(s"$db.events")) {
+          val kind = spark.catalog.getTable(db, "events").tableType
+          if (kind == "VIEW") spark.sql(s"DROP VIEW IF EXISTS $db.events")
+          else spark.sql(s"DROP TABLE IF EXISTS $db.events")
+        }
         spark.sql(s"DROP TABLE IF EXISTS $db.events_raw")
         spark.catalog.createTable(s"$db.events_raw", s"$dir/events.parquet", "parquet")
         val cols = spark.read.parquet(s"$dir/events.parquet").schema.fieldNames

@@ -320,15 +320,22 @@ case class PairExplode(g: Expression, ds: Expression, cap: Int)
             }
           }
         } else new Iterator[InternalRow] {
+          // a duplicate doc_id in the posting list (un-deduped input) must
+          // not emit a (d, d) self-pair — the pre-Generator join formulation
+          // excluded these via its strict doc_a < doc_b predicate
           private var x = 0
           private var y = 1
+          private def bump(): Unit = { y += 1; if (y == k) { x += 1; y = x + 1 } }
+          private def skipEqual(): Unit =
+            while (x < k - 1 && ids(x) == ids(y)) bump()
+          skipEqual()
           override def hasNext: Boolean = x < k - 1
           override def next(): InternalRow = {
             val r =
               if (ids(x) < ids(y)) InternalRow(ids(x), ids(y), ns(x), ns(y))
               else InternalRow(ids(y), ids(x), ns(y), ns(x))
-            y += 1
-            if (y == k) { x += 1; y = x + 1 }
+            bump()
+            skipEqual()
             r
           }
         }
@@ -355,8 +362,22 @@ object TextKernels {
     reg.createOrReplaceTempFunction("shingle_explode",
       exprs => ShingleExplode(exprs.head, 3), "built-in")
     reg.createOrReplaceTempFunction("pair_explode",
-      exprs => PairExplode(exprs(0), exprs(1),
-        exprs(2).eval(InternalRow.empty).asInstanceOf[Int]), "built-in")
+      exprs => {
+        // the cap must be a foldable integral expression; anything else
+        // (a column, a string) should fail resolution with a clear message
+        // rather than a ClassCastException deep in eval
+        val capValue =
+          if (exprs.length > 2 && exprs(2).foldable)
+            exprs(2).eval(InternalRow.empty) match {
+              case i: Int => Some(i)
+              case l: Long if l.isValidInt => Some(l.toInt)
+              case _ => None
+            }
+          else None
+        PairExplode(exprs(0), exprs(1), capValue.getOrElse(
+          throw new IllegalArgumentException(
+            "pair_explode(g, ds, cap): cap must be an integer literal")))
+      }, "built-in")
   }
 
   def shingleHash64(text: Column): Column = call_function("shingle_hash64", text)

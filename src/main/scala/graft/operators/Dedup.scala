@@ -128,8 +128,11 @@ object Dedup {
       .withColumn("common", col("common_capped") +
         when(col("hot_a").isNull || col("hot_b").isNull, lit(0))
           .otherwise(size(array_intersect(col("hot_a"), col("hot_b")))))
+      // valid (unique-keyed) input always has denom >= max(n_a, n_b) >= 1;
+      // the clamp only guards duplicated-doc_id input, where over-counted
+      // commons could otherwise hit an ANSI divide-by-zero
       .withColumn("jaccard", col("common").cast("double") /
-        (col("n_a") + col("n_b") - col("common")))
+        greatest(col("n_a") + col("n_b") - col("common"), lit(1)))
       .filter(col("jaccard") >= minJ)
       .select("doc_a", "doc_b", "jaccard")
   }
@@ -394,42 +397,95 @@ object Dedup {
            |SELECT c.doc_id, count(*) AS n_shared FROM c JOIN b USING (g)
            |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin))
 
-  /** Incremental near-dup detection — the shape a production pipeline runs
-    * every ingest cycle: score only NEW docs against the EXISTING corpus,
-    * never corpus × corpus. The corpus side becomes the df-capped posting
-    * index (boilerplate lives there; same candidate trade as
-    * [[jaccardPairs]], provably inert at test SFs where max df < cap); the
-    * new batch explodes its shingles and probes the index with a plain
-    * equi-join, so per-cycle cost is linear in the BATCH, not the corpus.
-    * Jaccard is exact over the full shingle sets of every candidate pair.
+  /** Exploded shingle rows: (doc_id, lang, n = full distinct-shingle count,
+    * g = one shingle hash).
     */
-  def incrementalNearDups(oldDocs: DataFrame, newDocs: DataFrame,
-                          minJ: Double = 0.8,
-                          dfCap: Int = DefaultShingleDfCap): DataFrame = {
-    // register on BOTH sessions: inside foreachBatch the batch frame
-    // belongs to the stream's cloned session, not the corpus's
-    graft.functions.TextKernels.register(oldDocs.sparkSession)
-    graft.functions.TextKernels.register(newDocs.sparkSession)
-    def ex(d: DataFrame) = Tables.spread(d)
+  private def explodedShingles(d: DataFrame): DataFrame = {
+    graft.functions.TextKernels.register(d.sparkSession)
+    Tables.spread(d)
       .select(col("doc_id"), col("lang"),
         graft.functions.TextKernels.shingleHash64(col("text")).as("sh"))
       .select(col("doc_id"), col("lang"), size(col("sh")).as("n"),
         explode(col("sh")).as("g"))
-    val idxOld = ex(oldDocs).groupBy("lang", "g")
-      .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
-      .filter(size(col("ds")) <= dfCap)
-    ex(newDocs).toDF("new_id", "lang", "n_new", "g")
-      .join(idxOld, Seq("lang", "g"))
+  }
+
+  /** Prebuilt corpus-side structures for incremental near-dup probing —
+    * built ONCE per corpus (all three frames are `Caches`-persisted), then
+    * probed per batch by [[probeNearDups]]; the caller owns the cache
+    * lifetime ([[graft.Caches.release]] when done with the corpus).
+    *
+    * `sub`: sub-cap posting lists (lang, g, ds); `hotG`: hot shingle keys
+    * (lang, g) with df > cap; `hotByDoc`: per-corpus-doc hot-shingle arrays
+    * for the exactness correction.
+    */
+  final case class CorpusIndex(sub: DataFrame, hotG: DataFrame,
+      hotByDoc: DataFrame, dfCap: Int)
+
+  def buildCorpusIndex(oldDocs: DataFrame,
+                       dfCap: Int = DefaultShingleDfCap): CorpusIndex = {
+    val idx = graft.Caches.track(explodedShingles(oldDocs)
+      .groupBy("lang", "g")
+      .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds")))
+    val hot = idx.filter(size(col("ds")) > dfCap)
+    val hotByDoc = hot.select(col("g"), explode(col("ds")).as("m"))
+      .select(col("m.doc_id").as("doc_id"), col("g"))
+      .groupBy("doc_id").agg(collect_list(col("g")).as("hot_sh"))
+    CorpusIndex(
+      graft.Caches.track(idx.filter(size(col("ds")) <= dfCap)),
+      graft.Caches.track(hot.select("lang", "g")),
+      graft.Caches.track(hotByDoc), dfCap)
+  }
+
+  /** Score one batch of new docs against a prebuilt [[CorpusIndex]]: the
+    * batch explodes its shingles and probes the sub-cap postings with a
+    * plain equi-join — per-cycle cost linear in the BATCH, never
+    * corpus × corpus. Exactness under the df cap mirrors [[jaccardPairs]]:
+    * shared HOT shingles don't generate candidates but are added back to
+    * the intersection via the per-doc hot arrays on both sides
+    * (|A∩B| = |A∩B|_capped + |hotA ∩ hotB|), with n_new/n_old always the
+    * full set sizes; a (new, old) pair sharing ONLY hot shingles is pure
+    * boilerplate and is skipped — the same documented trade.
+    */
+  def probeNearDups(idx: CorpusIndex, newDocs: DataFrame,
+                    minJ: Double = 0.8): DataFrame = {
+    // register on the batch's session too: inside foreachBatch the batch
+    // frame belongs to the stream's cloned session, not the corpus's
+    graft.functions.TextKernels.register(newDocs.sparkSession)
+    // NOT persisted: the batch side is small by definition, and a per-batch
+    // persist would accumulate for the stream's lifetime — re-shingling the
+    // batch for its two consumers is cheaper than leaking cache entries
+    val exNew = explodedShingles(newDocs).toDF("new_id", "lang", "n_new", "g")
+    val pairs = exNew
+      .join(idx.sub, Seq("lang", "g"))
       .select(col("new_id"), col("n_new"), explode(col("ds")).as("m"))
       .select(col("new_id"), col("n_new"),
         col("m.doc_id").as("old_id"), col("m.n").as("n_old"))
       .groupBy("new_id", "old_id", "n_new", "n_old")
-      .agg(count(lit(1)).as("common"))
+      .agg(count(lit(1)).as("common_capped"))
+    // new-side hot shingles: the batch's shingles that are hot IN THE CORPUS
+    val newHotByDoc = exNew.join(broadcast(idx.hotG), Seq("lang", "g"))
+      .groupBy(col("new_id")).agg(collect_list(col("g")).as("hot_new"))
+    pairs
+      .join(newHotByDoc, Seq("new_id"), "left")
+      .join(idx.hotByDoc.toDF("old_id", "hot_old"), Seq("old_id"), "left")
+      .withColumn("common", col("common_capped") +
+        when(col("hot_new").isNull || col("hot_old").isNull, lit(0))
+          .otherwise(size(array_intersect(col("hot_new"), col("hot_old")))))
+      // same duplicated-input guard as jaccardPairs: a no-op on valid input
       .withColumn("jaccard", col("common").cast("double") /
-        (col("n_new") + col("n_old") - col("common")))
+        greatest(col("n_new") + col("n_old") - col("common"), lit(1)))
       .filter(col("jaccard") >= minJ)
       .select(col("new_id"), col("old_id"), round(col("jaccard"), 6).as("jaccard"))
   }
+
+  /** Incremental near-dup detection — the shape a production pipeline runs
+    * every ingest cycle: [[buildCorpusIndex]] + [[probeNearDups]] in one
+    * call, for the batch-job case where the corpus index isn't reused.
+    */
+  def incrementalNearDups(oldDocs: DataFrame, newDocs: DataFrame,
+                          minJ: Double = 0.8,
+                          dfCap: Int = DefaultShingleDfCap): DataFrame =
+    probeNearDups(buildCorpusIndex(oldDocs, dfCap), newDocs, minJ)
 
   /** Batch split stand-in: every 5th doc is "this cycle's arrivals", the
     * rest are the standing corpus.

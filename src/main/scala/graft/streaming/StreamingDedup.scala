@@ -23,20 +23,24 @@ object StreamingDedup {
     df.dropDuplicatesWithinWatermark(keyCols)
 
   /** Streaming incremental near-dup flagging: every arriving micro-batch of
-    * documents is scored against the standing corpus with the same
-    * posting-index probe as
-    * [[graft.operators.Dedup.incrementalNearDups]] — the streaming twin of
-    * the per-ingest-cycle batch job. `foreachBatch` is the right harness
-    * here (not a record-at-a-time transform): the per-batch computation is
-    * a multi-stage batch plan (shingle explode → index probe → aggregate),
-    * and foreachBatch hands each micro-batch to exactly that plan while the
-    * stream supplies arrival semantics, checkpointing and retries. Cost per
-    * cycle stays linear in the batch, never corpus × corpus.
+    * documents is scored against the standing corpus — the streaming twin of
+    * the per-ingest-cycle batch job. The corpus posting index is built and
+    * persisted ONCE ([[graft.operators.Dedup.buildCorpusIndex]]) before the
+    * stream starts; each micro-batch only explodes its own shingles and
+    * probes the cached index ([[graft.operators.Dedup.probeNearDups]]), so
+    * per-cycle cost is linear in the BATCH — a 1-row batch never pays a
+    * corpus scan. `foreachBatch` is the right harness here (not a
+    * record-at-a-time transform): the per-batch computation is a
+    * multi-stage batch plan, and foreachBatch hands each micro-batch to
+    * exactly that plan while the stream supplies arrival semantics,
+    * checkpointing and retries.
     */
   def nearDupsVsCorpus(stream: DataFrame, corpus: DataFrame)(
       sink: (DataFrame, Long) => Unit)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val idx = graft.operators.Dedup.buildCorpusIndex(corpus)
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      sink(graft.operators.Dedup.incrementalNearDups(corpus, batch), batchId)
+      sink(graft.operators.Dedup.probeNearDups(idx, batch), batchId)
     }
+  }
 }

@@ -155,6 +155,36 @@ class DedupSpec extends SparkSuite {
     assert(got == Set((10L, 1L), (11L, 2L)), got.toString)
   }
 
+  test("incremental near-dups: shared hot shingles still count toward the exact score") {
+    import spark.implicits._
+    // corpus-wide boilerplate goes hot under cap=5; batch doc 100 is
+    // IDENTICAL to corpus doc 1 — jaccard must be exactly 1.0, which
+    // requires adding the shared hot shingles back on both sides
+    val boilerplate = "zz yy xx ww vv uu"
+    val corpus = ((1L to 12L).map(i =>
+      (i, "en", s"$boilerplate tail$i mid$i end$i more$i")) :+
+      (20L, "en", s"$boilerplate aa bb cc dd ee ff gg hh")).toDF("doc_id", "lang", "text")
+    val batch = Seq(
+      (100L, "en", s"$boilerplate aa bb cc dd ee ff gg hh")).toDF("doc_id", "lang", "text")
+    val idx = Dedup.buildCorpusIndex(corpus, dfCap = 5)
+    val rows = Dedup.probeNearDups(idx, batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq((100L, 20L, 1.0)), rows.mkString(","))
+  }
+
+  test("jaccard pairs never emit self-pairs on duplicated doc_id input") {
+    import spark.implicits._
+    // the same doc_id delivered twice (un-deduped upstream) must not be
+    // reported as a near-duplicate of itself
+    val d = Seq(
+      (1L, "en", "alpha beta gamma delta epsilon zeta"),
+      (1L, "en", "alpha beta gamma delta epsilon zeta"),
+      (2L, "en", "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "lang", "text")
+    val got = Dedup.jaccardPairs(d).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)), got.toString)
+  }
+
   test("stratified sample takes exactly k per stratum (or all when smaller)") {
     val df = Queries.byName("sample_stratified").run(spark, sfDir)
     val perLang = df.groupBy("lang").count().collect()
