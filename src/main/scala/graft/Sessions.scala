@@ -33,6 +33,9 @@ object Sessions {
     // file-source split size: with 128 MiB row-group parquet this yields
     // one task per row group — the scan parallelism the writers produce
     "spark.sql.files.maxPartitionBytes" -> "134217728",
+    // unfiltered MIN/MAX/COUNT answer from parquet footer statistics alone —
+    // a table-wide stats query reads metadata, not 100 TB of pages
+    "spark.sql.parquet.aggregatePushdown" -> "true",
     "spark.sql.session.timeZone" -> "UTC")
 
   /** A builder with the scale defaults applied; `shufflePartitions` is the

@@ -1035,6 +1035,46 @@ object Relational {
            |  FROM documents)
            |WHERE rn <= 50 ORDER BY doc_id""".stripMargin))
 
+  /** Footer-statistics aggregation: an unfiltered COUNT/MIN/MAX answered
+    * from parquet footer metadata alone (`spark.sql.parquet
+    * .aggregatePushdown`, pinned in [[graft.Sessions.scaleDefaults]]) — the
+    * plan's scan shows `PushedAggregation` and reads no data pages, so a
+    * table-wide stats probe costs metadata IO at any scale
+    * (PlanSpec-asserted). Pushdown needs the V2 parquet source, so the read
+    * is built under a scoped useV1SourceList override (the relation captures
+    * its source choice at load time; the conf is restored immediately).
+    * Timestamp columns are excluded — parquet aggregate pushdown doesn't
+    * support them, and one unsupported aggregate disables the whole
+    * pushdown.
+    */
+  private val aggFooterStats = Q(
+    "agg_footer_stats",
+    (s, dir) => {
+      // consulted when the pushdown rule runs (action time), so it must
+      // stay set on the session — it IS a scale default (Sessions), and v1
+      // reads ignore it, so this only affects v2 reads like the one below
+      s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      val key = "spark.sql.sources.useV1SourceList"
+      val prev = s.conf.get(key)
+      val scan =
+        try {
+          s.conf.set(key,
+            prev.split(",").map(_.trim).filter(v => v.nonEmpty && v != "parquet")
+              .mkString(","))
+          s.read.parquet(s"$dir/lineitem.parquet")
+        } finally s.conf.set(key, prev)
+      scan.agg(
+        count(lit(1)).as("n_rows"),
+        min(col("l_orderkey")).as("min_orderkey"),
+        max(col("l_orderkey")).as("max_orderkey"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))
+    },
+    Some("""SELECT count(*) AS n_rows,
+           | min(l_orderkey) AS min_orderkey, max(l_orderkey) AS max_orderkey,
+           | min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+           |FROM lineitem""".stripMargin))
+
   /** Data-quality gate — the validation stage between ingest and publish:
     * declared constraints (non-null, range, key uniqueness) evaluated in ONE
     * scan as conditional aggregates, so the gate costs a single pass at any
@@ -1060,7 +1100,7 @@ object Relational {
            |FROM lineitem""".stripMargin))
 
   val queries: Seq[Q] = Seq(
-    catalogAgg, sampleMixture, qualityChecks, refPartitionCount,
+    catalogAgg, sampleMixture, qualityChecks, aggFooterStats, refPartitionCount,
     aggPricingSummary, q3ShippingPriority,
     q5LocalSupplierVolume, eventsFunnel,
     eventsCohortRetention, filterProject, filterString,

@@ -94,6 +94,13 @@ class PlanSpec extends SparkSuite {
       s"single-reducer window over the vocabulary:\n${bad.mkString("\n")}")
   }
 
+  test("agg_footer_stats answers from parquet footer metadata (PushedAggregation)") {
+    val p = plan("agg_footer_stats")
+    assert(p.contains("PushedAggregation"), p)
+    Seq("COUNT(*)", "MIN(l_orderkey)", "MAX(l_extendedprice)")
+      .foreach(a => assert(p.contains(a), s"missing pushed aggregate $a\n$p"))
+  }
+
   test("text_encode broadcasts the vocabulary, never shuffles the corpus for it") {
     val p = plan("text_encode")
     assert(p.contains("BroadcastHashJoin"), p)
