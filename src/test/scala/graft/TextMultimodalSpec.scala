@@ -133,6 +133,12 @@ class TextMultimodalSpec extends SparkSuite {
       cs.foreach { c =>
         assert(c._4 == math.min(50, n - c._3), s"doc $id chunk ${c._2} len ${c._4}")
       }
+      // no chunk is contained in its predecessor: ends strictly increase,
+      // so every chunk contributes new tokens
+      cs.map(c => c._3 + c._4).toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(b > a, s"doc $id emits a contained chunk")
+        case _ =>
+      }
     }
   }
 
@@ -151,6 +157,16 @@ class TextMultimodalSpec extends SparkSuite {
     texts.foreach { case (id, text) =>
       assert(encoded(id).map(vocab).mkString(" ") == text, s"doc $id mismatch")
     }
+  }
+
+  test("resize fallback is total: empty payloads yield a zero-intensity frame") {
+    import spark.implicits._
+    val d = Seq((1L, Array.empty[Byte]), (2L, "abc".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.resizeImages(spark, d).collect()
+      .map(r => r.doc_id -> r.mean_intensity).toMap
+    assert(got(1L) == 0.0)
+    assert(got(2L) > 0.0)
   }
 
   test("heavy-hitters sketch is exact while the vocabulary fits its capacity") {
