@@ -425,19 +425,24 @@ object Dedup {
     * for the exactness correction.
     */
   final case class CorpusIndex(sub: DataFrame, hotG: DataFrame,
-      hotByDoc: DataFrame, dfCap: Int) {
-    private[operators] def frames: Seq[DataFrame] = Seq(sub, hotG, hotByDoc)
+      hotByDoc: DataFrame, dfCap: Int,
+      private[operators] val underlying: Option[DataFrame] = None) {
+    private[operators] def frames: Seq[DataFrame] =
+      Seq(sub, hotG, hotByDoc) ++ underlying
     /** Unpersist the index's cached frames (non-blocking). */
     def release(): Unit = frames.foreach(_.unpersist(false))
   }
 
-  /** EAGER: the full posting index is built, its three derived frames are
-    * materialized into their own caches, and the intermediate index cache
-    * is dropped before returning — so the long-lived footprint is one copy
-    * of the postings (sub + the small hot structures), not two.
+  /** `eager = true` (the long-lived/streaming shape): the derived frames
+    * are materialized into their own caches and the intermediate full
+    * posting index is unpersisted before returning, so the standing
+    * footprint is one copy of the postings. `eager = false` (one-shot batch
+    * probes): nothing materializes until the probe runs, and the
+    * intermediate index rides along in `frames` for the caller's release.
     */
   def buildCorpusIndex(oldDocs: DataFrame,
-                       dfCap: Int = DefaultShingleDfCap): CorpusIndex = {
+                       dfCap: Int = DefaultShingleDfCap,
+                       eager: Boolean = true): CorpusIndex = {
     val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val idx = explodedShingles(oldDocs)
       .groupBy("lang", "g")
@@ -451,9 +456,12 @@ object Dedup {
         .select(col("m.doc_id").as("doc_id"), col("g"))
         .groupBy("doc_id").agg(collect_list(col("g")).as("hot_sh"))
         .persist(level),
-      dfCap)
-    built.frames.foreach(_.count())
-    idx.unpersist(false)
+      dfCap,
+      underlying = if (eager) None else Some(idx))
+    if (eager) {
+      built.frames.foreach(_.count())
+      idx.unpersist(false)
+    }
     built
   }
 
@@ -507,7 +515,7 @@ object Dedup {
   def incrementalNearDups(oldDocs: DataFrame, newDocs: DataFrame,
                           minJ: Double = 0.8,
                           dfCap: Int = DefaultShingleDfCap): DataFrame = {
-    val idx = buildCorpusIndex(oldDocs, dfCap)
+    val idx = buildCorpusIndex(oldDocs, dfCap, eager = false)
     idx.frames.foreach(graft.Caches.adopt)
     probeNearDups(idx, newDocs, minJ)
   }
