@@ -1035,6 +1035,67 @@ object Relational {
            |  FROM documents)
            |WHERE rn <= 50 ORDER BY doc_id""".stripMargin))
 
+  /** Row-level diff of two snapshots of the same table — the
+    * dataset-versioning/CDC audit step: rows keyed by `keyCols` are
+    * classified `added` / `removed` / `changed` / `unchanged` by comparing
+    * `compareCols`. One full-outer shuffle join on the key (co-partitioned
+    * both sides), null-safe comparison via `<=>` so null field values don't
+    * misclassify.
+    */
+  def tableDiff(oldDf: DataFrame, newDf: DataFrame,
+                keyCols: Seq[String], compareCols: Seq[String]): DataFrame = {
+    val o = oldDf.select((keyCols ++ compareCols).map(col): _*)
+      .withColumn("_present_old", lit(true))
+    // rename compare cols on the new side, keep keys shared for the join
+    val nn = compareCols.foldLeft(
+      newDf.select((keyCols ++ compareCols).map(col): _*)) {
+      case (df, c) => df.withColumnRenamed(c, s"${c}_new")
+    }.withColumn("_present_new", lit(true))
+    val same = compareCols
+      .map(c => col(c) <=> col(s"${c}_new"))
+      .reduce(_ && _)
+    o.join(nn, keyCols, "full_outer")
+      .withColumn("change",
+        when(col("_present_old").isNull, "added")
+          .when(col("_present_new").isNull, "removed")
+          .when(same, "unchanged")
+          .otherwise("changed"))
+      .select(keyCols.map(col) :+ col("change"): _*)
+  }
+
+  /** Snapshot-diff audit over two synthetic versions of `orders` (old:
+    * keys ≢ 3 mod 13; new: keys ≢ 7 mod 13, with prices bumped on keys ≡ 0
+    * mod 5) — counts per change class. The versioning is deterministic
+    * arithmetic, so the whole diff is oracle-checked.
+    */
+  private val tableDiffQ = Q(
+    "table_diff",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val vOld = o.filter(col("o_orderkey") % 13 =!= 3)
+      val vNew = o.filter(col("o_orderkey") % 13 =!= 7)
+        .withColumn("o_totalprice", col("o_totalprice") +
+          when(col("o_orderkey") % 5 === 0, 1.0).otherwise(0.0))
+      tableDiff(vOld, vNew, Seq("o_orderkey"), Seq("o_totalprice", "o_orderstatus"))
+        .groupBy("change").agg(count(lit(1)).as("n_rows"))
+        .orderBy("change")
+    },
+    Some("""WITH vold AS (SELECT o_orderkey, o_totalprice, o_orderstatus
+           |              FROM orders WHERE o_orderkey % 13 != 3),
+           |vnew AS (SELECT o_orderkey,
+           |           o_totalprice + CASE WHEN o_orderkey % 5 = 0 THEN 1.0 ELSE 0.0 END
+           |             AS o_totalprice,
+           |           o_orderstatus
+           |         FROM orders WHERE o_orderkey % 13 != 7)
+           |SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added'
+           |            WHEN n.o_orderkey IS NULL THEN 'removed'
+           |            WHEN o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+           |             AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+           |            THEN 'unchanged' ELSE 'changed' END AS change,
+           |       count(*) AS n_rows
+           |FROM vold o FULL OUTER JOIN vnew n USING (o_orderkey)
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   /** Footer-statistics aggregation: an unfiltered COUNT/MIN/MAX answered
     * from parquet footer metadata alone (`spark.sql.parquet
     * .aggregatePushdown`, pinned in [[graft.Sessions.scaleDefaults]]) — the
@@ -1100,7 +1161,8 @@ object Relational {
            |FROM lineitem""".stripMargin))
 
   val queries: Seq[Q] = Seq(
-    catalogAgg, sampleMixture, qualityChecks, aggFooterStats, refPartitionCount,
+    catalogAgg, sampleMixture, qualityChecks, aggFooterStats, tableDiffQ,
+    refPartitionCount,
     aggPricingSummary, q3ShippingPriority,
     q5LocalSupplierVolume, eventsFunnel,
     eventsCohortRetention, filterProject, filterString,

@@ -197,6 +197,19 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("table diff classifies planted added/removed/changed/unchanged rows") {
+    import spark.implicits._
+    val vOld = Seq((1L, 10.0, "A"), (2L, 20.0, "B"), (3L, 30.0, "C"))
+      .toDF("k", "price", "status")
+    val vNew = Seq((2L, 20.0, "B"), (3L, 31.0, "C"), (4L, 40.0, "D"))
+      .toDF("k", "price", "status")
+    val got = graft.operators.Relational
+      .tableDiff(vOld, vNew, Seq("k"), Seq("price", "status"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
   test("exact dedup is idempotent") {
     val once = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
     val twice = once.groupBy("text").agg(min("doc_id").as("doc_id"))
