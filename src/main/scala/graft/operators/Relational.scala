@@ -1035,6 +1035,29 @@ object Relational {
            |  FROM documents)
            |WHERE rn <= 50 ORDER BY doc_id""".stripMargin))
 
+  /** Fixed-width histogram of `l_extendedprice` in 20 bins over [0, 60000)
+    * — the distribution-profiling aggregate (data exploration, skew
+    * detection before choosing partition counts). One projection + one
+    * two-phase hash aggregate: bin id is pure arithmetic, so the scan
+    * streams straight into partial aggregation — linear at any scale.
+    */
+  private val aggHistogram = Q(
+    "agg_histogram",
+    (s, dir) => {
+      val width = 3000.0
+      t(s, dir, "lineitem")
+        .withColumn("bin", least(floor(col("l_extendedprice") / width), lit(19L)))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"))
+        .orderBy("bin")
+    },
+    Some("""SELECT least(CAST(floor(l_extendedprice / 3000.0) AS BIGINT), 19) AS bin,
+           | count(*) AS n_rows,
+           | min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
+
   /** Row-level diff of two snapshots of the same table — the
     * dataset-versioning/CDC audit step: rows keyed by `keyCols` are
     * classified `added` / `removed` / `changed` / `unchanged` by comparing
@@ -1162,7 +1185,7 @@ object Relational {
 
   val queries: Seq[Q] = Seq(
     catalogAgg, sampleMixture, qualityChecks, aggFooterStats, tableDiffQ,
-    refPartitionCount,
+    aggHistogram, refPartitionCount,
     aggPricingSummary, q3ShippingPriority,
     q5LocalSupplierVolume, eventsFunnel,
     eventsCohortRetention, filterProject, filterString,
