@@ -329,7 +329,9 @@ object Dedup {
       val d = docs(s, dir)
       val keepIds = d.groupBy("text").agg(min(col("doc_id")).as("doc_id"))
         .select("doc_id")
-      val kept = graft.Caches.track(Tables.spread(d.join(keepIds, "doc_id")))
+      // NOT pre-spread: jaccardPairs spreads its input itself — a spread
+      // here would add a second full exchange of the kept corpus
+      val kept = graft.Caches.track(d.join(keepIds, "doc_id"))
       val pairs = jaccardPairs(kept).select("doc_a", "doc_b")
       val nonReps = connectedComponents(pairs)
         .filter(col("cluster_id") =!= col("doc_id"))
