@@ -264,6 +264,54 @@ object TextAnalysis {
            |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE) / 2048) AS BIGINT) AS bin_id
            |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** Sequence packing, span-level: where [[textPack]] assigns each doc the
+    * bin its FIRST token lands in, this emits the actual packed spans — a
+    * doc crossing a bin boundary contributes one row per touched bin with
+    * the token count that bin takes (GPT-style packing with document
+    * splitting). Same per-language prefix-sum window; the span explode is
+    * pure arithmetic (`sequence(first_bin, last_bin)`), so every bin except
+    * a language's last is provably full (spec-asserted) and the whole thing
+    * is oracle-checked.
+    */
+  private val textPackSpans = Q(
+    "text_pack_spans",
+    (s, dir) => {
+      val binTokens = 2048L
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          size(words(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .withColumn("first_bin", (col("offset") / binTokens).cast("long"))
+        .withColumn("last_bin",
+          ((col("offset") + col("n_tokens") - 1) / binTokens).cast("long"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("offset"),
+          explode(sequence(col("first_bin"), col("last_bin"))).as("bin_id"))
+        .withColumn("span_tokens",
+          least(col("offset") + col("n_tokens"), (col("bin_id") + 1) * binTokens) -
+            greatest(col("offset"), col("bin_id") * binTokens))
+        .withColumn("span_offset",
+          greatest(col("offset"), col("bin_id") * binTokens) - col("offset"))
+        .select("doc_id", "lang", "bin_id", "span_offset", "span_tokens")
+        .orderBy("doc_id", "bin_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, lang,
+           |   CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM documents),
+           |o AS (SELECT doc_id, lang, n_tokens,
+           |   CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+           |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+           | FROM d),
+           |x AS (SELECT doc_id, lang, n_tokens, "offset",
+           |   CAST(unnest(range("offset" // 2048,
+           |     ("offset" + n_tokens - 1) // 2048 + 1)) AS BIGINT) AS bin_id
+           | FROM o)
+           |SELECT doc_id, lang, bin_id,
+           |  greatest("offset", bin_id * 2048) - "offset" AS span_offset,
+           |  least("offset" + n_tokens, (bin_id + 1) * 2048)
+           |    - greatest("offset", bin_id * 2048) AS span_tokens
+           |FROM x ORDER BY doc_id, bin_id""".stripMargin))
+
   /** Vocabulary construction: dense ids for the corpus vocabulary ordered
     * by (frequency desc, token) — the tokenizer-building step, ranked by
     * [[rankedVocab]]'s two-phase scheme so no single reducer ever sees the
@@ -422,6 +470,6 @@ object TextAnalysis {
 
   val queries: Seq[Q] = Seq(
     textTokens, textTokenFreq, textTfidf, textQuality, textLangid,
-    textFingerprint, textNormalize, textPack, textVocab, textHeavyHitters,
-    textChunk, textEncode)
+    textFingerprint, textNormalize, textPack, textPackSpans, textVocab,
+    textHeavyHitters, textChunk, textEncode)
 }

@@ -159,6 +159,27 @@ class TextMultimodalSpec extends SparkSuite {
     }
   }
 
+  test("pack spans: per-doc spans cover the doc, every non-final bin is exactly full") {
+    val spans = Queries.byName("text_pack_spans").run(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(4)))
+    val nTokens = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    // coverage: each doc's spans sum to its token count
+    spans.groupBy(_._1).foreach { case (id, ss) =>
+      assert(ss.map(_._4).sum == nTokens(id), s"doc $id spans don't cover it")
+    }
+    // packing: within a language, every bin except the last holds exactly 2048
+    spans.groupBy(_._2).foreach { case (lang, ss) =>
+      val perBin = ss.groupBy(_._3).view.mapValues(_.map(_._4).sum).toMap
+      val lastBin = perBin.keys.max
+      perBin.foreach { case (bin, total) =>
+        if (bin != lastBin) assert(total == 2048L, s"$lang bin $bin holds $total")
+        else assert(total <= 2048L, s"$lang last bin overfull: $total")
+      }
+    }
+  }
+
   test("resize fallback is total: empty payloads yield a zero-intensity frame") {
     import spark.implicits._
     val d = Seq((1L, Array.empty[Byte]), (2L, "abc".getBytes("UTF-8")))
