@@ -31,7 +31,7 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         // drop intermediates persisted inside the query so later queries
         // aren't taxed by cache eviction / GC pressure (not timed)
-        Caches.release()
+        Caches.release(spark)
         spark.catalog.clearCache()
         name -> dt
       }

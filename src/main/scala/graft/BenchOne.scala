@@ -20,7 +20,7 @@ object BenchOne {
         fn(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
         // cache teardown excluded from the timed window, same as Bench
-        Caches.release()
+        Caches.release(spark)
         spark.catalog.clearCache()
         dt
       }

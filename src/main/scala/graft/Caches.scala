@@ -1,9 +1,9 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
-/** Registry for DataFrames persisted inside operator builders.
+/** Per-session registry for DataFrames persisted inside operator builders.
   *
   * Builders return lazy DataFrames, so they cannot unpersist inline — the
   * consumer hasn't materialized anything when the builder returns, and an
@@ -12,6 +12,16 @@ import org.apache.spark.storage.StorageLevel
   * call [[release]] once the query's result is materialized. A long-lived
   * session (a Bench run touches the Jaccard family six times) then holds no
   * stale cached RDDs between queries.
+  *
+  * The registry is keyed by the owning `SparkSession` (taken from the frame
+  * itself), so a driver hosting several sessions — a batch job and a
+  * notebook, or two concurrent pipelines on separate `newSession()` clones —
+  * can release at its own operation boundaries without evicting frames a
+  * sibling session is still computing over. Within ONE session the contract
+  * is unchanged and single-operation: interleave two tracked operations on
+  * the same session and a boundary release frees both (run concurrent
+  * pipelines on `newSession()` clones, which share the SparkContext but not
+  * the registry bucket).
   *
   * CONTRACT for library consumers: a long-lived session that calls the
   * tracking operators must call [[release]] at its own operation
@@ -23,27 +33,33 @@ import org.apache.spark.storage.StorageLevel
   * (`spark.catalog.clearCache`) or the session.
   */
 object Caches {
-  private val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private val tracked =
+    scala.collection.mutable.Map.empty[SparkSession, scala.collection.mutable.ArrayBuffer[DataFrame]]
 
-  /** Persist `df` and remember it for the next [[release]]. */
+  private def bucket(s: SparkSession) =
+    tracked.getOrElseUpdate(s, scala.collection.mutable.ArrayBuffer.empty[DataFrame])
+
+  /** Persist `df` and remember it for its session's next [[release]]. */
   def track(df: DataFrame,
             level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
     synchronized {
-      tracked += df
+      bucket(df.sparkSession) += df
       df.persist(level)
     }
 
-  /** Remember an ALREADY-persisted `df` for the next [[release]] without
-    * re-persisting (avoids the "already cached" warning) — for structures
-    * that manage their own persistence (e.g. a
+  /** Remember an ALREADY-persisted `df` for its session's next [[release]]
+    * without re-persisting (avoids the "already cached" warning) — for
+    * structures that manage their own persistence (e.g. a
     * [[graft.operators.Dedup.CorpusIndex]]) when used inside a
     * batch-driver-scoped operation.
     */
-  def adopt(df: DataFrame): DataFrame = synchronized { tracked += df; df }
+  def adopt(df: DataFrame): DataFrame =
+    synchronized { bucket(df.sparkSession) += df; df }
 
-  /** Unpersist (non-blocking) everything tracked since the last release. */
-  def release(): Unit = synchronized {
-    tracked.foreach(_.unpersist(false))
-    tracked.clear()
+  /** Unpersist (non-blocking) everything tracked under `spark` since its
+    * last release. Frames tracked by other sessions are untouched.
+    */
+  def release(spark: SparkSession): Unit = synchronized {
+    tracked.remove(spark).foreach(_.foreach(_.unpersist(false)))
   }
 }

@@ -297,46 +297,61 @@ case class PairExplode(g: Expression, ds: Expression, cap: Int)
     if (arr == null) Iterator.empty
     else {
       val a = arr.asInstanceOf[ArrayData]
-      val k = a.numElements()
-      if (k < 2) Iterator.empty
+      val k0 = a.numElements()
+      if (k0 < 2) Iterator.empty
       else {
-        val ids = new Array[Long](k)
-        val ns = new Array[Int](k)
+        val raw = new Array[Long](k0)
+        val rawNs = new Array[Int](k0)
         var i = 0
-        while (i < k) {
+        while (i < k0) {
           val r = a.getStruct(i, 2)
-          ids(i) = r.getLong(0)
-          ns(i) = r.getInt(1)
+          raw(i) = r.getLong(0)
+          rawNs(i) = r.getInt(1)
           i += 1
         }
-        if (k > cap) {
+        // Sort by doc_id and compact duplicates (keep-first). collect_list
+        // gives no ordering guarantee, so a doc_id repeated in the posting
+        // list (un-deduped input) can land non-adjacently; each doc must
+        // contribute exactly ONE pair endpoint / membership — the DISTINCT
+        // the pre-Generator join formulation got from its index build.
+        // Dedup before the cap test, so duplicate inflation can't misroute
+        // a genuinely sub-cap list down the hot-membership path. Sorting
+        // also fixes doc_a < doc_b by construction.
+        val order = Array.range(0, k0)
+        scala.util.Sorting.stableSort(order, (p: Int, q: Int) => raw(p) < raw(q))
+        val ids = new Array[Long](k0)
+        val ns = new Array[Int](k0)
+        var k = 0
+        i = 0
+        while (i < k0) {
+          val j = order(i)
+          if (k == 0 || ids(k - 1) != raw(j)) { ids(k) = raw(j); ns(k) = rawNs(j); k += 1 }
+          i += 1
+        }
+        if (k < 2) Iterator.empty
+        else if (k > cap) {
           // hot posting list: memberships only, never the O(df²) pairs
           val gv = g.eval(input).asInstanceOf[Long]
+          val kk = k
           new Iterator[InternalRow] {
             private var m = 0
-            override def hasNext: Boolean = m < k
+            override def hasNext: Boolean = m < kk
             override def next(): InternalRow = {
               val r = InternalRow(ids(m), gv, ns(m), -1); m += 1; r
             }
           }
-        } else new Iterator[InternalRow] {
-          // a duplicate doc_id in the posting list (un-deduped input) must
-          // not emit a (d, d) self-pair — the pre-Generator join formulation
-          // excluded these via its strict doc_a < doc_b predicate
-          private var x = 0
-          private var y = 1
-          private def bump(): Unit = { y += 1; if (y == k) { x += 1; y = x + 1 } }
-          private def skipEqual(): Unit =
-            while (x < k - 1 && ids(x) == ids(y)) bump()
-          skipEqual()
-          override def hasNext: Boolean = x < k - 1
-          override def next(): InternalRow = {
-            val r =
-              if (ids(x) < ids(y)) InternalRow(ids(x), ids(y), ns(x), ns(y))
-              else InternalRow(ids(y), ids(x), ns(y), ns(x))
-            bump()
-            skipEqual()
-            r
+        } else {
+          val kk = k
+          new Iterator[InternalRow] {
+            private var x = 0
+            private var y = 1
+            override def hasNext: Boolean = x < kk - 1
+            override def next(): InternalRow = {
+              val r = InternalRow(ids(x), ids(y), ns(x), ns(y))
+              y += 1
+              if (y == kk) { x += 1; y = x + 1 }
+              r
+            }
           }
         }
       }

@@ -226,11 +226,6 @@ object Dedup {
         graft.functions.TextKernels.simhash64(col("text")).as("simhash"))
   }
 
-  /** Iterations the most recent [[connectedComponents]] call took — spec
-    * hook only (asserts pointer jumping beats plain propagation on chains).
-    */
-  @volatile var lastCcIterations: Int = 0
-
   /** Iterative min-label propagation WITH pointer jumping: each round a
     * vertex takes the minimum of its own label, its neighbors' labels, and
     * its label's label (`label(label(u))` — one extra self-join on the small
@@ -244,7 +239,17 @@ object Dedup {
     * topologies (A≈B≈C≈...) are exactly what transitive closure produces —
     * the jump is what keeps round count single-digit at 100 TB.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame =
+    connectedComponentsCounted(edges, maxIter)._1
+
+  /** As [[connectedComponents]], also returning how many propagation rounds
+    * ran before convergence. The count rides the return value rather than
+    * any shared mutable state, so concurrent component computations on one
+    * driver each observe their own round count (the round-complexity spec
+    * asserts pointer jumping beats plain propagation on chains).
+    */
+  def connectedComponentsCounted(edges: DataFrame,
+                                 maxIter: Int = 20): (DataFrame, Int) = {
     // persist BEFORE the symmetrizing union: both union branches read the
     // (possibly expensive) edge computation, and every iteration reads sym
     val e = graft.Caches.track(edges)
@@ -285,8 +290,7 @@ object Dedup {
       labels = next.drop("chg")
       i += 1
     }
-    lastCcIterations = i
-    labels.select(col("u").as("doc_id"), col("label").as("cluster_id"))
+    (labels.select(col("u").as("doc_id"), col("label").as("cluster_id")), i)
   }
 
   /** Duplicate-cluster resolution: connected components over the verified

@@ -414,23 +414,20 @@ object TextAnalysis {
     * corpus side is one explode → broadcast-join → re-assemble per doc. At
     * 100 TB this is the standard dictionary-encode pass: linear, no
     * corpus-side shuffle except the per-doc regroup.
+    *
+    * The id sequence is emitted comma-joined (`ids_str`), not as an array
+    * column: the oracle harness sorts result columns with pandas, which
+    * cannot hash/sort numpy arrays, so an array-typed result column would
+    * crash the comparison rather than verify it. The array-shaped API
+    * (`encode`) is what library users call; TextMultimodalSpec round-trips
+    * it exactly.
     */
   private val textEncode = Q(
     "text_encode",
-    (s, dir) => {
-      val d = docs(s, dir)
-      val freq = d.select(explode(words(col("text"))).as("token"))
-        .groupBy("token").agg(count(lit(1)).as("freq"))
-      val vocab = rankedVocab(freq).select("token", "token_id")
-      d.select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "token")))
-        .join(broadcast(vocab), "token")
-        .groupBy("doc_id")
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("token_id")))),
-          x => x("token_id")).as("ids"))
-        .select(col("doc_id"), size(col("ids")).as("n_tokens"), col("ids"))
-        .orderBy("doc_id")
-    },
+    (s, dir) => encode(docs(s, dir))
+      .select(col("doc_id"), col("n_tokens"),
+        concat_ws(",", col("ids")).as("ids_str"))
+      .orderBy("doc_id"),
     Some("""WITH f AS (SELECT token, count(*) AS freq
            |  FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents)
            |  GROUP BY token),
@@ -440,9 +437,26 @@ object TextAnalysis {
            |t AS (SELECT doc_id, CAST(unnest(range(1, len(w)+1)) AS INT) AS ord, w FROM d),
            |x AS (SELECT doc_id, ord, w[ord] AS token FROM t)
            |SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
-           |  array_agg(v.token_id ORDER BY x.ord) AS ids
+           |  array_to_string(array_agg(v.token_id ORDER BY x.ord), ',') AS ids_str
            |FROM x JOIN v USING (token)
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  /** Library-facing dictionary encode: `(doc_id, n_tokens, ids:
+    * Array[Int])` — order-preserving token→id mapping against the corpus's
+    * own [[rankedVocab]].
+    */
+  def encode(d: DataFrame): DataFrame = {
+    val freq = d.select(explode(words(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    val vocab = rankedVocab(freq).select("token", "token_id")
+    d.select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "token")))
+      .join(broadcast(vocab), "token")
+      .groupBy("doc_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("token_id")))),
+        x => x("token_id")).as("ids"))
+      .select(col("doc_id"), size(col("ids")).as("n_tokens"), col("ids"))
+  }
 
   /** Heavy hitters via the custom SpaceSaving typed Aggregator: one-pass
     * bounded-memory top tokens. SpaceSaving is EXACT whenever the observed

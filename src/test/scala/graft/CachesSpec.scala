@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.storage.StorageLevel
+
+/** The cache registry is scoped per SparkSession: one driver's boundary
+  * release must not evict frames a sibling session is still using.
+  */
+class CachesSpec extends SparkSuite {
+
+  test("release on one session leaves a sibling session's frames cached") {
+    val a = spark.newSession()
+    val b = spark.newSession()
+    // distinct plans, not just distinct sessions: the CacheManager is shared
+    // across sessions and matches by sameResult, so two equal range plans
+    // would alias each other's cache entry and mask what's under test
+    val fa = Caches.track(a.range(10).toDF("x"))
+    val fb = Caches.track(b.range(20).toDF("y"))
+    fa.count(); fb.count()
+    assert(fa.storageLevel != StorageLevel.NONE)
+    assert(fb.storageLevel != StorageLevel.NONE)
+
+    Caches.release(a)
+    assert(fa.storageLevel == StorageLevel.NONE, "released session not evicted")
+    assert(fb.storageLevel != StorageLevel.NONE, "sibling session was evicted")
+
+    Caches.release(b)
+    assert(fb.storageLevel == StorageLevel.NONE)
+  }
+
+  test("adopt registers an externally persisted frame for its own session only") {
+    val a = spark.newSession()
+    val pre = a.range(5).toDF("x").persist(StorageLevel.MEMORY_AND_DISK)
+    Caches.adopt(pre)
+    pre.count()
+    // releasing an unrelated session is a no-op for it
+    Caches.release(spark)
+    assert(pre.storageLevel != StorageLevel.NONE)
+    Caches.release(a)
+    assert(pre.storageLevel == StorageLevel.NONE)
+  }
+}

@@ -130,11 +130,12 @@ class DedupSpec extends SparkSuite {
     // halves per round, so 2·log₂(n) is a loose ceiling.
     val n = 32
     val edges = (1L until n.toLong).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val got = Dedup.connectedComponents(edges).collect()
+    val (labels, rounds) = Dedup.connectedComponentsCounted(edges)
+    val got = labels.collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == (1L to n.toLong).map(_ -> 1L).toMap)
-    assert(Dedup.lastCcIterations <= 2 * (math.log(n) / math.log(2)).toInt,
-      s"chain of $n took ${Dedup.lastCcIterations} rounds")
+    assert(rounds <= 2 * (math.log(n) / math.log(2)).toInt,
+      s"chain of $n took $rounds rounds")
   }
 
   test("incremental near-dups: scores new batch against corpus only") {

@@ -70,4 +70,29 @@ class ExtensionsSpec extends SparkSuite {
         e.getMessage.contains("DATATYPE_MISMATCH"), s"$sql -> ${e.getMessage}")
     }
   }
+
+  test("pair_explode dedupes non-adjacent repeated doc ids") {
+    graft.functions.TextKernels.register(spark)
+    def pairs(listSql: String, cap: Int) = spark.sql(
+      s"""SELECT p.* FROM (SELECT CAST(7 AS BIGINT) AS g) t
+         |LATERAL VIEW pair_explode(g, $listSql, $cap) p AS doc_a, doc_b, n_a, n_b
+         |""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    // collect_list gives no ordering guarantee: ids [5,3,5] must emit the
+    // (3,5) pair exactly once, not twice
+    val dup = pairs(
+      "array(struct(CAST(5 AS BIGINT), 3), struct(CAST(3 AS BIGINT), 2), " +
+        "struct(CAST(5 AS BIGINT), 3))", 10)
+    assert(dup.toSeq == Seq((3L, 5L, 2, 3)))
+    // duplicate inflation must not route a genuinely sub-cap list down the
+    // hot-membership path: 4 raw entries over cap=3, but only 2 unique docs
+    val inflated = pairs(
+      "array(struct(CAST(1 AS BIGINT), 4), struct(CAST(2 AS BIGINT), 5), " +
+        "struct(CAST(1 AS BIGINT), 4), struct(CAST(2 AS BIGINT), 5))", 3)
+    assert(inflated.toSeq == Seq((1L, 2L, 4, 5)))
+    // all-duplicates list collapses below 2 docs → no output at all
+    val solo = pairs(
+      "array(struct(CAST(9 AS BIGINT), 2), struct(CAST(9 AS BIGINT), 2))", 10)
+    assert(solo.isEmpty)
+  }
 }

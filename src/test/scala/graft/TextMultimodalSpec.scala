@@ -148,7 +148,7 @@ class TextMultimodalSpec extends SparkSuite {
         .select(explode(split(col("text"), " ")).as("token"))
         .groupBy("token").agg(count(lit(1)).as("freq")))
       .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
-    val encoded = Queries.byName("text_encode").run(spark, sfDir)
+    val encoded = TextAnalysis.encode(Tables.load(spark, sfDir, "documents"))
       .select("doc_id", "ids").collect()
       .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
     val texts = Tables.load(spark, sfDir, "documents")
