@@ -62,4 +62,17 @@ object Caches {
   def release(spark: SparkSession): Unit = synchronized {
     tracked.remove(spark).foreach(_.foreach(_.unpersist(false)))
   }
+
+  /** Unpersist everything tracked under EVERY session — the escape hatch
+    * for a driver hosting many short-lived sessions whose per-session
+    * [[release]] calls it can't guarantee (a forgotten release would
+    * otherwise pin that session's bucket, and the session itself, for the
+    * driver lifetime). A weak-keyed map would not fix that: each tracked
+    * DataFrame strongly references its own SparkSession, so the buckets
+    * would pin the weak keys regardless.
+    */
+  def releaseAll(): Unit = synchronized {
+    tracked.valuesIterator.foreach(_.foreach(_.unpersist(false)))
+    tracked.clear()
+  }
 }

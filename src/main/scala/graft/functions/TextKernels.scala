@@ -318,7 +318,7 @@ case class PairExplode(g: Expression, ds: Expression, cap: Int)
         // a genuinely sub-cap list down the hot-membership path. Sorting
         // also fixes doc_a < doc_b by construction.
         val order = Array.range(0, k0)
-        scala.util.Sorting.stableSort(order, (p: Int, q: Int) => raw(p) < raw(q))
+        PairExplode.sortIndicesByKey(order, raw)
         val ids = new Array[Long](k0)
         val ns = new Array[Int](k0)
         var k = 0
@@ -330,8 +330,13 @@ case class PairExplode(g: Expression, ds: Expression, cap: Int)
         }
         if (k < 2) Iterator.empty
         else if (k > cap) {
-          // hot posting list: memberships only, never the O(df²) pairs
-          val gv = g.eval(input).asInstanceOf[Long]
+          // hot posting list: memberships only, never the O(df²) pairs.
+          // A null group key can't produce a usable membership row (doc_b
+          // carries the key); internal callers never pass null, so direct
+          // SQL misuse degrades to "no rows" rather than an executor NPE.
+          val gRaw = g.eval(input)
+          if (gRaw == null) return Iterator.empty
+          val gv = gRaw.asInstanceOf[Long]
           val kk = k
           new Iterator[InternalRow] {
             private var m = 0
@@ -362,6 +367,37 @@ case class PairExplode(g: Expression, ds: Expression, cap: Int)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(g = newChildren(0), ds = newChildren(1))
+}
+
+object PairExplode {
+  /** Stable sort of `order` by `raw(i)` with no boxing: a
+    * `scala.util.Sorting.stableSort` with an `(Int, Int) => Boolean`
+    * comparator boxes every comparison, and this runs once per posting
+    * list in the generator's hot loop — over-cap lists are exactly the
+    * large ones. Plain top-down merge sort; ties keep left-first order,
+    * which is what preserves the first-occurrence `n` for duplicate ids.
+    */
+  private[functions] def sortIndicesByKey(order: Array[Int], raw: Array[Long]): Unit = {
+    val n = order.length
+    val buf = new Array[Int](n)
+    def merge(lo: Int, mid: Int, hi: Int): Unit = {
+      System.arraycopy(order, lo, buf, lo, hi - lo)
+      var i = lo; var j = mid; var k = lo
+      while (i < mid && j < hi) {
+        if (raw(buf(j)) < raw(buf(i))) { order(k) = buf(j); j += 1 }
+        else { order(k) = buf(i); i += 1 }
+        k += 1
+      }
+      while (i < mid) { order(k) = buf(i); i += 1; k += 1 }
+      while (j < hi) { order(k) = buf(j); j += 1; k += 1 }
+    }
+    def sortRange(lo: Int, hi: Int): Unit =
+      if (hi - lo > 1) {
+        val mid = (lo + hi) >>> 1
+        sortRange(lo, mid); sortRange(mid, hi); merge(lo, mid, hi)
+      }
+    sortRange(0, n)
+  }
 }
 
 /** Session registration + Column-level API (same pattern as [[VectorKernels]]). */

@@ -450,9 +450,15 @@ object Dedup {
                        dfCap: Int = DefaultShingleDfCap,
                        eager: Boolean = true): CorpusIndex = {
     val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // collect_set, not collect_list: a corpus doc_id accidentally present
+    // twice (duplicate-keyed input) contributes identical (doc_id, n)
+    // structs, and the set dedup keeps the df-cap classification and the
+    // hot-membership arrays consistent with what jaccardPairs' PairExplode
+    // dedup does on the batch path. (Same doc_id with DIFFERENT text — so
+    // different n — stays genuinely invalid input on every path.)
     val idx = explodedShingles(oldDocs)
       .groupBy("lang", "g")
-      .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
+      .agg(collect_set(struct(col("doc_id"), col("n"))).as("ds"))
       .persist(level)
     val hot = idx.filter(size(col("ds")) > dfCap)
     val built = CorpusIndex(
@@ -489,16 +495,20 @@ object Dedup {
     // persist would accumulate for the stream's lifetime — re-shingling the
     // batch for its two consumers is cheaper than leaking cache entries
     val exNew = explodedShingles(newDocs).toDF("new_id", "lang", "n_new", "g")
+    // countDistinct(g) / collect_set, mirroring the index-side dedup: a
+    // duplicated new-doc row would otherwise double-count every shared
+    // shingle (and duplicate the hot array), inflating jaccard past the
+    // batch path's answer on the same invalid input.
     val pairs = exNew
       .join(idx.sub, Seq("lang", "g"))
-      .select(col("new_id"), col("n_new"), explode(col("ds")).as("m"))
-      .select(col("new_id"), col("n_new"),
+      .select(col("new_id"), col("n_new"), col("g"), explode(col("ds")).as("m"))
+      .select(col("new_id"), col("n_new"), col("g"),
         col("m.doc_id").as("old_id"), col("m.n").as("n_old"))
       .groupBy("new_id", "old_id", "n_new", "n_old")
-      .agg(count(lit(1)).as("common_capped"))
+      .agg(countDistinct(col("g")).as("common_capped"))
     // new-side hot shingles: the batch's shingles that are hot IN THE CORPUS
     val newHotByDoc = exNew.join(broadcast(idx.hotG), Seq("lang", "g"))
-      .groupBy(col("new_id")).agg(collect_list(col("g")).as("hot_new"))
+      .groupBy(col("new_id")).agg(collect_set(col("g")).as("hot_new"))
     pairs
       .join(newHotByDoc, Seq("new_id"), "left")
       .join(idx.hotByDoc.toDF("old_id", "hot_old"), Seq("old_id"), "left")

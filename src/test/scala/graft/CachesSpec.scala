@@ -27,6 +27,19 @@ class CachesSpec extends SparkSuite {
     assert(fb.storageLevel == StorageLevel.NONE)
   }
 
+  test("releaseAll sweeps every session's bucket (forgotten-release escape hatch)") {
+    val a = spark.newSession()
+    val b = spark.newSession()
+    val fa = Caches.track(a.range(30).toDF("x"))
+    val fb = Caches.track(b.range(40).toDF("y"))
+    fa.count(); fb.count()
+    Caches.releaseAll()
+    assert(fa.storageLevel == StorageLevel.NONE)
+    assert(fb.storageLevel == StorageLevel.NONE)
+    // idempotent on an empty registry
+    Caches.releaseAll()
+  }
+
   test("adopt registers an externally persisted frame for its own session only") {
     val a = spark.newSession()
     val pre = a.range(5).toDF("x").persist(StorageLevel.MEMORY_AND_DISK)

@@ -186,6 +186,30 @@ class DedupSpec extends SparkSuite {
     assert(got == Set((1L, 2L)), got.toString)
   }
 
+  test("incremental near-dups match jaccardPairs' handling of duplicated input") {
+    import spark.implicits._
+    // the same invalid duplicate-keyed rows (identical text) on BOTH sides:
+    // the index build must not misroute a sub-cap list into the hot regime
+    // and the probe must not double-count shared shingles — scores must be
+    // identical to the clean-input run
+    val corpusDup = Seq(
+      (1L, "en", "alpha beta gamma delta epsilon zeta"),
+      (1L, "en", "alpha beta gamma delta epsilon zeta"),
+      (2L, "en", "one two three four five six seven")).toDF("doc_id", "lang", "text")
+    val batchDup = Seq(
+      (10L, "en", "alpha beta gamma delta epsilon zeta"),
+      (10L, "en", "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "lang", "text")
+    def run(c: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) = {
+      val idx = Dedup.buildCorpusIndex(c, dfCap = 1, eager = false)
+      try Dedup.probeNearDups(idx, b)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      finally idx.release()
+    }
+    val clean = run(corpusDup.dropDuplicates("doc_id"), batchDup.dropDuplicates("doc_id"))
+    assert(clean == Set((10L, 1L, 1.0)), clean.toString)
+    assert(run(corpusDup, batchDup) == clean)
+  }
+
   test("stratified sample takes exactly k per stratum (or all when smaller)") {
     val df = Queries.byName("sample_stratified").run(spark, sfDir)
     val perLang = df.groupBy("lang").count().collect()
