@@ -11,7 +11,8 @@ object Bench {
     "dedup_clusters", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_pipeline_survivors", "dedup_embedding_cosine",
     "dedup_semantic_clusters", "dedup_incremental", "sim_lsh_ann",
-    "sim_brute_topk", "sim_ivf_ann", "text_tfidf", "text_encode")
+    "sim_brute_topk", "sim_ivf_ann", "text_tfidf", "text_encode",
+    "dedup_lines", "text_repetition", "text_redact")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

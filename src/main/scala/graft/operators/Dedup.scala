@@ -560,8 +560,73 @@ object Dedup {
            |FROM p WHERE CAST(c AS DOUBLE)/(nn+n_o-c) >= 0.8
            |ORDER BY new_id, old_id""".stripMargin))
 
+  /** Segment-level boilerplate removal (C4/RefinedWeb line-dedup re-shaped
+    * for a corpus without line structure): each document splits into
+    * non-overlapping 3-token segments; a segment whose exact text occurs in
+    * ≥ 3 DISTINCT documents is boilerplate and is dropped from every
+    * document; survivors reassemble in order. Docs scrubbed to nothing stay
+    * in the output with empty text (left join), so the row count is total —
+    * the downstream filter decides their fate, not this operator.
+    *
+    * Scale shape: explode → two-phase distinct-doc count per segment →
+    * shuffle join back on the segment key → per-doc regroup. Everything is
+    * keyed; no doc×doc products, no driver state. At 100 TB the df table is
+    * Zipf-shaped and small relative to the corpus — the join's build side
+    * prunes to only the hot segments if rewritten as anti-join vs
+    * `df >= K`, which AQE handles when that side fits its broadcast
+    * threshold.
+    */
+  /** Segment-level boilerplate scrub for a `(doc_id, text)` frame — see
+    * [[dedupLines]] for semantics and scale shape.
+    */
+  def segmentDedup(d: DataFrame, segLen: Int = 3, minDocs: Int = 3): DataFrame = {
+    val segs = d
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"),
+        explode(sequence(lit(1), ceil(size(col("w")) / lit(segLen.toDouble)).cast("int")))
+          .as("seg_idx"), col("w"))
+      .select(col("doc_id"), col("seg_idx"),
+        array_join(slice(col("w"), (col("seg_idx") - 1) * segLen + 1, lit(segLen)), " ")
+          .as("seg"))
+    val df = segs.groupBy("seg")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val kept = segs.join(df.filter(col("df") >= minDocs), Seq("seg"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+          x => x("seg")), " ").as("cleaned"))
+    d.select(col("doc_id"),
+        ceil(size(words(col("text"))) / lit(segLen.toDouble)).cast("int").as("n_segs"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).cast("int").as("n_kept"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+      .orderBy("doc_id")
+  }
+
+  private val dedupLines = Q(
+    "dedup_lines",
+    (s, dir) => segmentDedup(docs(s, dir)),
+    Some("""WITH d AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+           |s AS (SELECT doc_id, i AS seg_idx,
+           |        array_to_string(list_slice(w, (i-1)*3 + 1,
+           |          least((i-1)*3 + 3, len(w))), ' ') AS seg
+           |      FROM d, unnest(range(1, CAST(ceil(len(w)/3.0) AS INT) + 1)) AS t(i)),
+           |f AS (SELECT seg, count(distinct doc_id) AS df FROM s GROUP BY seg),
+           |k AS (SELECT doc_id, count(*) AS n_kept,
+           |        array_to_string(array_agg(seg ORDER BY seg_idx), ' ') AS cleaned
+           |      FROM s WHERE seg NOT IN (SELECT seg FROM f WHERE df >= 3)
+           |      GROUP BY doc_id)
+           |SELECT d.doc_id,
+           |  CAST(ceil(len(d.w)/3.0) AS INT) AS n_segs,
+           |  CAST(COALESCE(k.n_kept, 0) AS INT) AS n_kept,
+           |  COALESCE(k.cleaned, '') AS cleaned
+           |FROM d LEFT JOIN k ON d.doc_id = k.doc_id
+           |ORDER BY d.doc_id""".stripMargin))
+
   val queries: Seq[Q] = Seq(
     dedupExact, dedupKeepfirst, dedupNgramJaccard, dedupMinhashLsh,
     dedupSimhash, dedupClusters, dedupPipelineSurvivors, dedupDecontaminate,
-    dedupIncremental)
+    dedupIncremental, dedupLines)
 }

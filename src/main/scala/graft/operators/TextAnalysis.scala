@@ -482,8 +482,146 @@ object TextAnalysis {
            |FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents)
            |GROUP BY token ORDER BY freq DESC, token LIMIT 20""".stripMargin))
 
+  // PII patterns shared by the redaction chain and the per-type counters.
+  // Only syntax common to Java regex and RE2 (character classes, bounded
+  // repetition, \b) so the Spark plan and the DuckDB oracle see the same
+  // matches.
+  private[operators] val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[operators] val PhoneRe = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+  private[operators] val SsnRe = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+  private[operators] val Ipv4Re =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Scrub emails, phone numbers, SSN-shaped ids and IPv4 addresses to
+    * typed sentinels — the release gate before training data leaves the
+    * pipeline. Order matters: the phone pattern is consumed before the SSN
+    * pattern can see its digit groups, and both before the IP pass.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      text, EmailRe, "<email>"), PhoneRe, "<phone>"),
+      SsnRe, "<ssn>"), Ipv4Re, "<ip>")
+
+  /** PII redaction over the corpus. The testdata is synthetic and PII-free,
+    * so the query first plants deterministic doc-derived PII (identical
+    * expression on both engines) and then proves [[redactPii]] scrubs every
+    * planted instance, counting each type from the raw text. Pure per-row
+    * regex — codegen, no shuffle beyond the final sort; at 100 TB this is a
+    * map-only pass.
+    */
+  private val textRedact = Q(
+    "text_redact",
+    (s, dir) => {
+      val planted = concat(
+        col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail-"), col("source"), lit(".com or +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" ip 10."), (col("doc_id") % 256).cast("string"),
+        lit("."), ((col("doc_id") * 7) % 256).cast("string"),
+        lit("."), ((col("doc_id") * 13) % 256).cast("string"),
+        lit(" ssn 123-45-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      docsSpread(s, dir)
+        .withColumn("raw", planted)
+        .select(
+          col("doc_id"),
+          redactPii(col("raw")).as("redacted"),
+          size(regexp_extract_all(col("raw"), lit(EmailRe), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("raw"), lit(PhoneRe), lit(0))).as("n_phones"),
+          size(regexp_extract_all(col("raw"), lit(SsnRe), lit(0))).as("n_ssns"),
+          size(regexp_extract_all(col("raw"), lit(Ipv4Re), lit(0))).as("n_ips"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH r AS (SELECT doc_id,
+           |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail-' || source
+           |    || '.com or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           |    || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+           |    || '.' || CAST(doc_id*7 % 256 AS VARCHAR)
+           |    || '.' || CAST(doc_id*13 % 256 AS VARCHAR)
+           |    || ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+           |  FROM documents)
+           |SELECT doc_id,
+           |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(raw,
+           |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<email>', 'g'),
+           |    '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<phone>', 'g'),
+           |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<ssn>', 'g'),
+           |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<ip>', 'g') AS redacted,
+           |  CAST(len(regexp_extract_all(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
+           |  CAST(len(regexp_extract_all(raw, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
+           |  CAST(len(regexp_extract_all(raw, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS INT) AS n_ssns,
+           |  CAST(len(regexp_extract_all(raw, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ips
+           |FROM r ORDER BY doc_id""".stripMargin))
+
+  /** Repetition-based quality signals (the Gopher/MassiveText repetition
+    * rules re-expressed relationally): fraction of bigram mass taken by the
+    * single most frequent bigram, fraction of duplicate trigram
+    * occurrences, and the count of immediate word repeats. Per-row signals
+    * (trigram dedup, consecutive repeats) are higher-order array functions
+    * carried THROUGH the bigram aggregation as grouping keys, so the whole
+    * query is one explode → two-phase count → per-doc max — no join back to
+    * the source. `keep` applies the published-style thresholds (top bigram
+    * < 18 % of bigram mass, duplicate trigram mass < 30 %).
+    */
+  /** Per-document repetition signals for a `(doc_id, text)` frame — see
+    * [[textRepetition]] for the signal definitions and scale shape. Docs
+    * with fewer than 3 tokens carry no trigram signal and are excluded.
+    */
+  def repetitionSignals(d: DataFrame): DataFrame = {
+    val w = col("w")
+    val bigrams = transform(sequence(lit(1), size(w) - 1),
+      i => concat_ws(" ", element_at(w, i), element_at(w, i + 1)))
+    val trigrams = transform(sequence(lit(1), size(w) - 2),
+      i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))
+    val nConsec = size(filter(sequence(lit(1), size(w) - 1),
+      i => element_at(w, i) === element_at(w, i + 1)))
+    d.select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(w) >= 3)
+      .select(col("doc_id"), size(w).as("n_tokens"),
+        round(lit(1.0) - size(array_distinct(trigrams)).cast("double") /
+          size(trigrams), 6).as("dup_trigram_frac"),
+        nConsec.as("n_consec_repeats"),
+        explode(bigrams).as("bg"))
+      .groupBy("doc_id", "n_tokens", "dup_trigram_frac", "n_consec_repeats", "bg")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n_tokens", "dup_trigram_frac", "n_consec_repeats")
+      .agg(max(struct(col("c"), col("bg"))).as("m"), sum(col("c")).as("nb"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("m.bg").as("top_bigram"),
+        round(col("m.c").cast("double") / col("nb"), 6).as("top_bigram_frac"),
+        col("dup_trigram_frac"), col("n_consec_repeats"),
+        (round(col("m.c").cast("double") / col("nb"), 6) < 0.18 &&
+          col("dup_trigram_frac") < 0.30).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  private val textRepetition = Q(
+    "text_repetition",
+    (s, dir) => repetitionSignals(docs(s, dir)),
+    Some("""WITH d AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+           |s AS (SELECT doc_id, len(w) AS n, w,
+           |        list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS bg,
+           |        list_transform(range(1, len(w)-1),
+           |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS tri,
+           |        len(list_filter(range(1, len(w)), i -> w[i] = w[i+1])) AS n_consec
+           |      FROM d WHERE len(w) >= 3),
+           |x AS (SELECT doc_id, n,
+           |        round(1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) / len(tri), 6) AS dup3,
+           |        n_consec, unnest(bg) AS b
+           |      FROM s),
+           |c AS (SELECT doc_id, n, dup3, n_consec, b, count(*) AS c
+           |      FROM x GROUP BY doc_id, n, dup3, n_consec, b),
+           |r AS (SELECT doc_id, n, dup3, n_consec, b, c,
+           |        row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, b DESC) AS rn,
+           |        sum(c) OVER (PARTITION BY doc_id) AS nb
+           |      FROM c)
+           |SELECT doc_id, CAST(n AS INT) AS n_tokens, b AS top_bigram,
+           |  round(CAST(c AS DOUBLE) / nb, 6) AS top_bigram_frac,
+           |  dup3 AS dup_trigram_frac, CAST(n_consec AS INT) AS n_consec_repeats,
+           |  (round(CAST(c AS DOUBLE) / nb, 6) < 0.18 AND dup3 < 0.30) AS keep
+           |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin))
+
   val queries: Seq[Q] = Seq(
     textTokens, textTokenFreq, textTfidf, textQuality, textLangid,
     textFingerprint, textNormalize, textPack, textPackSpans, textVocab,
-    textHeavyHitters, textChunk, textEncode)
+    textHeavyHitters, textChunk, textEncode, textRedact, textRepetition)
 }

@@ -210,6 +210,25 @@ class DedupSpec extends SparkSuite {
     assert(run(corpusDup, batchDup) == clean)
   }
 
+  test("segment dedup drops cross-doc boilerplate and keeps unique tails in order") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "common seg here alpha beta gamma"),
+      (2L, "common seg here delta epsilon zeta"),
+      (3L, "common seg here")).toDF("doc_id", "text")
+    val got = Dedup.segmentDedup(d, segLen = 3, minDocs = 3).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    // "common seg here" occurs in 3 distinct docs → scrubbed everywhere;
+    // unique tails survive; the all-boilerplate doc stays as an empty row
+    assert(got(1L) == (2, 1, "alpha beta gamma"), got(1L).toString)
+    assert(got(2L) == (2, 1, "delta epsilon zeta"), got(2L).toString)
+    assert(got(3L) == (1, 0, ""), got(3L).toString)
+    // below the doc threshold nothing is scrubbed
+    val loose = Dedup.segmentDedup(d, segLen = 3, minDocs = 4).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(loose(1L) == "common seg here alpha beta gamma")
+  }
+
   test("stratified sample takes exactly k per stratum (or all when smaller)") {
     val df = Queries.byName("sample_stratified").run(spark, sfDir)
     val perLang = df.groupBy("lang").count().collect()

@@ -20,6 +20,43 @@ class TextMultimodalSpec extends SparkSuite {
       s"text='${r.getString(0)}'"))
   }
 
+  test("redactPii scrubs every PII form to its typed sentinel") {
+    import spark.implicits._
+    val raw = "mail bob.smith+x@corp.example.org or call +44-201-5551 " +
+      "from 192.168.0.1 ssn 078-05-1120 end"
+    val got = Seq(raw).toDF("text")
+      .select(TextAnalysis.redactPii(col("text")).as("r"))
+      .collect().head.getString(0)
+    assert(got == "mail <email> or call <phone> from <ip> ssn <ssn> end", got)
+    // non-PII digits survive the scrub (no over-redaction)
+    val plain = Seq("version 2 build 14 of part 9").toDF("text")
+      .select(TextAnalysis.redactPii(col("text")).as("r"))
+      .collect().head.getString(0)
+    assert(plain == "version 2 build 14 of part 9", plain)
+  }
+
+  test("repetition signals separate spam from varied text") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "spam spam spam spam spam spam"),
+      (2L, "a b c d e f g h i j k l")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionSignals(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val spam = got(1L)
+    assert(spam.getAs[String]("top_bigram") == "spam spam")
+    assert(spam.getAs[Double]("top_bigram_frac") == 1.0)
+    assert(spam.getAs[Double]("dup_trigram_frac") == 0.75) // 4 trigrams, 1 distinct
+    assert(spam.getAs[Int]("n_consec_repeats") == 5)
+    assert(!spam.getAs[Boolean]("keep"))
+    val varied = got(2L)
+    assert(varied.getAs[Double]("dup_trigram_frac") == 0.0)
+    assert(varied.getAs[Int]("n_consec_repeats") == 0)
+    assert(math.abs(varied.getAs[Double]("top_bigram_frac") - 1.0 / 11) < 1e-6)
+    // all-unique bigrams tie: greatest (count, bigram) struct → last bigram
+    assert(varied.getAs[String]("top_bigram") == "k l")
+    assert(varied.getAs[Boolean]("keep"))
+  }
+
   test("sorted-token fingerprint is permutation-invariant, rolling hash is not") {
     import spark.implicits._
     val df = Seq(
