@@ -31,6 +31,17 @@ object Deterministic {
     */
   def davg(c: Column): Column = dsum(c) / count(lit(1))
 
+  /** Order-independent sum for SMALL magnitudes (|x| ≲ 10¹⁷): decimal with
+    * 20 fractional digits — finer than a double's ~16 significant digits
+    * for unit-scale values, so each addend rounds identically on every
+    * partitioning and the decimal total is exact. Used for embedding-mean
+    * updates, where [[dsum]]'s 2-dp money scale would destroy the signal.
+    * The oracle side may sum plain doubles: the ≤1e-20 per-addend gap is
+    * orders below the round(·,9) comparisons downstream.
+    */
+  def dsumFine(c: Column): Column =
+    sum(c.cast(DecimalType(38, 20))).cast("double")
+
   /** 32-bit word hash computable identically in DuckDB:
     * Spark `conv(substr(md5(w),1,8),16,10)` ==
     * DuckDB `CAST('0x' || substr(md5(w),1,8) AS BIGINT)`.

@@ -431,7 +431,102 @@ object Similarity {
            |SELECT u AS vec_id, min(v) AS cluster_id FROM reach
            |GROUP BY u ORDER BY vec_id""".stripMargin))
 
+  /** Σ aᵢ·bᵢ over double arrays via a sequential fold — the same
+    * accumulation order as the float kernel and DuckDB's `list_sum`, so
+    * scores stay oracle-comparable. Used where one side is a computed
+    * double array (k-means centroids) the float kernel can't take.
+    */
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Spherical k-means assignment (cosine argmax, per-dimension mean
+    * update) — the topic-bucketing / mixture-balancing pass a curation
+    * pipeline runs over its embedding corpus. Deterministic seeds (the
+    * first k vectors), `iters` Lloyd iterations.
+    *
+    * Scale shape: centroids stay k×dims small however large the corpus, so
+    * every assignment pass is a map-side broadcast crossJoin (never a
+    * vec×vec product) + one per-vector window; the mean update is a
+    * two-phase hash aggregate over (cluster, dim) — k·dims rows of shuffle
+    * output per iteration.
+    *
+    * Determinism: assignment ranks round(cos, 9) with centroid-id
+    * tie-break; means go through [[graft.functions.Deterministic.dsumFine]]
+    * (order-independent decimal sum) so re-runs are identical on any
+    * partitioning.
+    */
+  def kmeansAssign(e: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    val base = e.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(dotD(col("v"), col("v"))))
+    var cents = base.filter(col("vec_id") < k)
+      .select(col("vec_id").as("c"), col("v").as("cv"), col("nrm").as("cn"))
+    var assigned: DataFrame = base // overwritten on the first iteration
+    for (it <- 1 to iters) {
+      val wA = Window.partitionBy("vec_id")
+        .orderBy(round(col("cos_c"), 9).desc, col("c"))
+      assigned = base.crossJoin(broadcast(cents))
+        .withColumn("cos_c", dotD(col("v"), col("cv")) / (col("nrm") * col("cn")))
+        .withColumn("rn", row_number().over(wA))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"), col("c"))
+      if (it < iters) {
+        cents = assigned
+          .select(col("c"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("c", "pos")
+          .agg((graft.functions.Deterministic.dsumFine(col("x")) /
+            count(lit(1))).as("mv"))
+          .groupBy("c")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
+            s => s("mv")).as("cv"))
+          .withColumn("cn", sqrt(dotD(col("cv"), col("cv"))))
+      }
+    }
+    assigned.select(col("vec_id"), col("c").as("cluster_id"))
+  }
+
+  /** K-means summary over the corpus (k = 8, 2 Lloyd iterations): integer
+    * per-cluster stats only, so cross-engine float noise in the means can't
+    * leak into the compared values (assignments themselves are stabilized
+    * by the round(·,9)+id ranking). Fully oracle-checked — seed choice,
+    * both assignment passes and the mean update are plain SQL.
+    */
+  private val simKmeans = Q(
+    "sim_kmeans",
+    (s, dir) => kmeansAssign(emb(s, dir))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).cast("int").as("n_members"),
+        min(col("vec_id")).as("min_vec_id"),
+        sum(col("vec_id")).as("sum_vec_id"))
+      .orderBy("cluster_id"),
+    Some("""WITH en AS (SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+           |    sqrt(list_sum(list_transform(embedding,
+           |      x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+           |  FROM embeddings),
+           |c0 AS (SELECT vec_id AS c, v AS cv, nrm AS cn FROM en WHERE vec_id < 8),
+           |a1 AS (SELECT vec_id, v, nrm, c FROM (
+           |    SELECT en.vec_id, en.v, en.nrm, c0.c,
+           |      ROW_NUMBER() OVER (PARTITION BY en.vec_id ORDER BY round(
+           |        list_sum(list_transform(range(1,65), i -> en.v[i]*c0.cv[i]))
+           |        / (en.nrm*c0.cn), 9) DESC, c0.c) AS rn
+           |    FROM en CROSS JOIN c0) WHERE rn = 1),
+           |m AS (SELECT c, i, avg(v[i]) AS mv
+           |      FROM a1, unnest(range(1,65)) AS t(i) GROUP BY c, i),
+           |c1 AS (SELECT c, array_agg(mv ORDER BY i) AS cv FROM m GROUP BY c),
+           |c1n AS (SELECT c, cv, sqrt(list_sum(list_transform(cv, x -> x*x))) AS cn
+           |        FROM c1),
+           |a2 AS (SELECT vec_id, c FROM (
+           |    SELECT en.vec_id, c1n.c,
+           |      ROW_NUMBER() OVER (PARTITION BY en.vec_id ORDER BY round(
+           |        list_sum(list_transform(range(1,65), i -> en.v[i]*c1n.cv[i]))
+           |        / (en.nrm*c1n.cn), 9) DESC, c1n.c) AS rn
+           |    FROM en CROSS JOIN c1n) WHERE rn = 1)
+           |SELECT c AS cluster_id, CAST(count(*) AS INT) AS n_members,
+           |  min(vec_id) AS min_vec_id, CAST(sum(vec_id) AS BIGINT) AS sum_vec_id
+           |FROM a2 GROUP BY c ORDER BY cluster_id""".stripMargin))
+
   val queries: Seq[Q] = Seq(
     simBruteTopk, simLshAnn, dedupEmbeddingCosine, simIvfAnn,
-    dedupSemanticClusters, simQuantizedTopk)
+    dedupSemanticClusters, simQuantizedTopk, simKmeans)
 }

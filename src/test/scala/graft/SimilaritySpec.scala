@@ -136,6 +136,26 @@ class SimilaritySpec extends SparkSuite {
     assert(got.filter(col("vec_a") >= col("vec_b")).count() == 0)
   }
 
+  test("k-means separates orthogonal blobs and the 2nd iteration fixes bad seeds") {
+    import spark.implicits._
+    // two tight blobs along orthogonal axes; vecs 0-4 blob A, 5-9 blob B.
+    // seeds are vec 0 (A) and vec 1 (ALSO A — a bad seed): iteration 1
+    // splits blob A between the seeds while all of B lands on one of them;
+    // the mean update then pulls that centroid toward B, and iteration 2
+    // must end with the blobs cleanly separated.
+    def vA(i: Int) = Array(1.0f, 0.01f * i, 0f, 0f)
+    def vB(i: Int) = Array(0f, 0.01f * i, 1.0f, 0f)
+    val d = ((0 until 5).map(i => (i.toLong, vA(i))) ++
+      (5 until 10).map(i => (i.toLong, vB(i)))).toDF("vec_id", "embedding")
+    val got = Similarity.kmeansAssign(d, k = 2, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val clustersA = (0L until 5L).map(got).toSet
+    val clustersB = (5L until 10L).map(got).toSet
+    assert(clustersA.size == 1, s"blob A split: $got")
+    assert(clustersB.size == 1, s"blob B split: $got")
+    assert(clustersA != clustersB, s"blobs merged: $got")
+  }
+
   test("brute-force top-k matches a driver-side recomputation on a sample") {
     val rows = Queries.byName("sim_brute_topk").run(spark, sfDir)
       .filter(col("q_id") === 0).collect()
