@@ -73,6 +73,19 @@ object Sources {
   def parquetEvolved(spark: SparkSession, path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)
 
+  /** ORC scan — the other columnar lake format (Hive-ecosystem tables
+    * arrive this way); predicate pushdown, column pruning and partition
+    * discovery behave as for parquet.
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** Whole-line text scan: one `value` row per line — the raw-corpus
+    * ingest shape (each line a document / JSON blob to parse downstream).
+    */
+  def text(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
   /** JDBC read — the warehouse leg of the reference's stack (its curated
     * layer is served to a SQL warehouse, README.md:92-101; Athena/Redshift
     * both speak JDBC from Spark). Catalyst pushes filters and column
@@ -158,4 +171,12 @@ object Sources {
   /** JSON-lines export. */
   def jsonSink(df: DataFrame, out: String, mode: String = "overwrite"): Unit =
     df.write.mode(mode).json(out)
+
+  /** ORC export. */
+  def orcSink(df: DataFrame, out: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).orc(out)
+
+  /** Line-text export: requires a single string column. */
+  def textSink(df: DataFrame, out: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).text(out)
 }

@@ -40,6 +40,34 @@ class SourcesSpec extends SparkSuite {
       src.agg(sum(length(col("text")))).head.getLong(0))
   }
 
+  test("orc roundtrip preserves schema, rows, and filter pushdown") {
+    val dir = tmp("graft-orc")
+    val src = orders.select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"))
+    Sources.orcSink(src, dir)
+    val back = Sources.orc(spark, dir)
+    assert(back.schema == src.schema)
+    assert(back.count() == src.count())
+    assert(back.agg(sum("o_orderkey")).head.getLong(0) ==
+      src.agg(sum("o_orderkey")).head.getLong(0))
+    // pushdown reaches the ORC scan exactly as it does for parquet
+    val plan = back.filter(col("o_orderkey") === 1L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,1)]"),
+      plan.linesIterator.take(12).mkString("\n"))
+  }
+
+  test("text roundtrip: one value row per line") {
+    val dir = tmp("graft-text")
+    val src = Tables.load(spark, sfDir, "documents").select(col("text"))
+    Sources.textSink(src, dir)
+    val back = Sources.text(spark, dir)
+    assert(back.columns.toSeq == Seq("value"))
+    assert(back.count() == src.count())
+    assert(back.agg(sum(length(col("value")))).head.getLong(0) ==
+      src.agg(sum(length(col("text")))).head.getLong(0))
+  }
+
   test("partitioned parquet sink: Hive layout, no single-task write, prunable") {
     val dir = tmp("graft-part")
     val src = orders.withColumn("order_year", year(col("o_orderdate")))
