@@ -112,6 +112,49 @@ case class FloatVecNorm(child: Expression)
     copy(child = newChild)
 }
 
+/** Dot product over `array<double>` — for computed vectors (k-means
+  * centroids) that the float kernel can't take. Same sequential
+  * accumulation as [[FloatVecDot]], so scores stay oracle-comparable with
+  * the `list_sum` formulation.
+  */
+case class DoubleVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dvec_dot"
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeCheck.arrayOf(DoubleType, prettyName,
+      "left" -> left.dataType, "right" -> right.dataType)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double ${ev.value}_acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value}_acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = ${ev.value}_acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Integer dot product over int8-quantized vectors (`array<tinyint>`): the
   * scan/shuffle side of scalar-quantized similarity search carries 1 byte
   * per dimension instead of 4, and the candidate scoring loop is pure
@@ -169,9 +212,12 @@ object VectorKernels {
       exprs => FloatVecNorm(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("bvec_dot",
       exprs => ByteVecDot(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("dvec_dot",
+      exprs => DoubleVecDot(exprs(0), exprs(1)), "built-in")
   }
 
   def fdot(a: Column, b: Column): Column = call_function("fvec_dot", a, b)
   def fnorm(a: Column): Column = call_function("fvec_norm", a)
   def bdot(a: Column, b: Column): Column = call_function("bvec_dot", a, b)
+  def ddot(a: Column, b: Column): Column = call_function("dvec_dot", a, b)
 }

@@ -431,13 +431,13 @@ object Similarity {
            |SELECT u AS vec_id, min(v) AS cluster_id FROM reach
            |GROUP BY u ORDER BY vec_id""".stripMargin))
 
-  /** Σ aᵢ·bᵢ over double arrays via a sequential fold — the same
-    * accumulation order as the float kernel and DuckDB's `list_sum`, so
-    * scores stay oracle-comparable. Used where one side is a computed
-    * double array (k-means centroids) the float kernel can't take.
+  /** Σ aᵢ·bᵢ over double arrays — the [[graft.functions.DoubleVecDot]]
+    * codegen kernel (the `zip_with`+`aggregate` formulation is
+    * CodegenFallback and paid ~0.8 s of interpreted lambda dispatch at
+    * sf0.1). Same sequential accumulation as `list_sum`, so scores stay
+    * oracle-comparable. Session must be kernel-registered.
     */
-  private def dotD(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  private def dotD(a: Column, b: Column): Column = VectorKernels.ddot(a, b)
 
   /** Spherical k-means assignment (cosine argmax, per-dimension mean
     * update) — the topic-bucketing / mixture-balancing pass a curation
@@ -456,6 +456,7 @@ object Similarity {
     * partitioning.
     */
   def kmeansAssign(e: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    VectorKernels.register(e.sparkSession)
     val base = e.select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", sqrt(dotD(col("v"), col("v"))))
