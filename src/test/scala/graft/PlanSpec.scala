@@ -107,6 +107,22 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("sim_kmeans: both assignment passes are broadcast joins against centroids") {
+    val p = plan("sim_kmeans")
+    // the k-row centroid side must broadcast in BOTH Lloyd iterations; a
+    // SortMergeJoin here would shuffle the full corpus against 8 rows
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("text_repetition rebalances the scan before the per-row n-gram work") {
+    val p = plan("text_repetition")
+    // the bigram/trigram construction is map-side; without the round-robin
+    // exchange it all runs on the single scan partition (measured 14 s
+    // single-threaded at sf0.1)
+    assert(p.toLowerCase.contains("roundrobinpartitioning"), p)
+  }
+
   test("agg_pricing_summary scans only the aggregated columns") {
     val p = plan("agg_pricing_summary")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
