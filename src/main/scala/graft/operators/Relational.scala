@@ -1119,6 +1119,94 @@ object Relational {
            |FROM vold o FULL OUTER JOIN vnew n USING (o_orderkey)
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** SCD2 (slowly-changing-dimension, type 2) merge — the warehouse
+    * dimension-maintenance op: apply a batch of keyed attribute updates to
+    * a versioned dimension, closing the open row of every key whose
+    * attributes actually changed (`valid_to` = change date), opening a new
+    * version, passing no-op updates and untouched keys through unchanged,
+    * and inserting brand-new keys as open rows. Closed history rows ride
+    * through untouched.
+    *
+    * `current` carries `valid_from`/`valid_to` (null = open) plus the key
+    * and attribute columns; `updates` carries key, attributes and
+    * `changeDate`. One update per key per merge (the standard contract —
+    * fold intra-batch duplicates first).
+    *
+    * Scale shape: ONE full-outer shuffle join on the key plus a per-row
+    * conditional array explode that emits 1–2 rows — no second pass over
+    * the dimension, no window. At 100 TB the dimension and the update
+    * batch co-partition on the key; history rows join-match nothing and
+    * stream through.
+    */
+  def scd2Merge(current: DataFrame, updates: DataFrame, key: String,
+                attrs: Seq[String], changeDate: String = "change_date"): DataFrame = {
+    val a = struct(attrs.map(col): _*)
+    val cur = current.select(col(key), a.as("ca"),
+      col("valid_from"), col("valid_to"))
+    val upd = updates.select(col(key), a.as("ua"), col(changeDate).as("cd"))
+    val nullDate = lit(null).cast("date")
+    cur.join(upd, Seq(key), "full_outer")
+      .select(col(key), explode(
+        when(col("ca").isNull, // brand-new key: one open row
+          array(struct(col("ua").as("a"), col("cd").as("valid_from"),
+            nullDate.as("valid_to"))))
+          .when(col("ua").isNull || col("valid_to").isNotNull ||
+            col("ca") <=> col("ua"), // no update / history row / no-op
+            array(struct(col("ca").as("a"), col("valid_from"), col("valid_to"))))
+          .otherwise(array( // genuine change: close old, open new
+            struct(col("ca").as("a"), col("valid_from"), col("cd").as("valid_to")),
+            struct(col("ua").as("a"), col("cd").as("valid_from"),
+              nullDate.as("valid_to"))))).as("e"))
+      .select(col(key) +: attrs.map(n => col(s"e.a.$n").as(n)) :+
+        col("e.valid_from").as("valid_from") :+ col("e.valid_to").as("valid_to"): _*)
+  }
+
+  /** SCD2 merge over the customer dimension: every 10th key changes its
+    * balance (+100 → close + reopen), every 7th sends a no-op update
+    * (attributes equal → pass through), the rest receive nothing. Fully
+    * deterministic and SQL-expressible → oracle-checked; a crafted-data
+    * spec covers history-row pass-through and brand-new keys.
+    */
+  private val scd2MergeQ = Q(
+    "scd2_merge",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val cur = c.select(col("c_custkey"), col("c_acctbal"),
+        to_date(lit("1995-01-01")).as("valid_from"),
+        lit(null).cast("date").as("valid_to"))
+      val upd = c.filter(col("c_custkey") % 10 === 0 || col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 10 === 0, col("c_acctbal") + 100.0)
+            .otherwise(col("c_acctbal")).as("c_acctbal"),
+          to_date(lit("1995-06-01")).as("change_date"))
+      scd2Merge(cur, upd, "c_custkey", Seq("c_acctbal"))
+        .orderBy(col("c_custkey"), col("valid_from"))
+    },
+    Some("""WITH cur AS (SELECT c_custkey AS k, c_acctbal AS bal,
+           |    DATE '1995-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+           |  FROM customer),
+           |upd AS (SELECT c_custkey AS k,
+           |    CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100.0
+           |         ELSE c_acctbal END AS bal,
+           |    DATE '1995-06-01' AS cd
+           |  FROM customer WHERE c_custkey % 10 = 0 OR c_custkey % 7 = 0),
+           |j AS (SELECT cur.k AS ck, cur.bal AS cbal, cur.valid_from, cur.valid_to,
+           |        upd.k AS uk, upd.bal AS ubal, upd.cd
+           |      FROM cur FULL OUTER JOIN upd ON cur.k = upd.k)
+           |SELECT k AS c_custkey, bal AS c_acctbal, valid_from, valid_to FROM (
+           |  SELECT ck AS k, cbal AS bal, valid_from, valid_to FROM j
+           |  WHERE ck IS NOT NULL
+           |    AND (uk IS NULL OR valid_to IS NOT NULL OR cbal IS NOT DISTINCT FROM ubal)
+           |  UNION ALL
+           |  SELECT ck, cbal, valid_from, cd FROM j
+           |  WHERE ck IS NOT NULL AND uk IS NOT NULL AND valid_to IS NULL
+           |    AND cbal IS DISTINCT FROM ubal
+           |  UNION ALL
+           |  SELECT uk, ubal, cd, NULL FROM j
+           |  WHERE uk IS NOT NULL
+           |    AND (ck IS NULL OR (valid_to IS NULL AND cbal IS DISTINCT FROM ubal))
+           |) ORDER BY c_custkey, valid_from""".stripMargin))
+
   /** Footer-statistics aggregation: an unfiltered COUNT/MIN/MAX answered
     * from parquet footer metadata alone (`spark.sql.parquet
     * .aggregatePushdown`, pinned in [[graft.Sessions.scaleDefaults]]) — the
@@ -1185,7 +1273,7 @@ object Relational {
 
   val queries: Seq[Q] = Seq(
     catalogAgg, sampleMixture, qualityChecks, aggFooterStats, tableDiffQ,
-    aggHistogram, refPartitionCount,
+    scd2MergeQ, aggHistogram, refPartitionCount,
     aggPricingSummary, q3ShippingPriority,
     q5LocalSupplierVolume, eventsFunnel,
     eventsCohortRetention, filterProject, filterString,

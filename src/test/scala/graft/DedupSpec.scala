@@ -254,6 +254,34 @@ class DedupSpec extends SparkSuite {
       3L -> "changed", 4L -> "added"))
   }
 
+  test("scd2 merge: change closes+reopens, no-op passes, history rides through") {
+    import spark.implicits._
+    val d1 = java.sql.Date.valueOf("2020-01-01")
+    val d2 = java.sql.Date.valueOf("2020-06-01")
+    val cur = Seq(
+      (1L, 10.0, d1, null.asInstanceOf[java.sql.Date]), // open, will change
+      (2L, 20.0, d1, null.asInstanceOf[java.sql.Date]), // open, no-op update
+      (3L, 29.0, d1, d1),                               // closed history row
+      (3L, 30.0, d1, null.asInstanceOf[java.sql.Date])) // open, will change
+      .toDF("k", "bal", "valid_from", "valid_to")
+    val upd = Seq((1L, 11.0, d2), (2L, 20.0, d2), (3L, 31.0, d2), (9L, 99.0, d2))
+      .toDF("k", "bal", "change_date")
+    val got = graft.operators.Relational.scd2Merge(cur, upd, "k", Seq("bal"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        Option(r.getDate(2)).map(_.toString).orNull,
+        Option(r.getDate(3)).map(_.toString).orNull)).toSet
+    assert(got == Set(
+      (1L, 10.0, "2020-01-01", "2020-06-01"), // closed at change date
+      (1L, 11.0, "2020-06-01", null),         // reopened with new value
+      (2L, 20.0, "2020-01-01", null),         // no-op: untouched open row
+      (3L, 29.0, "2020-01-01", "2020-01-01"), // history row untouched
+      (3L, 30.0, "2020-01-01", "2020-06-01"),
+      (3L, 31.0, "2020-06-01", null),
+      (9L, 99.0, "2020-06-01", null)          // brand-new key
+    ), got.toString)
+  }
+
   test("exact dedup is idempotent") {
     val once = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
     val twice = once.groupBy("text").agg(min("doc_id").as("doc_id"))
