@@ -36,8 +36,12 @@ object Deterministic {
     * for unit-scale values, so each addend rounds identically on every
     * partitioning and the decimal total is exact. Used for embedding-mean
     * updates, where [[dsum]]'s 2-dp money scale would destroy the signal.
-    * The oracle side may sum plain doubles: the ≤1e-20 per-addend gap is
-    * orders below the round(·,9) comparisons downstream.
+    * Oracle equivalent: `CAST(SUM(CAST(x AS DECIMAL(38,20))) AS DOUBLE)` —
+    * mirroring the decimal sum keeps the only cross-engine gap at the
+    * per-addend 1e-20 rounding (possibly different rounding modes at that
+    * digit), orders below the round(·,9) comparisons downstream; a plain
+    * double `avg` oracle would instead accumulate ~n·ulp of running-sum
+    * error.
     */
   def dsumFine(c: Column): Column =
     sum(c.cast(DecimalType(38, 20))).cast("double")

@@ -563,34 +563,37 @@ object Dedup {
            |FROM p WHERE CAST(c AS DOUBLE)/(nn+n_o-c) >= 0.8
            |ORDER BY new_id, old_id""".stripMargin))
 
-  /** Segment-level boilerplate removal (C4/RefinedWeb line-dedup re-shaped
-    * for a corpus without line structure): each document splits into
-    * non-overlapping 3-token segments; a segment whose exact text occurs in
-    * ≥ 3 DISTINCT documents is boilerplate and is dropped from every
-    * document; survivors reassemble in order. Docs scrubbed to nothing stay
-    * in the output with empty text (left join), so the row count is total —
-    * the downstream filter decides their fate, not this operator.
+  /** Segment-level boilerplate removal for a `(doc_id, text)` frame
+    * (C4/RefinedWeb line-dedup re-shaped for a corpus without line
+    * structure): each document splits into non-overlapping `segLen`-token
+    * segments; a segment whose exact text occurs in ≥ `minDocs` DISTINCT
+    * documents is boilerplate and is dropped from every document;
+    * survivors reassemble in order. Docs scrubbed to nothing stay in the
+    * output with empty text (left join), so the row count is total — the
+    * downstream filter decides their fate, not this operator. Unordered
+    * (library callers feed further keyed operators; the query wrapper adds
+    * the oracle sort).
     *
     * Scale shape: explode → two-phase distinct-doc count per segment →
     * shuffle join back on the segment key → per-doc regroup. Everything is
-    * keyed; no doc×doc products, no driver state. At 100 TB the df table is
+    * keyed; no doc×doc products, no driver state. The scan is rebalanced
+    * before the per-segment slicing and the exploded frame is built ONCE
+    * ([[graft.Caches.track]]ed — it feeds the frequency count, the
+    * anti-join probe, and the per-doc totals). At 100 TB the df table is
     * Zipf-shaped and small relative to the corpus — the join's build side
     * prunes to only the hot segments if rewritten as anti-join vs
     * `df >= K`, which AQE handles when that side fits its broadcast
     * threshold.
     */
-  /** Segment-level boilerplate scrub for a `(doc_id, text)` frame — see
-    * [[dedupLines]] for semantics and scale shape.
-    */
   def segmentDedup(d: DataFrame, segLen: Int = 3, minDocs: Int = 3): DataFrame = {
-    val segs = d
+    val segs = graft.Caches.track(Tables.spread(d)
       .select(col("doc_id"), words(col("text")).as("w"))
       .select(col("doc_id"),
         explode(sequence(lit(1), ceil(size(col("w")) / lit(segLen.toDouble)).cast("int")))
           .as("seg_idx"), col("w"))
       .select(col("doc_id"), col("seg_idx"),
         array_join(slice(col("w"), (col("seg_idx") - 1) * segLen + 1, lit(segLen)), " ")
-          .as("seg"))
+          .as("seg")))
     val df = segs.groupBy("seg")
       .agg(countDistinct(col("doc_id")).as("df"))
     val kept = segs.join(df.filter(col("df") >= minDocs), Seq("seg"), "left_anti")
@@ -599,18 +602,16 @@ object Dedup {
         array_join(transform(
           array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
           x => x("seg")), " ").as("cleaned"))
-    d.select(col("doc_id"),
-        ceil(size(words(col("text"))) / lit(segLen.toDouble)).cast("int").as("n_segs"))
+    segs.groupBy("doc_id").agg(count(lit(1)).cast("int").as("n_segs"))
       .join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_segs"),
         coalesce(col("n_kept"), lit(0L)).cast("int").as("n_kept"),
         coalesce(col("cleaned"), lit("")).as("cleaned"))
-      .orderBy("doc_id")
   }
 
   private val dedupLines = Q(
     "dedup_lines",
-    (s, dir) => segmentDedup(docs(s, dir)),
+    (s, dir) => segmentDedup(docs(s, dir)).orderBy("doc_id"),
     Some("""WITH d AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
            |s AS (SELECT doc_id, i AS seg_idx,
            |        array_to_string(list_slice(w, (i-1)*3 + 1,

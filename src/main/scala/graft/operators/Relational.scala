@@ -1129,29 +1129,31 @@ object Relational {
     *
     * `current` carries `valid_from`/`valid_to` (null = open) plus the key
     * and attribute columns; `updates` carries key, attributes and
-    * `changeDate`. One update per key per merge (the standard contract —
-    * fold intra-batch duplicates first).
+    * `changeDate`. An update for a key with NO open row (brand-new, or
+    * retired — every version closed) inserts a fresh open version, the
+    * Delta-MERGE re-arrival semantics. One update per key per merge (the
+    * standard contract — fold intra-batch duplicates first).
     *
-    * Scale shape: ONE full-outer shuffle join on the key plus a per-row
-    * conditional array explode that emits 1–2 rows — no second pass over
-    * the dimension, no window. At 100 TB the dimension and the update
-    * batch co-partition on the key; history rows join-match nothing and
-    * stream through.
+    * Scale shape: only the OPEN slice of the dimension joins the update
+    * batch (one full-outer shuffle join on the key) and a per-row
+    * conditional array explode emits 1–2 rows; closed history rows bypass
+    * the join entirely through the union — no second pass over the
+    * dimension, no window.
     */
   def scd2Merge(current: DataFrame, updates: DataFrame, key: String,
                 attrs: Seq[String], changeDate: String = "change_date"): DataFrame = {
     val a = struct(attrs.map(col): _*)
-    val cur = current.select(col(key), a.as("ca"),
+    val shaped = current.select(col(key), a.as("ca"),
       col("valid_from"), col("valid_to"))
     val upd = updates.select(col(key), a.as("ua"), col(changeDate).as("cd"))
     val nullDate = lit(null).cast("date")
-    cur.join(upd, Seq(key), "full_outer")
+    val merged = shaped.filter(col("valid_to").isNull)
+      .join(upd, Seq(key), "full_outer")
       .select(col(key), explode(
-        when(col("ca").isNull, // brand-new key: one open row
+        when(col("ca").isNull, // no open row (new or re-arriving key)
           array(struct(col("ua").as("a"), col("cd").as("valid_from"),
             nullDate.as("valid_to"))))
-          .when(col("ua").isNull || col("valid_to").isNotNull ||
-            col("ca") <=> col("ua"), // no update / history row / no-op
+          .when(col("ua").isNull || col("ca") <=> col("ua"), // no/no-op update
             array(struct(col("ca").as("a"), col("valid_from"), col("valid_to"))))
           .otherwise(array( // genuine change: close old, open new
             struct(col("ca").as("a"), col("valid_from"), col("cd").as("valid_to")),
@@ -1159,6 +1161,9 @@ object Relational {
               nullDate.as("valid_to"))))).as("e"))
       .select(col(key) +: attrs.map(n => col(s"e.a.$n").as(n)) :+
         col("e.valid_from").as("valid_from") :+ col("e.valid_to").as("valid_to"): _*)
+    merged.unionByName(shaped.filter(col("valid_to").isNotNull)
+      .select(col(key) +: attrs.map(n => col(s"ca.$n").as(n)) :+
+        col("valid_from") :+ col("valid_to"): _*))
   }
 
   /** SCD2 merge over the customer dimension: every 10th key changes its
@@ -1190,21 +1195,21 @@ object Relational {
            |         ELSE c_acctbal END AS bal,
            |    DATE '1995-06-01' AS cd
            |  FROM customer WHERE c_custkey % 10 = 0 OR c_custkey % 7 = 0),
-           |j AS (SELECT cur.k AS ck, cur.bal AS cbal, cur.valid_from, cur.valid_to,
+           |j AS (SELECT o.k AS ck, o.bal AS cbal, o.valid_from, o.valid_to,
            |        upd.k AS uk, upd.bal AS ubal, upd.cd
-           |      FROM cur FULL OUTER JOIN upd ON cur.k = upd.k)
+           |      FROM (SELECT * FROM cur WHERE valid_to IS NULL) o
+           |      FULL OUTER JOIN upd ON o.k = upd.k)
            |SELECT k AS c_custkey, bal AS c_acctbal, valid_from, valid_to FROM (
            |  SELECT ck AS k, cbal AS bal, valid_from, valid_to FROM j
-           |  WHERE ck IS NOT NULL
-           |    AND (uk IS NULL OR valid_to IS NOT NULL OR cbal IS NOT DISTINCT FROM ubal)
+           |  WHERE ck IS NOT NULL AND (uk IS NULL OR cbal IS NOT DISTINCT FROM ubal)
            |  UNION ALL
            |  SELECT ck, cbal, valid_from, cd FROM j
-           |  WHERE ck IS NOT NULL AND uk IS NOT NULL AND valid_to IS NULL
-           |    AND cbal IS DISTINCT FROM ubal
+           |  WHERE ck IS NOT NULL AND uk IS NOT NULL AND cbal IS DISTINCT FROM ubal
            |  UNION ALL
            |  SELECT uk, ubal, cd, NULL FROM j
-           |  WHERE uk IS NOT NULL
-           |    AND (ck IS NULL OR (valid_to IS NULL AND cbal IS DISTINCT FROM ubal))
+           |  WHERE uk IS NOT NULL AND (ck IS NULL OR cbal IS DISTINCT FROM ubal)
+           |  UNION ALL
+           |  SELECT k, bal, valid_from, valid_to FROM cur WHERE valid_to IS NOT NULL
            |) ORDER BY c_custkey, valid_from""".stripMargin))
 
   /** Footer-statistics aggregation: an unfiltered COUNT/MIN/MAX answered

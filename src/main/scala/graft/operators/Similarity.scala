@@ -442,7 +442,7 @@ object Similarity {
   /** Spherical k-means assignment (cosine argmax, per-dimension mean
     * update) — the topic-bucketing / mixture-balancing pass a curation
     * pipeline runs over its embedding corpus. Deterministic seeds (the
-    * first k vectors), `iters` Lloyd iterations.
+    * k lowest-id vectors, whatever the id space), `iters` Lloyd iterations.
     *
     * Scale shape: centroids stay k×dims small however large the corpus, so
     * every assignment pass is a map-side broadcast crossJoin (never a
@@ -456,11 +456,15 @@ object Similarity {
     * partitioning.
     */
   def kmeansAssign(e: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    require(k >= 1, s"kmeansAssign: k must be >= 1, got $k")
+    require(iters >= 1, s"kmeansAssign: iters must be >= 1, got $iters")
     VectorKernels.register(e.sparkSession)
     val base = e.select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", sqrt(dotD(col("v"), col("v"))))
-    var cents = base.filter(col("vec_id") < k)
+    // seeds: the k LOWEST ids (a distributed top-k, not `vec_id < k` — id
+    // spaces that don't start at 0 must still yield k centroids)
+    var cents = base.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("c"), col("v").as("cv"), col("nrm").as("cn"))
     var assigned: DataFrame = base // overwritten on the first iteration
     for (it <- 1 to iters) {
@@ -505,14 +509,16 @@ object Similarity {
            |    sqrt(list_sum(list_transform(embedding,
            |      x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
            |  FROM embeddings),
-           |c0 AS (SELECT vec_id AS c, v AS cv, nrm AS cn FROM en WHERE vec_id < 8),
+           |c0 AS (SELECT vec_id AS c, v AS cv, nrm AS cn FROM en
+           |       ORDER BY vec_id LIMIT 8),
            |a1 AS (SELECT vec_id, v, nrm, c FROM (
            |    SELECT en.vec_id, en.v, en.nrm, c0.c,
            |      ROW_NUMBER() OVER (PARTITION BY en.vec_id ORDER BY round(
            |        list_sum(list_transform(range(1,65), i -> en.v[i]*c0.cv[i]))
            |        / (en.nrm*c0.cn), 9) DESC, c0.c) AS rn
            |    FROM en CROSS JOIN c0) WHERE rn = 1),
-           |m AS (SELECT c, i, avg(v[i]) AS mv
+           |m AS (SELECT c, i,
+           |        CAST(sum(CAST(v[i] AS DECIMAL(38,20))) AS DOUBLE) / count(*) AS mv
            |      FROM a1, unnest(range(1,65)) AS t(i) GROUP BY c, i),
            |c1 AS (SELECT c, array_agg(mv ORDER BY i) AS cv FROM m GROUP BY c),
            |c1n AS (SELECT c, cv, sqrt(list_sum(list_transform(cv, x -> x*x))) AS cn

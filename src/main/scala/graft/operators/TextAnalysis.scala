@@ -552,19 +552,17 @@ object TextAnalysis {
            |  CAST(len(regexp_extract_all(raw, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ips
            |FROM r ORDER BY doc_id""".stripMargin))
 
-  /** Repetition-based quality signals (the Gopher/MassiveText repetition
-    * rules re-expressed relationally): fraction of bigram mass taken by the
-    * single most frequent bigram, fraction of duplicate trigram
-    * occurrences, and the count of immediate word repeats. Per-row signals
-    * (trigram dedup, consecutive repeats) are higher-order array functions
-    * carried THROUGH the bigram aggregation as grouping keys, so the whole
-    * query is one explode → two-phase count → per-doc max — no join back to
-    * the source. `keep` applies the published-style thresholds (top bigram
-    * < 18 % of bigram mass, duplicate trigram mass < 30 %).
-    */
-  /** Per-document repetition signals for a `(doc_id, text)` frame — see
-    * [[textRepetition]] for the signal definitions and scale shape. Docs
-    * with fewer than 3 tokens carry no trigram signal and are excluded.
+  /** Repetition-based quality signals for a `(doc_id, text)` frame (the
+    * Gopher/MassiveText repetition rules re-expressed relationally):
+    * fraction of bigram mass taken by the single most frequent bigram,
+    * fraction of duplicate trigram occurrences, and the count of immediate
+    * word repeats. Per-row signals (trigram dedup, consecutive repeats)
+    * are higher-order array functions carried THROUGH the bigram
+    * aggregation as grouping keys, so the whole query is one explode →
+    * two-phase count → per-doc max — no join back to the source. `keep`
+    * applies the published-style thresholds (top bigram < 18 % of bigram
+    * mass, duplicate trigram mass < 30 %). Docs with fewer than 3 tokens
+    * carry no trigram signal and are excluded.
     */
   def repetitionSignals(d: DataFrame): DataFrame = {
     val w = col("w")

@@ -262,9 +262,11 @@ class DedupSpec extends SparkSuite {
       (1L, 10.0, d1, null.asInstanceOf[java.sql.Date]), // open, will change
       (2L, 20.0, d1, null.asInstanceOf[java.sql.Date]), // open, no-op update
       (3L, 29.0, d1, d1),                               // closed history row
-      (3L, 30.0, d1, null.asInstanceOf[java.sql.Date])) // open, will change
+      (3L, 30.0, d1, null.asInstanceOf[java.sql.Date]), // open, will change
+      (4L, 40.0, d1, d1))                               // retired: closed only
       .toDF("k", "bal", "valid_from", "valid_to")
-    val upd = Seq((1L, 11.0, d2), (2L, 20.0, d2), (3L, 31.0, d2), (9L, 99.0, d2))
+    val upd = Seq((1L, 11.0, d2), (2L, 20.0, d2), (3L, 31.0, d2),
+      (4L, 41.0, d2), (9L, 99.0, d2))
       .toDF("k", "bal", "change_date")
     val got = graft.operators.Relational.scd2Merge(cur, upd, "k", Seq("bal"))
       .collect()
@@ -278,6 +280,8 @@ class DedupSpec extends SparkSuite {
       (3L, 29.0, "2020-01-01", "2020-01-01"), // history row untouched
       (3L, 30.0, "2020-01-01", "2020-06-01"),
       (3L, 31.0, "2020-06-01", null),
+      (4L, 40.0, "2020-01-01", "2020-01-01"), // retired history untouched...
+      (4L, 41.0, "2020-06-01", null),         // ...and the key re-arrives open
       (9L, 99.0, "2020-06-01", null)          // brand-new key
     ), got.toString)
   }

@@ -154,6 +154,13 @@ class SimilaritySpec extends SparkSuite {
     assert(clustersA.size == 1, s"blob A split: $got")
     assert(clustersB.size == 1, s"blob B split: $got")
     assert(clustersA != clustersB, s"blobs merged: $got")
+    // seeds are the k lowest ids, not `vec_id < k`: a shifted id space
+    // must still produce k clusters, not silently return nothing
+    val shifted = d.withColumn("vec_id", col("vec_id") + 1000L)
+    val gotShifted = Similarity.kmeansAssign(shifted, k = 2, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotShifted.size == 10 && gotShifted.values.toSet.size == 2, gotShifted.toString)
+    intercept[IllegalArgumentException](Similarity.kmeansAssign(d, k = 2, iters = 0))
   }
 
   test("brute-force top-k matches a driver-side recomputation on a sample") {
