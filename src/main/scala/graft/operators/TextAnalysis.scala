@@ -623,8 +623,94 @@ object TextAnalysis {
            |  (round(CAST(c AS DOUBLE) / nb, 6) < 0.18 AND dup3 < 0.30) AS keep
            |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin))
 
+  /** BPE tokenizer training (Sennrich-style `learn_bpe`): learn `rounds`
+    * merge rules over the corpus's word-frequency dictionary. The
+    * corpus-scale stage is the distributed word count; every merge round
+    * then runs on the vocabulary-sized dictionary (the standard shape —
+    * BPE training is vocab-local once frequencies are known, so at 100 TB
+    * the cost is ONE token count over the corpus, never `rounds` corpus
+    * passes; the dictionary is cached once and reused by every round's
+    * branch). Word pieces travel as a double-space-joined string
+    * (`"  l  o  w  "`): a merge (a,b) is then one literal `replace` of
+    * `" a  b "` with `" ab "`, whose left-to-right non-overlapping scan IS
+    * BPE's merge-application order — the padding spaces make consecutive
+    * occurrences share no characters, and the semantics are identical in
+    * Spark and DuckDB, so the oracle replays the whole training loop.
+    * Tie-breaks: (pair_freq desc, left, right). Pair counts include
+    * overlapping occurrences (`"aaa"` contributes (a,a) twice), matching
+    * the reference BPE `get_stats`.
+    */
+  def bpeMerges(d: DataFrame, rounds: Int = 6): DataFrame = {
+    require(rounds >= 1, s"bpeMerges: rounds must be >= 1, got $rounds")
+    val sep = "  "
+    var vocab = graft.Caches.track(d
+      .select(explode(words(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      // Spark's split("", -1) keeps a trailing empty string — drop empties
+      // so the char sequence matches DuckDB's string_split(word, '')
+      .withColumn("s", concat(lit(sep),
+        array_join(filter(split(col("word"), ""), c => length(c) > 0), sep),
+        lit(sep))))
+    var merges: DataFrame = null
+    for (r <- 1 to rounds) {
+      val p = col("p")
+      // each round's winning pair is CACHED: it is read by round r's merge
+      // application AND by every later round's lineage AND by the final
+      // union — uncached, branch r re-runs all r-1 prior aggregations
+      // (O(rounds²) stages; measured 10.8 s vs ~1 s at sf0.1)
+      val top = graft.Caches.track(vocab
+        .select(col("freq"), split(trim(col("s")), sep).as("p"))
+        // single-piece (fully merged) words carry no pairs — and Spark's
+        // sequence(1, 0) would generate a DESCENDING sequence, not empty
+        .filter(size(p) >= 2)
+        .select(col("freq"), explode(transform(sequence(lit(1), size(p) - 1),
+          i => struct(element_at(p, i).as("a"), element_at(p, i + 1).as("b")))).as("ab"))
+        .groupBy(col("ab.a").as("a"), col("ab.b").as("b"))
+        .agg(sum(col("freq")).as("pair_freq"))
+        .orderBy(col("pair_freq").desc, col("a"), col("b")).limit(1)
+        .withColumn("merge_rank", lit(r)))
+      merges = if (merges == null) top else merges.unionByName(top)
+      vocab = vocab.crossJoin(broadcast(top.select("a", "b")))
+        .withColumn("s", replace(col("s"),
+          concat(lit(" "), col("a"), lit(sep), col("b"), lit(" ")),
+          concat(lit(" "), col("a"), col("b"), lit(" "))))
+        .select("word", "freq", "s")
+    }
+    merges.select(col("merge_rank"), col("a").as("left_piece"),
+      col("b").as("right_piece"), col("pair_freq"))
+  }
+
+  private def bpeRoundSql(r: Int): String = {
+    val prev = s"w${r - 1}"
+    s"""p$r AS (SELECT p[i] AS a, p[i+1] AS b, CAST(sum(freq) AS BIGINT) AS f
+       |      FROM (SELECT freq, string_split(trim(s), '  ') AS p FROM $prev),
+       |           unnest(range(1, len(p))) AS t(i)
+       |      GROUP BY a, b),
+       |t$r AS (SELECT a, b, f FROM p$r ORDER BY f DESC, a, b LIMIT 1),
+       |w$r AS (SELECT word, freq,
+       |        replace(s, ' '||t$r.a||'  '||t$r.b||' ', ' '||t$r.a||t$r.b||' ') AS s
+       |       FROM $prev, t$r)""".stripMargin
+  }
+
+  private val textBpe = Q(
+    "text_bpe",
+    (s, dir) => bpeMerges(docs(s, dir)).orderBy("merge_rank"),
+    Some(("""WITH w0 AS (SELECT word, count(*) AS freq,
+            |    '  ' || array_to_string(string_split(word, ''), '  ') || '  ' AS s
+            |  FROM (SELECT unnest(string_split(text,' ')) AS word FROM documents)
+            |  GROUP BY word),
+            |""".stripMargin +
+      (1 to 6).map(bpeRoundSql).mkString(",\n") + "\n" +
+      """SELECT merge_rank, left_piece, right_piece, pair_freq FROM (
+        |""".stripMargin +
+      (1 to 6).map(r =>
+        s"  SELECT $r AS merge_rank, a AS left_piece, b AS right_piece, f AS pair_freq FROM t$r")
+        .mkString("\n  UNION ALL\n") +
+      "\n) ORDER BY merge_rank")))
+
   val queries: Seq[Q] = Seq(
     textTokens, textTokenFreq, textTfidf, textQuality, textLangid,
     textFingerprint, textNormalize, textPack, textPackSpans, textVocab,
-    textHeavyHitters, textChunk, textEncode, textRedact, textRepetition)
+    textHeavyHitters, textChunk, textEncode, textRedact, textRepetition,
+    textBpe)
 }

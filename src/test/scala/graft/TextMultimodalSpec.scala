@@ -57,6 +57,20 @@ class TextMultimodalSpec extends SparkSuite {
     assert(varied.getAs[Boolean]("keep"))
   }
 
+  test("bpe merges replay the hand-computed training on a crafted corpus") {
+    import spark.implicits._
+    // word freqs: low×3, lower×2, newest×1.
+    // round 1: (l,o)=5 ties (o,w)=5 → left tie-break picks (l,o)
+    // round 2: low→[lo,w]×3 + lower→[lo,w,..]×2 gives (lo,w)=5
+    // round 3: (low,e)=2 ties (e,r)=2 → 'e' < 'low' picks (e,r)
+    val d = Seq((1L, "low low low"), (2L, "lower lower"), (3L, "newest"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMerges(d, rounds = 3).orderBy("merge_rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1, "l", "o", 5L), (2, "lo", "w", 5L), (3, "e", "r", 2L)),
+      got.mkString(","))
+  }
+
   test("sorted-token fingerprint is permutation-invariant, rolling hash is not") {
     import spark.implicits._
     val df = Seq(
