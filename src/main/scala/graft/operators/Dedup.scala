@@ -629,8 +629,85 @@ object Dedup {
            |FROM d LEFT JOIN k ON d.doc_id = k.doc_id
            |ORDER BY d.doc_id""".stripMargin))
 
+  /** End-to-end curation pipeline — the full pre-training data path in one
+    * DAG: quality gate (length/stopword composite ≥ 0.8) → PII redaction →
+    * cross-doc segment boilerplate scrub ([[segmentDedup]]) → exact dedup
+    * of the cleaned text (min-id winner carries its lang via struct-min) →
+    * per-language sequence packing of the survivors. Every stage is a
+    * proven oracle-checked component; composing them end-to-end is what a
+    * real curation job runs nightly, and the composition itself is
+    * oracle-checked here. Linear at every stage: one filter+map pass, the
+    * segment-keyed scrub, one hash aggregate, one per-lang prefix window.
+    */
+  private val pipelineCurate = Q(
+    "pipeline_curate",
+    (s, dir) => {
+      val w = words(col("text"))
+      val stop = Seq("the", "of", "and", "a", "to", "in", "is", "on", "for", "with")
+      val nStop = size(filter(w, t => t.isin(stop.map(x => x: Any): _*)))
+      val quality = least(size(w).cast("double") / 50.0, lit(1.0)) * 0.5 +
+        (lit(1.0) - nStop.cast("double") / size(w)) * 0.5
+      val qualified = docs(s, dir)
+        .filter(round(quality, 6) >= 0.8)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.redactPii(col("text")).as("text"))
+      val cleaned = segmentDedup(qualified)
+        .filter(col("cleaned") =!= "")
+        .join(qualified.select("doc_id", "lang"), Seq("doc_id"))
+      val deduped = cleaned.groupBy(col("cleaned"))
+        .agg(min(struct(col("doc_id"), col("lang"))).as("m"))
+        .select(col("m.doc_id").as("doc_id"), col("m.lang").as("lang"), col("cleaned"))
+      val binTokens = 2048
+      val wWin = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      deduped
+        .select(col("doc_id"), col("lang"),
+          size(words(col("cleaned"))).cast("long").as("n_tokens"),
+          md5(col("cleaned")).as("fp"))
+        .withColumn("offset", coalesce(sum("n_tokens").over(wWin), lit(0L)))
+        .withColumn("bin_id", floor(col("offset") / binTokens).cast("long"))
+        .select("doc_id", "lang", "n_tokens", "bin_id", "fp")
+        .orderBy("doc_id")
+    },
+    Some("""WITH q AS (SELECT doc_id, lang, text FROM documents
+           |  WHERE round(least(CAST(len(string_split(text,' ')) AS DOUBLE)/50.0, 1.0)*0.5 +
+           |    (1.0 - CAST(len(list_filter(string_split(text,' '),
+           |       t -> list_contains(['the','of','and','a','to','in','is','on','for','with'], t)))
+           |     AS DOUBLE)/len(string_split(text,' ')))*0.5, 6) >= 0.8),
+           |r AS (SELECT doc_id, lang,
+           |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+           |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<email>', 'g'),
+           |    '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<phone>', 'g'),
+           |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<ssn>', 'g'),
+           |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<ip>', 'g') AS text
+           |  FROM q),
+           |d AS (SELECT doc_id, lang, string_split(text,' ') AS w FROM r),
+           |s AS (SELECT doc_id, i AS seg_idx,
+           |        array_to_string(list_slice(w, (i-1)*3 + 1,
+           |          least((i-1)*3 + 3, len(w))), ' ') AS seg
+           |      FROM d, unnest(range(1, CAST(ceil(len(w)/3.0) AS INT) + 1)) AS t(i)),
+           |f AS (SELECT seg, count(distinct doc_id) AS df FROM s GROUP BY seg),
+           |k AS (SELECT doc_id, array_to_string(array_agg(seg ORDER BY seg_idx), ' ') AS cleaned
+           |      FROM s WHERE seg NOT IN (SELECT seg FROM f WHERE df >= 3)
+           |      GROUP BY doc_id),
+           |kc AS (SELECT k.doc_id, d.lang, k.cleaned
+           |       FROM k JOIN d ON k.doc_id = d.doc_id WHERE k.cleaned != ''),
+           |dd AS (SELECT min(doc_id) AS doc_id, cleaned FROM kc GROUP BY cleaned),
+           |ddl AS (SELECT dd.doc_id, kc.lang, dd.cleaned
+           |        FROM dd JOIN kc ON dd.doc_id = kc.doc_id),
+           |p AS (SELECT doc_id, lang,
+           |        CAST(len(string_split(cleaned,' ')) AS BIGINT) AS n_tokens,
+           |        md5(cleaned) AS fp,
+           |        CAST(COALESCE(SUM(len(string_split(cleaned,' '))) OVER (
+           |          PARTITION BY lang ORDER BY doc_id
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           |          AS "offset"
+           |      FROM ddl)
+           |SELECT doc_id, lang, n_tokens, CAST("offset" // 2048 AS BIGINT) AS bin_id, fp
+           |FROM p ORDER BY doc_id""".stripMargin))
+
   val queries: Seq[Q] = Seq(
     dedupExact, dedupKeepfirst, dedupNgramJaccard, dedupMinhashLsh,
     dedupSimhash, dedupClusters, dedupPipelineSurvivors, dedupDecontaminate,
-    dedupIncremental, dedupLines)
+    dedupIncremental, dedupLines, pipelineCurate)
 }
