@@ -602,9 +602,14 @@ object Dedup {
         array_join(transform(
           array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
           x => x("seg")), " ").as("cleaned"))
-    segs.groupBy("doc_id").agg(count(lit(1)).cast("int").as("n_segs"))
+    // row set anchored on the INPUT's doc_ids (a pruned id-only scan), not
+    // on segs: a null-text doc explodes to no segments and would silently
+    // vanish from a segs-derived output, breaking the total-row contract
+    d.select(col("doc_id"))
+      .join(segs.groupBy("doc_id").agg(count(lit(1)).cast("int").as("n_segs")),
+        Seq("doc_id"), "left")
       .join(kept, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_segs"),
+      .select(col("doc_id"), coalesce(col("n_segs"), lit(0)).as("n_segs"),
         coalesce(col("n_kept"), lit(0L)).cast("int").as("n_kept"),
         coalesce(col("cleaned"), lit("")).as("cleaned"))
   }
@@ -642,15 +647,13 @@ object Dedup {
   private val pipelineCurate = Q(
     "pipeline_curate",
     (s, dir) => {
-      val w = words(col("text"))
-      val stop = Seq("the", "of", "and", "a", "to", "in", "is", "on", "for", "with")
-      val nStop = size(filter(w, t => t.isin(stop.map(x => x: Any): _*)))
-      val quality = least(size(w).cast("double") / 50.0, lit(1.0)) * 0.5 +
-        (lit(1.0) - nStop.cast("double") / size(w)) * 0.5
-      val qualified = docs(s, dir)
-        .filter(round(quality, 6) >= 0.8)
+      // cached: consumed by segmentDedup's exploded build AND the lang
+      // re-join below — uncached, the quality scoring re-runs over the
+      // whole corpus for the second consumer
+      val qualified = graft.Caches.track(docs(s, dir)
+        .filter(round(TextAnalysis.qualityScore(col("text")), 6) >= 0.8)
         .select(col("doc_id"), col("lang"),
-          TextAnalysis.redactPii(col("text")).as("text"))
+          TextAnalysis.redactPii(col("text")).as("text")))
       val cleaned = segmentDedup(qualified)
         .filter(col("cleaned") =!= "")
         .join(qualified.select("doc_id", "lang"), Seq("doc_id"))
@@ -669,18 +672,10 @@ object Dedup {
         .select("doc_id", "lang", "n_tokens", "bin_id", "fp")
         .orderBy("doc_id")
     },
-    Some("""WITH q AS (SELECT doc_id, lang, text FROM documents
-           |  WHERE round(least(CAST(len(string_split(text,' ')) AS DOUBLE)/50.0, 1.0)*0.5 +
-           |    (1.0 - CAST(len(list_filter(string_split(text,' '),
-           |       t -> list_contains(['the','of','and','a','to','in','is','on','for','with'], t)))
-           |     AS DOUBLE)/len(string_split(text,' ')))*0.5, 6) >= 0.8),
-           |r AS (SELECT doc_id, lang,
-           |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
-           |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<email>', 'g'),
-           |    '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<phone>', 'g'),
-           |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<ssn>', 'g'),
-           |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<ip>', 'g') AS text
-           |  FROM q),
+    Some(s"""WITH q AS (SELECT doc_id, lang, text FROM documents
+            |  WHERE round(${TextAnalysis.qualityScoreSql("text")}, 6) >= 0.8),
+            |r AS (SELECT doc_id, lang, ${TextAnalysis.redactSql("text")} AS text
+            |  FROM q),
            |d AS (SELECT doc_id, lang, string_split(text,' ') AS w FROM r),
            |s AS (SELECT doc_id, i AS seg_idx,
            |        array_to_string(list_slice(w, (i-1)*3 + 1,

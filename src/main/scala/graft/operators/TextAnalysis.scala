@@ -107,12 +107,34 @@ object TextAnalysis {
     * [0,1] — the usual cheap pre-filter before expensive pipeline stages.
     * Every float op is written identically on both engines.
     */
+  /** Stopword set shared by the quality composite — one definition for the
+    * Spark expression AND the oracle SQL, so a list edit can't de-sync the
+    * queries that score quality ([[textQuality]], the curation pipeline).
+    */
+  private[operators] val StopWords =
+    Seq("the", "of", "and", "a", "to", "in", "is", "on", "for", "with")
+  private[operators] val StopWordsSql = StopWords.map("'" + _ + "'").mkString(",")
+
+  /** Length/stopword quality composite in [0,1] (see [[textQuality]]). */
+  def qualityScore(text: Column): Column = {
+    val w = words(text)
+    val nStop = size(filter(w, t => t.isin(StopWords.map(x => x: Any): _*)))
+    least(size(w).cast("double") / 50.0, lit(1.0)) * 0.5 +
+      (lit(1.0) - nStop.cast("double") / size(w)) * 0.5
+  }
+
+  /** The same composite as DuckDB SQL over a text column expression. */
+  private[operators] def qualityScoreSql(c: String): String =
+    s"least(CAST(len(string_split($c,' ')) AS DOUBLE)/50.0, 1.0)*0.5 + " +
+      s"(1.0 - CAST(len(list_filter(string_split($c,' '), " +
+      s"t -> list_contains([$StopWordsSql], t))) " +
+      s"AS DOUBLE)/len(string_split($c,' ')))*0.5"
+
   private val textQuality = Q(
     "text_quality",
     (s, dir) => {
       val w = words(col("text"))
-      val stop = Seq("the", "of", "and", "a", "to", "in", "is", "on", "for", "with")
-      val nStop = size(filter(w, t => t.isin(stop.map(x => x: Any): _*)))
+      val nStop = size(filter(w, t => t.isin(StopWords.map(x => x: Any): _*)))
       val alpha = (length(regexp_replace(col("text"), "[^a-z ]", ""))
         .cast("double") / length(col("text"))).as("alpha_ratio")
       docsSpread(s, dir).select(
@@ -121,23 +143,19 @@ object TextAnalysis {
         size(w).as("n_tokens"),
         round(nStop.cast("double") / size(w), 6).as("stop_ratio"),
         round(alpha, 6).as("alpha_ratio"),
-        round(least(size(w).cast("double") / 50.0, lit(1.0)) * 0.5 +
-          (lit(1.0) - nStop.cast("double") / size(w)) * 0.5, 6).as("quality"))
+        round(qualityScore(col("text")), 6).as("quality"))
         .orderBy("doc_id")
     },
-    Some("""SELECT doc_id,
-           | CAST(length(text) AS INT) AS n_chars_actual,
-           | CAST(len(string_split(text,' ')) AS INT) AS n_tokens,
-           | round(CAST(len(list_filter(string_split(text,' '),
-           |     t -> list_contains(['the','of','and','a','to','in','is','on','for','with'], t)))
-           |   AS DOUBLE) / len(string_split(text,' ')), 6) AS stop_ratio,
-           | round(CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE)
-           |   / length(text), 6) AS alpha_ratio,
-           | round(least(CAST(len(string_split(text,' ')) AS DOUBLE) / 50.0, 1.0) * 0.5 +
-           |   (1.0 - CAST(len(list_filter(string_split(text,' '),
-           |     t -> list_contains(['the','of','and','a','to','in','is','on','for','with'], t)))
-           |   AS DOUBLE) / len(string_split(text,' '))) * 0.5, 6) AS quality
-           |FROM documents ORDER BY doc_id""".stripMargin))
+    Some(s"""SELECT doc_id,
+            | CAST(length(text) AS INT) AS n_chars_actual,
+            | CAST(len(string_split(text,' ')) AS INT) AS n_tokens,
+            | round(CAST(len(list_filter(string_split(text,' '),
+            |     t -> list_contains([$StopWordsSql], t)))
+            |   AS DOUBLE) / len(string_split(text,' ')), 6) AS stop_ratio,
+            | round(CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE)
+            |   / length(text), 6) AS alpha_ratio,
+            | round(${qualityScoreSql("text")}, 6) AS quality
+            |FROM documents ORDER BY doc_id""".stripMargin))
 
   /** Language-ID n-gram/stopword heuristic: argmax over per-language marker
     * token hit counts; `und` when nothing matches. The marker-count argmax is
@@ -502,6 +520,17 @@ object TextAnalysis {
       text, EmailRe, "<email>"), PhoneRe, "<phone>"),
       SsnRe, "<ssn>"), Ipv4Re, "<ip>")
 
+  /** The same redaction chain as DuckDB SQL over a text column expression —
+    * built from the SAME pattern constants as [[redactPii]], so editing a
+    * pattern cannot de-sync a query from its oracle.
+    */
+  private[operators] def redactSql(c: String): String =
+    s"regexp_replace(regexp_replace(regexp_replace(regexp_replace($c, " +
+      s"'$EmailRe', '<email>', 'g'), " +
+      s"'$PhoneRe', '<phone>', 'g'), " +
+      s"'$SsnRe', '<ssn>', 'g'), " +
+      s"'$Ipv4Re', '<ip>', 'g')"
+
   /** PII redaction over the corpus. The testdata is synthetic and PII-free,
     * so the query first plants deterministic doc-derived PII (identical
     * expression on both engines) and then proves [[redactPii]] scrubs every
@@ -532,25 +561,21 @@ object TextAnalysis {
           size(regexp_extract_all(col("raw"), lit(Ipv4Re), lit(0))).as("n_ips"))
         .orderBy("doc_id")
     },
-    Some("""WITH r AS (SELECT doc_id,
-           |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail-' || source
-           |    || '.com or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-           |    || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)
-           |    || '.' || CAST(doc_id*7 % 256 AS VARCHAR)
-           |    || '.' || CAST(doc_id*13 % 256 AS VARCHAR)
-           |    || ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
-           |  FROM documents)
-           |SELECT doc_id,
-           |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(raw,
-           |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<email>', 'g'),
-           |    '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<phone>', 'g'),
-           |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<ssn>', 'g'),
-           |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<ip>', 'g') AS redacted,
-           |  CAST(len(regexp_extract_all(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
-           |  CAST(len(regexp_extract_all(raw, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
-           |  CAST(len(regexp_extract_all(raw, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS INT) AS n_ssns,
-           |  CAST(len(regexp_extract_all(raw, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ips
-           |FROM r ORDER BY doc_id""".stripMargin))
+    Some(s"""WITH r AS (SELECT doc_id,
+            |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail-' || source
+            |    || '.com or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            |    || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+            |    || '.' || CAST(doc_id*7 % 256 AS VARCHAR)
+            |    || '.' || CAST(doc_id*13 % 256 AS VARCHAR)
+            |    || ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+            |  FROM documents)
+            |SELECT doc_id,
+            |  ${redactSql("raw")} AS redacted,
+            |  CAST(len(regexp_extract_all(raw, '$EmailRe')) AS INT) AS n_emails,
+            |  CAST(len(regexp_extract_all(raw, '$PhoneRe')) AS INT) AS n_phones,
+            |  CAST(len(regexp_extract_all(raw, '$SsnRe')) AS INT) AS n_ssns,
+            |  CAST(len(regexp_extract_all(raw, '$Ipv4Re')) AS INT) AS n_ips
+            |FROM r ORDER BY doc_id""".stripMargin))
 
   /** Repetition-based quality signals for a `(doc_id, text)` frame (the
     * Gopher/MassiveText repetition rules re-expressed relationally):
@@ -646,11 +671,13 @@ object TextAnalysis {
     var vocab = graft.Caches.track(d
       .select(explode(words(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
-      // Spark's split("", -1) keeps a trailing empty string — drop empties
-      // so the char sequence matches DuckDB's string_split(word, '')
+      // split by CODE POINT: the zero-width boundary pattern keeps
+      // surrogate pairs whole and emits no trailing empty (split("")
+      // yields UTF-16 code units plus a trailing empty — lone surrogates
+      // would corrupt merges on non-BMP text), matching DuckDB's
+      // code-point string_split(word, '')
       .withColumn("s", concat(lit(sep),
-        array_join(filter(split(col("word"), ""), c => length(c) > 0), sep),
-        lit(sep))))
+        array_join(split(col("word"), "(?<=.)(?=.)"), sep), lit(sep))))
     var merges: DataFrame = null
     for (r <- 1 to rounds) {
       val p = col("p")

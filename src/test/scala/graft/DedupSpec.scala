@@ -227,6 +227,13 @@ class DedupSpec extends SparkSuite {
     val loose = Dedup.segmentDedup(d, segLen = 3, minDocs = 4).collect()
       .map(r => r.getLong(0) -> r.getString(3)).toMap
     assert(loose(1L) == "common seg here alpha beta gamma")
+    // a null-text doc still yields its (0, 0, "") row — total-row contract
+    val withNull = d.unionByName(Seq((5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text"))
+    val gotNull = Dedup.segmentDedup(withNull, segLen = 3, minDocs = 3).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(gotNull(5L) == (0, 0, ""), gotNull.toString)
+    assert(gotNull.size == 4)
   }
 
   test("stratified sample takes exactly k per stratum (or all when smaller)") {
