@@ -164,6 +164,26 @@ object Sources {
       .sortWithinPartitions(clusterCols.map(col): _*)
       .write.mode(mode).parquet(out)
 
+  /** Z-order (Morton) clustered Parquet layout — multi-dimensional data
+    * skipping where [[rangeClusteredParquet]] is 1-D: rows sort by the
+    * bit-interleaved z-value of TWO cluster columns, so every output file
+    * owns a tight bounding box in BOTH dimensions and parquet min/max
+    * stats prune point/range predicates on either column (a 1-D layout
+    * clusters its first column perfectly and leaves the second spanning
+    * the whole domain in every file). Columns must be non-negative bigint
+    * surrogate ids. The z column is dropped before writing.
+    */
+  def zorderClusteredParquet(df: DataFrame, out: String,
+                             colA: String, colB: String,
+                             files: Int, mode: String = "overwrite"): Unit = {
+    graft.functions.ZValue.register(df.sparkSession)
+    df.withColumn("_z", graft.functions.ZValue.zvalue(col(colA), col(colB)))
+      .repartitionByRange(files, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode(mode).parquet(out)
+  }
+
   /** CSV export (header on, one directory of part files). */
   def csvSink(df: DataFrame, out: String, mode: String = "overwrite"): Unit =
     df.write.mode(mode).option("header", "true").csv(out)

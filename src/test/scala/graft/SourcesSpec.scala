@@ -155,6 +155,55 @@ class SourcesSpec extends SparkSuite {
     assert(spark.read.parquet(dir).count() == orders.count())
   }
 
+  test("zvalue interleaves bits (a at even, b at odd positions) and rejects negatives") {
+    import graft.functions.ZValue.interleave
+    assert(interleave(0L, 0L) == 0L)
+    assert(interleave(3L, 0L) == 5L)   // a bits -> positions 0,2
+    assert(interleave(0L, 3L) == 10L)  // b bits -> positions 1,3
+    assert(interleave(0xFFFFFFFFL, 0xFFFFFFFFL) == -1L) // all 64 bits set
+    // z-order locality: close points interleave to close z-values
+    assert(interleave(5L, 5L) < interleave(1000L, 1000L))
+    intercept[IllegalArgumentException](interleave(-1L, 0L))
+  }
+
+  test("z-order layout prunes on BOTH dimensions where 1-D clustering can't") {
+    val zdir = tmp("graft-zorder")
+    val rdir = tmp("graft-zorder-1d")
+    val src = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val files = 16
+    Sources.zorderClusteredParquet(src, zdir, "o_custkey", "o_orderkey", files)
+    Sources.rangeClusteredParquet(src, rdir, Seq("o_custkey"), files)
+    def boxes(dir: String): Array[(Long, Long, Long, Long)] =
+      new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .map { f =>
+          val r = spark.read.parquet(f.getAbsolutePath)
+            .agg(min("o_custkey"), max("o_custkey"),
+              min("o_orderkey"), max("o_orderkey")).head
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        }
+    // probe: how many files could contain an orderkey-only point predicate
+    // (what min/max stats pruning checks). 1-D custkey clustering gives the
+    // second dimension no locality — every file spans ~the whole orderkey
+    // domain; z-order gives every file a tight box in BOTH dimensions.
+    // interior probe points: a file's min/max box contains a domain
+    // ENDPOINT only if the file holds that exact extreme row, so endpoints
+    // under-count the 1-D baseline's true spans
+    val dom = src.agg(min("o_orderkey"), max("o_orderkey")).head
+    val (kLo, kHi) = (dom.getLong(0), dom.getLong(1))
+    val probes = (1 to 3).map(i => kLo + (kHi - kLo) * i / 4)
+    def hitFrac(bs: Array[(Long, Long, Long, Long)]): Double =
+      probes.map(k => bs.count(b => b._3 <= k && k <= b._4)).sum.toDouble /
+        (probes.size * bs.length)
+    val zHit = hitFrac(boxes(zdir))
+    val rHit = hitFrac(boxes(rdir))
+    assert(rHit > 0.8, s"1-D layout unexpectedly clustered orderkey: $rHit")
+    assert(zHit < 0.5 * rHit, s"z-order gave no orderkey locality: $zHit vs 1-D $rHit")
+    // nothing lost in the re-layout
+    assert(spark.read.parquet(zdir).count() == src.count())
+  }
+
   test("catalog registration: external tables resolve by name, refresh sees appends") {
     // external table over a writable copy of nation, so we can append
     val dir = tmp("graft-catalog")
