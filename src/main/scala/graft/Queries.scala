@@ -12,7 +12,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class Q(
     name: String,
     run: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String]) {
+  // a forward reference inside an operator object's body reads null during
+  // initialization — fail at construction, not deep inside Verify's JSON dump
+  require(name != null && oracle != null && !oracle.contains(null),
+    s"query $name: null name/oracle (object-initialization forward reference?)")
+}
 
 /** Central registry: each operator family contributes its queries here. */
 object Queries {

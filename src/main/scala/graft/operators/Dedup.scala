@@ -208,13 +208,34 @@ object Dedup {
 
   /** SimHash signatures (near-dup fingerprinting): 64-bit signature whose
     * bit k is the sign of the count-weighted sum of bit k over all token
-    * hashes. Two map-side-combinable aggregations; no oracle (hash values
-    * are engine-specific) — DedupSpec asserts hamming(near-dups) << random.
+    * hashes. One compiled kernel call per row in Spark; the oracle replays
+    * the identical arithmetic in DuckDB — FNV-1a 64 per word emulated as
+    * HUGEINT mod-2^64 (the multimodal_frames idiom; `ascii()` == UTF-8 byte
+    * on the all-ASCII testdata), counts keyed by hash value exactly like the
+    * kernel's HashMap, then the 64 per-bit count-weighted votes and the
+    * signed two's-complement wrap of the assembled signature. DedupSpec
+    * additionally asserts hamming(near-dups) << random.
     */
   private val dedupSimhash = Q(
     "dedup_simhash",
     (s, dir) => simhash(docs(s, dir)).orderBy("doc_id"),
-    None)
+    Some("""WITH u AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+           |hw AS (SELECT doc_id, h, count(*) AS c FROM (
+           |   SELECT doc_id, list_reduce(
+           |     list_prepend(CAST(14695981039346656037 AS HUGEINT),
+           |       list_transform(string_split(w,''), ch -> CAST(ascii(ch) AS HUGEINT))),
+           |     (h, b) -> ((h - (h % 256) + xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)))
+           |                * 1099511628211) % 18446744073709551616) AS h
+           |   FROM u) GROUP BY doc_id, h),
+           |v AS (SELECT doc_id, b, sum(CASE WHEN (h // CAST(power(2, b) AS HUGEINT)) % 2 = 1
+           |                                 THEN c ELSE -c END) AS vote
+           |      FROM hw, unnest(range(0, 64)) AS t(b) GROUP BY doc_id, b),
+           |s AS (SELECT doc_id, sum(CASE WHEN vote > 0 THEN CAST(power(2, b) AS HUGEINT)
+           |                              ELSE 0 END) AS uh
+           |      FROM v GROUP BY doc_id)
+           |SELECT doc_id, CAST(CASE WHEN uh >= 9223372036854775808
+           |            THEN uh - 18446744073709551616 ELSE uh END AS BIGINT) AS simhash
+           |FROM s ORDER BY doc_id""".stripMargin))
 
   def simhash(d: DataFrame): DataFrame = {
     // Entirely per-row (one kernel call per doc) — the explode + double
@@ -375,6 +396,22 @@ object Dedup {
     * is one explode + broadcast hash join + two-phase count — linear in
     * corpus shingles, never doc × doc.
     */
+  /** Shared by the broadcast-exact and bloom-prefiltered decontamination
+    * variants — both compute the identical shared-shingle counts. (Declared
+    * BEFORE its first capture: a forward reference inside an object body
+    * reads null during initialization, silently emitting a null oracle.)
+    */
+  private val decontaminateOracle =
+    """WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+      |s AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w,' ')]
+      |        ELSE list_distinct(list_transform(range(1, len(w)-1),
+      |               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS sh
+      |      FROM w),
+      |b AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id < 20),
+      |c AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id >= 20)
+      |SELECT c.doc_id, count(*) AS n_shared FROM c JOIN b USING (g)
+      |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+
   private val dedupDecontaminate = Q(
     "dedup_decontaminate",
     (s, dir) => {
@@ -394,15 +431,46 @@ object Dedup {
         .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
         .orderBy("doc_id")
     },
-    Some("""WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
-           |s AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w,' ')]
-           |        ELSE list_distinct(list_transform(range(1, len(w)-1),
-           |               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS sh
-           |      FROM w),
-           |b AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id < 20),
-           |c AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id >= 20)
-           |SELECT c.doc_id, count(*) AS n_shared FROM c JOIN b USING (g)
-           |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin))
+    Some(decontaminateOracle))
+
+  /** The 100 TB decontamination shape: when the benchmark/blocklist shingle
+    * set is too large to broadcast, the exact semi-join becomes a full
+    * shuffle of the corpus's shingle stream. Here a fixed-size Bloom filter
+    * of the bench shingles (built distributed by the [[graft.functions
+    * .BloomBuild]] aggregator, OR-merged map-side) is broadcast instead and
+    * probed per corpus shingle by the `bloom_contains` kernel; only the
+    * survivors (true matches + ~FPR of the corpus) reach the exact
+    * — deliberately non-broadcast — confirming join. Bloom error is
+    * one-sided, so the final counts are bit-identical to
+    * [[dedupDecontaminate]] and share its oracle.
+    */
+  private val dedupDecontaminateBloom = Q(
+    "dedup_decontaminate_bloom",
+    (s, dir) => {
+      import graft.functions.{BloomKernels, TextKernels}
+      TextKernels.register(s)
+      BloomKernels.register(s)
+      val d = docs(s, dir)
+      val benchSh = d.filter(col("doc_id") < 20)
+        .select(TextKernels.shingleExplode(col("text")))
+        .select("g").distinct()
+      // 2^16 bits for ~2k bench shingles at sf0.01 → FPR ≈ (kn/m)^k ~ 1e-3;
+      // a real blocklist sizes m at ~10 bits/key
+      val bloom = benchSh.agg(BloomKernels.bloomAgg(col("g"), 1 << 16).as("bits"))
+      val corpusEx = Tables.spread(d.filter(col("doc_id") >= 20))
+        .select(col("doc_id"), TextKernels.shingleExplode(col("text")))
+        .select("doc_id", "g")
+      corpusEx.crossJoin(broadcast(bloom))
+        .filter(BloomKernels.contains(col("bits"), col("g")))
+        .drop("bits")
+        // exact confirm on survivors only — kept a shuffle join on purpose:
+        // this is the plan shape that survives a bench side too big to
+        // broadcast (the broadcast variant above covers the small case)
+        .join(benchSh.hint("shuffle_hash"), "g")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        .orderBy("doc_id")
+    },
+    Some(decontaminateOracle))
 
   /** Exploded shingle rows: (doc_id, lang, n = full distinct-shingle count,
     * g = one shingle hash).
@@ -704,5 +772,5 @@ object Dedup {
   val queries: Seq[Q] = Seq(
     dedupExact, dedupKeepfirst, dedupNgramJaccard, dedupMinhashLsh,
     dedupSimhash, dedupClusters, dedupPipelineSurvivors, dedupDecontaminate,
-    dedupIncremental, dedupLines, pipelineCurate)
+    dedupDecontaminateBloom, dedupIncremental, dedupLines, pipelineCurate)
 }

@@ -298,4 +298,27 @@ class DedupSpec extends SparkSuite {
     val twice = once.groupBy("text").agg(min("doc_id").as("doc_id"))
     assert(once.count() == twice.count())
   }
+
+  test("bloom filter: zero false negatives; disjoint-key FPR within bound") {
+    import graft.functions.BloomKernels
+    BloomKernels.register(spark)
+    val inserted = spark.range(0, 2000).select(xxhash64(col("id")).as("h"))
+    val bits = inserted.agg(BloomKernels.bloomAgg(col("h"), 1 << 16).as("bits"))
+    val hits = inserted.crossJoin(broadcast(bits))
+      .filter(BloomKernels.contains(col("bits"), col("h"))).count()
+    assert(hits == 2000, "bloom dropped an inserted key (false negative)")
+    // xxhash64 keys of a disjoint id range — none inserted, so every hit is
+    // a false positive; k=3, n=2000, m=2^16 → expected FPR ~(kn/m)^3 ≈ 1e-3
+    val disjoint = spark.range(1000000, 1020000)
+      .select(xxhash64(col("id")).as("h"))
+    val fps = disjoint.crossJoin(broadcast(bits))
+      .filter(BloomKernels.contains(col("bits"), col("h"))).count()
+    assert(fps.toDouble / 20000 < 0.02, s"FPR too high: $fps/20000")
+  }
+
+  test("bloom-prefiltered decontamination equals the broadcast-exact variant") {
+    def rows(name: String) = Queries.byName(name).run(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows("dedup_decontaminate_bloom") == rows("dedup_decontaminate"))
+  }
 }

@@ -5,7 +5,8 @@ script executes each oracle_sql.json entry in DuckDB over the same parquet
 tables and compares with the Spark parquet dump — exact values, columns
 sorted by name, row order preserved.
 
-Usage: python3 tools/check_oracle.py <sfDir> <outDir>
+Usage: python3 tools/check_oracle.py <sfDir> <outDir> [query ...]
+Trailing query names restrict the comparison (developer spot-checks).
 """
 import sys, os, glob, math, json
 import duckdb
@@ -23,14 +24,15 @@ def norm(v):
         return tuple(norm(x) for x in v)
     return v
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=()):
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = 0
     declared = sorted(d for d in os.listdir(out_dir)
-                      if os.path.isdir(os.path.join(out_dir, d)))
+                      if os.path.isdir(os.path.join(out_dir, d))
+                      and (not only or d in only))
     for name in declared:
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not files:
@@ -77,4 +79,4 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], tuple(sys.argv[3:])))
