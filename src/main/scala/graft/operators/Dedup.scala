@@ -172,7 +172,71 @@ object Dedup {
   private val dedupMinhashLsh = Q(
     "dedup_minhash_lsh",
     (s, dir) => minhashPairs(docs(s, dir)).orderBy("doc_a", "doc_b"),
-    None)
+    Some(minhashOracle))
+
+  /** The full MinHash+LSH pipeline replayed in DuckDB SQL, hash-for-hash:
+    * per-word FNV-1a 64 (HUGEINT mod-2^64, the multimodal_frames idiom),
+    * the 31-polynomial shingle combine, the splitmix64 permutation mix —
+    * its two 64×64-bit wraparound multiplies decomposed into hi/lo 32-bit
+    * halves so every intermediate stays under 2^127, bitwise ops running
+    * natively on HUGEINT — band keys, band-bucket candidates, and the
+    * exact Jaccard verification. SQL is generated (like the BPE oracle)
+    * so the constants are written once. ~5 s in DuckDB at sf0.01.
+    */
+  private def minhashOracle: String = {
+    val M = "18446744073709551616" // 2^64
+    val OFF = "14695981039346656037" // FNV-1a offset basis
+    val C = "11400714819323198485" // splitmix64 golden-gamma constant
+    // (a * c) mod 2^64 for 64-bit constant c: split c into 32-bit halves —
+    // a·lo ≤ 2^96 and (a·hi mod 2^32)·2^32 ≤ 2^64 both fit HUGEINT
+    def m64(a: String, c: Long): String = {
+      val ch = java.lang.Long.toUnsignedString(c >>> 32)
+      val cl = java.lang.Long.toUnsignedString(c & 0xffffffffL)
+      s"((($a) * $cl + ((($a) * $ch) % 4294967296) * 4294967296) % $M)"
+    }
+    def fnv(w: String): String =
+      s"list_reduce(list_prepend(CAST($OFF AS HUGEINT), " +
+        s"list_transform(string_split($w, ''), ch -> CAST(ascii(ch) AS HUGEINT))), " +
+        s"(h, b) -> ((h - (h % 256) + xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT))) " +
+        s"* 1099511628211) % $M)"
+    s"""WITH d AS (SELECT doc_id, text, string_split(text,' ') AS ws FROM documents),
+       |wh AS (SELECT doc_id, list(${fnv("ws[i]")} ORDER BY i) AS whs,
+       |         any_value(text) AS text, any_value(len(ws)) AS nw
+       |       FROM d, unnest(range(1, len(ws)+1)) AS t(i) GROUP BY doc_id),
+       |g0 AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, nw-1),
+       |    i -> ((((($OFF*31 + whs[i]) % $M)*31 + whs[i+1]) % $M)*31 + whs[i+2]) % $M)) AS g
+       |  FROM wh WHERE nw >= 3
+       |  UNION ALL
+       |  SELECT doc_id, ${fnv("text")} AS g FROM wh WHERE nw < 3),
+       |s AS MATERIALIZED (SELECT DISTINCT doc_id, g FROM g0),
+       |n AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+       |gd AS MATERIALIZED (SELECT DISTINCT g FROM s),
+       |mx AS MATERIALIZED (SELECT g, p, v FROM (
+       |  SELECT g, p,
+       |    ((xor(g, (p * $C) % $M) + $C) % $M) AS z1,
+       |    ${m64("xor(z1, z1 // 1073741824)", 0xbf58476d1ce4e5b9L)} AS z2,
+       |    ${m64("xor(z2, z2 // 134217728)", 0x94d049bb133111ebL)} AS z3,
+       |    xor(z3, z3 // 2147483648) AS v
+       |  FROM gd, unnest(range(0, 32)) AS t(p))),
+       |sig AS (SELECT s.doc_id, mx.p, min(mx.v) AS sv
+       |        FROM s JOIN mx ON s.g = mx.g GROUP BY s.doc_id, mx.p),
+       |band AS (SELECT doc_id, CAST(p // 4 AS INT) AS band,
+       |    list_reduce(list_prepend(CAST($OFF AS HUGEINT), list(sv ORDER BY p)),
+       |      (h, x) -> (h * 31 + x) % $M) AS bh
+       |  FROM sig GROUP BY doc_id, p // 4),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |common AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS c
+       |  FROM s x JOIN s y ON x.g = y.g AND x.doc_id < y.doc_id
+       |  JOIN cand ON cand.doc_a = x.doc_id AND cand.doc_b = y.doc_id
+       |  GROUP BY x.doc_id, y.doc_id),
+       |j AS (SELECT doc_a, doc_b,
+       |    CAST(c AS DOUBLE) / (na.n + nb.n - c) AS jac
+       |  FROM common JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM j
+       |WHERE jac >= 0.8 ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   /** Shared MinHash+LSH pipeline (32 permutations, 8 bands × 4 rows — fixed
     * in the [[graft.functions.TextKernels]] registration): returns verified

@@ -83,14 +83,48 @@ object Similarity {
     * oracle (bucket recall is hash-dependent); SimilaritySpec measures
     * recall against sim_brute_topk ground truth.
     */
-  private val simLshAnn = Q(
-    "sim_lsh_ann",
-    (s, dir) => lshTopK(emb(s, dir)).orderBy("q_id", "rank"),
-    None)
-
   private val NumPlanes = 16
   private val Bands = 4
   private val BitsPerBand = NumPlanes / Bands
+
+  /** The LSH pipeline replayed in DuckDB: the seed-42 ±1 hyperplanes are
+    * interpolated into the SQL as literals (they are fixed constants of the
+    * operator), sign bits pack into band buckets exactly as [[lshTopK]]
+    * does, and candidates from bucket collisions get the same exact cosine
+    * re-rank. The plane dots match bit-for-bit because [[graft.functions
+    * .FloatVecDot]] multiplies float→double and accumulates sequentially —
+    * the same order `list_sum(list_transform(...))` evaluates in.
+    */
+  private def lshOracle: String = {
+    val vals = planes.zipWithIndex.map { case (p, i) =>
+      s"($i, [${p.map(c => if (c > 0) "1.0" else "-1.0").mkString(",")}]::DOUBLE[])"
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |   sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+       | FROM embeddings),
+       |pl(plane, coef) AS (VALUES $vals),
+       |bits AS (SELECT e.vec_id, pl.plane,
+       |    CASE WHEN list_sum(list_transform(range(1,65),
+       |           i -> CAST(e.embedding[i] AS DOUBLE) * coef[i])) >= 0
+       |         THEN CAST(power(2, plane % $BitsPerBand) AS BIGINT) ELSE 0 END AS bit
+       |  FROM e CROSS JOIN pl),
+       |bk AS (SELECT vec_id, CAST(plane // $BitsPerBand AS INT) AS band, sum(bit) AS bucket
+       |       FROM bits GROUP BY vec_id, plane // $BitsPerBand),
+       |cand AS (SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS n_id
+       |  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+       |                     AND a.vec_id != b.vec_id),
+       |sc AS (SELECT cand.q_id, cand.n_id,
+       |    list_sum(list_transform(range(1, 65),
+       |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)))
+       |      / (q.nrm * n.nrm) AS cos
+       |  FROM cand JOIN e q ON q.vec_id = cand.q_id
+       |            JOIN e n ON n.vec_id = cand.n_id),
+       |r AS (SELECT q_id, n_id, cos, CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY round(cos, 9) DESC, n_id) AS INT) AS rank
+       |  FROM sc)
+       |SELECT q_id, n_id, round(cos, 6) AS cosine, rank
+       |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  }
 
   /** Deterministic ±1 hyperplanes (seed 42), 64-dim each; float so they feed
     * the array<float> kernel directly.
@@ -99,6 +133,13 @@ object Similarity {
     val rnd = new scala.util.Random(42)
     Array.fill(NumPlanes, 64)(if (rnd.nextBoolean()) 1.0f else -1.0f)
   }
+
+  // declared AFTER the constants and lshOracle it captures — a val
+  // initializer reading a later val silently interpolates zeros
+  private val simLshAnn = Q(
+    "sim_lsh_ann",
+    (s, dir) => lshTopK(emb(s, dir)).orderBy("q_id", "rank"),
+    Some(lshOracle))
 
   def lshTopK(e: DataFrame, k: Int = 5): DataFrame = {
     VectorKernels.register(e.sparkSession)
@@ -397,6 +438,142 @@ object Similarity {
       .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cosine"), col("rank"))
   }
 
+  private val PqM = 4        // subspaces
+  private val PqK = 16       // centroids per subspace
+  private val PqSubDim = 16  // dims / PqM
+
+  /** Product-quantized top-k (the FAISS IVFPQ residual-free layout in
+    * DataFrame terms) — the last rung of the compression ladder after SQ8:
+    * each vector is represented by `PqM` centroid codes (4 bytes here vs
+    * 256 bytes of float32, a 64× compression), so at 100 TB the candidate
+    * side shuffles codes only, and scoring a (query, candidate) pair is
+    * `PqM` lookups in a per-query distance table (built once per query
+    * against the 64-entry codebook) instead of a 64-dim dot product.
+    *
+    * Deterministic end-to-end, so fully oracle-checked like
+    * [[simIvfAnn]]/[[simQuantizedTopk]]: codebooks are the first `PqK`
+    * vectors' subspace slices (a real system would k-means them — the
+    * [[kmeansAssign]] operator is that machinery), assignment is argmin
+    * L2² with `(round(·,9), cent_id)` tie-break, ADC partial dots are
+    * summed with the order-independent decimal [[graft.functions
+    * .Deterministic.dsumFine]], the top `4k` ADC candidates are re-ranked
+    * exactly in float, and only candidates × dims floats are ever fetched.
+    * SimilaritySpec measures recall against the exact baseline.
+    */
+  private val simPqTopk = Q(
+    "sim_pq_topk",
+    (s, dir) => pqTopK(emb(s, dir),
+      Tables.load(s, dir, "embeddings")).orderBy("q_id", "rank"),
+    Some {
+      // 1-based slice of subspace `sub` (0-based) is embedding[sub*16+i],
+      // i in 1..16 — mirrored by Spark's slice(embedding, sub*16+1, 16)
+      def subDot(a: String, b: String) =
+        s"list_sum(list_transform(range(1, 17), i -> " +
+          s"CAST($a[sub*16+i] AS DOUBLE) * CAST($b[sub*16+i] AS DOUBLE)))"
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |   sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+         | FROM embeddings),
+         |subs AS (SELECT unnest(range(0, 4)) AS sub),
+         |cb AS (SELECT c.vec_id AS cent_id, sub, c.embedding AS c_emb,
+         |    ${subDot("c.embedding", "c.embedding")} AS c_sq
+         |  FROM e c, subs WHERE c.vec_id < 16),
+         |asg AS (SELECT vec_id AS n_id, sub, cent_id, c_sq FROM (
+         |   SELECT x.vec_id, cb.sub, cb.cent_id, cb.c_sq,
+         |     ROW_NUMBER() OVER (PARTITION BY x.vec_id, cb.sub ORDER BY round(
+         |       ${subDot("x.embedding", "x.embedding")}
+         |       - 2 * ${subDot("x.embedding", "cb.c_emb")} + cb.c_sq, 9), cb.cent_id) AS rn
+         |   FROM e x CROSS JOIN cb) WHERE rn = 1),
+         |dt AS (SELECT q.vec_id AS q_id, cb.sub, cb.cent_id, q.nrm AS q_nrm,
+         |    ${subDot("q.embedding", "cb.c_emb")} AS part
+         |  FROM e q CROSS JOIN cb WHERE q.vec_id < 10),
+         |adc AS (SELECT dt.q_id, asg.n_id, dt.q_nrm,
+         |    CAST(SUM(CAST(dt.part AS DECIMAL(38,20))) AS DOUBLE) AS apx,
+         |    CAST(SUM(CAST(asg.c_sq AS DECIMAL(38,20))) AS DOUBLE) AS pq_sq
+         |  FROM asg JOIN dt ON asg.sub = dt.sub AND asg.cent_id = dt.cent_id
+         |  WHERE asg.n_id != dt.q_id
+         |  GROUP BY dt.q_id, asg.n_id, dt.q_nrm),
+         |cand AS (SELECT q_id, n_id FROM (
+         |   SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |     ORDER BY round(apx / (q_nrm * sqrt(pq_sq)), 9) DESC, n_id) AS arank
+         |   FROM adc) WHERE arank <= 20),
+         |sc AS (SELECT cand.q_id, cand.n_id,
+         |    list_sum(list_transform(range(1, 65),
+         |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)))
+         |      / (q.nrm * n.nrm) AS cos
+         |  FROM cand JOIN e q ON q.vec_id = cand.q_id
+         |            JOIN e n ON n.vec_id = cand.n_id),
+         |r AS (SELECT q_id, n_id, cos, CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY q_id ORDER BY round(cos, 9) DESC, n_id) AS INT) AS rank
+         |  FROM sc)
+         |SELECT q_id, n_id, round(cos, 6) AS cosine, rank
+         |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+    })
+
+  /** `e`: spread full vector set; `raw`: unspread scan for the pushed-down
+    * codebook/query reads.
+    */
+  def pqTopK(e: DataFrame, raw: DataFrame, k: Int = 5): DataFrame = {
+    VectorKernels.register(e.sparkSession)
+    import graft.functions.Deterministic.dsumFine
+    val subs = explode(sequence(lit(0), lit(PqM - 1))).as("sub")
+    def subSlice(emb: Column) =
+      slice(emb, col("sub") * PqSubDim + 1, lit(PqSubDim))
+    // codebook: first PqK vectors' subspace slices — PqM×PqK = 64 rows
+    val cb = broadcast(raw.filter(col("vec_id") < PqK)
+      .select(col("vec_id").as("cent_id"), subs, col("embedding"))
+      .select(col("cent_id"), col("sub"), subSlice(col("embedding")).as("c_sub"))
+      .withColumn("c_sq", dot(col("c_sub"), col("c_sub"))))
+    // encode: argmin L2² per (vector, subspace) → PqM code rows per vector.
+    // Linear in N·PqM·PqK, map-side against the broadcast codebook.
+    val wAssign = Window.partitionBy("n_id", "sub")
+      .orderBy(round(col("dist2"), 9), col("cent_id"))
+    val codes = e
+      .select(col("vec_id").as("n_id"), subs, col("embedding"))
+      .select(col("n_id"), col("sub"), subSlice(col("embedding")).as("x_sub"))
+      .join(cb, "sub")
+      .withColumn("dist2",
+        dot(col("x_sub"), col("x_sub")) - lit(2) * dot(col("x_sub"), col("c_sub"))
+          + col("c_sq"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select("n_id", "sub", "cent_id", "c_sq")
+    // per-query distance table: one subspace dot per (query, codebook entry)
+    val dt = broadcast(raw.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), l2norm(col("embedding")).as("q_nrm"),
+        subs, col("embedding"))
+      .select(col("q_id"), col("q_nrm"), col("sub"), subSlice(col("embedding")).as("q_sub"))
+      .join(cb, "sub")
+      .select(col("q_id"), col("q_nrm"), col("sub"), col("cent_id"),
+        dot(col("q_sub"), col("c_sub")).as("part")))
+    // ADC: PqM table lookups per (query, candidate) — a broadcast equi-join
+    // on (sub, cent_id) + a map-side-combined decimal sum; candidate floats
+    // never move. The approximate norm is the codeword norm (standard ADC).
+    val wApprox = Window.partitionBy("q_id")
+      .orderBy(round(col("cos_adc"), 9).desc, col("n_id"))
+    val cand = codes.join(dt, Seq("sub", "cent_id"))
+      .filter(col("n_id") =!= col("q_id"))
+      .groupBy("q_id", "n_id", "q_nrm")
+      .agg(dsumFine(col("part")).as("apx"), dsumFine(col("c_sq")).as("pq_sq"))
+      .withColumn("cos_adc", col("apx") / (col("q_nrm") * sqrt(col("pq_sq"))))
+      .withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= 4 * k)
+      .select("q_id", "n_id")
+    // exact re-rank of candidates only: float vectors join back by id
+    val nf = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+      l2norm(col("embedding")).as("n_nrm"))
+    val qf = broadcast(raw.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        l2norm(col("embedding")).as("q_nrm")))
+    val wExact = Window.partitionBy("q_id")
+      .orderBy(round(col("cos"), 9).desc, col("n_id"))
+    cand.join(nf, "n_id").join(qf, "q_id")
+      .withColumn("cos",
+        dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cosine"), col("rank"))
+  }
+
   /** Semantic dedup clusters: the embedding-cosine near-dup pairs resolved
     * into connected components (cluster id = min vec_id) — the
     * embedding-space twin of `dedup_clusters`, sharing the same CC loop.
@@ -535,5 +712,5 @@ object Similarity {
 
   val queries: Seq[Q] = Seq(
     simBruteTopk, simLshAnn, dedupEmbeddingCosine, simIvfAnn,
-    dedupSemanticClusters, simQuantizedTopk, simKmeans)
+    dedupSemanticClusters, simQuantizedTopk, simPqTopk, simKmeans)
 }

@@ -665,7 +665,15 @@ object TextAnalysis {
     * overlapping occurrences (`"aaa"` contributes (a,a) twice), matching
     * the reference BPE `get_stats`.
     */
-  def bpeMerges(d: DataFrame, rounds: Int = 6): DataFrame = {
+  def bpeMerges(d: DataFrame, rounds: Int = 6): DataFrame =
+    bpeTrain(d, rounds)._1
+
+  /** Full training state: `(merges, vocab)` where `vocab` is the word-
+    * frequency dictionary with each word's FINAL piece segmentation after
+    * all `rounds` merges (the double-space-joined string). [[bpeEncode]]
+    * applies it to the corpus.
+    */
+  def bpeTrain(d: DataFrame, rounds: Int = 6): (DataFrame, DataFrame) = {
     require(rounds >= 1, s"bpeMerges: rounds must be >= 1, got $rounds")
     val sep = "  "
     var vocab = graft.Caches.track(d
@@ -703,8 +711,8 @@ object TextAnalysis {
           concat(lit(" "), col("a"), col("b"), lit(" "))))
         .select("word", "freq", "s")
     }
-    merges.select(col("merge_rank"), col("a").as("left_piece"),
-      col("b").as("right_piece"), col("pair_freq"))
+    (merges.select(col("merge_rank"), col("a").as("left_piece"),
+      col("b").as("right_piece"), col("pair_freq")), vocab)
   }
 
   private def bpeRoundSql(r: Int): String = {
@@ -718,6 +726,48 @@ object TextAnalysis {
        |        replace(s, ' '||t$r.a||'  '||t$r.b||' ', ' '||t$r.a||t$r.b||' ') AS s
        |       FROM $prev, t$r)""".stripMargin
   }
+
+  /** Tokenize the corpus with the trained BPE merges — the apply side of
+    * [[bpeTrain]], closing the train → encode → pack loop. The scalable
+    * shape: encoding is resolved per DISTINCT WORD (the vocabulary-sized
+    * dictionary already carries each word's final segmentation), so the
+    * corpus pass is one broadcast join word→pieces plus an in-order
+    * reassembly per document — no per-document merge loops, and the
+    * `rounds` merge applications run over the vocab, never the corpus.
+    * Out-of-vocabulary words cannot occur here (the vocab is trained on
+    * the same corpus); a production split would fall back to character
+    * pieces via the same double-space representation.
+    */
+  def bpeEncode(d: DataFrame, rounds: Int = 6): DataFrame = {
+    val (_, vocab) = bpeTrain(d, rounds)
+    val seg = vocab.select(col("word"), trim(col("s")).as("t"))
+    d.select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "word")))
+      .join(broadcast(seg), "word")
+      .withColumn("n", size(split(col("t"), "  ")).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum(col("n")).as("n_pieces"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("t")))),
+          x => x.getField("t")), "  ").as("encoded"))
+      .orderBy("doc_id")
+  }
+
+  private val textBpeEncode = Q(
+    "text_bpe_encode",
+    (s, dir) => bpeEncode(docs(s, dir)),
+    Some(("""WITH w0 AS (SELECT word, count(*) AS freq,
+            |    '  ' || array_to_string(string_split(word, ''), '  ') || '  ' AS s
+            |  FROM (SELECT unnest(string_split(text,' ')) AS word FROM documents)
+            |  GROUP BY word),
+            |""".stripMargin +
+      (1 to 6).map(bpeRoundSql).mkString(",\n") + ",\n" +
+      """d AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |u AS (SELECT doc_id, i, ws[i] AS word
+        |      FROM d, unnest(range(1, len(ws)+1)) AS t(i)),
+        |j AS (SELECT u.doc_id, u.i, trim(w6.s) AS t FROM u JOIN w6 USING (word))
+        |SELECT doc_id,
+        |  CAST(sum(len(string_split(t, '  '))) AS BIGINT) AS n_pieces,
+        |  array_to_string(list(t ORDER BY i), '  ') AS encoded
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)))
 
   private val textBpe = Q(
     "text_bpe",
@@ -739,5 +789,5 @@ object TextAnalysis {
     textTokens, textTokenFreq, textTfidf, textQuality, textLangid,
     textFingerprint, textNormalize, textPack, textPackSpans, textVocab,
     textHeavyHitters, textChunk, textEncode, textRedact, textRepetition,
-    textBpe)
+    textBpe, textBpeEncode)
 }

@@ -116,6 +116,24 @@ class SimilaritySpec extends SparkSuite {
     assert(got.values.forall(_.size <= 5))
   }
 
+  test("PQ top-k reaches useful recall from codes-only candidate scoring") {
+    val raw = Tables.load(spark, sfDir, "embeddings")
+    val got = Similarity.pqTopK(raw, raw)
+      .select("q_id", "n_id")
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    val queries = bruteTop5.filter(_._1 < 10)
+    val hits = queries.toSeq.map { case (q, truth) =>
+      got.getOrElse(q, Set.empty).intersect(truth).size
+    }.sum
+    val recall = hits.toDouble / queries.values.map(_.size).sum
+    // 4 subspaces × 16 seed centroids is a coarse 4-byte code; ADC ranking
+    // through it is lossy, so the bar is "far better than the random-20
+    // candidate pool baseline" (20/499 ≈ 0.04), not SQ8's near-exactness
+    assert(recall >= 0.3, s"recall@5 = $recall")
+    assert(got.values.forall(_.size <= 5))
+  }
+
   test("tiled cosine pairs: equi-join plan with no all-pairs operator") {
     for (name <- Seq("dedup_embedding_cosine", "dedup_semantic_clusters")) {
       val plan = Queries.byName(name).run(spark, sfDir)

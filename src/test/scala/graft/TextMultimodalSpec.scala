@@ -71,6 +71,25 @@ class TextMultimodalSpec extends SparkSuite {
       got.mkString(","))
   }
 
+  test("bpe encode: piece stream reproduces the hand-trained segmentation " +
+      "and concatenates back to the source text") {
+    import spark.implicits._
+    val d = Seq((1L, "low low low"), (2L, "lower lower"), (3L, "newest"))
+      .toDF("doc_id", "text")
+    // merges learned above: (l,o), (lo,w), (e,r) → "low" fuses to one piece,
+    // "lower" to ["low","er"], "newest" stays six characters (no merge hits)
+    val got = TextAnalysis.bpeEncode(d, rounds = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got(1L) == (3L, "low  low  low"), got(1L).toString)
+    assert(got(2L) == (4L, "low  er  low  er"), got(2L).toString)
+    assert(got(3L) == (6L, "n  e  w  e  s  t"), got(3L).toString)
+    // lossless: stripping piece/word separators recovers the source chars
+    for ((id, (_, enc)) <- got) {
+      val src = d.filter(col("doc_id") === id).head().getString(1)
+      assert(enc.replace(" ", "") == src.replace(" ", ""))
+    }
+  }
+
   test("sorted-token fingerprint is permutation-invariant, rolling hash is not") {
     import spark.implicits._
     val df = Seq(
