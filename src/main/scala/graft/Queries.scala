@@ -27,6 +27,7 @@ object Queries {
       operators.TextAnalysis.queries ++
       operators.Similarity.queries ++
       operators.Multimodal.queries ++
+      operators.Graph.queries ++
       streaming.EventWindows.queries
 
   lazy val byName: Map[String, Q] = {

@@ -727,6 +727,60 @@ object TextAnalysis {
        |       FROM $prev, t$r)""".stripMargin
   }
 
+  /** CCNet-style language-model quality score: train an add-one-smoothed
+    * bigram LM on the corpus's own counts, then score every document by its
+    * average per-bigram negative log-likelihood (the standard perplexity
+    * proxy — boilerplate and natural prose score low, gibberish and rare
+    * constructions score high, and the downstream pipeline thresholds it).
+    *
+    * Scale shape: two count aggregations (bigram and unigram tables, both
+    * two-phase with map-side combine), then the corpus's bigram stream
+    * equi-joins the count tables — everything shuffles on the n-gram key,
+    * linear in corpus tokens; the vocabulary size rides along as a
+    * broadcast 1-row frame. log values are per-row IEEE doubles; their sum
+    * goes through the order-independent decimal [[dsumFine]], so the score
+    * hash-matches the oracle.
+    */
+  def lmScore(d: DataFrame): DataFrame = {
+    val w = col("w")
+    val bigrams = transform(sequence(lit(1), size(w) - 1),
+      i => struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2")))
+    val bg = Tables.spread(d)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(w) >= 2)
+      .select(col("doc_id"), explode(bigrams).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val uni = d.select(explode(words(col("text"))).as("w1"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = uni.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = uni.agg(countDistinct(col("w1")).as("v"))
+    bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1")).crossJoin(broadcast(v))
+      .withColumn("lp", log((col("c2") + lit(1.0)) / (col("c1") + col("v"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        graft.functions.Deterministic.dsumFine(-col("lp")).as("nll"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("nll") / col("n_bigrams"), 6).as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
+  private val textLmScore = Q(
+    "text_lm_score",
+    (s, dir) => lmScore(docs(s, dir)),
+    Some("""WITH d AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+           |bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+           |       FROM d, unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
+           |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+           |u AS (SELECT unnest(string_split(text,' ')) AS w1 FROM documents),
+           |c1 AS (SELECT w1, count(*) AS c1 FROM u GROUP BY w1),
+           |v AS (SELECT count(DISTINCT w1) AS v FROM u),
+           |x AS (SELECT bg.doc_id,
+           |        ln((c2.c2 + CAST(1.0 AS DOUBLE)) / (c1.c1 + v.v)) AS lp
+           |      FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+           |SELECT doc_id, count(*) AS n_bigrams,
+           |  round(CAST(SUM(CAST(-lp AS DECIMAL(38,20))) AS DOUBLE) / count(*), 6) AS avg_nll
+           |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   /** Tokenize the corpus with the trained BPE merges — the apply side of
     * [[bpeTrain]], closing the train → encode → pack loop. The scalable
     * shape: encoding is resolved per DISTINCT WORD (the vocabulary-sized
@@ -789,5 +843,5 @@ object TextAnalysis {
     textTokens, textTokenFreq, textTfidf, textQuality, textLangid,
     textFingerprint, textNormalize, textPack, textPackSpans, textVocab,
     textHeavyHitters, textChunk, textEncode, textRedact, textRepetition,
-    textBpe, textBpeEncode)
+    textBpe, textBpeEncode, textLmScore)
 }

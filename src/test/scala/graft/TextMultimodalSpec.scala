@@ -90,6 +90,16 @@ class TextMultimodalSpec extends SparkSuite {
     }
   }
 
+  test("lm score: common phrasing scores lower NLL than one-off gibberish") {
+    import spark.implicits._
+    val common = "the cat sat on the mat"
+    val docs = (1L to 10L).map(i => (i, common)) :+
+      ((99L, "zqx jvw kpl mno qrs tuv"))
+    val s = TextAnalysis.lmScore(docs.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s(99L) > s(1L), s"gibberish=${s(99L)} common=${s(1L)}")
+  }
+
   test("sorted-token fingerprint is permutation-invariant, rolling hash is not") {
     import spark.implicits._
     val df = Seq(
