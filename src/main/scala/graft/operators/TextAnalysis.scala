@@ -157,6 +157,52 @@ object TextAnalysis {
             | round(${qualityScoreSql("text")}, 6) AS quality
             |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** Corpus-relative quality gate: drop the bottom quartile of docs per
+    * language by the [[qualityScore]] composite — the filtering step that
+    * follows scoring in a real curation pipeline ("keep the best 75 % of
+    * each language", not an absolute cutoff).
+    *
+    * Scale shape: a percent_rank window straight over the docs would put
+    * each language — a handful of giant partitions at 100 TB — on one
+    * reducer. Instead the threshold comes from a two-phase
+    * (lang, score-level) histogram: the window runs over that tiny
+    * aggregated frame (≤ languages × distinct rounded levels), and the
+    * per-language cutoffs broadcast-join back onto the scored docs. Same
+    * band-then-offset trick as `text_vocab`'s ranking.
+    */
+  private val textQualityGate = Q(
+    "text_quality_gate",
+    (s, dir) => {
+      val scored = docsSpread(s, dir).select(col("doc_id"), col("lang"),
+        round(qualityScore(col("text")), 6).as("quality"))
+      val hist = scored.groupBy("lang", "quality").agg(count(lit(1)).as("cnt"))
+      val cumW = Window.partitionBy("lang").orderBy("quality")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.select(col("lang"), col("quality"),
+        sum("cnt").over(cumW).as("cum"),
+        sum("cnt").over(Window.partitionBy("lang")).as("total"))
+      // q25 = lowest score level whose cumulative count covers ≥ 1/4 of the
+      // language — the discrete lower-quartile; integer compare, no division
+      val thresholds = cum.filter(col("cum") * 4 >= col("total"))
+        .groupBy("lang").agg(min("quality").as("q25"))
+      scored.join(broadcast(thresholds), "lang")
+        .filter(col("quality") >= col("q25"))
+        .select("doc_id", "lang", "quality")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH scored AS (SELECT doc_id, lang,
+            |    round(${qualityScoreSql("text")}, 6) AS quality FROM documents),
+            |hist AS (SELECT lang, quality, count(*) AS cnt FROM scored GROUP BY 1, 2),
+            |cum AS (SELECT lang, quality,
+            |    SUM(cnt) OVER (PARTITION BY lang ORDER BY quality
+            |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            |    SUM(cnt) OVER (PARTITION BY lang) AS total FROM hist),
+            |thr AS (SELECT lang, min(quality) AS q25 FROM cum
+            |        WHERE cum * 4 >= total GROUP BY lang)
+            |SELECT s.doc_id, s.lang, s.quality
+            |FROM scored s JOIN thr ON s.lang = thr.lang
+            |WHERE s.quality >= thr.q25 ORDER BY s.doc_id""".stripMargin))
+
   /** Language-ID n-gram/stopword heuristic: argmax over per-language marker
     * token hit counts; `und` when nothing matches. The marker-count argmax is
     * deterministic and SQL-expressible, so it's fully oracle-checked (the
@@ -840,7 +886,7 @@ object TextAnalysis {
       "\n) ORDER BY merge_rank")))
 
   val queries: Seq[Q] = Seq(
-    textTokens, textTokenFreq, textTfidf, textQuality, textLangid,
+    textTokens, textTokenFreq, textTfidf, textQuality, textQualityGate, textLangid,
     textFingerprint, textNormalize, textPack, textPackSpans, textVocab,
     textHeavyHitters, textChunk, textEncode, textRedact, textRepetition,
     textBpe, textBpeEncode, textLmScore)
