@@ -833,8 +833,44 @@ object Dedup {
            |SELECT doc_id, lang, n_tokens, CAST("offset" // 2048 AS BIGINT) AS bin_id, fp
            |FROM p ORDER BY doc_id""".stripMargin))
 
+  /** Cross-source contamination matrix: near-dup pair counts per unordered
+    * source pair — the curation dashboard that says WHICH feeds duplicate
+    * each other (mirror sites, scraped re-posts) before deciding what to
+    * drop. Candidates come from the same df-capped inverted index as
+    * [[jaccardPairs]]; the tiny doc→source map joins back on the pair
+    * endpoints and the matrix is a two-phase count over ≤ sources² keys.
+    */
+  private val dedupSourceOverlap = Q(
+    "dedup_source_overlap",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val src = d.select(col("doc_id"), col("source"))
+      jaccardPairs(d)
+        .join(src.toDF("doc_a", "src_a"), "doc_a")
+        .join(src.toDF("doc_b", "src_b"), "doc_b")
+        .select(least(col("src_a"), col("src_b")).as("source_a"),
+          greatest(col("src_a"), col("src_b")).as("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_dup_pairs"))
+        .orderBy("source_a", "source_b")
+    },
+    Some("""WITH w AS (SELECT doc_id, lang, source, string_split(text,' ') AS w FROM documents),
+           |s AS (SELECT doc_id, lang, source, CASE WHEN len(w) < 3 THEN [array_to_string(w,' ')]
+           |        ELSE list_distinct(list_transform(range(1, len(w)-1),
+           |               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS sh
+           |      FROM w),
+           |p AS (SELECT least(a.source, b.source) AS source_a,
+           |        greatest(a.source, b.source) AS source_b,
+           |        len(list_intersect(a.sh, b.sh)) AS c, len(a.sh) AS na, len(b.sh) AS nb
+           |      FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+           |SELECT source_a, source_b, count(*) AS n_dup_pairs
+           |FROM p WHERE CAST(c AS DOUBLE)/(na+nb-c) >= 0.8
+           |GROUP BY source_a, source_b
+           |ORDER BY source_a, source_b""".stripMargin))
+
   val queries: Seq[Q] = Seq(
     dedupExact, dedupKeepfirst, dedupNgramJaccard, dedupMinhashLsh,
     dedupSimhash, dedupClusters, dedupPipelineSurvivors, dedupDecontaminate,
-    dedupDecontaminateBloom, dedupIncremental, dedupLines, pipelineCurate)
+    dedupDecontaminateBloom, dedupIncremental, dedupLines, pipelineCurate,
+    dedupSourceOverlap)
 }

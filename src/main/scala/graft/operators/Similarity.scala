@@ -710,7 +710,51 @@ object Similarity {
            |  min(vec_id) AS min_vec_id, CAST(sum(vec_id) AS BIGINT) AS sum_vec_id
            |FROM a2 GROUP BY c ORDER BY cluster_id""".stripMargin))
 
+  /** Per-dimension distribution profile of the embedding corpus (the
+    * fitness check before any ANN indexing: dead dimensions, scale
+    * imbalance, outliers). One explode → two-phase decimal-exact moment
+    * aggregate over (vectors × dims) rows, grouped by the 64 dimension
+    * keys — linear, map-side partials, no joins. Same exact-moment
+    * formulation as `agg_stats`.
+    */
+  private val simDimStats = Q(
+    "sim_dim_stats",
+    (s, dir) => {
+      val x = col("x")
+      val nD = col("n").cast("double")
+      val sx = col("sx"); val sxx = col("sxx")
+      emb(s, dir)
+        .select(posexplode(col("embedding")).as(Seq("dim", "xf")))
+        .select(col("dim"), col("xf").cast("double").as("x"))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n"),
+          graft.functions.Deterministic.dsumFine(x).as("sx"),
+          graft.functions.Deterministic.dsumFine(x * x).as("sxx"),
+          min(x).as("mn"), max(x).as("mx"))
+        .select(col("dim"), col("n"),
+          round(sx / nD, 6).as("mean"),
+          round(sqrt((sxx - sx * sx / nD) / (nD - 1.0)), 6).as("stddev"),
+          round(col("mn"), 6).as("min_val"),
+          round(col("mx"), 6).as("max_val"))
+        .orderBy("dim")
+    },
+    Some("""WITH x AS (SELECT CAST(i - 1 AS INT) AS dim,
+           |        CAST(embedding[i] AS DOUBLE) AS x
+           |      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+           |a AS (SELECT dim, count(*) AS n,
+           |        CAST(SUM(CAST(x AS DECIMAL(38,20))) AS DOUBLE) AS sx,
+           |        CAST(SUM(CAST(x * x AS DECIMAL(38,20))) AS DOUBLE) AS sxx,
+           |        min(x) AS mn, max(x) AS mx
+           |      FROM x GROUP BY dim)
+           |SELECT dim, n,
+           |  round(sx / CAST(n AS DOUBLE), 6) AS mean,
+           |  round(sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)), 6) AS stddev,
+           |  round(mn, 6) AS min_val,
+           |  round(mx, 6) AS max_val
+           |FROM a ORDER BY dim""".stripMargin))
+
   val queries: Seq[Q] = Seq(
     simBruteTopk, simLshAnn, dedupEmbeddingCosine, simIvfAnn,
-    dedupSemanticClusters, simQuantizedTopk, simPqTopk, simKmeans)
+    dedupSemanticClusters, simQuantizedTopk, simPqTopk, simKmeans,
+    simDimStats)
 }

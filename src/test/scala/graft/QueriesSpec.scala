@@ -8,7 +8,8 @@ class QueriesSpec extends SparkSuite {
 
   // queries whose correct result may legitimately be empty at this sf
   private val mayBeEmpty =
-    Set("dedup_ngram_jaccard", "dedup_minhash_lsh", "join_anti", "join_fuzzy")
+    Set("dedup_ngram_jaccard", "dedup_minhash_lsh", "join_anti", "join_fuzzy",
+      "dedup_source_overlap")
 
   Queries.all.foreach { q =>
     test(s"${q.name}: runs, nonempty, deterministic at sf0.001") {
