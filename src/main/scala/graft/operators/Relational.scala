@@ -234,21 +234,30 @@ object Relational {
     * runs post-join on candidates only, and a hot block would take the
     * [[SkewJoin.salted]] treatment rather than widening the blocking key.
     */
+  /** Generic blocked linkage: candidate pairs share every `blockCols` value,
+    * are ordered `key_a < key_b`, and carry the Levenshtein distance of
+    * their `nameCol` values, filtered to `maxDist`. Unordered (query wrapper
+    * sorts).
+    */
+  def fuzzyPairs(df: DataFrame, blockCols: Seq[String], keyCol: String,
+                 nameCol: String, maxDist: Int): DataFrame = {
+    val a = df.select((col(keyCol).as("key_a") +: col(nameCol).as("name_a") +:
+      blockCols.map(col)): _*)
+    val b = df.select((col(keyCol).as("key_b") +: col(nameCol).as("name_b") +:
+      blockCols.map(col)): _*)
+    a.join(b, blockCols)
+      .filter(col("key_a") < col("key_b"))
+      .select((col("key_a") +: col("key_b") +: blockCols.map(col)) :+
+        levenshtein(col("name_a"), col("name_b")).as("dist"): _*)
+      .filter(col("dist") <= maxDist)
+  }
+
   private val joinFuzzy = Q(
     "join_fuzzy",
-    (s, dir) => {
-      val p = t(s, dir, "part").select("p_partkey", "p_brand", "p_size", "p_name")
-      val a = p.select(col("p_partkey").as("key_a"), col("p_brand"),
-        col("p_size"), col("p_name").as("name_a"))
-      val b = p.select(col("p_partkey").as("key_b"), col("p_brand"),
-        col("p_size"), col("p_name").as("name_b"))
-      a.join(b, Seq("p_brand", "p_size"))
-        .filter(col("key_a") < col("key_b"))
-        .select(col("key_a"), col("key_b"), col("p_brand"), col("p_size"),
-          levenshtein(col("name_a"), col("name_b")).as("dist"))
-        .filter(col("dist") <= 2)
-        .orderBy("key_a", "key_b")
-    },
+    (s, dir) => fuzzyPairs(
+      t(s, dir, "part").select("p_partkey", "p_brand", "p_size", "p_name"),
+      Seq("p_brand", "p_size"), "p_partkey", "p_name", maxDist = 2)
+      .orderBy("key_a", "key_b"),
     Some("""SELECT a.p_partkey AS key_a, b.p_partkey AS key_b, a.p_brand, a.p_size,
            | CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
            |FROM part a JOIN part b

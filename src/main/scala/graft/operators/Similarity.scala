@@ -717,27 +717,27 @@ object Similarity {
     * keys — linear, map-side partials, no joins. Same exact-moment
     * formulation as `agg_stats`.
     */
+  def dimStats(d: DataFrame): DataFrame = {
+    val x = col("x")
+    val nD = col("n").cast("double")
+    val sx = col("sx"); val sxx = col("sxx")
+    d.select(posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("dim"), col("xf").cast("double").as("x"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Deterministic.dsumFine(x).as("sx"),
+        graft.functions.Deterministic.dsumFine(x * x).as("sxx"),
+        min(x).as("mn"), max(x).as("mx"))
+      .select(col("dim"), col("n"),
+        round(sx / nD, 6).as("mean"),
+        round(sqrt((sxx - sx * sx / nD) / (nD - 1.0)), 6).as("stddev"),
+        round(col("mn"), 6).as("min_val"),
+        round(col("mx"), 6).as("max_val"))
+  }
+
   private val simDimStats = Q(
     "sim_dim_stats",
-    (s, dir) => {
-      val x = col("x")
-      val nD = col("n").cast("double")
-      val sx = col("sx"); val sxx = col("sxx")
-      emb(s, dir)
-        .select(posexplode(col("embedding")).as(Seq("dim", "xf")))
-        .select(col("dim"), col("xf").cast("double").as("x"))
-        .groupBy("dim")
-        .agg(count(lit(1)).as("n"),
-          graft.functions.Deterministic.dsumFine(x).as("sx"),
-          graft.functions.Deterministic.dsumFine(x * x).as("sxx"),
-          min(x).as("mn"), max(x).as("mx"))
-        .select(col("dim"), col("n"),
-          round(sx / nD, 6).as("mean"),
-          round(sqrt((sxx - sx * sx / nD) / (nD - 1.0)), 6).as("stddev"),
-          round(col("mn"), 6).as("min_val"),
-          round(col("mx"), 6).as("max_val"))
-        .orderBy("dim")
-    },
+    (s, dir) => dimStats(emb(s, dir)).orderBy("dim"),
     Some("""WITH x AS (SELECT CAST(i - 1 AS INT) AS dim,
            |        CAST(embedding[i] AS DOUBLE) AS x
            |      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),

@@ -170,26 +170,27 @@ object TextAnalysis {
     * per-language cutoffs broadcast-join back onto the scored docs. Same
     * band-then-offset trick as `text_vocab`'s ranking.
     */
+  def qualityGate(d: DataFrame): DataFrame = {
+    val scored = d.select(col("doc_id"), col("lang"),
+      round(qualityScore(col("text")), 6).as("quality"))
+    val hist = scored.groupBy("lang", "quality").agg(count(lit(1)).as("cnt"))
+    val cumW = Window.partitionBy("lang").orderBy("quality")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.select(col("lang"), col("quality"),
+      sum("cnt").over(cumW).as("cum"),
+      sum("cnt").over(Window.partitionBy("lang")).as("total"))
+    // q25 = lowest score level whose cumulative count covers ≥ 1/4 of the
+    // language — the discrete lower-quartile; integer compare, no division
+    val thresholds = cum.filter(col("cum") * 4 >= col("total"))
+      .groupBy("lang").agg(min("quality").as("q25"))
+    scored.join(broadcast(thresholds), "lang")
+      .filter(col("quality") >= col("q25"))
+      .select("doc_id", "lang", "quality")
+  }
+
   private val textQualityGate = Q(
     "text_quality_gate",
-    (s, dir) => {
-      val scored = docsSpread(s, dir).select(col("doc_id"), col("lang"),
-        round(qualityScore(col("text")), 6).as("quality"))
-      val hist = scored.groupBy("lang", "quality").agg(count(lit(1)).as("cnt"))
-      val cumW = Window.partitionBy("lang").orderBy("quality")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = hist.select(col("lang"), col("quality"),
-        sum("cnt").over(cumW).as("cum"),
-        sum("cnt").over(Window.partitionBy("lang")).as("total"))
-      // q25 = lowest score level whose cumulative count covers ≥ 1/4 of the
-      // language — the discrete lower-quartile; integer compare, no division
-      val thresholds = cum.filter(col("cum") * 4 >= col("total"))
-        .groupBy("lang").agg(min("quality").as("q25"))
-      scored.join(broadcast(thresholds), "lang")
-        .filter(col("quality") >= col("q25"))
-        .select("doc_id", "lang", "quality")
-        .orderBy("doc_id")
-    },
+    (s, dir) => qualityGate(docsSpread(s, dir)).orderBy("doc_id"),
     Some(s"""WITH scored AS (SELECT doc_id, lang,
             |    round(${qualityScoreSql("text")}, 6) AS quality FROM documents),
             |hist AS (SELECT lang, quality, count(*) AS cnt FROM scored GROUP BY 1, 2),
