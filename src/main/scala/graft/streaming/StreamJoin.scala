@@ -37,4 +37,17 @@ object StreamJoin {
       joinType)
       .drop(s"r_$key")
   }
+
+  /** Stream-static enrichment: join a streaming frame against a batch
+    * dimension on `keys` — the standard lookup-table shape (events ×
+    * user/catalog dims). Spark re-plans the static side per micro-batch, so
+    * a dim under the broadcast threshold ships as a broadcast hash join and
+    * the stream side never shuffles; no state store is involved (unlike
+    * stream-stream joins) and left_outer needs no watermark. The dim frame
+    * is re-read each micro-batch — at 100 TB keep it a pruned/compact table
+    * (or a cached view refreshed on dimension-change cadence).
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String],
+             joinType: String = "left_outer"): DataFrame =
+    stream.join(dim, keys, joinType)
 }

@@ -73,6 +73,29 @@ class StreamJoinSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrich joins each micro-batch against the dim, no state store") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = MemoryStream[Ev]
+    val dim = Seq((1L, "gold"), (2L, "trial")).toDF("user_id", "tier")
+    val q = StreamJoin.enrich(events.toDF(), dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("sj_enrich")
+      .outputMode("append").start()
+    try {
+      // no watermark anywhere: stream-static needs none (that would throw
+      // on a stateful stream-stream join in append mode)
+      events.addData(Ev(1, t(0), "view", 0), Ev(3, t(1), "view", 0))
+      q.processAllAvailable()
+      val rows = spark.table("sj_enrich")
+        .select("user_id", "tier").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(rows == Map(1L -> Some("gold"), 3L -> None), rows.toString)
+      // dim keys with no stream row never appear (left_outer from the stream)
+      assert(!spark.table("sj_enrich").collect().exists(_.getLong(0) == 2L))
+    } finally q.stop()
+  }
+
   test("interval join state is bounded: watermark predicate is accepted for append mode") {
     val s = spark
     import s.implicits._
