@@ -123,6 +123,38 @@ class PlanSpec extends SparkSuite {
     assert(p.toLowerCase.contains("roundrobinpartitioning"), p)
   }
 
+  test("join_fuzzy stays an equi-join on the block key, never a cross product") {
+    val p = plan("join_fuzzy")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // levenshtein must run post-join on block candidates, not in a join cond
+    assert(p.contains("levenshtein"), p)
+  }
+
+  test("text_quality_gate broadcasts the per-language thresholds back") {
+    val p = plan("text_quality_gate")
+    // the threshold side is a tiny aggregated frame — must ship broadcast,
+    // not reshuffle the scored corpus
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("graph_pagerank builds the adjacency in one aggregation, no window pass") {
+    val p = plan("graph_pagerank")
+    // degree rides the collect_set aggregation; a Window operator here means
+    // the two-shuffle distinct+count-over formulation crept back
+    assert(p.contains("collect_set"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sim_dim_stats aggregates moments in two phases") {
+    val p = plan("sim_dim_stats")
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"dim stats needs no join at all\n$p")
+  }
+
   test("agg_pricing_summary scans only the aggregated columns") {
     val p = plan("agg_pricing_summary")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
