@@ -881,6 +881,47 @@ object Relational {
            |GROUP BY c_custkey, c_name, n_name
            |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin))
 
+  /** Volume-anomaly monitor over the event stream: per event type, flag the
+    * days whose event count sits more than 2σ from that type's daily mean —
+    * the ingest-monitoring query that catches a broken producer or a
+    * backfill spike. Two-phase daily counts → per-type moments over the
+    * tiny (type × day) frame → broadcast the stats back. Flagging is
+    * division-free (|n − mean| > 2σ), so a zero-variance type degrades to
+    * "nothing anomalous" instead of NaN; the moments stay in exact-integer
+    * sums (counts), cast to double identically on both engines.
+    */
+  private val eventsAnomaly = Q(
+    "events_anomaly",
+    (s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val nD = col("nd").cast("double")
+      val sx = col("sx").cast("double"); val sxx = col("sxx").cast("double")
+      val stats = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("nd"), sum(col("n")).as("sx"),
+          sum(col("n") * col("n")).as("sxx"))
+        .select(col("event_type"), (sx / nD).as("mean"),
+          sqrt((sxx - sx * sx / nD) / (nD - 1.0)).as("std"))
+      daily.join(broadcast(stats), "event_type")
+        .select(col("event_type"), col("day"), col("n"),
+          round(col("n") - col("mean"), 6).as("deviation"),
+          (abs(col("n") - col("mean")) > lit(2.0) * col("std")).as("is_anomaly"))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+           |  FROM events GROUP BY 1, 2),
+           |st AS (SELECT event_type,
+           |    CAST(SUM(n) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean,
+           |    sqrt((CAST(SUM(n*n) AS DOUBLE) - CAST(SUM(n) AS DOUBLE) * CAST(SUM(n) AS DOUBLE)
+           |          / CAST(count(*) AS DOUBLE)) / (CAST(count(*) AS DOUBLE) - 1.0)) AS std
+           |  FROM daily GROUP BY event_type)
+           |SELECT daily.event_type, day, n,
+           |  round(n - mean, 6) AS deviation,
+           |  (abs(n - mean) > 2.0 * std) AS is_anomaly
+           |FROM daily JOIN st ON daily.event_type = st.event_type
+           |ORDER BY daily.event_type, day""".stripMargin))
+
   /** Funnel analysis over the event stream: users entering at `view` and
     * the subset converting to a later-or-equal `purchase` — the two-step
     * conversion shape (first-touch join + semi-count).
@@ -1358,7 +1399,8 @@ object Relational {
     catalogAgg, sampleMixture, qualityChecks, aggFooterStats, tableDiffQ,
     scd2MergeQ, aggHistogram, refPartitionCount,
     aggPricingSummary, q3ShippingPriority,
-    q5LocalSupplierVolume, q10ReturnedItems, joinFuzzy, eventsFunnel,
+    q5LocalSupplierVolume, q10ReturnedItems, joinFuzzy, eventsAnomaly,
+    eventsFunnel,
     eventsCohortRetention, filterProject, filterString,
     joinInnerStar, joinLeftOuter, joinSemi, joinAnti, joinFullOuter,
     joinRange, joinAsof, joinAsofForward, windowTopkPerGroup, windowRunningSum,
