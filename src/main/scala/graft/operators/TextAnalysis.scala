@@ -204,6 +204,50 @@ object TextAnalysis {
             |FROM scored s JOIN thr ON s.lang = thr.lang
             |WHERE s.quality >= thr.q25 ORDER BY s.doc_id""".stripMargin))
 
+  /** Corpus-order n-gram novelty: what fraction of each document's distinct
+    * 3-gram shingles appear here FIRST (no lower doc_id contains them) —
+    * the incremental-ingest signal that separates genuinely new material
+    * from recombinations of already-seen text (novelty ≈ 0 means the doc is
+    * stitched from existing n-grams even if no single near-dup exists).
+    * One shingle explode → min-doc_id per shingle (two-phase) → equi-join
+    * back on the shingle key → per-doc counts. Linear in corpus shingles,
+    * shuffles only on the shingle and doc keys.
+    */
+  private val textNovelty = Q(
+    "text_novelty",
+    (s, dir) => {
+      // shingles travel as 64-bit hashes (same compiled kernel and the same
+      // negligible-collision trade as the whole jaccardPairs family, whose
+      // string-shingle oracles pass against hashed execution) — and the
+      // first-occurrence doc is a window min over the shingle key, so the
+      // whole query is two narrow shuffles (by shingle hash, then by doc),
+      // no self-join (string-keyed agg+join formulation measured 4.3 s at
+      // sf0.1; this one 0.74 s)
+      graft.functions.TextKernels.register(s)
+      val ex = docsSpread(s, dir).select(col("doc_id"),
+        explode(graft.functions.TextKernels.shingleHash64(col("text"))).as("g"))
+      ex.withColumn("fd", min(col("doc_id")).over(Window.partitionBy("g")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("doc_id") === col("fd"), 1L).otherwise(0L)).as("n_novel"))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          round(col("n_novel").cast("double") / col("n_shingles"), 6).as("novelty"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+           |s AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w,' ')]
+           |        ELSE list_distinct(list_transform(range(1, len(w)-1),
+           |               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS sh
+           |      FROM w),
+           |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+           |f AS (SELECT g, min(doc_id) AS fd FROM e GROUP BY g)
+           |SELECT e.doc_id, count(*) AS n_shingles,
+           |  CAST(SUM(CASE WHEN e.doc_id = f.fd THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           |  round(CAST(SUM(CASE WHEN e.doc_id = f.fd THEN 1 ELSE 0 END) AS DOUBLE)
+           |        / count(*), 6) AS novelty
+           |FROM e JOIN f ON e.g = f.g
+           |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin))
+
   /** Language-ID n-gram/stopword heuristic: argmax over per-language marker
     * token hit counts; `und` when nothing matches. The marker-count argmax is
     * deterministic and SQL-expressible, so it's fully oracle-checked (the
@@ -902,7 +946,8 @@ object TextAnalysis {
       "\n) ORDER BY merge_rank")))
 
   val queries: Seq[Q] = Seq(
-    textTokens, textTokenFreq, textTfidf, textQuality, textQualityGate, textLangid,
+    textTokens, textTokenFreq, textTfidf, textQuality, textQualityGate,
+    textNovelty, textLangid,
     textFingerprint, textNormalize, textPack, textPackSpans, textVocab,
     textHeavyHitters, textChunk, textEncode, textRedact, textRepetition,
     textBpe, textBpeEncode, textLmScore)
