@@ -256,6 +256,99 @@ object Multimodal {
            |            THEN uh - 18446744073709551616 ELSE uh END AS BIGINT) AS checksum
            |FROM h ORDER BY doc_id, frame_idx""".stripMargin))
 
+  /** 64-bit average-hash fingerprint row. */
+  final case class MediaHash(doc_id: Long, ahash: Long, n_set_bits: Int)
+
+  /** Average-hash (aHash) perceptual fingerprint: resample to an 8×8
+    * luminance grid, set bit i when cell i is brighter than the grid mean.
+    * Re-encodings of the same picture land on the same (or Hamming-close)
+    * hash, which makes exact/near dedup of IMAGES a groupBy / band-join over
+    * the hash — the multimodal counterpart of SimHash on text (spec:
+    * PNG≡BMP of one picture collide, a different picture doesn't). Real
+    * images go through the actual decode + raster resample; non-image
+    * payloads take the same strided byte fallback as [[resizeImages]] so
+    * the operator is total and the testdata path stays oracle-checkable.
+    */
+  def imageHashes(s: SparkSession, df: DataFrame): Dataset[MediaHash] = {
+    import s.implicits._
+    val grid = 8
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val cells = grid * grid
+          val lum = new Array[Double](cells)
+          decodeOne(bytes) match {
+            case Some(img) =>
+              val out = new java.awt.image.BufferedImage(grid, grid,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g2 = out.createGraphics()
+              g2.drawImage(img, 0, 0, grid, grid, null)
+              g2.dispose()
+              var i = 0
+              while (i < cells) {
+                val rgb = out.getRGB(i % grid, i / grid)
+                lum(i) = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+                i += 1
+              }
+            case None if bytes.isEmpty => () // all-zero grid → hash 0
+            case None =>
+              // long stride math (not Int like the historical resize path):
+              // i*n must not overflow for multi-GB payloads, and the oracle's
+              // BIGINT arithmetic is the contract
+              val n = bytes.length
+              var i = 0
+              while (i < cells) {
+                lum(i) = (bytes(((i.toLong * n) / cells % n).toInt) & 0xff).toDouble
+                i += 1
+              }
+          }
+          val mean = lum.sum / cells
+          var h = 0L
+          var nb = 0
+          var i = 0
+          while (i < cells) {
+            if (lum(i) > mean) { h |= 1L << i; nb += 1 }
+            i += 1
+          }
+          MediaHash(id, h, nb)
+        }
+      }
+  }
+
+  /** Perceptual-hash stage over the synthesized payloads; the bit-pack is
+    * oracle-emulated in HUGEINT exactly like [[multimodalFrames]]' checksum
+    * (each 2^i is a power of two, so the double `power(2, i)` is exact
+    * before the HUGEINT cast; the sum of distinct powers then maps to
+    * signed two's-complement).
+    */
+  private val multimodalPhash = Q(
+    "multimodal_phash",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      imageHashes(s, d).orderBy("doc_id").toDF()
+    },
+    Some("""WITH b AS (SELECT doc_id,
+           |    list_transform(range(0, 64),
+           |      i -> ascii(substr(text,
+           |             CAST((i * length(text)) // 64 % length(text) AS INT) + 1, 1))) AS s
+           |  FROM documents),
+           |m AS (SELECT doc_id, s, CAST(list_sum(s) AS DOUBLE) / 64 AS mean FROM b),
+           |h AS (SELECT doc_id,
+           |    list_sum(list_transform(range(0, 64),
+           |      i -> CASE WHEN s[CAST(i AS INT) + 1] > mean
+           |                THEN CAST(power(2, CAST(i AS INT)) AS HUGEINT)
+           |                ELSE CAST(0 AS HUGEINT) END)) AS uh,
+           |    len(list_filter(range(0, 64), i -> s[CAST(i AS INT) + 1] > mean)) AS nb
+           |  FROM m)
+           |SELECT doc_id,
+           |  CAST(CASE WHEN uh >= 9223372036854775808
+           |            THEN uh - 18446744073709551616 ELSE uh END AS BIGINT) AS ahash,
+           |  CAST(nb AS INT) AS n_set_bits
+           |FROM h ORDER BY doc_id""".stripMargin))
+
   val queries: Seq[Q] = Seq(
-    multimodalMeta, multimodalDecode, multimodalResize, multimodalFrames)
+    multimodalMeta, multimodalDecode, multimodalResize, multimodalFrames,
+    multimodalPhash)
 }

@@ -179,6 +179,31 @@ class TextMultimodalSpec extends SparkSuite {
     }
   }
 
+  test("aHash: one picture through two encodings collides, a different one doesn't") {
+    import spark.implicits._
+    def encode(fmt: String, rgbAt: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, rgbAt(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val halves = (x: Int, _: Int) => if (x < 8) 0x000000 else 0xffffff
+    val bands = (_: Int, y: Int) => if (y < 8) 0x000000 else 0xffffff
+    val d = Seq(
+      (1L, encode("png", halves)), (2L, encode("bmp", halves)),
+      (3L, encode("png", bands))).toDF("doc_id", "payload")
+    val hs = Multimodal.imageHashes(spark, d).collect()
+      .map(m => m.doc_id -> m).toMap
+    // same pixels, different container → identical perceptual hash
+    assert(hs(1L).ahash == hs(2L).ahash, s"${hs(1L)} vs ${hs(2L)}")
+    // a genuinely different picture lands elsewhere
+    assert(hs(1L).ahash != hs(3L).ahash)
+    // exactly the bright half of the 8×8 grid sets bits
+    assert(hs(1L).n_set_bits == 32, hs(1L).toString)
+  }
+
   test("frame sampling: 1→N fan-out with stride, deterministic checksums") {
     val d = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
