@@ -204,6 +204,33 @@ object TextAnalysis {
             |FROM scored s JOIN thr ON s.lang = thr.lang
             |WHERE s.quality >= thr.q25 ORDER BY s.doc_id""".stripMargin))
 
+  /** Corpus composition card: documents, tokens, and token share per
+    * (lang, source) cell — the data-mixture report every training run
+    * publishes next to its loss curve. Per-row token counts are map-side;
+    * the cell rollup is one two-phase aggregate; the global total rides
+    * back as a broadcast 1-row frame (never a full-corpus window).
+    */
+  private val textMixtureReport = Q(
+    "text_mixture_report",
+    (s, dir) => {
+      val cells = docs(s, dir)
+        .select(col("lang"), col("source"), size(words(col("text"))).as("n"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+      val total = cells.agg(sum(col("n_tokens")).as("t"))
+      cells.crossJoin(broadcast(total))
+        .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("t"), 6).as("token_share"))
+        .orderBy("lang", "source")
+    },
+    Some("""WITH c AS (SELECT lang, source, count(*) AS n_docs,
+           |    CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS n_tokens
+           |  FROM documents GROUP BY lang, source),
+           |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM c)
+           |SELECT lang, source, n_docs, n_tokens,
+           |  round(CAST(n_tokens AS DOUBLE) / t, 6) AS token_share
+           |FROM c CROSS JOIN t ORDER BY lang, source""".stripMargin))
+
   /** Corpus-order n-gram novelty: what fraction of each document's distinct
     * 3-gram shingles appear here FIRST (no lower doc_id contains them) —
     * the incremental-ingest signal that separates genuinely new material
@@ -947,7 +974,7 @@ object TextAnalysis {
 
   val queries: Seq[Q] = Seq(
     textTokens, textTokenFreq, textTfidf, textQuality, textQualityGate,
-    textNovelty, textLangid,
+    textNovelty, textMixtureReport, textLangid,
     textFingerprint, textNormalize, textPack, textPackSpans, textVocab,
     textHeavyHitters, textChunk, textEncode, textRedact, textRepetition,
     textBpe, textBpeEncode, textLmScore)
