@@ -13,7 +13,8 @@ object Bench {
     "dedup_semantic_clusters", "dedup_incremental", "sim_lsh_ann",
     "sim_brute_topk", "sim_ivf_ann", "text_tfidf", "text_encode",
     "dedup_lines", "text_repetition", "text_redact", "sim_kmeans",
-    "scd2_merge", "text_bpe", "pipeline_curate")
+    "scd2_merge", "text_bpe", "pipeline_curate", "graph_pagerank",
+    "text_novelty", "text_quality_gate", "join_fuzzy", "multimodal_phash")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
