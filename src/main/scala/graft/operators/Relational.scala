@@ -226,14 +226,6 @@ object Relational {
            |  ON l_partkey = p_partkey AND l_quantity BETWEEN p_size - 2 AND p_size + 2
            |GROUP BY p_brand ORDER BY p_brand""".stripMargin))
 
-  /** Blocked fuzzy join (record linkage, J5+ [EXT]): near-identical part
-    * names matched by Levenshtein edit distance within a (brand, size)
-    * block. Blocking turns the quadratic all-pairs problem into an equi-join
-    * on the block key — the standard linkage shape at scale: candidate pairs
-    * exist only inside a block, the edit-distance kernel (codegen built-in)
-    * runs post-join on candidates only, and a hot block would take the
-    * [[SkewJoin.salted]] treatment rather than widening the blocking key.
-    */
   /** Generic blocked linkage: candidate pairs share every `blockCols` value,
     * are ordered `key_a < key_b`, and carry the Levenshtein distance of
     * their `nameCol` values, filtered to `maxDist`. Unordered (query wrapper
@@ -252,6 +244,14 @@ object Relational {
       .filter(col("dist") <= maxDist)
   }
 
+  /** Blocked fuzzy join (record linkage, J5+ [EXT]): near-identical part
+    * names matched by Levenshtein edit distance within a (brand, size)
+    * block. Blocking turns the quadratic all-pairs problem into an equi-join
+    * on the block key — the standard linkage shape at scale: candidate pairs
+    * exist only inside a block, the edit-distance kernel (codegen built-in)
+    * runs post-join on candidates only, and a hot block would take the
+    * [[SkewJoin.salted]] treatment rather than widening the blocking key.
+    */
   private val joinFuzzy = Q(
     "join_fuzzy",
     (s, dir) => fuzzyPairs(
@@ -897,12 +897,18 @@ object Relational {
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("n"))
       val nD = col("nd").cast("double")
-      val sx = col("sx").cast("double"); val sxx = col("sxx").cast("double")
+      val sx = col("sx"); val sxx = col("sxx")
+      // moments as decimal sums of DOUBLE products: a LongType n*n silently
+      // wraps past ~3e9 events/day (and DuckDB's BIGINT multiply would error
+      // instead — divergence); the variance is clamped at 0 because float
+      // cancellation can land epsilon-negative, where Spark's sqrt says NaN
+      // but DuckDB hard-errors
       val stats = daily.groupBy("event_type")
-        .agg(count(lit(1)).as("nd"), sum(col("n")).as("sx"),
-          sum(col("n") * col("n")).as("sxx"))
+        .agg(count(lit(1)).as("nd"),
+          dsumFine(col("n").cast("double")).as("sx"),
+          dsumFine(col("n").cast("double") * col("n").cast("double")).as("sxx"))
         .select(col("event_type"), (sx / nD).as("mean"),
-          sqrt((sxx - sx * sx / nD) / (nD - 1.0)).as("std"))
+          sqrt(greatest((sxx - sx * sx / nD) / (nD - 1.0), lit(0.0))).as("std"))
       daily.join(broadcast(stats), "event_type")
         .select(col("event_type"), col("day"), col("n"),
           round(col("n") - col("mean"), 6).as("deviation"),
@@ -912,9 +918,14 @@ object Relational {
     Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
            |  FROM events GROUP BY 1, 2),
            |st AS (SELECT event_type,
-           |    CAST(SUM(n) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean,
-           |    sqrt((CAST(SUM(n*n) AS DOUBLE) - CAST(SUM(n) AS DOUBLE) * CAST(SUM(n) AS DOUBLE)
-           |          / CAST(count(*) AS DOUBLE)) / (CAST(count(*) AS DOUBLE) - 1.0)) AS std
+           |    CAST(SUM(CAST(CAST(n AS DOUBLE) AS DECIMAL(38,20))) AS DOUBLE)
+           |      / CAST(count(*) AS DOUBLE) AS mean,
+           |    sqrt(greatest(
+           |      (CAST(SUM(CAST(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) AS DECIMAL(38,20))) AS DOUBLE)
+           |       - CAST(SUM(CAST(CAST(n AS DOUBLE) AS DECIMAL(38,20))) AS DOUBLE)
+           |         * CAST(SUM(CAST(CAST(n AS DOUBLE) AS DECIMAL(38,20))) AS DOUBLE)
+           |         / CAST(count(*) AS DOUBLE))
+           |      / (CAST(count(*) AS DOUBLE) - 1.0), 0.0)) AS std
            |  FROM daily GROUP BY event_type)
            |SELECT daily.event_type, day, n,
            |  round(n - mean, 6) AS deviation,

@@ -730,7 +730,11 @@ object Similarity {
         min(x).as("mn"), max(x).as("mx"))
       .select(col("dim"), col("n"),
         round(sx / nD, 6).as("mean"),
-        round(sqrt((sxx - sx * sx / nD) / (nD - 1.0)), 6).as("stddev"),
+        // clamp: dec20-truncated moments of a constant non-dec20-exact
+        // dimension can cancel epsilon-negative — Spark's sqrt would say
+        // NaN where DuckDB hard-errors on a negative operand
+        round(sqrt(greatest((sxx - sx * sx / nD) / (nD - 1.0), lit(0.0))), 6)
+          .as("stddev"),
         round(col("mn"), 6).as("min_val"),
         round(col("mx"), 6).as("max_val"))
   }
@@ -748,7 +752,8 @@ object Similarity {
            |      FROM x GROUP BY dim)
            |SELECT dim, n,
            |  round(sx / CAST(n AS DOUBLE), 6) AS mean,
-           |  round(sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)), 6) AS stddev,
+           |  round(sqrt(greatest(
+           |    (sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0), 0.0)), 6) AS stddev,
            |  round(mn, 6) AS min_val,
            |  round(mx, 6) AS max_val
            |FROM a ORDER BY dim""".stripMargin))

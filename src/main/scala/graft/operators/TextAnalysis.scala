@@ -171,8 +171,12 @@ object TextAnalysis {
     * band-then-offset trick as `text_vocab`'s ranking.
     */
   def qualityGate(d: DataFrame): DataFrame = {
-    val scored = d.select(col("doc_id"), col("lang"),
-      round(qualityScore(col("text")), 6).as("quality"))
+    // scored feeds BOTH the threshold subtree (a separate broadcast build
+    // side, where AQE stage reuse does not apply) and the probe side —
+    // uncached, the tokenize+stopword scoring map would run over the corpus
+    // twice (same double-consumer shape pipeline_curate caches)
+    val scored = graft.Caches.track(d.select(col("doc_id"), col("lang"),
+      round(qualityScore(col("text")), 6).as("quality")))
     val hist = scored.groupBy("lang", "quality").agg(count(lit(1)).as("cnt"))
     val cumW = Window.partitionBy("lang").orderBy("quality")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -65,7 +65,8 @@ class CurationOpsSpec extends SparkSuite {
     // dim0: mean 2, var ((1+9) - 4*4/2... ) = (10 - 8)/1 = 2 → std sqrt(2)
     assert(got(0) == ((0, 2L, 2.0, math.BigDecimal(math.sqrt(2.0))
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, 1.0, 3.0)), got(0))
-    // dim1 constant: stddev exactly 0 (decimal-exact moments can't go negative)
+    // dim1 constant: stddev exactly 0 (10.0 is dec20-exact; non-exact
+    // constants can cancel epsilon-negative, which the operator clamps)
     assert(got(1) == ((1, 2L, 10.0, 0.0, 10.0, 10.0)), got(1))
   }
 
