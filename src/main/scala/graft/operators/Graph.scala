@@ -27,7 +27,11 @@ import org.apache.spark.sql.functions._
   *    `1 − d^{i-1}·(1 − n·(1/n))` (a scalar expression of n alone) and the
   *    dangling mass is `total_prev − Σcontrib` — rank mass that reached no
   *    edge. Both ride a broadcast 1-row frame derived from the contribution
-  *    vector; no second pass over ranks, no driver-side collect.
+  *    vector; no second pass over ranks, no driver-side collect. The dangling
+  *    term thus absorbs the epsilon-level FP residue of the contribution sums
+  *    (Σ over edges of rank/outdeg differs from the algebraic mass in the
+  *    last ulps), so ranks are deterministic and oracle-mirrored but not
+  *    bit-identical to an anti-join dangling-mass formulation.
   * The three shapes together took the query from 12.0 s to 5.7 s at sf0.1;
   * intermediate caching was measured SLOWER than plain lazy evaluation here
   * (AQE reuses the repeated exchanges within the one action, and cache
@@ -61,10 +65,15 @@ object Graph {
         (col("l_suppkey") * 2 + 1).as("dst"))
   }
 
-  /** Decode an integer-coded purchase-graph node key to its public label. */
+  /** Decode an integer-coded purchase-graph node key to its public label.
+    * `shiftright`, not `/`: Column `/` is DOUBLE division, which loses
+    * exactness above 2^53 — the integral shift decodes the full long range
+    * (keys are non-negative, and for odd k, k >> 1 == (k-1)/2, so one shift
+    * serves both parities; DuckDB's `//` in the oracle is likewise integral).
+    */
   private def nodeLabel(k: Column): Column =
-    when(k % 2 === 0, concat(lit("c"), (k / 2).cast("long")))
-      .otherwise(concat(lit("s"), ((k - 1) / 2).cast("long")))
+    when(k % 2 === 0, concat(lit("c"), shiftright(k, 1)))
+      .otherwise(concat(lit("s"), shiftright(k, 1)))
 
   /** PageRank with uniform teleport and dangling-mass redistribution:
     * rank'(v) = (1−d)/N + d·(Σ_{u→v} rank(u)/outdeg(u) + dangling/N).

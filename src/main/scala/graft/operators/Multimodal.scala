@@ -320,7 +320,13 @@ object Multimodal {
     * oracle-emulated in HUGEINT exactly like [[multimodalFrames]]' checksum
     * (each 2^i is a power of two, so the double `power(2, i)` is exact
     * before the HUGEINT cast; the sum of distinct powers then maps to
-    * signed two's-complement).
+    * signed two's-complement). Same indexing convention as the resize/frames
+    * oracles: `ascii(substr(...))` addresses CHARACTERS while the Scala
+    * fallback strides UTF-8 BYTES — identical on the all-ASCII testdata, and
+    * any non-ASCII byte would surface as a hash mismatch rather than pass
+    * silently. Empty documents take the dedicated zero-hash branch on both
+    * engines (the Scala side via `bytes.isEmpty`, the oracle via the
+    * `clen = 0` union leg — never dividing or striding by zero).
     */
   private val multimodalPhash = Q(
     "multimodal_phash",
@@ -329,11 +335,12 @@ object Multimodal {
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
       imageHashes(s, d).orderBy("doc_id").toDF()
     },
-    Some("""WITH b AS (SELECT doc_id,
+    Some("""WITH base AS (SELECT doc_id, text, length(text) AS clen FROM documents),
+           |b AS (SELECT doc_id,
            |    list_transform(range(0, 64),
            |      i -> ascii(substr(text,
-           |             CAST((i * length(text)) // 64 % length(text) AS INT) + 1, 1))) AS s
-           |  FROM documents),
+           |             CAST((i * clen) // 64 % clen AS INT) + 1, 1))) AS s
+           |  FROM base WHERE clen > 0),
            |m AS (SELECT doc_id, s, CAST(list_sum(s) AS DOUBLE) / 64 AS mean FROM b),
            |h AS (SELECT doc_id,
            |    list_sum(list_transform(range(0, 64),
@@ -346,7 +353,11 @@ object Multimodal {
            |  CAST(CASE WHEN uh >= 9223372036854775808
            |            THEN uh - 18446744073709551616 ELSE uh END AS BIGINT) AS ahash,
            |  CAST(nb AS INT) AS n_set_bits
-           |FROM h ORDER BY doc_id""".stripMargin))
+           |FROM h
+           |UNION ALL
+           |SELECT doc_id, CAST(0 AS BIGINT) AS ahash, CAST(0 AS INT) AS n_set_bits
+           |FROM base WHERE clen = 0
+           |ORDER BY doc_id""".stripMargin))
 
   val queries: Seq[Q] = Seq(
     multimodalMeta, multimodalDecode, multimodalResize, multimodalFrames,

@@ -601,34 +601,97 @@ object Relational {
            | count(DISTINCT c_mktsegment) AS n_segments
            |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin))
 
-  /** Approximate quantiles (§2.4): t-digest style sketch per group — values
-    * are engine-specific, so rows-only; RelationalSpec bounds the error
-    * against exact percentiles.
+  /** Approximate quantiles (§2.4), reshaped so the sketch is HARD
+    * oracle-checkable: raw GK-sketch values are engine-specific (no DuckDB
+    * hash match possible), but the documented guarantee is — Spark's
+    * `percentile_approx(x, p, acc)` returns a REAL element whose relative
+    * rank error is ≤ 1/acc. So the declared output is the bound check
+    * itself: per group, re-join the estimates and count values strictly
+    * below / at-or-below each estimate; the estimate is in-bound iff
+    * `frac_lt − eps ≤ p ≤ frac_le + eps` (the lt/le pair makes the check
+    * tie-safe), with eps = 1/acc plus 1/n for the floor/ceil rank rounding.
+    * The oracle derives the same booleans from first principles: the
+    * guarantee holds for ANY conforming sketch, so the exact-side answer is
+    * constant TRUE — and a Spark regression outside the bound flips a
+    * boolean and hash-mismatches. Exact group counts ride along as a
+    * value-level cross-check; ApproxAggSpec keeps the tighter error-bound
+    * assertions on the raw values (exposed as [[approxQuantilesRaw]]).
     */
-  private val aggApproxQuantiles = Q(
-    "agg_approx_quantiles",
-    (s, dir) => t(s, dir, "lineitem")
+  def approxQuantilesRaw(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50"),
         percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95"),
         percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99"))
-      .orderBy("l_returnflag"),
-    None)
 
-  /** HLL approximate distinct — engine-specific sketch values, so no SQL
-    * oracle (driver records a rows-only check); accuracy is asserted against
-    * exact counts in ScalaTest instead.
+  private val aggApproxQuantiles = Q(
+    "agg_approx_quantiles",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"), col("l_extendedprice"))
+      val est = approxQuantilesRaw(s, dir)
+      li.join(broadcast(est), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_extendedprice") < col("p50"), 1L).otherwise(0L)).as("lt50"),
+          sum(when(col("l_extendedprice") <= col("p50"), 1L).otherwise(0L)).as("le50"),
+          sum(when(col("l_extendedprice") < col("p95"), 1L).otherwise(0L)).as("lt95"),
+          sum(when(col("l_extendedprice") <= col("p95"), 1L).otherwise(0L)).as("le95"),
+          sum(when(col("l_extendedprice") < col("p99"), 1L).otherwise(0L)).as("lt99"),
+          sum(when(col("l_extendedprice") <= col("p99"), 1L).otherwise(0L)).as("le99"))
+        .select(col("l_returnflag"), col("n"),
+          inBound(0.50, "lt50", "le50").as("p50_ok"),
+          inBound(0.95, "lt95", "le95").as("p95_ok"),
+          inBound(0.99, "lt99", "le99").as("p99_ok"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, count(*) AS n,
+           | TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  /** Tie-safe rank-bound predicate over the lt/le counts of one estimate:
+    * `frac_lt − eps ≤ p ≤ frac_le + eps`, eps = 1/accuracy + 1/n.
     */
+  private def inBound(p: Double, lt: String, le: String): Column = {
+    val eps = lit(1.0 / 10000) + lit(1.0) / col("n")
+    (col(lt).cast("double") / col("n") - eps <= lit(p)) &&
+      (lit(p) <= col(le).cast("double") / col("n") + eps)
+  }
+
+  /** HLL++ approximate distinct, reshaped like [[aggApproxQuantiles]] into a
+    * hard-checkable claim: the sketch value itself is engine-specific, but
+    * `|approx − exact| ≤ 3·rsd·exact` (rsd = the default 0.05 relative
+    * standard deviation) is the documented accuracy envelope, and the exact
+    * distinct counts hash-match DuckDB directly. ApproxAggSpec keeps the
+    * raw-value bound assertions (exposed as [[approxDistinctRaw]]).
+    */
+  def approxDistinctRaw(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+
   private val aggApproxDistinct = Q(
     "agg_approx_distinct",
     (s, dir) => t(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_partkey")).as("ap"),
+        approx_count_distinct(col("l_orderkey")).as("ao"))
+      .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+        (abs(col("ap") - col("exact_parts")).cast("double")
+          <= lit(0.15) * col("exact_parts")).as("parts_ok"),
+        (abs(col("ao") - col("exact_orders")).cast("double")
+          <= lit(0.15) * col("exact_orders")).as("orders_ok"))
       .orderBy("l_returnflag"),
-    None)
+    Some("""SELECT l_returnflag,
+           | count(DISTINCT l_partkey) AS exact_parts,
+           | count(DISTINCT l_orderkey) AS exact_orders,
+           | TRUE AS parts_ok, TRUE AS orders_ok
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
   /** String function family (§2.8) — all codegen'd built-ins. */
   private val scalarStringFuncs = Q(

@@ -2,39 +2,56 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Accuracy bounds for the sketch-based aggregates that have no SQL oracle
-  * (values are engine-specific): HLL distinct counts and approximate
-  * quantiles, both checked against their exact counterparts.
+/** Accuracy bounds for the sketch-based aggregates, checked against their
+  * exact counterparts — tighter than (and complementary to) the declared
+  * `agg_approx_*` bound queries, which the DuckDB oracle verifies via the
+  * documented guarantee envelopes.
   */
 class ApproxAggSpec extends SparkSuite {
 
-  test("approx_count_distinct within 5% of exact per group") {
-    val li = Tables.load(spark, sfDir, "lineitem")
-    val rows = li.groupBy("l_returnflag")
-      .agg(countDistinct(col("l_partkey")).as("exact"),
-        approx_count_distinct(col("l_partkey")).as("approx"))
-      .collect()
+  test("approx_count_distinct within the 3-sigma HLL envelope per group") {
+    val raw = operators.Relational.approxDistinctRaw(spark, sfDir)
+    val exact = Tables.load(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+    val rows = raw.join(exact, "l_returnflag").collect()
+    assert(rows.nonEmpty)
     rows.foreach { r =>
-      val exact = r.getAs[Long]("exact").toDouble
-      val approx = r.getAs[Long]("approx").toDouble
-      assert(math.abs(approx - exact) / exact < 0.05,
-        s"${r.getString(0)}: exact=$exact approx=$approx")
+      // rsd = 0.05 is a STANDARD DEVIATION, not a hard cap (observed 5.5%
+      // on l_orderkey at sf0.001) — assert the 3-sigma envelope the declared
+      // bound query also uses
+      def relErr(e: Long, a: Long) = math.abs(a - e).toDouble / e
+      assert(relErr(r.getAs[Long]("exact_parts"), r.getAs[Long]("approx_parts")) < 0.15,
+        s"${r.getString(0)}: parts ${r.getAs[Long]("approx_parts")} vs ${r.getAs[Long]("exact_parts")}")
+      assert(relErr(r.getAs[Long]("exact_orders"), r.getAs[Long]("approx_orders")) < 0.15,
+        s"${r.getString(0)}: orders ${r.getAs[Long]("approx_orders")} vs ${r.getAs[Long]("exact_orders")}")
     }
   }
 
   test("percentile_approx within 1% of exact percentile per group") {
-    val li = Tables.load(spark, sfDir, "lineitem")
-    val rows = li.groupBy("l_returnflag")
+    val raw = operators.Relational.approxQuantilesRaw(spark, sfDir)
+    val exact = Tables.load(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
       .agg(
         expr("percentile(l_extendedprice, 0.5D)").as("exact50"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx50"),
-        expr("percentile(l_extendedprice, 0.95D)").as("exact95"),
-        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("approx95"))
-      .collect()
+        expr("percentile(l_extendedprice, 0.95D)").as("exact95"))
+    val rows = raw.join(exact, "l_returnflag").collect()
+    assert(rows.nonEmpty)
     rows.foreach { r =>
       def relErr(e: Double, a: Double) = math.abs(a - e) / e
-      assert(relErr(r.getAs[Double]("exact50"), r.getAs[Double]("approx50")) < 0.01)
-      assert(relErr(r.getAs[Double]("exact95"), r.getAs[Double]("approx95")) < 0.01)
+      assert(relErr(r.getAs[Double]("exact50"), r.getAs[Double]("p50")) < 0.01)
+      assert(relErr(r.getAs[Double]("exact95"), r.getAs[Double]("p95")) < 0.01)
+    }
+  }
+
+  test("declared approx bound queries report every estimate in-bound") {
+    Seq("agg_approx_distinct", "agg_approx_quantiles").foreach { name =>
+      val df = Queries.byName(name).run(spark, sfDir)
+      val okCols = df.schema.fields.filter(_.name.endsWith("_ok")).map(_.name)
+      assert(okCols.nonEmpty, s"$name declares no *_ok columns")
+      val bad = df.filter(okCols.map(c => !col(c)).reduce(_ || _)).count()
+      assert(bad == 0, s"$name: $bad groups out of bound")
     }
   }
 }
