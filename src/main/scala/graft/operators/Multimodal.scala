@@ -8,10 +8,11 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns with typed metadata alongside. The Spark-side
   * machinery — schema, partition-preserving batch processing, decode fan-out
   * — is real, and the image path uses a REAL codec (JDK `javax.imageio`
-  * PNG/JPEG/BMP/GIF decode + raster resample). Payloads no reader accepts
-  * (the testdata ships text bytes, not media) take a clearly-marked
-  * deterministic fallback; frame sampling remains a stubbed byte-windowing
-  * codec (no video codec in the JDK).
+  * PNG/JPEG/BMP/GIF decode + raster resample). Frame sampling is likewise a
+  * real multi-frame decode for the one animated container the JDK reads
+  * natively (animated GIF — one row per true frame, pixel-exact spec'd);
+  * payloads no reader accepts (the testdata ships text bytes, not media)
+  * take a clearly-marked deterministic byte-window fallback.
   */
 object Multimodal {
 
@@ -168,11 +169,16 @@ object Multimodal {
       }
   }
 
-  /** Frame sampling over a "video" payload: every `stride`-th fixed-size
-    * window of the byte stream becomes a frame row (1→N fan-out, the
-    * `flatMap`-shaped batch decode a real codec plugs into). Each frame gets
-    * a position-independent checksum so downstream exact dedup of frames is
-    * oracle-able in principle.
+  /** Frame sampling over a media payload — the 1→N `flatMap`-shaped batch
+    * decode. Payloads an `ImageReader` accepts go through a REAL multi-frame
+    * decode (the JDK's GIF reader iterates animated-GIF frames natively;
+    * single-frame formats yield one row): every `stride`-th frame becomes a
+    * row with `n_bytes` = its decoded RGB byte count and a FNV-1a checksum
+    * over the row-major R,G,B stream — pixel-exact, so downstream exact
+    * dedup of frames is a plain groupBy over the checksum. Non-media bytes
+    * (the testdata's text payloads) take the deterministic byte-window
+    * fallback: every `stride`-th fixed-size window of the byte stream, same
+    * checksum convention, which is what the DuckDB oracle replays.
     */
   def sampleFrames(s: SparkSession, df: DataFrame,
                    frameBytes: Int = 64, stride: Int = 4): Dataset[Frame] = {
@@ -180,16 +186,63 @@ object Multimodal {
     df.select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
-        val nFrames = math.max(bytes.length / frameBytes, 1)
-        (0 until nFrames by stride).map { f =>
-          val from = math.min(f * frameBytes, math.max(bytes.length - 1, 0))
-          val until = math.min(from + frameBytes, bytes.length)
-          var h = 0xcbf29ce484222325L
-          var i = from
-          while (i < until) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
-          Frame(id, f, until - from, h)
+        decodeFrames(bytes) match {
+          case Some(frames) =>
+            frames.indices.by(stride).map { f =>
+              val img = frames(f)
+              val (w, h) = (img.getWidth, img.getHeight)
+              var acc = 0xcbf29ce484222325L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  acc ^= (rgb >> 16) & 0xffL; acc *= 0x100000001b3L
+                  acc ^= (rgb >> 8) & 0xffL; acc *= 0x100000001b3L
+                  acc ^= rgb & 0xffL; acc *= 0x100000001b3L
+                  x += 1
+                }
+                y += 1
+              }
+              Frame(id, f, 3 * w * h, acc)
+            }
+          case None =>
+            val nFrames = math.max(bytes.length / frameBytes, 1)
+            (0 until nFrames by stride).map { f =>
+              val from = math.min(f * frameBytes, math.max(bytes.length - 1, 0))
+              val until = math.min(from + frameBytes, bytes.length)
+              var h = 0xcbf29ce484222325L
+              var i = from
+              while (i < until) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+              Frame(id, f, until - from, h)
+            }
         }
       }
+  }
+
+  /** All frames of a media payload via `ImageReader` (animated GIF is the
+    * JDK-native multi-frame case); None when no registered reader accepts
+    * the bytes — the fallback trigger, exactly like [[decodeOne]].
+    */
+  private def decodeFrames(
+      bytes: Array[Byte]): Option[IndexedSeq[java.awt.image.BufferedImage]] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          // allowSearch=true: the GIF reader walks the stream to count frames
+          val n = r.getNumImages(true)
+          if (n < 1) None else Some((0 until n).map(r.read))
+        } catch { case _: Exception => None }
+        finally r.dispose()
+      }
+    } catch { case _: Exception => None }
+    finally if (iis != null) iis.close()
   }
 
   /** Resize stage over the synthesized payloads. Like [[multimodalDecode]],

@@ -222,6 +222,50 @@ class TextMultimodalSpec extends SparkSuite {
       again.sortBy(f => (f.doc_id, f.frame_idx)).toSeq)
   }
 
+  test("animated GIF payloads decode to one pixel-exact row per true frame") {
+    import spark.implicits._
+    // three solid-primary 5×4 frames: primaries survive GIF palette
+    // quantization exactly, so the expected checksums are computable from
+    // the ORIGINAL colors alone — a genuine pixel-exactness assertion, not
+    // a round-trip through the same decoder
+    val colors = Seq(0xFF0000, 0x00FF00, 0x0000FF)
+    def frame(rgb: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(5, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 4; x <- 0 until 5) img.setRGB(x, y, rgb)
+      img
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    colors.foreach(c => writer.writeToSequence(
+      new javax.imageio.IIOImage(frame(c), null, null), null))
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    val gif = bos.toByteArray
+    def fnvSolid(rgb: Int): Long = {
+      var acc = 0xcbf29ce484222325L
+      for (_ <- 0 until 5 * 4; b <- Seq((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)) {
+        acc ^= b; acc *= 0x100000001b3L
+      }
+      acc
+    }
+    val d = Seq((1L, gif)).toDF("doc_id", "payload")
+    val rows = Multimodal.sampleFrames(spark, d, stride = 1)
+      .collect().sortBy(_.frame_idx)
+    assert(rows.length == 3, s"expected 3 true frames, got ${rows.length}")
+    rows.zip(colors).zipWithIndex.foreach { case ((r, c), i) =>
+      assert(r.frame_idx == i)
+      assert(r.n_bytes == 3 * 5 * 4, r.toString)
+      assert(r.checksum == fnvSolid(c), s"frame $i not pixel-exact: $r")
+    }
+    // stride applies to true frames too
+    assert(Multimodal.sampleFrames(spark, d, stride = 2).collect().length == 2)
+  }
+
   test("chunking tiles every document: full coverage, stride overlap, content fps") {
     val chunks = Queries.byName("text_chunk").run(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
