@@ -944,6 +944,174 @@ object Relational {
            |GROUP BY c_custkey, c_name, n_name
            |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin))
 
+  /** TPC-H Q6-shaped forecasting-revenue-change query: one tight scan, every
+    * predicate pushed to parquet (shipdate range + discount band + quantity
+    * cap all appear in PushedFilters), and a single global decimal-exact
+    * aggregate — the cheapest possible plan shape: no shuffle beyond the
+    * final 1-row reduce.
+    */
+  private val q6ForecastRevenue = Q(
+    "q6_forecast_revenue",
+    (s, dir) => t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum(dmul(col("l_extendedprice"), col("l_discount")))
+        .cast("double").as("revenue")),
+    Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+           |FROM lineitem
+           |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+           |  AND l_discount >= 0.05 AND l_discount <= 0.07
+           |  AND l_quantity < 24""".stripMargin))
+
+  /** TPC-H Q18-shaped large-volume-customer report: orders whose total
+    * quantity clears a threshold, with their customer. The HAVING runs on
+    * the pre-aggregated (orderkey, qty) frame BEFORE any join — at 100 TB
+    * the filter collapses the fact table to the rare big orders first, so
+    * the customer/order joins see only survivors; the top-100 is
+    * TakeOrderedAndProject. Quantity sums in exact decimal ([[dsum]]).
+    */
+  private val q18LargeOrders = Q(
+    "q18_large_orders",
+    (s, dir) => {
+      val bigOrders = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(dsum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 250.0)
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+    Some("""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           |FROM customer
+           |JOIN orders   ON c_custkey = o_custkey
+           |JOIN lineitem ON o_orderkey = l_orderkey
+           |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+           |HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 250.0
+           |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin))
+
+  /** Distribution-rank window family (§2.5): dense_rank / percent_rank /
+    * cume_dist per order-priority partition. The (totalprice desc, orderkey)
+    * ordering is total, so the rank fractions are exact integer divisions —
+    * deterministic doubles on both engines.
+    */
+  private val windowRankStats = Q(
+    "window_rank_stats",
+    (s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          dense_rank().over(w).as("drank"),
+          percent_rank().over(w).as("prank"),
+          cume_dist().over(w).as("cdist"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_orderpriority, o_totalprice,
+           | CAST(dense_rank() OVER w AS INT) AS drank,
+           | percent_rank() OVER w AS prank,
+           | cume_dist() OVER w AS cdist
+           |FROM orders
+           |WINDOW w AS (PARTITION BY o_orderpriority
+           |             ORDER BY o_totalprice DESC, o_orderkey)
+           |ORDER BY o_orderkey""".stripMargin))
+
+  /** First-order Markov transition matrix over the event stream — the
+    * sequence-model statistic a behavioral pipeline feeds into next-event
+    * prediction: P(next event type | event type) per user-ordered stream.
+    * One window pass pairs each event with its successor (the (ts,
+    * event_id) ordering is total), then a 25-key aggregate; the
+    * normalizing per-source totals ride a second window over the TINY
+    * (type × type) frame, not the events. Probabilities are single
+    * long/long IEEE divisions — deterministic.
+    */
+  private val eventsMarkov = Q(
+    "events_markov",
+    (s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val pairs = t(s, dir, "events")
+        .select(col("user_id"), col("event_type").as("from_type"),
+          lead(col("event_type"), 1).over(byUser).as("to_type"))
+        .filter(col("to_type").isNotNull)
+        .groupBy("from_type", "to_type")
+        .agg(count(lit(1)).as("n"))
+      val byFrom = Window.partitionBy("from_type")
+      pairs
+        .select(col("from_type"), col("to_type"), col("n"),
+          (col("n").cast("double") / sum(col("n")).over(byFrom)).as("p"))
+        .orderBy("from_type", "to_type")
+    },
+    Some("""WITH pairs AS (
+           |  SELECT event_type AS from_type,
+           |         lead(event_type) OVER (PARTITION BY user_id
+           |                                ORDER BY ts, event_id) AS to_type
+           |  FROM events),
+           |cnt AS (SELECT from_type, to_type, count(*) AS n
+           |        FROM pairs WHERE to_type IS NOT NULL
+           |        GROUP BY from_type, to_type)
+           |SELECT from_type, to_type, n,
+           |       CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type) AS p
+           |FROM cnt ORDER BY from_type, to_type""".stripMargin))
+
+  /** RFM (recency / frequency / monetary) customer segmentation, quartiled
+    * PER MARKET (nation): the standard CRM scoring a curation-adjacent
+    * pipeline uses to stratify users. One aggregate over orders builds the
+    * per-customer profile; the three ntile(4) windows then run per nation —
+    * partitioned, never a global single-reducer sort — with fully
+    * tie-broken orderings so quartile assignment is deterministic.
+    * Monetary sums ride [[dsum]].
+    */
+  private val ordersRfm = Q(
+    "orders_rfm",
+    (s, dir) => {
+      val prof = t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(max(col("o_orderdate")).as("recency"),
+          count(lit(1)).as("frequency"),
+          dsum(col("o_totalprice")).as("monetary"))
+      val c = t(s, dir, "customer")
+      val joined = c.join(prof, col("c_custkey") === col("o_custkey"))
+      def q(orderCols: Column*): Column =
+        ntile(4).over(Window.partitionBy("c_nationkey").orderBy(orderCols: _*))
+      joined
+        .select(col("c_custkey"), col("c_nationkey"),
+          col("recency"), col("frequency"), col("monetary"),
+          q(col("recency").desc, col("c_custkey")).as("r_q"),
+          q(col("frequency").desc, col("c_custkey")).as("f_q"),
+          q(col("monetary").desc, col("c_custkey")).as("m_q"))
+        .withColumn("segment",
+          concat(col("r_q"), lit("-"), col("f_q"), lit("-"), col("m_q")))
+        .orderBy("c_custkey")
+    },
+    Some("""WITH prof AS (
+           |  SELECT o_custkey, max(o_orderdate) AS recency,
+           |         count(*) AS frequency,
+           |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+           |  FROM orders GROUP BY o_custkey)
+           |SELECT c_custkey, c_nationkey, recency, frequency, monetary,
+           |  CAST(ntile(4) OVER (PARTITION BY c_nationkey
+           |         ORDER BY recency DESC, c_custkey) AS INT) AS r_q,
+           |  CAST(ntile(4) OVER (PARTITION BY c_nationkey
+           |         ORDER BY frequency DESC, c_custkey) AS INT) AS f_q,
+           |  CAST(ntile(4) OVER (PARTITION BY c_nationkey
+           |         ORDER BY monetary DESC, c_custkey) AS INT) AS m_q,
+           |  CAST(ntile(4) OVER (PARTITION BY c_nationkey
+           |         ORDER BY recency DESC, c_custkey) AS VARCHAR) || '-' ||
+           |  CAST(ntile(4) OVER (PARTITION BY c_nationkey
+           |         ORDER BY frequency DESC, c_custkey) AS VARCHAR) || '-' ||
+           |  CAST(ntile(4) OVER (PARTITION BY c_nationkey
+           |         ORDER BY monetary DESC, c_custkey) AS VARCHAR) AS segment
+           |FROM customer JOIN prof ON c_custkey = o_custkey
+           |ORDER BY c_custkey""".stripMargin))
+
   /** Volume-anomaly monitor over the event stream: per event type, flag the
     * days whose event count sits more than 2σ from that type's daily mean —
     * the ingest-monitoring query that catches a broken producer or a
@@ -1473,7 +1641,8 @@ object Relational {
     catalogAgg, sampleMixture, qualityChecks, aggFooterStats, tableDiffQ,
     scd2MergeQ, aggHistogram, refPartitionCount,
     aggPricingSummary, q3ShippingPriority,
-    q5LocalSupplierVolume, q10ReturnedItems, joinFuzzy, eventsAnomaly,
+    q5LocalSupplierVolume, q10ReturnedItems, q6ForecastRevenue, q18LargeOrders,
+    windowRankStats, eventsMarkov, ordersRfm, joinFuzzy, eventsAnomaly,
     eventsFunnel,
     eventsCohortRetention, filterProject, filterString,
     joinInnerStar, joinLeftOuter, joinSemi, joinAnti, joinFullOuter,
