@@ -1112,6 +1112,53 @@ object Relational {
            |FROM customer JOIN prof ON c_custkey = o_custkey
            |ORDER BY c_custkey""".stripMargin))
 
+  /** One-pass table profiler — the ingest-time data-profiling report
+    * (per-column null counts, exact cardinality, min/max) every pipeline
+    * runs before publishing a table. All 5×4 measures compute in ONE
+    * aggregate over one scan (the distinct counts expand map-side; at
+    * 100 TB swap them for approx_count_distinct — the declared shape keeps
+    * exact counts so the oracle stays hard), then `stack` unpivots the
+    * 1-row result into the (column, metrics) report frame. Numeric min/max
+    * render through canonical casts (money via DECIMAL(18,2)) so the
+    * strings match DuckDB byte-for-byte.
+    */
+  private val profileTable = Q(
+    "profile_table",
+    (s, dir) => {
+      val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+      def canon(c: Column, name: String): Column =
+        if (name == "c_acctbal") c.cast(DecimalType(18, 2)).cast("string")
+        else c.cast("string")
+      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+        count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        canon(min(col(c)), c).as(s"${c}__min"),
+        canon(max(col(c)), c).as(s"${c}__max")))
+      val stackArgs = cols.map(c =>
+        s"'$c', `${c}__nulls`, `${c}__distinct`, `${c}__min`, `${c}__max`")
+        .mkString(", ")
+      t(s, dir, "customer")
+        .agg(aggs.head, aggs.tail: _*)
+        .selectExpr("n_rows", s"stack(${cols.size}, $stackArgs)" +
+          " as (column_name, n_nulls, n_distinct, min_val, max_val)")
+        .select("column_name", "n_rows", "n_nulls", "n_distinct",
+          "min_val", "max_val")
+        .orderBy("column_name")
+    },
+    Some(Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .map { c =>
+        val minmax =
+          if (c == "c_acctbal")
+            s"CAST(CAST(min($c) AS DECIMAL(18,2)) AS VARCHAR) AS min_val, " +
+              s"CAST(CAST(max($c) AS DECIMAL(18,2)) AS VARCHAR) AS max_val"
+          else s"CAST(min($c) AS VARCHAR) AS min_val, CAST(max($c) AS VARCHAR) AS max_val"
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+           | count(*) - count($c) AS n_nulls,
+           | count(DISTINCT $c) AS n_distinct, $minmax
+           |FROM customer""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")))
+
   /** Volume-anomaly monitor over the event stream: per event type, flag the
     * days whose event count sits more than 2σ from that type's daily mean —
     * the ingest-monitoring query that catches a broken producer or a
@@ -1642,7 +1689,7 @@ object Relational {
     scd2MergeQ, aggHistogram, refPartitionCount,
     aggPricingSummary, q3ShippingPriority,
     q5LocalSupplierVolume, q10ReturnedItems, q6ForecastRevenue, q18LargeOrders,
-    windowRankStats, eventsMarkov, ordersRfm, joinFuzzy, eventsAnomaly,
+    windowRankStats, eventsMarkov, ordersRfm, profileTable, joinFuzzy, eventsAnomaly,
     eventsFunnel,
     eventsCohortRetention, filterProject, filterString,
     joinInnerStar, joinLeftOuter, joinSemi, joinAnti, joinFullOuter,

@@ -976,10 +976,56 @@ object TextAnalysis {
         .mkString("\n  UNION ALL\n") +
       "\n) ORDER BY merge_rank")))
 
+  /** Zipf head-heaviness report per language — the distribution-shape
+    * signal a corpus audit reads before training: token mass concentrated
+    * in the top ranks flags boilerplate/templated text. Log-log slope
+    * fitting would hinge on cross-engine `ln` ulps, so the declared stats
+    * are exact-arithmetic instead: total/vocab counts plus the share of
+    * mass in the top-1 and top-10 ranks. Two-phase shape: (lang, token)
+    * counts, per-lang totals, and the top-10 cut via the [[graft.plans.TopK]]
+    * custom operator (map-side partial heaps — never a vocab-wide
+    * single-reducer window). Shares are single long/long IEEE divisions.
+    */
+  private val textZipfHead = Q(
+    "text_zipf_head",
+    (s, dir) => {
+      val freq = docs(s, dir)
+        .select(col("lang"), explode(words(col("text"))).as("token"))
+        .groupBy("lang", "token")
+        .agg(count(lit(1)).as("freq"))
+      val totals = freq.groupBy("lang")
+        .agg(sum(col("freq")).as("n_tokens"), count(lit(1)).as("n_vocab"),
+          max(col("freq")).as("fmax"))
+      val top10 = graft.plans.TopK.perGroup(freq, Seq("lang"),
+          Seq(col("freq").desc, col("token")), 10)
+        .groupBy("lang").agg(sum(col("freq")).as("top10"))
+      totals.join(top10, "lang")
+        .select(col("lang"), col("n_tokens"), col("n_vocab"),
+          (col("fmax").cast("double") / col("n_tokens")).as("top1_share"),
+          (col("top10").cast("double") / col("n_tokens")).as("top10_share"))
+        .orderBy("lang")
+    },
+    Some("""WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token
+           |            FROM documents),
+           |freq AS (SELECT lang, token, count(*) AS freq
+           |         FROM tok GROUP BY lang, token),
+           |tot AS (SELECT lang, CAST(sum(freq) AS BIGINT) AS n_tokens,
+           |          count(*) AS n_vocab, max(freq) AS fmax
+           |        FROM freq GROUP BY lang),
+           |top AS (SELECT lang, CAST(sum(freq) AS BIGINT) AS top10 FROM (
+           |          SELECT lang, freq, row_number() OVER (
+           |            PARTITION BY lang ORDER BY freq DESC, token) AS rk
+           |          FROM freq)
+           |        WHERE rk <= 10 GROUP BY lang)
+           |SELECT t.lang, n_tokens, n_vocab,
+           |  CAST(fmax AS DOUBLE) / n_tokens AS top1_share,
+           |  CAST(top10 AS DOUBLE) / n_tokens AS top10_share
+           |FROM tot t JOIN top USING (lang) ORDER BY lang""".stripMargin))
+
   val queries: Seq[Q] = Seq(
     textTokens, textTokenFreq, textTfidf, textQuality, textQualityGate,
     textNovelty, textMixtureReport, textLangid,
     textFingerprint, textNormalize, textPack, textPackSpans, textVocab,
     textHeavyHitters, textChunk, textEncode, textRedact, textRepetition,
-    textBpe, textBpeEncode, textLmScore)
+    textBpe, textBpeEncode, textLmScore, textZipfHead)
 }
