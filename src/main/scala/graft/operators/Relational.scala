@@ -1416,6 +1416,47 @@ object Relational {
            |      < (CAST(substr(source, 4) AS INT) % 4 + 1) * 25
            |GROUP BY source ORDER BY source""".stripMargin))
 
+  /** Temperature-reweighted source mixture (α = 0.7) — the sampling-weight
+    * computation an LLM data pipeline runs to upweight rare domains:
+    * w_s ∝ n_s^α flattens the source distribution, and the per-source
+    * boost = temp_share / raw_share is the resampling factor fed to the
+    * keep-rate mixer ([[sampleMixture]]). Corpus stats are one two-phase
+    * aggregate; the α-powered totals ride a broadcast 1-row frame (never a
+    * driver collect) and sum in fine decimal so the normalization is
+    * order-independent; the powered weights themselves are single pow()
+    * calls whose cross-engine last-ulp sits far below the round(·,6)
+    * reporting precision (same ln/pow stance as text_tfidf).
+    */
+  private val mixtureTemperature = Q(
+    "mixture_temperature",
+    (s, dir) => {
+      val stats = t(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+        .withColumn("w", pow(col("n_chars").cast("double"), lit(0.7)))
+      val tot = stats.agg(sum(col("n_chars")).as("tot_chars"),
+        dsumFine(col("w")).as("tot_w"))
+      stats.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_chars"),
+          round(col("n_chars").cast("double") / col("tot_chars"), 6).as("raw_share"),
+          round(col("w") / col("tot_w"), 6).as("temp_share"),
+          round((col("w") / col("tot_w")) /
+            (col("n_chars").cast("double") / col("tot_chars")), 6).as("boost"))
+        .orderBy("source")
+    },
+    Some("""WITH stats AS (SELECT source, count(*) AS n_docs,
+           |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           |    pow(CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE), 0.7) AS w
+           |  FROM documents GROUP BY source),
+           |tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS tot_chars,
+           |    CAST(SUM(CAST(w AS DECIMAL(38,20))) AS DOUBLE) AS tot_w
+           |  FROM stats)
+           |SELECT source, n_docs, n_chars,
+           |  round(CAST(n_chars AS DOUBLE) / tot_chars, 6) AS raw_share,
+           |  round(w / tot_w, 6) AS temp_share,
+           |  round((w / tot_w) / (CAST(n_chars AS DOUBLE) / tot_chars), 6) AS boost
+           |FROM stats CROSS JOIN tot ORDER BY source""".stripMargin))
+
   /** Deterministic stratified sampling with an EXACT per-stratum budget —
     * the balanced-mix step (e.g. equal documents per language) that
     * keep-rate mixing ([[sampleMixture]]) can't give: rank rows inside each
@@ -1689,7 +1730,8 @@ object Relational {
     scd2MergeQ, aggHistogram, refPartitionCount,
     aggPricingSummary, q3ShippingPriority,
     q5LocalSupplierVolume, q10ReturnedItems, q6ForecastRevenue, q18LargeOrders,
-    windowRankStats, eventsMarkov, ordersRfm, profileTable, joinFuzzy, eventsAnomaly,
+    windowRankStats, eventsMarkov, ordersRfm, profileTable, mixtureTemperature,
+    joinFuzzy, eventsAnomaly,
     eventsFunnel,
     eventsCohortRetention, filterProject, filterString,
     joinInnerStar, joinLeftOuter, joinSemi, joinAnti, joinFullOuter,
