@@ -14,7 +14,11 @@ object Bench {
     "sim_brute_topk", "sim_ivf_ann", "text_tfidf", "text_encode",
     "dedup_lines", "text_repetition", "text_redact", "sim_kmeans",
     "scd2_merge", "text_bpe", "pipeline_curate", "graph_pagerank",
-    "text_novelty", "text_quality_gate", "join_fuzzy", "multimodal_phash")
+    "text_novelty", "text_quality_gate", "join_fuzzy", "multimodal_phash",
+    // round 8
+    "q6_forecast_revenue", "q18_large_orders", "window_rank_stats",
+    "events_markov", "orders_rfm", "profile_table", "text_zipf_head",
+    "mixture_temperature")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

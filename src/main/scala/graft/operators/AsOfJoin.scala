@@ -57,4 +57,47 @@ object AsOfJoin {
       .filter(col("__side") === 1)
       .drop("__k", "__t", "__carry", "__side")
   }
+
+  /** Nearest as-of join: the closest right timestamp in EITHER direction
+    * (ties at equal distance resolve backward — the earlier event). Both
+    * directional carries ride ONE shuffle + sort: right rows enter the
+    * union twice, tagged side 0 (sorts before left rows at equal ts — the
+    * at-or-before carry) and side 2 (sorts after — the at-or-after carry),
+    * and the two frames (preceding..current / current..following) share the
+    * same window ordering, so Spark plans a single exchange of |L|+2|R|
+    * rows rather than two passes of |L|+|R|. The winner is picked by epoch
+    * gap arithmetic — plain integer compares, no interval types.
+    */
+  def nearest(left: DataFrame, right: DataFrame, key: String,
+              leftTs: String, rightTs: String,
+              asOfCol: String = "nearest_ts"): DataFrame = {
+    val rBack = right.select(
+      col(key).as("__k"), col(rightTs).as("__t"),
+      col(rightTs).as("__back"), lit(null).cast(right.schema(rightTs).dataType)
+        .as("__fwd"), lit(0).as("__side"))
+    val rFwd = right.select(
+      col(key).as("__k"), col(rightTs).as("__t"),
+      lit(null).cast(right.schema(rightTs).dataType).as("__back"),
+      col(rightTs).as("__fwd"), lit(2).as("__side"))
+    val l = left
+      .withColumn("__k", col(key)).withColumn("__t", col(leftTs))
+      .withColumn("__back", lit(null).cast(right.schema(rightTs).dataType))
+      .withColumn("__fwd", lit(null).cast(right.schema(rightTs).dataType))
+      .withColumn("__side", lit(1))
+    val base = Window.partitionBy("__k").orderBy(col("__t"), col("__side"))
+    val wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    l.unionByName(rBack, allowMissingColumns = true)
+      .unionByName(rFwd, allowMissingColumns = true)
+      .withColumn("__b", last(col("__back"), ignoreNulls = true).over(wb))
+      .withColumn("__f", first(col("__fwd"), ignoreNulls = true).over(wf))
+      .filter(col("__side") === 1)
+      .withColumn(asOfCol,
+        when(col("__b").isNull, col("__f"))
+          .when(col("__f").isNull, col("__b"))
+          .when(unix_micros(col("__t")) - unix_micros(col("__b")) <=
+            unix_micros(col("__f")) - unix_micros(col("__t")), col("__b"))
+          .otherwise(col("__f")))
+      .drop("__k", "__t", "__back", "__fwd", "__side", "__b", "__f")
+  }
 }

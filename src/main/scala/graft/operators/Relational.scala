@@ -311,6 +311,67 @@ object Relational {
            |FROM events p WHERE p.event_type = 'purchase'
            |ORDER BY p.event_id""".stripMargin))
 
+  /** Nearest as-of join (J6 completion): each purchase gets the CLOSEST
+    * view by the same user in either direction, ties resolving backward.
+    * Single shuffle + sort with both directional carries — see
+    * [[AsOfJoin.nearest]].
+    */
+  private val joinAsofNearest = Q(
+    "join_asof_nearest",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val views = ev.filter(col("event_type") === "view")
+        .select("user_id", "ts")
+      AsOfJoin.nearest(purchases, views, "user_id", "ts", "ts", "nearest_view_ts")
+        .select(col("event_id"), col("user_id"),
+          col("ts").as("purchase_ts"), col("value"), col("nearest_view_ts"))
+        .orderBy("event_id")
+    },
+    Some("""WITH p AS (SELECT event_id, user_id, ts AS rawts,
+           |    CAST(ts AS TIMESTAMP) AS pts, value
+           |  FROM events WHERE event_type = 'purchase'),
+           |d AS (SELECT p.event_id, p.user_id, p.pts, p.value,
+           |    (SELECT CAST(max(v.ts) AS TIMESTAMP) FROM events v
+           |     WHERE v.event_type = 'view' AND v.user_id = p.user_id
+           |       AND v.ts <= p.rawts) AS bts,
+           |    (SELECT CAST(min(v.ts) AS TIMESTAMP) FROM events v
+           |     WHERE v.event_type = 'view' AND v.user_id = p.user_id
+           |       AND v.ts >= p.rawts) AS fts
+           |  FROM p)
+           |SELECT event_id, user_id, pts AS purchase_ts, value,
+           |  CASE WHEN bts IS NULL THEN fts
+           |       WHEN fts IS NULL THEN bts
+           |       WHEN epoch_us(pts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(pts)
+           |       THEN bts ELSE fts END AS nearest_view_ts
+           |FROM d ORDER BY event_id""".stripMargin))
+
+  /** Per-group statistical mode with a deterministic tiebreak (highest
+    * count, then smallest value) — `mode()`/`max_by()` built-ins keep an
+    * arbitrary tie winner, which can't be oracle-checked. Two-phase:
+    * (group, value) counts, then one lexicographic `max(struct)` per group
+    * — no window, no second scan.
+    */
+  private val aggMode = Q(
+    "agg_mode",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_quantity")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("l_returnflag")
+      .agg(max(struct(col("cnt"), (-col("l_quantity")).as("negq"),
+        col("l_quantity"))).as("m"))
+      .select(col("l_returnflag"), col("m.l_quantity").as("mode_qty"),
+        col("m.cnt").as("mode_n"))
+      .orderBy("l_returnflag"),
+    Some("""WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS cnt
+           |  FROM lineitem GROUP BY l_returnflag, l_quantity),
+           |r AS (SELECT l_returnflag, l_quantity, cnt, row_number() OVER (
+           |    PARTITION BY l_returnflag ORDER BY cnt DESC, l_quantity) AS rk
+           |  FROM c)
+           |SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_n
+           |FROM r WHERE rk = 1 ORDER BY l_returnflag""".stripMargin))
+
   /** Ranking window: top-3 orders per priority (top-k per group). */
   private val windowTopkPerGroup = Q(
     "window_topk_per_group",
@@ -1735,7 +1796,8 @@ object Relational {
     eventsFunnel,
     eventsCohortRetention, filterProject, filterString,
     joinInnerStar, joinLeftOuter, joinSemi, joinAnti, joinFullOuter,
-    joinRange, joinAsof, joinAsofForward, windowTopkPerGroup, windowRunningSum,
+    joinRange, joinAsof, joinAsofForward, joinAsofNearest, aggMode,
+    windowTopkPerGroup, windowRunningSum,
     windowLagLead, windowNtileFirstLast, windowRangeTrailing,
     topkOrders, topkPerGroupCustom, setOps,
     aggDistinctGroup, aggRollup,

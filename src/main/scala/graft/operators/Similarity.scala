@@ -95,7 +95,7 @@ object Similarity {
     * .FloatVecDot]] multiplies float→double and accumulates sequentially —
     * the same order `list_sum(list_transform(...))` evaluates in.
     */
-  private def lshOracle: String = {
+  private def lshOracleCtes: String = {
     val vals = planes.zipWithIndex.map { case (p, i) =>
       s"($i, [${p.map(c => if (c > 0) "1.0" else "-1.0").mkString(",")}]::DOUBLE[])"
     }.mkString(",\n")
@@ -122,9 +122,22 @@ object Similarity {
        |r AS (SELECT q_id, n_id, cos, CAST(ROW_NUMBER() OVER (
        |    PARTITION BY q_id ORDER BY round(cos, 9) DESC, n_id) AS INT) AS rank
        |  FROM sc)
-       |SELECT q_id, n_id, round(cos, 6) AS cosine, rank
-       |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+       |""".stripMargin
   }
+
+  private def lshOracle: String = lshOracleCtes +
+    """SELECT q_id, n_id, round(cos, 6) AS cosine, rank
+      |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  /** The mutual cut of the same replay: a pair survives iff each endpoint
+    * ranks inside the other's top-5.
+    */
+  private def mutualKnnOracle: String = lshOracleCtes +
+    """SELECT a.q_id AS vec_a, a.n_id AS vec_b, round(a.cos, 6) AS cosine,
+      |  a.rank AS rank_ab, b.rank AS rank_ba
+      |FROM r a JOIN r b ON a.q_id = b.n_id AND a.n_id = b.q_id
+      |WHERE a.rank <= 5 AND b.rank <= 5 AND a.q_id < a.n_id
+      |ORDER BY vec_a, vec_b""".stripMargin
 
   /** Deterministic ±1 hyperplanes (seed 42), 64-dim each; float so they feed
     * the array<float> kernel directly.
@@ -140,6 +153,27 @@ object Similarity {
     "sim_lsh_ann",
     (s, dir) => lshTopK(emb(s, dir)).orderBy("q_id", "rank"),
     Some(lshOracle))
+
+  /** Mutual-kNN graph over the LSH top-5 lists — the symmetrized edge set
+    * semantic clustering consumes (an edge survives only if each endpoint
+    * ranks in the other's top-k, which prunes hub-dominated one-way
+    * neighbors). The ranked lists are built once ([[lshTopK]], persisted —
+    * the standard prepared-frame reuse) and the mutual cut is a self-join
+    * on the k·n edge list, linear in candidates.
+    */
+  private val simMutualKnn = Q(
+    "sim_mutual_knn",
+    (s, dir) => {
+      val knn = graft.Caches.track(lshTopK(emb(s, dir), 5))
+      val rev = knn.select(col("n_id").as("rva"), col("q_id").as("rvb"),
+        col("rank").as("rank_ba"))
+      knn.join(rev, col("q_id") === col("rva") && col("n_id") === col("rvb"))
+        .filter(col("q_id") < col("n_id"))
+        .select(col("q_id").as("vec_a"), col("n_id").as("vec_b"),
+          col("cosine"), col("rank").as("rank_ab"), col("rank_ba"))
+        .orderBy("vec_a", "vec_b")
+    },
+    Some(mutualKnnOracle))
 
   def lshTopK(e: DataFrame, k: Int = 5): DataFrame = {
     VectorKernels.register(e.sparkSession)
@@ -761,5 +795,5 @@ object Similarity {
   val queries: Seq[Q] = Seq(
     simBruteTopk, simLshAnn, dedupEmbeddingCosine, simIvfAnn,
     dedupSemanticClusters, simQuantizedTopk, simPqTopk, simKmeans,
-    simDimStats)
+    simDimStats, simMutualKnn)
 }
