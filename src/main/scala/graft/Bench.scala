@@ -18,7 +18,7 @@ object Bench {
     // round 8
     "q6_forecast_revenue", "q18_large_orders", "window_rank_stats",
     "events_markov", "orders_rfm", "profile_table", "text_zipf_head",
-    "mixture_temperature")
+    "mixture_temperature", "join_asof_nearest", "agg_mode", "sim_mutual_knn")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
