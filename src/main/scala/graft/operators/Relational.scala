@@ -311,6 +311,105 @@ object Relational {
            |FROM events p WHERE p.event_type = 'purchase'
            |ORDER BY p.event_id""".stripMargin))
 
+  /** TPC-H Q7-shaped volume-shipping report: bilateral trade between two
+    * named nations by ship year. The two tiny nation dims broadcast with
+    * their name filters applied (the symmetric pair condition rides as a
+    * residual), the fact joins shuffle on their keys, and revenue sums in
+    * exact decimal per (supp_nation, cust_nation, year) cell.
+    */
+  private val q7VolumeShipping = Q(
+    "q7_volume_shipping",
+    (s, dir) => {
+      val pair = Seq("NATION_18", "NATION_19")
+      val n1 = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+        .filter(col("supp_nation").isin(pair: _*)))
+      val n2 = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+        .filter(col("cust_nation").isin(pair: _*)))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(n1, col("s_nationkey") === col("sn_key"))
+        .join(n2, col("c_nationkey") === col("cn_key"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(dmul(col("l_extendedprice"), lit(1.0) - col("l_discount")))
+          .cast("double").as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+    Some("""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           | CAST(year(l_shipdate) AS INT) AS l_year,
+           | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0-l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+           |FROM lineitem
+           |JOIN orders   ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |JOIN nation sn ON s_nationkey = sn.n_nationkey
+           |JOIN nation cn ON c_nationkey = cn.n_nationkey
+           |WHERE sn.n_name IN ('NATION_18','NATION_19')
+           |  AND cn.n_name IN ('NATION_18','NATION_19')
+           |  AND sn.n_name != cn.n_name
+           |GROUP BY supp_nation, cust_nation, l_year
+           |ORDER BY supp_nation, cust_nation, l_year""".stripMargin))
+
+  /** TPC-H Q13-shaped customer order-count distribution: double aggregation
+    * over a left join — per-customer order counts (zero-order customers
+    * kept by the outer join), then the histogram of those counts. Both
+    * aggregates are two-phase; the second runs over the tiny count domain.
+    */
+  private val q13CustomerDistribution = Q(
+    "q13_customer_distribution",
+    (s, dir) => t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc),
+    Some("""SELECT c_count, count(*) AS custdist FROM (
+           |  SELECT c_custkey, count(o_orderkey) AS c_count
+           |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           |  GROUP BY c_custkey)
+           |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin))
+
+  /** TPC-H Q14-shaped promotion-revenue share: percent of windowed revenue
+    * from promo parts. Part dim broadcasts; both conditional revenue sums
+    * come out of ONE decimal-exact aggregate and the final percentage is a
+    * single IEEE division of the two exact totals.
+    */
+  private val q14PromoRevenue = Q(
+    "q14_promo_revenue",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-07-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+      li.join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO",
+            dmul(col("l_extendedprice"), lit(1.0) - col("l_discount"))))
+            .cast("double").as("promo_revenue"),
+          sum(dmul(col("l_extendedprice"), lit(1.0) - col("l_discount")))
+            .cast("double").as("total_revenue"))
+        .select(
+          (lit(100.0) * col("promo_revenue") / col("total_revenue"))
+            .as("promo_pct"),
+          col("promo_revenue"), col("total_revenue"))
+    },
+    Some("""WITH a AS (SELECT
+           |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+           |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0-l_discount AS DECIMAL(4,2))
+           |    END) AS DOUBLE) AS promo_revenue,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0-l_discount AS DECIMAL(4,2))) AS DOUBLE) AS total_revenue
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |WHERE l_shipdate >= TIMESTAMP '1997-07-01 00:00:00'
+           |  AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00')
+           |SELECT 100.0 * promo_revenue / total_revenue AS promo_pct,
+           |       promo_revenue, total_revenue
+           |FROM a""".stripMargin))
+
   /** Nearest as-of join (J6 completion): each purchase gets the CLOSEST
     * view by the same user in either direction, ties resolving backward.
     * Single shuffle + sort with both directional carries — see
@@ -1791,6 +1890,7 @@ object Relational {
     scd2MergeQ, aggHistogram, refPartitionCount,
     aggPricingSummary, q3ShippingPriority,
     q5LocalSupplierVolume, q10ReturnedItems, q6ForecastRevenue, q18LargeOrders,
+    q7VolumeShipping, q13CustomerDistribution, q14PromoRevenue,
     windowRankStats, eventsMarkov, ordersRfm, profileTable, mixtureTemperature,
     joinFuzzy, eventsAnomaly,
     eventsFunnel,

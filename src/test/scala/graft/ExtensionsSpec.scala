@@ -95,4 +95,19 @@ class ExtensionsSpec extends SparkSuite {
       "array(struct(CAST(9 AS BIGINT), 2), struct(CAST(9 AS BIGINT), 2))", 10)
     assert(solo.isEmpty)
   }
+
+  test("pair_explode with a null group key yields no rows instead of an NPE") {
+    graft.functions.TextKernels.register(spark)
+    def run(cap: Int) = spark.sql(
+      s"""SELECT p.* FROM (SELECT CAST(NULL AS BIGINT) AS g) t
+         |LATERAL VIEW pair_explode(g,
+         |  array(struct(CAST(1 AS BIGINT), 1), struct(CAST(2 AS BIGINT), 1),
+         |        struct(CAST(3 AS BIGINT), 1)), $cap) p AS doc_a, doc_b, n_a, n_b
+         |""".stripMargin).collect()
+    // hot branch (3 unique docs > cap 2) carries the key in doc_b — a null
+    // key must degrade to "no rows", never an executor NPE
+    assert(run(2).isEmpty)
+    // the sub-cap pair branch never reads the key: pairs still emit
+    assert(run(10).length == 3)
+  }
 }
