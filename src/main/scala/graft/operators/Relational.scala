@@ -446,6 +446,39 @@ object Relational {
            |       THEN bts ELSE fts END AS nearest_view_ts
            |FROM d ORDER BY event_id""".stripMargin))
 
+  /** Gaps-and-islands: longest consecutive-day activity streak per user —
+    * the classic retention signal. One distinct (user, day) pass, then the
+    * `day − row_number` island key turns consecutive runs into equal dates,
+    * and two small per-user aggregates finish it. All windows partition by
+    * user; nothing global.
+    */
+  private val eventsStreaks = Q(
+    "events_streaks",
+    (s, dir) => {
+      val days = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      days
+        .withColumn("island", date_sub(col("day"), row_number().over(w)))
+        .groupBy("user_id", "island")
+        .agg(count(lit(1)).as("run"))
+        .groupBy("user_id")
+        .agg(sum(col("run")).as("n_active_days"), max(col("run")).as("longest_streak"))
+        .orderBy("user_id")
+    },
+    Some("""WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+           |  FROM events),
+           |isl AS (SELECT user_id,
+           |    day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+           |          AS INT) AS island
+           |  FROM days),
+           |runs AS (SELECT user_id, island, count(*) AS run
+           |  FROM isl GROUP BY user_id, island)
+           |SELECT user_id, CAST(sum(run) AS BIGINT) AS n_active_days,
+           |  max(run) AS longest_streak
+           |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin))
+
   /** Per-group statistical mode with a deterministic tiebreak (highest
     * count, then smallest value) — `mode()`/`max_by()` built-ins keep an
     * arbitrary tie winner, which can't be oracle-checked. Two-phase:
@@ -1897,7 +1930,7 @@ object Relational {
     eventsCohortRetention, filterProject, filterString,
     joinInnerStar, joinLeftOuter, joinSemi, joinAnti, joinFullOuter,
     joinRange, joinAsof, joinAsofForward, joinAsofNearest, aggMode,
-    windowTopkPerGroup, windowRunningSum,
+    eventsStreaks, windowTopkPerGroup, windowRunningSum,
     windowLagLead, windowNtileFirstLast, windowRangeTrailing,
     topkOrders, topkPerGroupCustom, setOps,
     aggDistinctGroup, aggRollup,

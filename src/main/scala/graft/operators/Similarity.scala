@@ -792,8 +792,118 @@ object Similarity {
            |  round(mx, 6) AS max_val
            |FROM a ORDER BY dim""".stripMargin))
 
+  /** Distributed PCA, top principal component by power iteration — the
+    * whitening/compression preamble of an embedding pipeline (PQ/IVF both
+    * improve on decorrelated inputs). The shape that scales:
+    *
+    *  - mean vector: one explode → 64-key decimal-exact aggregate;
+    *  - covariance: per-row outer product via two CHAINED `posexplode`s
+    *    (no self-join — the d² fan-out happens inside the row) → two-phase
+    *    decimal aggregate whose map-side combine shuffles only
+    *    d² × partitions rows, then the mean correction
+    *    `C = Σxxᵀ/n − μμᵀ` on the tiny d² frame;
+    *  - 2 power iterations on the persisted d²-row covariance: broadcast
+    *    the 64-row vector, one join + decimal aggregate per step; the
+    *    starting vector is the exact constant 1/8 (= 1/√64), so every
+    *    arithmetic step is a single IEEE op from exact decimal sums —
+    *    deterministic, and the DuckDB oracle replays the whole chain
+    *    CTE-for-CTE. λ is estimated as ‖C·v‖ of the final step (v entered
+    *    normalized).
+    *
+    * No driver-side collect anywhere: n, norms, and λ all ride broadcast
+    * 1-row frames.
+    */
+  def pca1(e: DataFrame, iters: Int = 2): (DataFrame, DataFrame) = {
+    val cnt = e.agg(count(lit(1)).as("n"))
+    val x = e.select(posexplode(col("embedding")).as(Seq("i", "xf")))
+      .select(col("i"), col("xf").cast("double").as("x"))
+    val mu = x.groupBy("i")
+      .agg(graft.functions.Deterministic.dsumFine(col("x")).as("sx"))
+      .crossJoin(broadcast(cnt))
+      .select(col("i"), (col("sx") / col("n")).as("mu"))
+    // UPPER TRIANGLE only (j ≥ i, filtered between the explodes — a slice
+    // per (row, i) would allocate 64 arrays per row and measured SLOWER):
+    // halves the aggregated d²-row stream, and the mirrored (j,i) sums are
+    // bit-identical because x_i·x_j = x_j·x_i addend-for-addend and the
+    // decimal sum is order-independent — so the oracle can stay full-matrix
+    val tri = e
+      .select(col("embedding"), posexplode(col("embedding")).as(Seq("i", "xaf")))
+      .select(col("i"), col("xaf").cast("double").as("xa"),
+        posexplode(col("embedding")).as(Seq("j", "xbf")))
+      .filter(col("j") >= col("i"))
+      .select(col("i"), col("j"), (col("xa") * col("xbf").cast("double")).as("xy"))
+      .groupBy("i", "j")
+      .agg(graft.functions.Deterministic.dsumFine(col("xy")).as("sxy"))
+    val prod = tri.unionByName(tri.filter(col("i") =!= col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("sxy")))
+    // d² rows; NOT persisted — the repeated cov/mu subtrees across the two
+    // iterations dedupe through AQE exchange reuse within the one action,
+    // which measured faster than stacked lazy caches (same finding as
+    // graph_pagerank: cache-population barriers serialize the stage graph)
+    val cov = prod
+      .join(broadcast(mu.toDF("i2", "mu_i")), col("i") === col("i2"))
+      .join(broadcast(mu.toDF("j2", "mu_j")), col("j") === col("j2"))
+      .crossJoin(broadcast(cnt))
+      .select(col("i"), col("j"),
+        (col("sxy") / col("n") - col("mu_i") * col("mu_j")).as("c"))
+    var v = mu.select(col("i").as("j"), lit(0.125).as("v")) // 1/√64, exact
+    var nrm = cnt.select(lit(1.0).as("nrm"))
+    for (_ <- 1 to iters) {
+      val y = cov.join(broadcast(v), "j")
+        .groupBy("i")
+        .agg(graft.functions.Deterministic.dsumFine(col("c") * col("v")).as("y"))
+      nrm = y.agg(
+        sqrt(graft.functions.Deterministic.dsumFine(col("y") * col("y"))).as("nrm"))
+      v = y.crossJoin(broadcast(nrm))
+        .select(col("i").as("j"), (col("y") / col("nrm")).as("v"))
+    }
+    (v.select(col("j").as("dim"), col("v").as("loading")), nrm)
+  }
+
+  /** One power-iteration SQL round: y_k = C·v_{k-1}, its norm, and the
+    * normalized v_k.
+    */
+  private def pcaIterSql(k: Int): String = {
+    val prev = s"v${k - 1}"
+    s"""y$k AS (SELECT cov.i,
+       |    CAST(SUM(CAST(cov.c * $prev.v AS DECIMAL(38,20))) AS DOUBLE) AS y
+       |  FROM cov JOIN $prev ON cov.j = $prev.j GROUP BY cov.i),
+       |n$k AS (SELECT sqrt(CAST(SUM(CAST(y * y AS DECIMAL(38,20))) AS DOUBLE)) AS nrm
+       |  FROM y$k),
+       |v$k AS (SELECT i AS j, y / (SELECT nrm FROM n$k) AS v FROM y$k)""".stripMargin
+  }
+
+  private val simPcaPower = Q(
+    "sim_pca_power",
+    (s, dir) => {
+      val (v, nrm) = pca1(emb(s, dir))
+      v.crossJoin(broadcast(nrm))
+        .select(col("dim"), round(col("loading"), 6).as("pc1_loading"),
+          round(col("nrm"), 6).as("lambda"))
+        .orderBy("dim")
+    },
+    Some("""WITH cnt AS (SELECT count(*) AS n FROM embeddings),
+           |x AS (SELECT e.vec_id, CAST(i - 1 AS INT) AS i,
+           |        CAST(embedding[i] AS DOUBLE) AS x
+           |      FROM embeddings e, unnest(range(1, len(embedding) + 1)) AS t(i)),
+           |mu AS (SELECT i,
+           |    CAST(SUM(CAST(x AS DECIMAL(38,20))) AS DOUBLE) / (SELECT n FROM cnt) AS mu
+           |  FROM x GROUP BY i),
+           |pr AS (SELECT a.i AS i, b.i AS j,
+           |    CAST(SUM(CAST(a.x * b.x AS DECIMAL(38,20))) AS DOUBLE) AS sxy
+           |  FROM x a JOIN x b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
+           |cov AS (SELECT pr.i, pr.j,
+           |    sxy / (SELECT n FROM cnt) - mi.mu * mj.mu AS c
+           |  FROM pr JOIN mu mi ON pr.i = mi.i JOIN mu mj ON pr.j = mj.i),
+           |v0 AS (SELECT i AS j, CAST(0.125 AS DOUBLE) AS v FROM mu),
+           |""".stripMargin +
+      (1 to 2).map(pcaIterSql).mkString(",\n") + "\n" +
+      """SELECT j AS dim, round(v, 6) AS pc1_loading,
+        |  round((SELECT nrm FROM n2), 6) AS lambda
+        |FROM v2 ORDER BY dim""".stripMargin))
+
   val queries: Seq[Q] = Seq(
     simBruteTopk, simLshAnn, dedupEmbeddingCosine, simIvfAnn,
     dedupSemanticClusters, simQuantizedTopk, simPqTopk, simKmeans,
-    simDimStats, simMutualKnn)
+    simDimStats, simMutualKnn, simPcaPower)
 }
