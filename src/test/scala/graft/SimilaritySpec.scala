@@ -189,4 +189,36 @@ class SimilaritySpec extends SparkSuite {
     val cosines = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
     assert(cosines.zip(cosines.tail).forall { case (x, y) => x >= y })
   }
+
+  test("PCA power iteration recovers a planted principal direction") {
+    import spark.implicits._
+    // points spread ±20 along u = (0.6, 0.8, 0, …) with ±0.3 noise along
+    // the orthogonal w = (-0.8, 0.6, 0, …): eigengap ~4000:1, so two power
+    // iterations land within a tight cone of ±u
+    val u = Array(0.6f, 0.8f) ++ Array.fill(62)(0.0f)
+    val w = Array(-0.8f, 0.6f) ++ Array.fill(62)(0.0f)
+    val pts = (0 until 40).map { k =>
+      val s = (k - 20).toFloat
+      val n = if (k % 2 == 0) 0.3f else -0.3f
+      (k.toLong, u.zip(w).map { case (ui, wi) => s * ui + n * wi })
+    }
+    val d = pts.toDF("vec_id", "embedding")
+    val (vDf, nrmDf) = Similarity.pca1(d)
+    val v = vDf.collect().map(r => r.getAs[Int]("dim") -> r.getAs[Double]("loading"))
+      .sortBy(_._1).map(_._2)
+    val lambda = nrmDf.collect().head.getDouble(0)
+    val dotU = v(0) * 0.6 + v(1) * 0.8
+    assert(math.abs(dotU) > 0.999, s"PC1 off the planted direction: ${v.take(3).toSeq}")
+    assert(v.drop(2).forall(x => math.abs(x) < 1e-3),
+      "mass leaked off the planted plane")
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9, "v not unit-norm")
+    // λ ≈ variance along u: Σs²/n over s = -20..19 (mean -0.5 corrected)
+    val ss = (0 until 40).map(k => (k - 20).toDouble)
+    val expectedVar = {
+      val m = ss.sum / ss.length
+      ss.map(x => (x - m) * (x - m)).sum / ss.length
+    }
+    assert(math.abs(lambda - expectedVar) / expectedVar < 0.01,
+      s"lambda $lambda vs planted variance $expectedVar")
+  }
 }
