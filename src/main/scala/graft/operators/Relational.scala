@@ -446,6 +446,44 @@ object Relational {
            |       THEN bts ELSE fts END AS nearest_view_ts
            |FROM d ORDER BY event_id""".stripMargin))
 
+  /** Incremental aggregate maintenance (materialized-view refresh): the
+    * published per-status summary is kept current by MERGING the delta
+    * batch's partial aggregate into the existing one — sums/counts are
+    * algebraically mergeable, the mean derives at read time — so a refresh
+    * at 100 TB touches only the delta, never re-scans the base. Partials
+    * stay in exact decimal through the merge (cast to double only at the
+    * published edge). The oracle recomputes the summary from the FULL
+    * table, so the green row is itself the proof that
+    * merge(agg(base), agg(delta)) == agg(base ∪ delta).
+    */
+  private val aggIncrementalMerge = Q(
+    "agg_incremental_merge",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      // the standing summary vs the newly-arrived refresh batch
+      val base = o.filter(col("o_orderkey") % 13 =!= 3)
+      val delta = o.filter(col("o_orderkey") % 13 === 3)
+      def partial(d: DataFrame): DataFrame = d.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("s"),
+          min(col("o_orderdate")).as("mn"), max(col("o_orderdate")).as("mx"))
+      partial(base).unionByName(partial(delta))
+        .groupBy("o_orderstatus")
+        .agg(sum(col("n")).as("n_orders"),
+          sum(col("s")).as("s2"),
+          min(col("mn")).as("first_order"), max(col("mx")).as("last_order"))
+        .select(col("o_orderstatus"), col("n_orders"),
+          col("s2").cast("double").as("total_price"),
+          (col("s2").cast("double") / col("n_orders")).as("avg_price"),
+          col("first_order"), col("last_order"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus, count(*) AS n_orders,
+           | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+           | min(o_orderdate) AS first_order, max(o_orderdate) AS last_order
+           |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+
   /** Gaps-and-islands: longest consecutive-day activity streak per user —
     * the classic retention signal. One distinct (user, day) pass, then the
     * `day − row_number` island key turns consecutive runs into equal dates,
@@ -1930,7 +1968,7 @@ object Relational {
     eventsCohortRetention, filterProject, filterString,
     joinInnerStar, joinLeftOuter, joinSemi, joinAnti, joinFullOuter,
     joinRange, joinAsof, joinAsofForward, joinAsofNearest, aggMode,
-    eventsStreaks, windowTopkPerGroup, windowRunningSum,
+    eventsStreaks, aggIncrementalMerge, windowTopkPerGroup, windowRunningSum,
     windowLagLead, windowNtileFirstLast, windowRangeTrailing,
     topkOrders, topkPerGroupCustom, setOps,
     aggDistinctGroup, aggRollup,
