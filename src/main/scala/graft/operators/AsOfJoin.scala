@@ -60,13 +60,17 @@ object AsOfJoin {
 
   /** Nearest as-of join: the closest right timestamp in EITHER direction
     * (ties at equal distance resolve backward — the earlier event). Both
-    * directional carries ride ONE shuffle + sort: right rows enter the
-    * union twice, tagged side 0 (sorts before left rows at equal ts — the
-    * at-or-before carry) and side 2 (sorts after — the at-or-after carry),
-    * and the two frames (preceding..current / current..following) share the
-    * same window ordering, so Spark plans a single exchange of |L|+2|R|
-    * rows rather than two passes of |L|+|R|. The winner is picked by epoch
-    * gap arithmetic — plain integer compares, no interval types.
+    * directional carries ride ONE shuffle: right rows enter the union
+    * twice, tagged side 0 (sorts before left rows at equal ts — the
+    * at-or-before carry) and side 2 (sorts after — the at-or-after carry).
+    * Each carry is a running `last(..., ignoreNulls)` over an
+    * UNBOUNDED PRECEDING..CURRENT frame — the forward one over a DESCENDING
+    * sort rather than a current..following frame, because Spark executes
+    * unbounded-FOLLOWING frames by re-scanning to the partition end per row
+    * (O(rows²) on a hot key) while the running-preceding frame is a single
+    * forward pass. The two sorts share one exchange of |L|+2|R| rows. The
+    * winner is picked by epoch gap arithmetic — plain integer compares, no
+    * interval types.
     */
   def nearest(left: DataFrame, right: DataFrame, key: String,
               leftTs: String, rightTs: String,
@@ -84,13 +88,17 @@ object AsOfJoin {
       .withColumn("__back", lit(null).cast(right.schema(rightTs).dataType))
       .withColumn("__fwd", lit(null).cast(right.schema(rightTs).dataType))
       .withColumn("__side", lit(1))
-    val base = Window.partitionBy("__k").orderBy(col("__t"), col("__side"))
-    val wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // ascending pass: at equal ts the side-0 right row precedes left (side
+    // 1) → at-or-before. Descending pass: at equal ts the side-2 right row
+    // precedes left (side 2 sorts first under desc) → at-or-after.
+    val wb = Window.partitionBy("__k").orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy("__k").orderBy(col("__t").desc, col("__side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(rBack, allowMissingColumns = true)
       .unionByName(rFwd, allowMissingColumns = true)
       .withColumn("__b", last(col("__back"), ignoreNulls = true).over(wb))
-      .withColumn("__f", first(col("__fwd"), ignoreNulls = true).over(wf))
+      .withColumn("__f", last(col("__fwd"), ignoreNulls = true).over(wf))
       .filter(col("__side") === 1)
       .withColumn(asOfCol,
         when(col("__b").isNull, col("__f"))

@@ -172,7 +172,8 @@ object Multimodal {
   /** Frame sampling over a media payload — the 1→N `flatMap`-shaped batch
     * decode. Payloads an `ImageReader` accepts go through a REAL multi-frame
     * decode (the JDK's GIF reader iterates animated-GIF frames natively;
-    * single-frame formats yield one row): every `stride`-th frame becomes a
+    * single-frame formats yield one row): every `stride`-th STORED frame
+    * (see [[decodeFrames]] on delta-compressed GIFs) becomes a
     * row with `n_bytes` = its decoded RGB byte count and a FNV-1a checksum
     * over the row-major R,G,B stream — pixel-exact, so downstream exact
     * dedup of frames is a plain groupBy over the checksum. Non-media bytes
@@ -186,10 +187,9 @@ object Multimodal {
     df.select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
-        decodeFrames(bytes) match {
+        decodeFrames(bytes, stride) match {
           case Some(frames) =>
-            frames.indices.by(stride).map { f =>
-              val img = frames(f)
+            frames.map { case (f, img) =>
               val (w, h) = (img.getWidth, img.getHeight)
               var acc = 0xcbf29ce484222325L
               var y = 0
@@ -220,12 +220,18 @@ object Multimodal {
       }
   }
 
-  /** All frames of a media payload via `ImageReader` (animated GIF is the
-    * JDK-native multi-frame case); None when no registered reader accepts
-    * the bytes — the fallback trigger, exactly like [[decodeOne]].
+  /** Every `stride`-th STORED frame of a media payload via `ImageReader`
+    * (animated GIF is the JDK-native multi-frame case); only the sampled
+    * indices are decoded — never the whole animation — so peak memory per
+    * row is one frame. Note the unit is the stored frame: an optimized GIF
+    * using inter-frame compression stores delta patches, and those rows
+    * carry the PATCH raster (compositing by disposal metadata is out of
+    * scope; the pixel-exact spec covers full-frame GIFs). None when no
+    * registered reader accepts the bytes — the fallback trigger, exactly
+    * like [[decodeOne]].
     */
-  private def decodeFrames(
-      bytes: Array[Byte]): Option[IndexedSeq[java.awt.image.BufferedImage]] = {
+  private def decodeFrames(bytes: Array[Byte], stride: Int)
+      : Option[IndexedSeq[(Int, java.awt.image.BufferedImage)]] = {
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
     try {
@@ -237,7 +243,7 @@ object Multimodal {
           r.setInput(iis)
           // allowSearch=true: the GIF reader walks the stream to count frames
           val n = r.getNumImages(true)
-          if (n < 1) None else Some((0 until n).map(r.read))
+          if (n < 1) None else Some((0 until n by stride).map(f => f -> r.read(f)))
         } catch { case _: Exception => None }
         finally r.dispose()
       }

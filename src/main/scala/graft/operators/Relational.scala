@@ -848,13 +848,21 @@ object Relational {
     * value-level cross-check; ApproxAggSpec keeps the tighter error-bound
     * assertions on the raw values (exposed as [[approxQuantilesRaw]]).
     */
+  /** GK-sketch accuracy shared by the raw aggregate and the bound check —
+    * one constant so the asserted envelope can never drift from the sketch.
+    */
+  private val QuantileAccuracy = 10000
+
   def approxQuantilesRaw(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50"),
-        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95"),
-        percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99"))
+        percentile_approx(col("l_extendedprice"), lit(0.5),
+          lit(QuantileAccuracy)).as("p50"),
+        percentile_approx(col("l_extendedprice"), lit(0.95),
+          lit(QuantileAccuracy)).as("p95"),
+        percentile_approx(col("l_extendedprice"), lit(0.99),
+          lit(QuantileAccuracy)).as("p99"))
 
   private val aggApproxQuantiles = Q(
     "agg_approx_quantiles",
@@ -884,7 +892,7 @@ object Relational {
     * `frac_lt − eps ≤ p ≤ frac_le + eps`, eps = 1/accuracy + 1/n.
     */
   private def inBound(p: Double, lt: String, le: String): Column = {
-    val eps = lit(1.0 / 10000) + lit(1.0) / col("n")
+    val eps = lit(1.0 / QuantileAccuracy) + lit(1.0) / col("n")
     (col(lt).cast("double") / col("n") - eps <= lit(p)) &&
       (lit(p) <= col(le).cast("double") / col("n") + eps)
   }

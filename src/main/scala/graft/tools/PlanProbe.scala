@@ -22,11 +22,15 @@ object PlanProbe {
       override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit =
         stages.incrementAndGet()
     })
+    // word-anchored so "Exchange" never counts BroadcastExchange /
+    // ReusedExchange occurrences (etc.) — pins derived from these numbers
+    // must measure the node they name
     def counts(p: String): String =
       Seq("HashAggregate", "SortMergeJoin", "BroadcastHashJoin",
         "InMemoryTableScan", "ReusedExchange", "Union", "Window", "Exchange",
         "Scan parquet", "FullOuter")
-        .map(k => s"$k=${k.r.findAllIn(p).size}").mkString(" ")
+        .map(k => s"$k=${s"\\b${k.replace(" ", "\\s")}\\b".r.findAllIn(p).size}")
+        .mkString(" ")
     names.foreach { n =>
       val df = Queries.byName(n).run(spark, sfDir)
       println(s"PROBE $n pre : ${counts(df.queryExecution.explainString(FormattedMode))}")
