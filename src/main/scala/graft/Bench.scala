@@ -20,7 +20,8 @@ object Bench {
     "events_markov", "orders_rfm", "profile_table", "text_zipf_head",
     "mixture_temperature", "join_asof_nearest", "agg_mode", "sim_mutual_knn",
     "q7_volume_shipping", "q13_customer_distribution", "q14_promo_revenue",
-    "events_streaks", "sim_pca_power", "agg_incremental_merge")
+    "events_streaks", "sim_pca_power", "agg_incremental_merge",
+    "graph_bfs_reach")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -162,5 +162,57 @@ object Graph {
          |FROM r$Iters
          |ORDER BY round(pr, 9) DESC, 1 LIMIT 20""".stripMargin))
 
-  val queries: Seq[Q] = Seq(graphPagerank)
+  /** Unrolled BFS over the UNDIRECTED purchase graph: how much of the
+    * market sits within k hops of one customer — the reachability /
+    * blast-radius primitive (fraud rings, recommendation neighborhoods).
+    *
+    * Formulation chosen for scale: no per-round visited-set ANTI-JOIN.
+    * Round k materializes the distinct k-step neighbor set N^k; the final
+    * depth is `min k` over the union of rounds — one aggregate instead of
+    * k growing anti-joins, and each round is a plain equi-join + distinct
+    * (both shuffle on the node key; AQE handles the frontier's changing
+    * size). Rounds are bounded (`hops`), the Pregel-unrolled shape.
+    */
+  def bfsDepths(edges: DataFrame, srcNode: Long, hops: Int = 3): DataFrame = {
+    // undirected: each edge contributes both directions; dedup once
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    var frontier = und.sparkSession.range(1)
+      .select(lit(srcNode).as("id"))
+    var reached: DataFrame = frontier.select(col("id"), lit(0).as("k"))
+    for (k <- 1 to hops) {
+      frontier = frontier.join(und, col("id") === col("src"))
+        .select(col("dst").as("id")).distinct()
+      reached = reached.unionByName(frontier.select(col("id"), lit(k).as("k")))
+    }
+    reached.groupBy("id").agg(min(col("k")).as("depth"))
+  }
+
+  private val graphBfsReach = Q(
+    "graph_bfs_reach",
+    (s, dir) => bfsDepths(purchaseEdges(s, dir), srcNode = 2L)
+      .groupBy("depth")
+      .agg(count(lit(1)).as("n_nodes"), min(nodeLabel(col("id"))).as("first_node"))
+      .orderBy("depth"),
+    Some("""WITH e AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+           |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+           |n0 AS (SELECT CAST(2 AS BIGINT) AS id),
+           |n1 AS (SELECT DISTINCT dst AS id FROM und JOIN n0 ON und.src = n0.id),
+           |n2 AS (SELECT DISTINCT dst AS id FROM und JOIN n1 ON und.src = n1.id),
+           |n3 AS (SELECT DISTINCT dst AS id FROM und JOIN n2 ON und.src = n2.id),
+           |reach AS (
+           |  SELECT id, 0 AS k FROM n0
+           |  UNION ALL SELECT id, 1 FROM n1
+           |  UNION ALL SELECT id, 2 FROM n2
+           |  UNION ALL SELECT id, 3 FROM n3),
+           |depths AS (SELECT id, CAST(min(k) AS INT) AS depth
+           |           FROM reach GROUP BY id)
+           |SELECT depth, count(*) AS n_nodes,
+           |  min(CASE WHEN id % 2 = 0 THEN 'c' || CAST(id // 2 AS BIGINT)
+           |           ELSE 's' || CAST((id - 1) // 2 AS BIGINT) END) AS first_node
+           |FROM depths GROUP BY depth ORDER BY depth""".stripMargin))
+
+  val queries: Seq[Q] = Seq(graphPagerank, graphBfsReach)
 }

@@ -28,4 +28,22 @@ class GraphSpec extends SparkSuite {
     val ranks = Graph.pageRank(edges).collect().map(_.getDouble(1)).toSet
     assert(ranks.size == 1, s"cycle ranks diverged: $ranks")
   }
+
+  test("BFS depths: chain distances, min-depth on multi-path, bounded hops") {
+    import spark.implicits._
+    // 1—2—3—4—5 chain plus a 1—3 shortcut: depth(3) must be 1, not 2
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 3L))
+      .toDF("src", "dst")
+    val got = Graph.bfsDepths(edges, srcNode = 1L, hops = 3).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 3), got.toString)
+    // undirected: BFS from the chain's far end walks back the same distances
+    val rev = Graph.bfsDepths(edges, srcNode = 5L, hops = 3).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rev(4L) == 1 && rev(3L) == 2 && rev(1L) == 3)
+    // hops bound: nodes beyond the horizon are absent, not depth-capped
+    val short = Graph.bfsDepths(edges, srcNode = 5L, hops = 1).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(short == Map(5L -> 0, 4L -> 1), short.toString)
+  }
 }
