@@ -902,8 +902,76 @@ object Similarity {
         |  round((SELECT nrm FROM n2), 6) AS lambda
         |FROM v2 ORDER BY dim""".stripMargin))
 
+  /** Distributed logistic-regression training steps (full-batch gradient
+    * descent) over the embedding corpus — the linear-probe baseline an
+    * embedding pipeline fits on top of frozen vectors. Per step:
+    *
+    *  - margins: x ⋈ broadcast(w) equi-join + per-row decimal dot (n keys);
+    *  - residuals: σ(z) − y as single IEEE ops per row;
+    *  - gradient: x ⋈ residuals equi-join on the row key + 64-key
+    *    decimal-exact aggregate, divided by the broadcast corpus count.
+    *
+    * Two shuffles per step, both linear in n·d; weights and counts ride
+    * broadcast frames — no driver collect. Step 1 from w₀ = 0 is
+    * sigmoid-exact on both engines (σ(0) = ½); later steps' exp() last-ulp
+    * noise sits ~10 orders below the round(·,6) reporting edge (same
+    * stance as text_tfidf's ln). The DuckDB oracle replays every step
+    * CTE-for-CTE.
+    */
+  def logregSteps(e: DataFrame, steps: Int = 2, lr: Double = 0.1): DataFrame = {
+    val cnt = e.agg(count(lit(1)).as("n"))
+    val xy = e.select(col("vec_id"), (col("label") % 2).cast("double").as("y"),
+      posexplode(col("embedding")).as(Seq("i", "xf")))
+      .select(col("vec_id"), col("y"), col("i"), col("xf").cast("double").as("x"))
+    val dims = xy.select(col("i")).distinct()
+    var w = dims.select(col("i"), lit(0.0).as("w"))
+    for (_ <- 1 to steps) {
+      val z = xy.join(broadcast(w), "i")
+        .groupBy("vec_id", "y")
+        .agg(graft.functions.Deterministic.dsumFine(col("x") * col("w")).as("z"))
+      val resid = z.select(col("vec_id"),
+        (lit(1.0) / (lit(1.0) + exp(-col("z"))) - col("y")).as("r"))
+      val grad = xy.join(resid, "vec_id")
+        .groupBy("i")
+        .agg(graft.functions.Deterministic.dsumFine(col("x") * col("r")).as("g"))
+        .crossJoin(broadcast(cnt))
+        .select(col("i"), (col("g") / col("n")).as("g"))
+      w = w.join(grad, "i").select(col("i"), (col("w") - lit(lr) * col("g")).as("w"))
+    }
+    w.select(col("i").as("dim"), col("w").as("weight"))
+  }
+
+  /** One oracle GD round: margins z_k, residuals r_k, gradient g_k, w_k. */
+  private def logregIterSql(k: Int): String = {
+    val prev = s"w${k - 1}"
+    s"""z$k AS (SELECT x.vec_id, x.y,
+       |    CAST(SUM(CAST(x.x * $prev.w AS DECIMAL(38,20))) AS DOUBLE) AS z
+       |  FROM x JOIN $prev ON x.i = $prev.i GROUP BY x.vec_id, x.y),
+       |r$k AS (SELECT vec_id, 1.0 / (1.0 + exp(-z)) - y AS r FROM z$k),
+       |w$k AS (SELECT $prev.i,
+       |    $prev.w - 0.1 * (CAST(SUM(CAST(x.x * r$k.r AS DECIMAL(38,20))) AS DOUBLE)
+       |                     / (SELECT n FROM cnt)) AS w
+       |  FROM x JOIN r$k ON x.vec_id = r$k.vec_id JOIN $prev ON x.i = $prev.i
+       |  GROUP BY $prev.i, $prev.w)""".stripMargin
+  }
+
+  private val mlLogregStep = Q(
+    "ml_logreg_step",
+    (s, dir) => logregSteps(emb(s, dir))
+      .select(col("dim"), round(col("weight"), 6).as("weight"))
+      .orderBy("dim"),
+    Some("""WITH cnt AS (SELECT count(*) AS n FROM embeddings),
+           |x AS (SELECT vec_id, CAST(label % 2 AS DOUBLE) AS y,
+           |        CAST(i - 1 AS INT) AS i, CAST(embedding[i] AS DOUBLE) AS x
+           |      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+           |w0 AS (SELECT DISTINCT i, CAST(0.0 AS DOUBLE) AS w FROM x),
+           |""".stripMargin +
+      (1 to 2).map(logregIterSql).mkString(",\n") + "\n" +
+      """SELECT CAST(i AS INT) AS dim, round(w, 6) AS weight
+        |FROM w2 ORDER BY dim""".stripMargin))
+
   val queries: Seq[Q] = Seq(
     simBruteTopk, simLshAnn, dedupEmbeddingCosine, simIvfAnn,
     dedupSemanticClusters, simQuantizedTopk, simPqTopk, simKmeans,
-    simDimStats, simMutualKnn, simPcaPower)
+    simDimStats, simMutualKnn, simPcaPower, mlLogregStep)
 }

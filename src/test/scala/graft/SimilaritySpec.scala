@@ -221,4 +221,24 @@ class SimilaritySpec extends SparkSuite {
     assert(math.abs(lambda - expectedVar) / expectedVar < 0.01,
       s"lambda $lambda vs planted variance $expectedVar")
   }
+
+  test("logistic GD steps move the weight toward a planted separating direction") {
+    import spark.implicits._
+    // y = [x_0 > 0] exactly: after two full-batch steps the dim-0 weight
+    // must dominate and point positive; noise dims stay near zero
+    val pts = (0 until 40).map { k =>
+      val s = if (k % 2 == 0) 2.0f + k * 0.1f else -2.0f - k * 0.1f
+      val noise = (if (k % 3 == 0) 0.2f else -0.2f)
+      val v = Array(s, noise) ++ Array.fill(62)(0.0f)
+      (k.toLong, v, if (s > 0) 1 else 0)
+    }
+    val d = pts.toDF("vec_id", "embedding", "label")
+    val w = Similarity.logregSteps(d).collect()
+      .map(r => r.getAs[Int]("dim") -> r.getAs[Double]("weight")).toMap
+    assert(w(0) > 0, s"separating weight points the wrong way: ${w(0)}")
+    assert(math.abs(w(0)) > 10 * math.abs(w(1)),
+      s"planted dim not dominant: w0=${w(0)} w1=${w(1)}")
+    assert((2 until 64).forall(i => w(i) == 0.0),
+      "zero-variance dims picked up weight")
+  }
 }
