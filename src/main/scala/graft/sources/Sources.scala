@@ -54,6 +54,39 @@ object Sources {
     spark.read.option("header", "true").option("inferSchema", "true")
       .option("pathGlobFilter", "*.csv").csv(path)
 
+  /** Quarantine-splitting CSV ingest: route rows that parse and satisfy the
+    * required-column contract to the curated side, everything else to a
+    * rejects frame carrying the raw line and a per-row reason naming the
+    * offending fields — the standard bad-records channel a production
+    * ingest publishes next to the table instead of silently dropping
+    * (DROPMALFORMED) or poisoning the batch (FAILFAST). One declarative
+    * read; both sides are filters over the same scan, so Catalyst prunes
+    * and pushes independently and nothing is collected or double-parsed
+    * per row.
+    *
+    * @param requiredCols columns that must be non-null for the curated
+    *                     side; defaults to every schema field
+    */
+  def csvQuarantine(spark: SparkSession, path: String, schema: StructType,
+                    requiredCols: Seq[String] = Nil): (DataFrame, DataFrame) = {
+    val df = csvStrict(spark, path, schema, "PERMISSIVE")
+    val corrupt = col("_corrupt_record")
+    val required =
+      if (requiredCols.nonEmpty) requiredCols else schema.fieldNames.toSeq
+    val contract = required.map(col(_).isNotNull).reduce(_ && _)
+    // concat_ws skips nulls: the array keeps only the offending field names
+    val nullCols = concat_ws(",", array(
+      schema.fieldNames.toSeq.map(f =>
+        when(col(f).isNull, lit(f)).otherwise(lit(null).cast("string"))): _*))
+    val valid = df.filter(corrupt.isNull && contract).drop("_corrupt_record")
+    val rejects = df.filter(corrupt.isNotNull || !contract)
+      .select(schema.fieldNames.map(col).toSeq :+
+        corrupt.as("raw_record") :+
+        when(corrupt.isNotNull, concat(lit("unparseable: "), nullCols))
+          .otherwise(concat(lit("missing required: "), nullCols)).as("reason"): _*)
+    (valid, rejects)
+  }
+
   /** JSON-lines with a declared schema. */
   def json(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)

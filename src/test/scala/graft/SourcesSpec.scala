@@ -104,6 +104,28 @@ class SourcesSpec extends SparkSuite {
     assert(dropped.agg(sum("o_custkey")).head.getLong(0) == 40)
   }
 
+  test("quarantine split: curated rows pass, rejects carry raw line and reason") {
+    val dir = tmp("graft-quarantine")
+    // good / unparseable / missing-required / good
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "data.csv"),
+      "o_orderkey,o_custkey\n1,10\noops\n4,\n5,50\n")
+    val schema = org.apache.spark.sql.types.StructType(
+      TableSchemas.orders.fields.take(2))
+    val (valid, rejects) = Sources.csvQuarantine(spark, dir, schema)
+    val good = valid.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(good.toSeq == Seq((1L, 10L), (5L, 50L)))
+    assert(!valid.columns.contains("_corrupt_record"))
+    val rej = rejects.collect()
+      .map(r => (Option(r.getAs[String]("raw_record")), r.getAs[String]("reason")))
+    assert(rej.length == 2, rej.mkString(","))
+    val byKind = rej.groupBy(_._2.takeWhile(_ != ':'))
+    assert(byKind("unparseable").head._1.contains("oops"))
+    assert(byKind("unparseable").head._2.contains("o_custkey"))
+    assert(byKind("missing required").head._2 == "missing required: o_custkey")
+    // nothing lost: curated + quarantined = all input rows
+    assert(valid.count() + rejects.count() == 4)
+  }
+
   test("foreachBatch ingest: custom batch sink sees each file-batch exactly once") {
     val src = tmp("graft-febatch-src")
     val ckpt = tmp("graft-febatch-ckpt")
