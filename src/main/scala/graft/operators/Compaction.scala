@@ -26,4 +26,33 @@ object Compaction {
   private def listFileBytes(f: java.io.File): Long =
     if (f.isFile) { if (f.getName.endsWith(".parquet")) f.length else 0L }
     else Option(f.listFiles()).map(_.map(listFileBytes).sum).getOrElse(0L)
+
+  /** Partition retention sweep over a Hive-layout table: drop every
+    * `column=value` partition directory whose value sorts strictly below
+    * `cutoff` — the TTL maintenance a date-partitioned ingest runs so the
+    * lake doesn't grow without bound. The cutoff is a caller parameter
+    * (never wall clock: reruns must be reproducible), the comparison is on
+    * the partition VALUE (lexicographic — correct for ISO dates, the
+    * layout's convention), and only first-level partition dirs are
+    * touched. Returns the dropped partition values.
+    *
+    * Metadata-only: no Spark job runs — at scale this is a manifest/object
+    * delete, never a data read.
+    */
+  def expirePartitions(tableDir: String, column: String,
+                       cutoff: String): Seq[String] = {
+    val root = new java.io.File(tableDir)
+    val prefix = column + "="
+    val victims = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+      .filter(_.getName.stripPrefix(prefix) < cutoff)
+      .sortBy(_.getName)
+    victims.foreach(deleteRecursively)
+    victims.map(_.getName.stripPrefix(prefix)).toSeq
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
+  }
 }

@@ -74,4 +74,19 @@ class StreamingDedupSpec extends SparkSuite {
     assert(outFiles == n, s"outFiles=$outFiles n=$n")
     assert(spark.read.parquet(out).count() == orders.count())
   }
+
+  test("partition expiry drops exactly the below-cutoff partitions, reads survive") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-expire").toString
+    Seq(("2024-01-01", 1), ("2024-02-01", 2), ("2024-03-01", 3))
+      .toDF("ingest_date", "v")
+      .write.partitionBy("ingest_date").mode("overwrite").parquet(dir)
+    val dropped = Compaction.expirePartitions(dir, "ingest_date", "2024-02-01")
+    assert(dropped == Seq("2024-01-01"), dropped.toString)
+    val back = spark.read.parquet(dir)
+    assert(back.select("v").collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 3))
+    // idempotent: a second sweep at the same cutoff drops nothing
+    assert(Compaction.expirePartitions(dir, "ingest_date", "2024-02-01").isEmpty)
+  }
 }
