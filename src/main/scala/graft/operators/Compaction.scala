@@ -31,10 +31,15 @@ object Compaction {
     * `column=value` partition directory whose value sorts strictly below
     * `cutoff` — the TTL maintenance a date-partitioned ingest runs so the
     * lake doesn't grow without bound. The cutoff is a caller parameter
-    * (never wall clock: reruns must be reproducible), the comparison is on
-    * the partition VALUE (lexicographic — correct for ISO dates, the
-    * layout's convention), and only first-level partition dirs are
-    * touched. Returns the dropped partition values.
+    * (never wall clock: reruns must be reproducible), and comparison is
+    * lexicographic over FIXED-WIDTH values only: a candidate whose value
+    * length differs from the cutoff's is SKIPPED, never deleted — the
+    * guard that stops `hour=10` sorting below `hour=9` (non-zero-padded
+    * numerics must be normalized before they can be swept). Only
+    * first-level partition dirs are touched. Returns the values of
+    * partitions that were FULLY deleted; a partition any of whose files
+    * resists deletion is left (partially) in place and NOT reported, so
+    * the next sweep retries it.
     *
     * Metadata-only: no Spark job runs — at scale this is a manifest/object
     * delete, never a data read.
@@ -45,14 +50,19 @@ object Compaction {
     val prefix = column + "="
     val victims = Option(root.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith(prefix))
-      .filter(_.getName.stripPrefix(prefix) < cutoff)
+      .filter { f =>
+        val v = f.getName.stripPrefix(prefix)
+        v.length == cutoff.length && v < cutoff
+      }
       .sortBy(_.getName)
-    victims.foreach(deleteRecursively)
-    victims.map(_.getName.stripPrefix(prefix)).toSeq
+    victims.filter(deleteRecursively)
+      .map(_.getName.stripPrefix(prefix)).toSeq
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete(): Unit
+  /** True only if `f` and everything under it was actually deleted. */
+  private def deleteRecursively(f: java.io.File): Boolean = {
+    val childrenOk = Option(f.listFiles()).getOrElse(Array.empty)
+      .forall(deleteRecursively)
+    childrenOk && f.delete()
   }
 }

@@ -923,7 +923,11 @@ object Similarity {
     val xy = e.select(col("vec_id"), (col("label") % 2).cast("double").as("y"),
       posexplode(col("embedding")).as(Seq("i", "xf")))
       .select(col("vec_id"), col("y"), col("i"), col("xf").cast("double").as("x"))
-    val dims = xy.select(col("i")).distinct()
+    // w0 is all zeros — its index set needs one row's array length, not a
+    // full-corpus explode + distinct (which would cost an n·d shuffle
+    // before the first step)
+    val dims = e.select(col("embedding")).limit(1)
+      .select(posexplode(col("embedding")).as(Seq("i", "xf")))
     var w = dims.select(col("i"), lit(0.0).as("w"))
     for (_ <- 1 to steps) {
       val z = xy.join(broadcast(w), "i")

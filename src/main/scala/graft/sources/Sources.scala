@@ -74,16 +74,28 @@ object Sources {
     val required =
       if (requiredCols.nonEmpty) requiredCols else schema.fieldNames.toSeq
     val contract = required.map(col(_).isNotNull).reduce(_ && _)
-    // concat_ws skips nulls: the array keeps only the offending field names
-    val nullCols = concat_ws(",", array(
-      schema.fieldNames.toSeq.map(f =>
+    // concat_ws skips nulls: each list keeps only the offending field names.
+    // The unparseable reason names ALL null fields (they are what the parser
+    // failed on — "row" when every field parsed but the line was still
+    // malformed, e.g. extra tokens); the missing-required reason names only
+    // violated REQUIRED columns, never optional ones.
+    def nullNames(names: Seq[String]) = concat_ws(",", array(
+      names.map(f =>
         when(col(f).isNull, lit(f)).otherwise(lit(null).cast("string"))): _*))
+    val nullAll = nullNames(schema.fieldNames.toSeq)
+    val nullRequired = nullNames(required)
     val valid = df.filter(corrupt.isNull && contract).drop("_corrupt_record")
+    // raw_record: the parser's captured line for malformed rows; contract
+    // violations parsed cleanly, so their line is re-rendered from the
+    // typed fields via to_csv (canonical, not byte-identical on quoting)
     val rejects = df.filter(corrupt.isNotNull || !contract)
       .select(schema.fieldNames.map(col).toSeq :+
-        corrupt.as("raw_record") :+
-        when(corrupt.isNotNull, concat(lit("unparseable: "), nullCols))
-          .otherwise(concat(lit("missing required: "), nullCols)).as("reason"): _*)
+        coalesce(corrupt,
+          to_csv(struct(schema.fieldNames.map(col).toSeq: _*))).as("raw_record") :+
+        when(corrupt.isNotNull, concat(lit("unparseable: "),
+          when(nullAll === "", lit("row")).otherwise(nullAll)))
+          .otherwise(concat(lit("missing required: "), nullRequired))
+          .as("reason"): _*)
     (valid, rejects)
   }
 

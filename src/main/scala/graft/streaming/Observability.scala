@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** One-pass pipeline observability via `Dataset.observe` — the Spark-native
@@ -11,25 +11,43 @@ import org.apache.spark.sql.functions._
   * bounds WITHOUT a second scan — at 100 TB a separate metrics pass is a
   * second 100 TB read.
   *
-  * Batch consumers read the result through `org.apache.spark.sql
-  * .Observation`; streaming consumers get the same metrics per micro-batch
-  * in `StreamingQueryProgress.observedMetrics` (keyed by `name`) — both are
-  * driven by the accumulator channel, not a job of their own.
+  * Two entry points, because Spark's two delivery channels differ: BATCH
+  * callers pass an `org.apache.spark.sql.Observation` handle (name-based
+  * observe is unreadable in batch without a listener) and read
+  * `observation.get` after their action; STREAMING callers use the
+  * name-based variant and read `StreamingQueryProgress.observedMetrics`
+  * per micro-batch. Both ride the accumulator channel, never a job of
+  * their own.
   */
 object Observability {
 
-  /** Attach ingest-gate metrics to `df`: total rows, per-column null
-    * counts (`<col>_nulls`), and min/max of `measure`. Composable — the
-    * returned frame is `df` with metrics declared, not consumed.
+  /** Streaming variant: metrics keyed by `name` in each micro-batch's
+    * `observedMetrics`. Composable — the returned frame is `df` with
+    * metrics declared, not consumed.
     */
   def withIngestMetrics(df: DataFrame, name: String,
-                        nullCols: Seq[String], measure: String): DataFrame = {
+                        nullCols: Seq[String], measure: String): DataFrame =
+    df.observe(name, ingestMetrics(nullCols, measure).head,
+      ingestMetrics(nullCols, measure).tail: _*)
+
+  /** Batch variant: bind the metrics to a caller-held [[Observation]];
+    * `obs.get` blocks until the first action on the returned frame
+    * completes, then yields the metric row.
+    */
+  def withIngestMetrics(df: DataFrame, obs: org.apache.spark.sql.Observation,
+                        nullCols: Seq[String], measure: String): DataFrame =
+    df.observe(obs, ingestMetrics(nullCols, measure).head,
+      ingestMetrics(nullCols, measure).tail: _*)
+
+  /** Shared metric set: total rows, `<col>_nulls` per declared column,
+    * min/max of `measure`.
+    */
+  private def ingestMetrics(nullCols: Seq[String],
+                            measure: String): Seq[Column] = {
     require(nullCols.nonEmpty, "withIngestMetrics: declare at least one column")
-    val metrics =
-      count(lit(1)).as("n_rows") +:
-        nullCols.map(c => count(when(col(c).isNull, 1)).as(s"${c}_nulls")) :+
-        min(col(measure)).as("measure_min") :+
-        max(col(measure)).as("measure_max")
-    df.observe(name, metrics.head, metrics.tail: _*)
+    count(lit(1)).as("n_rows") +:
+      nullCols.map(c => count(when(col(c).isNull, 1)).as(s"${c}_nulls")) :+
+      min(col(measure)).as("measure_min") :+
+      max(col(measure)).as("measure_max")
   }
 }

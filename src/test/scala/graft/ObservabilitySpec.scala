@@ -15,11 +15,8 @@ class ObservabilitySpec extends SparkSuite {
   test("batch ingest metrics ride the consuming action and match direct computation") {
     val docs = Tables.load(spark, sfDir, "documents")
     val obs = Observation("ingest_gate")
-    val observed = docs.observe(obs,
-      count(lit(1)).as("n_rows"),
-      count(when(col("lang").isNull, 1)).as("lang_nulls"),
-      min(col("n_chars")).as("measure_min"),
-      max(col("n_chars")).as("measure_max"))
+    val observed = Observability.withIngestMetrics(docs, obs,
+      nullCols = Seq("lang"), measure = "n_chars")
     val written = observed.filter(col("n_chars") >= 0).count() // the one action
     val m = obs.get
     assert(m("n_rows") == docs.count())

@@ -119,11 +119,30 @@ class SourcesSpec extends SparkSuite {
       .map(r => (Option(r.getAs[String]("raw_record")), r.getAs[String]("reason")))
     assert(rej.length == 2, rej.mkString(","))
     val byKind = rej.groupBy(_._2.takeWhile(_ != ':'))
-    assert(byKind("unparseable").head._1.contains("oops"))
+    assert(byKind("unparseable").head._1.exists(_.contains("oops")))
     assert(byKind("unparseable").head._2.contains("o_custkey"))
     assert(byKind("missing required").head._2 == "missing required: o_custkey")
+    // contract-violation rows parsed cleanly, so their line is re-rendered
+    // (canonical CSV), never a null raw_record
+    assert(byKind("missing required").head._1.exists(_.startsWith("4")))
     // nothing lost: curated + quarantined = all input rows
     assert(valid.count() + rejects.count() == 4)
+  }
+
+  test("quarantine reasons respect the required-column subset") {
+    val dir = tmp("graft-quarantine2")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "data.csv"),
+      "o_orderkey,o_custkey\n4,\n,\n")
+    val schema = org.apache.spark.sql.types.StructType(
+      TableSchemas.orders.fields.take(2))
+    // only o_orderkey is required: "4," is CURATED (custkey optional), and
+    // the reason for ",," names the required violation alone — not the
+    // optional column
+    val (valid, rejects) = Sources.csvQuarantine(spark, dir, schema,
+      requiredCols = Seq("o_orderkey"))
+    assert(valid.collect().map(_.getLong(0)).toSeq == Seq(4L))
+    val rej = rejects.collect().map(_.getAs[String]("reason"))
+    assert(rej.toSeq == Seq("missing required: o_orderkey"), rej.mkString("|"))
   }
 
   test("foreachBatch ingest: custom batch sink sees each file-batch exactly once") {
