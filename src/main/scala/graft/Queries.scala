@@ -23,6 +23,7 @@ final case class Q(
 object Queries {
   def all: Seq[Q] =
     operators.Relational.queries ++
+      operators.Analytics.queries ++
       operators.Dedup.queries ++
       operators.TextAnalysis.queries ++
       operators.Similarity.queries ++
