@@ -21,7 +21,9 @@ object Bench {
     "mixture_temperature", "join_asof_nearest", "agg_mode", "sim_mutual_knn",
     "q7_volume_shipping", "q13_customer_distribution", "q14_promo_revenue",
     "events_streaks", "sim_pca_power", "agg_incremental_merge",
-    "graph_bfs_reach", "ml_logreg_step")
+    "graph_bfs_reach", "ml_logreg_step",
+    "q2_min_cost_supplier", "q8_market_share", "q9_product_profit",
+    "q21_waiting_supplier")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -214,5 +214,88 @@ object Graph {
            |           ELSE 's' || CAST((id - 1) // 2 AS BIGINT) END) AS first_node
            |FROM depths GROUP BY depth ORDER BY depth""".stripMargin))
 
-  val queries: Seq[Q] = Seq(graphPagerank, graphBfsReach)
+  /** Triangle census over the part CO-PURCHASE graph (parts sharing an
+    * order — the market-basket projection; the customer→supplier purchase
+    * graph itself is bipartite and triangle-free). The clustering /
+    * community-density primitive.
+    *
+    * The graph keeps only pairs with SUPPORT ≥ 2 (co-purchased in at least
+    * two orders) — the standard association-rule denoising step, and the
+    * scale lever: one-off co-occurrences are noise AND the bulk of the
+    * projection (at sf0.1, 1.196 M raw pairs vs 3.6 k supported edges), so
+    * thresholding turns a projection that would densify with corpus growth
+    * into an affinity graph whose size tracks genuine co-purchase
+    * structure. The support computation itself is one two-phase count on
+    * the pair key.
+    *
+    * Algorithm: compact-forward with DEGREE-ORDERED ORIENTATION — every
+    * edge points from its (degree, id)-smaller endpoint to the larger, so
+    * each triangle is counted exactly once and, crucially, wedge
+    * enumeration fans out from the LOW-degree endpoint: oriented
+    * out-degree is O(√m) even at hub nodes, which caps the wedge count at
+    * O(m^1.5) instead of Σ deg² — the difference between feasible and
+    * quadratic at 100 TB. Every step is an equi-join or two-phase
+    * aggregate on a node/edge key (pair gen shuffles on the order key with
+    * per-order fanout bounded by lines-per-order; degree and orientation
+    * joins shuffle on node ids; the closing join shuffles on the (v1,v2)
+    * edge key). No step is all-pairs.
+    */
+  def triangleCensus(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("a").as("n"))
+      .unionAll(edges.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val fwd = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val oriented = edges
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+      .select(when(fwd, col("a")).otherwise(col("b")).as("u"),
+        when(fwd, col("b")).otherwise(col("a")).as("v"),
+        when(fwd, col("db")).otherwise(col("da")).as("dv"))
+    val e2 = oriented.select(col("u").as("u2"), col("v").as("v2"), col("dv").as("dv2"))
+    val wedges = oriented.join(e2, col("u") === col("u2") &&
+        (col("dv") < col("dv2") || (col("dv") === col("dv2") && col("v") < col("v2"))))
+      .select(col("v").as("w1"), col("v2").as("w2"))
+    val closing = oriented.select(col("u").as("w1"), col("v").as("w2"))
+    val nTri = wedges.join(closing, Seq("w1", "w2"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    // cheap scalar frames; the crossJoins are 1-row × 1-row broadcasts
+    edges.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(wedges.agg(count(lit(1)).as("n_wedges"))))
+      .crossJoin(broadcast(nTri))
+  }
+
+  private val graphTriangles = Q(
+    "graph_triangles",
+    (s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      val edges = l.select(col("ok"), col("p").as("a"))
+        .join(l.select(col("ok"), col("p").as("b")), "ok")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("supp"))
+        .filter(col("supp") >= 2)
+        .select("a", "b")
+      triangleCensus(edges)
+    },
+    Some("""WITH l AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+           |e AS (SELECT a, b FROM (SELECT x.p AS a, y.p AS b, count(*) AS supp
+           |        FROM l x JOIN l y ON x.ok = y.ok AND x.p < y.p
+           |        GROUP BY x.p, y.p) WHERE supp >= 2),
+           |deg AS (SELECT n, count(*) AS d FROM
+           |        (SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e) GROUP BY n),
+           |o AS (SELECT
+           |    CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) THEN e.a ELSE e.b END AS u,
+           |    CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) THEN e.b ELSE e.a END AS v,
+           |    CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) THEN db.d ELSE da.d END AS dv
+           |  FROM e JOIN deg da ON e.a = da.n JOIN deg db ON e.b = db.n),
+           |w AS (SELECT e1.v AS w1, e2.v AS w2 FROM o e1 JOIN o e2 ON e1.u = e2.u
+           |      WHERE e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v)),
+           |t AS (SELECT count(*) AS n_triangles FROM w
+           |      WHERE EXISTS (SELECT 1 FROM o WHERE o.u = w.w1 AND o.v = w.w2))
+           |SELECT (SELECT count(*) FROM e) AS n_edges,
+           |       (SELECT count(*) FROM w) AS n_wedges,
+           |       n_triangles
+           |FROM t""".stripMargin))
+
+  val queries: Seq[Q] = Seq(graphPagerank, graphBfsReach, graphTriangles)
 }

@@ -1611,6 +1611,62 @@ object Relational {
            |  FROM orders)
            |GROUP BY split ORDER BY split""".stripMargin))
 
+  /** Exact interpolated percentiles per group (§2.4 extension — the
+    * distribution-reporting twin of `agg_approx_quantiles`): Spark's
+    * `percentile` aggregate and DuckDB's `quantile_cont` share the linear-
+    * interpolation definition (h = (n−1)·q), and on 2-dp inputs the
+    * interpolated doubles are bit-identical across engines (probed — no
+    * rounding needed).
+    *
+    * Scale honesty: EXACT percentiles buffer a value→count map per group,
+    * so they suit bounded value domains (money at 2 dp here) or post-agg
+    * frames; for unbounded domains the pipeline's scale path is the
+    * GK-sketch `agg_approx_quantiles`. Group count here is 5 — the buffers
+    * are per-group, never global.
+    */
+  private val aggPercentileExact = Q(
+    "agg_percentile_exact",
+    (s, dir) => t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(percentile(col("o_totalprice"), lit(0.25)).as("p25"),
+        percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+        percentile(col("o_totalprice"), lit(0.75)).as("p75"),
+        percentile(col("o_totalprice"), lit(0.9)).as("p90"))
+      .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority,
+           | quantile_cont(o_totalprice, 0.25) AS p25,
+           | quantile_cont(o_totalprice, 0.5)  AS p50,
+           | quantile_cont(o_totalprice, 0.75) AS p75,
+           | quantile_cont(o_totalprice, 0.9)  AS p90
+           |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
+  /** Deterministic epoch shuffle + sharding — the training-order step after
+    * mixing/packing: every document gets a stable pseudo-random position
+    * from a seeded md5 key hash (never `rand()` — reruns, retries and
+    * engine swaps reproduce the exact order), sharded so each trainer rank
+    * reads one bucket. The window is PARTITIONED by shard — at 100 TB each
+    * shard's sort runs on its own executors; nothing global. A new epoch is
+    * a new seed literal.
+    */
+  private val sampleEpochShuffle = Q(
+    "sample_epoch_shuffle",
+    (s, dir) => {
+      val h = md5Hash32(concat(lit("epoch42:"), col("doc_id").cast("string")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), h.as("h"))
+        .withColumn("shard", pmod(col("h"), lit(8)))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))))
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("shard", "pos")
+    },
+    Some("""WITH hashed AS (SELECT doc_id,
+           |    CAST('0x' || substr(md5('epoch42:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+           |  FROM documents)
+           |SELECT doc_id, h % 8 AS shard,
+           |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS INT) AS pos
+           |FROM hashed ORDER BY shard, pos""".stripMargin))
+
   /** Catalog-backed aggregation (S4/T3 completion): the tables are reached
     * through the durable catalog registration ([[Tables.registerCatalog]] —
     * external tables, the reference's Glue-database parity) and queried by
@@ -1981,8 +2037,8 @@ object Relational {
     topkOrders, topkPerGroupCustom, setOps,
     aggDistinctGroup, aggRollup,
     aggCube, aggGroupingSets, aggApproxDistinct, aggApproxQuantiles,
-    aggCollect, aggStats, aggPivot, subqueryAboveAvg,
-    sampleHashSplit, sampleStratified, scalarStringFuncs,
+    aggCollect, aggStats, aggPivot, aggPercentileExact, subqueryAboveAvg,
+    sampleHashSplit, sampleStratified, sampleEpochShuffle, scalarStringFuncs,
     scalarDateFuncs, scalarMathFuncs, scalarJsonFuncs, scalarMapFuncs,
     scalarArrayFuncs)
 }

@@ -1022,10 +1022,96 @@ object TextAnalysis {
            |  CAST(top10 AS DOUBLE) / n_tokens AS top10_share
            |FROM tot t JOIN top USING (lang) ORDER BY lang""".stripMargin))
 
+  /** Per-document unigram Shannon entropy — the diversity twin of the
+    * repetition signals: low entropy flags keyword-stuffed / template /
+    * looped text, high entropy tracks natural prose (a standard pretraining
+    * quality gate alongside [[lmScore]]). Computed as
+    * H = ln(n) − (Σ c·ln c)/n over within-document token counts, so the
+    * corpus pass is one explode + two-phase (doc, word) count and a per-doc
+    * reduce — linear, no corpus-wide state. Per-row `ln` is bit-identical
+    * across engines (the text_tfidf stance); the Σ c·ln c sum rides
+    * [[dsumFine]] so partitioning can't reorder it, and the reported H is
+    * round(·, 6).
+    */
+  private val textEntropy = Q(
+    "text_entropy",
+    (s, dir) => docs(s, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        dsumFine(col("c").cast("double") * log(col("c").cast("double")))
+          .as("clc"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(log(col("n_tokens").cast("double")) -
+          col("clc") / col("n_tokens"), 6).as("entropy"))
+      .orderBy("doc_id"),
+    Some("""WITH c AS (SELECT doc_id, w, count(*) AS c
+           |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           |        FROM documents)
+           |  GROUP BY doc_id, w),
+           |d AS (SELECT doc_id, sum(c) AS n_tokens,
+           |    CAST(SUM(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) AS DECIMAL(38,20))) AS DOUBLE) AS clc
+           |  FROM c GROUP BY doc_id)
+           |SELECT doc_id, n_tokens,
+           |  round(ln(CAST(n_tokens AS DOUBLE)) - clc / n_tokens, 6) AS entropy
+           |FROM d ORDER BY doc_id""".stripMargin))
+
+  /** Count-Min sketch word frequencies, verified against exact counts —
+    * the streaming-memory counting sketch alongside the Bloom filter
+    * (membership), HLL (distinct) and SpaceSaving (top-k) already in the
+    * suite. Four md5-derived hash rows × 512 buckets; the sketch table is
+    * a CONSTANT 2048 cells no matter the corpus size, which is the whole
+    * point — at 100 TB the exact (word → count) table may not fit, the
+    * sketch always does, and merging shards is cell-wise addition.
+    *
+    * Here the exact counts DO fit (they're the oracle), so the query
+    * reports, for the corpus's top-10 words, the exact count, the sketch
+    * estimate, and the structural guarantee est ≥ exact — all replayed
+    * hash-for-hash in DuckDB. One corpus pass for counts; everything
+    * after is vocabulary-sized; the 2048-cell sketch broadcasts into the
+    * estimate join.
+    */
+  private val textCmsCounts = Q(
+    "text_cms_counts",
+    (s, dir) => {
+      val wc = docs(s, dir)
+        .select(explode(words(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val rows = wc.select(col("w"), col("c"),
+          explode(sequence(lit(0), lit(3))).as("r"))
+        .withColumn("bucket",
+          pmod(md5Hash32(concat(col("r").cast("string"), lit(":"), col("w"))),
+            lit(512)))
+      val cms = rows.groupBy("r", "bucket").agg(sum(col("c")).as("bsum"))
+      val est = rows.join(broadcast(cms), Seq("r", "bucket"))
+        .groupBy("w").agg(min(col("bsum")).as("cms_est"))
+      wc.orderBy(col("c").desc, col("w")).limit(10)
+        .join(est, "w")
+        .select(col("w").as("word"), col("c").as("exact_count"),
+          col("cms_est"), (col("cms_est") >= col("c")).as("never_undercounts"))
+        .orderBy(col("exact_count").desc, col("word"))
+    },
+    Some("""WITH wc AS (SELECT w, count(*) AS c
+           |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           |  GROUP BY w),
+           |rows_ AS (SELECT w, c, r,
+           |    CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || w), 1, 8) AS BIGINT) % 512 AS bucket
+           |  FROM wc, unnest(range(0, 4)) AS t(r)),
+           |cms AS (SELECT r, bucket, sum(c) AS bsum FROM rows_ GROUP BY r, bucket),
+           |est AS (SELECT w, min(bsum) AS cms_est
+           |        FROM rows_ JOIN cms USING (r, bucket) GROUP BY w),
+           |top AS (SELECT w, c FROM wc ORDER BY c DESC, w LIMIT 10)
+           |SELECT top.w AS word, top.c AS exact_count, est.cms_est,
+           |       est.cms_est >= top.c AS never_undercounts
+           |FROM top JOIN est ON top.w = est.w
+           |ORDER BY exact_count DESC, word""".stripMargin))
+
   val queries: Seq[Q] = Seq(
     textTokens, textTokenFreq, textTfidf, textQuality, textQualityGate,
     textNovelty, textMixtureReport, textLangid,
     textFingerprint, textNormalize, textPack, textPackSpans, textVocab,
     textHeavyHitters, textChunk, textEncode, textRedact, textRepetition,
-    textBpe, textBpeEncode, textLmScore, textZipfHead)
+    textBpe, textBpeEncode, textLmScore, textZipfHead, textEntropy,
+    textCmsCounts)
 }
