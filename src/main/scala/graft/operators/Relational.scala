@@ -1300,6 +1300,72 @@ object Relational {
            |       CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type) AS p
            |FROM cnt ORDER BY from_type, to_type""".stripMargin))
 
+  /** Top user journeys — sequence mining over the event stream: each
+    * user's first 3 events (by time, event-id tie-broken) collapse to a
+    * path string, counted corpus-wide. The per-user window is PARTITIONED
+    * (each user's prefix sorts locally); path assembly uses
+    * array_sort(collect_list(struct(rn, type))) so the aggregation itself
+    * is order-independent — never a bare collect_list, whose arrival
+    * order would be nondeterministic under retries/partitioning. The
+    * path-count aggregate is two-phase on path-string keys (≤ |types|³
+    * groups); top-20 plans as TakeOrderedAndProject.
+    */
+  private val eventsTopPaths = Q(
+    "events_top_paths",
+    (s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          row_number().over(byUser).as("rn"))
+        .filter(col("rn") <= 3)
+        .groupBy("user_id")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          e => e.getField("event_type")), ">").as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("path"))
+        .limit(20)
+    },
+    Some("""WITH r AS (SELECT user_id, event_type,
+           |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           |  FROM events),
+           |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+           |      FROM r WHERE rn <= 3 GROUP BY user_id)
+           |SELECT path, count(*) AS n_users FROM p
+           |GROUP BY path ORDER BY n_users DESC, path LIMIT 20""".stripMargin))
+
+  /** Rolling 7-day distinct active users — the sliding-window COUNT
+    * DISTINCT every engagement dashboard needs, in the shape that scales:
+    * no range join, no per-day re-scan. Each (day, user) pair is exploded
+    * to the ≤ 7 window-END days it contributes to (a constant ×7 map-side
+    * fanout), and one two-phase distinct-count per window end finishes the
+    * job — work is linear in daily-active rows regardless of window
+    * length's data volume. Window ends past the observed horizon are
+    * clipped against the broadcast max-day scalar.
+    */
+  private val eventsUniqueRolling = Q(
+    "events_unique_rolling",
+    (s, dir) => {
+      val daily = t(s, dir, "events")
+        .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+      val mx = daily.agg(max(col("d")).as("mxd"))
+      daily
+        .select(col("user_id"),
+          explode(sequence(col("d"), date_add(col("d"), 6))).as("w_end"))
+        .crossJoin(broadcast(mx))
+        .filter(col("w_end") <= col("mxd"))
+        .groupBy("w_end")
+        .agg(countDistinct(col("user_id")).as("dau_7d"))
+        .orderBy("w_end")
+    },
+    Some("""WITH daily AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+           |mx AS (SELECT max(d) AS mxd FROM daily),
+           |contrib AS (SELECT user_id, d + INTERVAL (off) DAY AS w_end
+           |            FROM daily, unnest(range(0, 7)) AS t(off))
+           |SELECT CAST(w_end AS DATE) AS w_end, count(DISTINCT user_id) AS dau_7d
+           |FROM contrib, mx WHERE w_end <= mxd
+           |GROUP BY 1 ORDER BY w_end""".stripMargin))
+
   /** RFM (recency / frequency / monetary) customer segmentation, quartiled
     * PER MARKET (nation): the standard CRM scoring a curation-adjacent
     * pipeline uses to stratify users. One aggregate over orders builds the
@@ -2026,7 +2092,8 @@ object Relational {
     aggPricingSummary, q3ShippingPriority,
     q5LocalSupplierVolume, q10ReturnedItems, q6ForecastRevenue, q18LargeOrders,
     q7VolumeShipping, q13CustomerDistribution, q14PromoRevenue,
-    windowRankStats, eventsMarkov, ordersRfm, profileTable, mixtureTemperature,
+    windowRankStats, eventsMarkov, eventsTopPaths, eventsUniqueRolling,
+    ordersRfm, profileTable, mixtureTemperature,
     joinFuzzy, eventsAnomaly,
     eventsFunnel,
     eventsCohortRetention, filterProject, filterString,

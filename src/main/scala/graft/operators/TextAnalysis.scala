@@ -1033,19 +1033,21 @@ object TextAnalysis {
     * [[dsumFine]] so partitioning can't reorder it, and the reported H is
     * round(·, 6).
     */
+  def unigramEntropy(d: DataFrame): DataFrame = d
+    .select(col("doc_id"), explode(words(col("text"))).as("w"))
+    .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    .groupBy("doc_id")
+    .agg(sum(col("c")).as("n_tokens"),
+      dsumFine(col("c").cast("double") * log(col("c").cast("double")))
+        .as("clc"))
+    .select(col("doc_id"), col("n_tokens"),
+      round(log(col("n_tokens").cast("double")) -
+        col("clc") / col("n_tokens"), 6).as("entropy"))
+    .orderBy("doc_id")
+
   private val textEntropy = Q(
     "text_entropy",
-    (s, dir) => docs(s, dir)
-      .select(col("doc_id"), explode(words(col("text"))).as("w"))
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(sum(col("c")).as("n_tokens"),
-        dsumFine(col("c").cast("double") * log(col("c").cast("double")))
-          .as("clc"))
-      .select(col("doc_id"), col("n_tokens"),
-        round(log(col("n_tokens").cast("double")) -
-          col("clc") / col("n_tokens"), 6).as("entropy"))
-      .orderBy("doc_id"),
+    (s, dir) => unigramEntropy(docs(s, dir)),
     Some("""WITH c AS (SELECT doc_id, w, count(*) AS c
            |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
            |        FROM documents)
@@ -1072,26 +1074,28 @@ object TextAnalysis {
     * after is vocabulary-sized; the 2048-cell sketch broadcasts into the
     * estimate join.
     */
+  def cmsWordCounts(d: DataFrame, depth: Int = 4, width: Int = 512): DataFrame = {
+    val wc = d
+      .select(explode(words(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val rows = wc.select(col("w"), col("c"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .withColumn("bucket",
+        pmod(md5Hash32(concat(col("r").cast("string"), lit(":"), col("w"))),
+          lit(width)))
+    val cms = rows.groupBy("r", "bucket").agg(sum(col("c")).as("bsum"))
+    val est = rows.join(broadcast(cms), Seq("r", "bucket"))
+      .groupBy("w").agg(min(col("bsum")).as("cms_est"))
+    wc.join(est, "w")
+      .select(col("w").as("word"), col("c").as("exact_count"),
+        col("cms_est"), (col("cms_est") >= col("c")).as("never_undercounts"))
+  }
+
   private val textCmsCounts = Q(
     "text_cms_counts",
-    (s, dir) => {
-      val wc = docs(s, dir)
-        .select(explode(words(col("text"))).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("c"))
-      val rows = wc.select(col("w"), col("c"),
-          explode(sequence(lit(0), lit(3))).as("r"))
-        .withColumn("bucket",
-          pmod(md5Hash32(concat(col("r").cast("string"), lit(":"), col("w"))),
-            lit(512)))
-      val cms = rows.groupBy("r", "bucket").agg(sum(col("c")).as("bsum"))
-      val est = rows.join(broadcast(cms), Seq("r", "bucket"))
-        .groupBy("w").agg(min(col("bsum")).as("cms_est"))
-      wc.orderBy(col("c").desc, col("w")).limit(10)
-        .join(est, "w")
-        .select(col("w").as("word"), col("c").as("exact_count"),
-          col("cms_est"), (col("cms_est") >= col("c")).as("never_undercounts"))
-        .orderBy(col("exact_count").desc, col("word"))
-    },
+    (s, dir) => cmsWordCounts(docs(s, dir))
+      .orderBy(col("exact_count").desc, col("word")).limit(10)
+      .orderBy(col("exact_count").desc, col("word")),
     Some("""WITH wc AS (SELECT w, count(*) AS c
            |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
            |  GROUP BY w),

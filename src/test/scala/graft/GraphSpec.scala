@@ -46,4 +46,28 @@ class GraphSpec extends SparkSuite {
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(short == Map(5L -> 0, 4L -> 1), short.toString)
   }
+
+  private def census(pairs: Seq[(Long, Long)]): (Long, Long, Long) = {
+    val row = Graph.triangleCensus(pairs.toDF("a", "b")).head()
+    (row.getLong(0), row.getLong(1), row.getLong(2))
+  }
+
+  test("triangle census: K4 has 4 triangles, a star has none") {
+    // K4: every 3-subset closes — C(4,3) = 4 triangles, C(4,2) = 6 edges
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(census(k4) == ((6L, 4L, 4L)), census(k4).toString)
+    // star: all wedges open — high degree center, zero triangles
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
+    val (se, _, st) = census(star)
+    assert(se == 4L && st == 0L)
+    // one closed + one open wedge
+    val mixed = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    assert(census(mixed)._3 == 1L, census(mixed).toString)
+  }
+
+  test("triangle census orientation counts each triangle exactly once") {
+    // two triangles sharing an edge: {1,2,3} and {2,3,4}
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(census(g)._3 == 2L, census(g).toString)
+  }
 }

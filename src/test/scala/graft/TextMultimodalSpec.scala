@@ -57,6 +57,41 @@ class TextMultimodalSpec extends SparkSuite {
     assert(varied.getAs[Boolean]("keep"))
   }
 
+  test("unigram entropy: zero for constant text, ln k for uniform text") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "same same same same"),            // one symbol → H = 0
+      (2L, "a b c d"),                        // uniform over 4 → H = ln 4
+      (3L, "a a a b")).toDF("doc_id", "text") // skewed: ln4 − (3·ln3)/4
+    val got = TextAnalysis.unigramEntropy(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("entropy")).toMap
+    assert(got(1L) == 0.0, got.toString)
+    assert(math.abs(got(2L) - math.log(4)) < 1e-6, got.toString)
+    val expected3 = math.log(4) - 3 * math.log(3) / 4
+    assert(math.abs(got(3L) - expected3) < 1e-6, got.toString)
+  }
+
+  test("count-min sketch never undercounts; wide sketch is exact") {
+    import spark.implicits._
+    val d = Seq((1L, "x x x y y z"), (2L, "x w z z q r s t u v")).toDF("doc_id", "text")
+    // 8 distinct words in 2048 cells: collisions vanishingly unlikely →
+    // estimates equal exact counts; the ≥ guarantee must hold always
+    val wide = TextAnalysis.cmsWordCounts(d).collect()
+    assert(wide.nonEmpty)
+    wide.foreach { r =>
+      assert(r.getAs[Boolean]("never_undercounts"), r.toString)
+      assert(r.getAs[Long]("cms_est") == r.getAs[Long]("exact_count"), r.toString)
+    }
+    // width 1: every word lands in the same bucket per row → every
+    // estimate is the total token count (the guarantee still holds)
+    val narrow = TextAnalysis.cmsWordCounts(d, depth = 2, width = 1).collect()
+    val totalTokens = narrow.map(r => r.getAs[Long]("exact_count")).sum
+    narrow.foreach { r =>
+      assert(r.getAs[Long]("cms_est") == totalTokens, r.toString)
+      assert(r.getAs[Boolean]("never_undercounts"), r.toString)
+    }
+  }
+
   test("bpe merges replay the hand-computed training on a crafted corpus") {
     import spark.implicits._
     // word freqs: low×3, lower×2, newest×1.
