@@ -1366,6 +1366,50 @@ object Relational {
            |FROM contrib, mx WHERE w_end <= mxd
            |GROUP BY 1 ORDER BY w_end""".stripMargin))
 
+  /** ABC / Pareto inventory classification — parts bucketed by cumulative
+    * revenue share (A: first 50 %, B: to 80 %, C: tail), the 80/20 report
+    * every supply-chain deck carries. The fact collapses to a per-part
+    * decimal-exact revenue aggregate FIRST; the single ordered
+    * running-share window then runs over that part-sized frame (dimension
+    * cardinality, not fact cardinality — the text_vocab stance), fully
+    * tie-broken by (revenue desc, partkey). Class counts reduce the frame
+    * again to 3 rows.
+    */
+  private val ordersAbcPareto = Q(
+    "orders_abc_pareto",
+    (s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(sum(dmul(col("l_extendedprice"), lit(1.0) - col("l_discount")))
+          .as("rev"))
+      val tot = rev.agg(sum(col("rev")).as("tot"))
+      val cum = sum(col("rev")).over(
+        Window.orderBy(col("rev").desc, col("l_partkey"))
+          .rowsBetween(Window.unboundedPreceding, 0))
+      rev.withColumn("cum", cum)
+        .crossJoin(broadcast(tot))
+        .withColumn("share", col("cum").cast("double") / col("tot").cast("double"))
+        .withColumn("abc_class",
+          when(col("share") <= 0.5, "A")
+            .when(col("share") <= 0.8, "B").otherwise("C"))
+        .groupBy("abc_class")
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("rev")).cast("double").as("class_revenue"))
+        .orderBy("abc_class")
+    },
+    Some("""WITH rev AS (SELECT l_partkey,
+           |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0-l_discount AS DECIMAL(4,2))) AS rev
+           |  FROM lineitem GROUP BY l_partkey),
+           |c AS (SELECT l_partkey, rev,
+           |    CAST(SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           |    / CAST((SELECT SUM(rev) FROM rev) AS DOUBLE) AS share
+           |  FROM rev)
+           |SELECT CASE WHEN share <= 0.5 THEN 'A'
+           |            WHEN share <= 0.8 THEN 'B' ELSE 'C' END AS abc_class,
+           |  count(*) AS n_parts, CAST(SUM(rev) AS DOUBLE) AS class_revenue
+           |FROM c GROUP BY 1 ORDER BY abc_class""".stripMargin))
+
   /** RFM (recency / frequency / monetary) customer segmentation, quartiled
     * PER MARKET (nation): the standard CRM scoring a curation-adjacent
     * pipeline uses to stratify users. One aggregate over orders builds the
@@ -2093,7 +2137,7 @@ object Relational {
     q5LocalSupplierVolume, q10ReturnedItems, q6ForecastRevenue, q18LargeOrders,
     q7VolumeShipping, q13CustomerDistribution, q14PromoRevenue,
     windowRankStats, eventsMarkov, eventsTopPaths, eventsUniqueRolling,
-    ordersRfm, profileTable, mixtureTemperature,
+    ordersRfm, ordersAbcPareto, profileTable, mixtureTemperature,
     joinFuzzy, eventsAnomaly,
     eventsFunnel,
     eventsCohortRetention, filterProject, filterString,

@@ -974,8 +974,78 @@ object Similarity {
       """SELECT CAST(i AS INT) AS dim, round(w, 6) AS weight
         |FROM w2 ORDER BY dim""".stripMargin))
 
+  /** Distributed AUC-ROC for the trained classifier — the evaluation half
+    * of the [[logregSteps]] train step, closing the train → score → eval
+    * loop. AUC is computed by the rank-sum identity
+    * AUC = Σ_levels n⁺(level) · (cum n⁻ below + n⁻(level)/2) / (N⁺ · N⁻)
+    * — exactly equivalent to pairwise P(s⁺ > s⁻) + ½P(s⁺ = s⁻), but with
+    * NO pairwise join.
+    *
+    * Scale: scores are sigmoids rounded to 6 dp, so the level frame is
+    * PROVABLY ≤ 10⁶+1 rows no matter the corpus size — the single ordered
+    * window runs over that bounded aggregate (the text_vocab stance:
+    * windows over aggregated frames, never the raw fact). Everything else
+    * is two-phase: the margin aggregation reuses the training's
+    * fine-decimal dot product; count products are summed as decimals of
+    * double products (longs never multiply into longs).
+    */
+  def aucRankSum(e: DataFrame, w: DataFrame): DataFrame = {
+    val xy = e.select(col("vec_id"), (col("label") % 2).cast("double").as("y"),
+      posexplode(col("embedding")).as(Seq("i", "xf")))
+      .select(col("vec_id"), col("y"), col("i"), col("xf").cast("double").as("x"))
+    val scores = xy.join(broadcast(w.select(col("dim").as("i"), col("weight"))), "i")
+      .groupBy("vec_id", "y")
+      .agg(graft.functions.Deterministic.dsumFine(col("x") * col("weight")).as("z"))
+      .select(col("y"), round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6).as("p"))
+    val lvl = scores.groupBy("p")
+      .agg(sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("np"),
+        sum(when(col("y") === 1.0, 0L).otherwise(1L)).as("nn"))
+    val below = coalesce(sum(col("nn")).over(
+      Window.orderBy("p").rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    val tot = lvl.agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"))
+    lvl.select(col("np"), col("nn"), below.as("below"))
+      .crossJoin(broadcast(tot))
+      .agg(first(col("n_pos")).as("n_pos"), first(col("n_neg")).as("n_neg"),
+        round(graft.functions.Deterministic.dsumFine(
+          col("np").cast("double") *
+            (col("below").cast("double") + col("nn").cast("double") / 2.0)) /
+          (first(col("n_pos")).cast("double") *
+            first(col("n_neg")).cast("double")), 6).as("auc"))
+  }
+
+  private val mlAuc = Q(
+    "ml_auc",
+    (s, dir) => {
+      val e = emb(s, dir)
+      aucRankSum(e, logregSteps(e))
+    },
+    Some("""WITH cnt AS (SELECT count(*) AS n FROM embeddings),
+           |x AS (SELECT vec_id, CAST(label % 2 AS DOUBLE) AS y,
+           |        CAST(i - 1 AS INT) AS i, CAST(embedding[i] AS DOUBLE) AS x
+           |      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+           |w0 AS (SELECT DISTINCT i, CAST(0.0 AS DOUBLE) AS w FROM x),
+           |""".stripMargin +
+      (1 to 2).map(logregIterSql).mkString(",\n") + ",\n" +
+      """scores AS (SELECT x.y,
+        |    round(1.0 / (1.0 + exp(-(CAST(SUM(CAST(x.x * w2.w AS DECIMAL(38,20))) AS DOUBLE)))), 6) AS p
+        |  FROM x JOIN w2 ON x.i = w2.i GROUP BY x.vec_id, x.y),
+        |lvl AS (SELECT p, SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS np,
+        |               SUM(CASE WHEN y = 1.0 THEN 0 ELSE 1 END) AS nn
+        |        FROM scores GROUP BY p),
+        |c AS (SELECT np, nn,
+        |        COALESCE(SUM(nn) OVER (ORDER BY p
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        |      FROM lvl),
+        |tot AS (SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+        |               CAST(SUM(nn) AS BIGINT) AS n_neg FROM lvl)
+        |SELECT tot.n_pos, tot.n_neg,
+        |  round(CAST(SUM(CAST(CAST(np AS DOUBLE) * (CAST(below AS DOUBLE) + CAST(nn AS DOUBLE) / 2.0)
+        |    AS DECIMAL(38,20))) AS DOUBLE)
+        |    / (CAST(tot.n_pos AS DOUBLE) * CAST(tot.n_neg AS DOUBLE)), 6) AS auc
+        |FROM c, tot GROUP BY tot.n_pos, tot.n_neg""".stripMargin))
+
   val queries: Seq[Q] = Seq(
     simBruteTopk, simLshAnn, dedupEmbeddingCosine, simIvfAnn,
     dedupSemanticClusters, simQuantizedTopk, simPqTopk, simKmeans,
-    simDimStats, simMutualKnn, simPcaPower, mlLogregStep)
+    simDimStats, simMutualKnn, simPcaPower, mlLogregStep, mlAuc)
 }

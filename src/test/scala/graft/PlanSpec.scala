@@ -151,6 +151,62 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("graph_triangles closes wedges with key joins, never a cartesian") {
+    val p = plan("graph_triangles")
+    // wedge generation and closing are equi-joins (u key / (w1,w2) key)
+    // with inequality residuals; the only nested loops allowed are the
+    // 1-row scalar broadcasts at the top
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    // the support filter must aggregate BEFORE the census (two-phase count
+    // on the pair key), not re-derive pairs downstream
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("ml_auc runs its only window over the bounded level frame") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow, Aggregate => LAgg}
+    val opt = Queries.byName("ml_auc").run(spark, sfDir)
+      .queryExecution.optimizedPlan
+    val wins = opt.collect { case w: LWindow => w }
+    assert(wins.size == 1, s"expected exactly one window, got ${wins.size}")
+    // the window's input must already be aggregated (score levels), never
+    // the raw per-vector score stream
+    assert(wins.head.collectFirst { case a: LAgg => a }.nonEmpty,
+      s"window reads a non-aggregated child:\n${wins.head}")
+  }
+
+  test("events_unique_rolling fans out map-side, no range join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val p = plan("events_unique_rolling")
+    // the ×7 window-end fanout is a Generate (explode), and the distinct
+    // count is a two-phase aggregate; a nested-loop range join means the
+    // linear formulation regressed
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the only join is the 1-row max-day scalar cross — a BETWEEN-style
+    // range join against the day frame would surface as a second join or
+    // a non-cross condition
+    val joins = Queries.byName("events_unique_rolling").run(spark, sfDir)
+      .queryExecution.optimizedPlan.collect { case j: LJoin => j }
+    assert(joins.size == 1, s"expected only the scalar cross, got ${joins.size}")
+  }
+
+  test("orders_abc_pareto windows over the part aggregate, not the fact") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow, Aggregate => LAgg}
+    val opt = Queries.byName("orders_abc_pareto").run(spark, sfDir)
+      .queryExecution.optimizedPlan
+    val wins = opt.collect { case w: LWindow => w }
+    assert(wins.size == 1, s"expected exactly one window, got ${wins.size}")
+    assert(wins.head.collectFirst { case a: LAgg => a }.nonEmpty,
+      s"running-share window must read the per-part aggregate:\n${wins.head}")
+  }
+
+  test("events_top_paths takes its top-20 as TakeOrderedAndProject") {
+    val p = plan("events_top_paths")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("sim_dim_stats aggregates moments in two phases") {
     val p = plan("sim_dim_stats")
     assert(p.contains("partial_count") || p.contains("partial_sum"), p)
