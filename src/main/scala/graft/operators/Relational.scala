@@ -1366,6 +1366,41 @@ object Relational {
            |FROM contrib, mx WHERE w_end <= mxd
            |GROUP BY 1 ORDER BY w_end""".stripMargin))
 
+  /** Per-user daily rate limiting — the quota/throttling pass an event
+    * pipeline runs before aggregation (abuse control, fair sampling): keep
+    * each user's first 5 events per day (time-ordered, id-tie-broken),
+    * report kept/dropped volume and how many users hit the cap per day.
+    * The row_number window is partitioned on (user, day) — at 100 TB every
+    * partition is one user-day, so no reducer sees more than one user's
+    * daily burst; the daily report is a two-phase aggregate.
+    */
+  private val eventsRateLimit = Q(
+    "events_rate_limit",
+    (s, dir) => {
+      val byUserDay = Window
+        .partitionBy(col("user_id"), to_date(col("ts")))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          to_date(col("ts")).as("d"),
+          row_number().over(byUserDay).as("rn"))
+        .groupBy("d")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("rn") <= 5, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("rn") > 5, 1L).otherwise(0L)).as("n_dropped"),
+          countDistinct(when(col("rn") > 5, col("user_id"))).as("n_users_capped"))
+        .orderBy("d")
+    },
+    Some("""WITH r AS (SELECT user_id, event_id, CAST(ts AS DATE) AS d,
+           |    row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+           |                       ORDER BY ts, event_id) AS rn
+           |  FROM events)
+           |SELECT d, count(*) AS n_events,
+           |  SUM(CASE WHEN rn <= 5 THEN 1 ELSE 0 END) AS n_kept,
+           |  SUM(CASE WHEN rn > 5 THEN 1 ELSE 0 END) AS n_dropped,
+           |  count(DISTINCT CASE WHEN rn > 5 THEN user_id END) AS n_users_capped
+           |FROM r GROUP BY d ORDER BY d""".stripMargin))
+
   /** ABC / Pareto inventory classification — parts bucketed by cumulative
     * revenue share (A: first 50 %, B: to 80 %, C: tail), the 80/20 report
     * every supply-chain deck carries. The fact collapses to a per-part
@@ -2137,7 +2172,8 @@ object Relational {
     q5LocalSupplierVolume, q10ReturnedItems, q6ForecastRevenue, q18LargeOrders,
     q7VolumeShipping, q13CustomerDistribution, q14PromoRevenue,
     windowRankStats, eventsMarkov, eventsTopPaths, eventsUniqueRolling,
-    ordersRfm, ordersAbcPareto, profileTable, mixtureTemperature,
+    eventsRateLimit, ordersRfm, ordersAbcPareto, profileTable,
+    mixtureTemperature,
     joinFuzzy, eventsAnomaly,
     eventsFunnel,
     eventsCohortRetention, filterProject, filterString,

@@ -1044,8 +1044,54 @@ object Similarity {
         |    / (CAST(tot.n_pos AS DOUBLE) * CAST(tot.n_neg AS DOUBLE)), 6) AS auc
         |FROM c, tot GROUP BY tot.n_pos, tot.n_neg""".stripMargin))
 
+  /** Calibration / reliability table for the trained classifier — the
+    * companion readout to [[aucRankSum]]: predicted-probability deciles vs
+    * observed positive rate (a well-calibrated model has mean_p ≈ pos_rate
+    * per bucket). Scores bucket by floor(p·10) clamped to 9, so the output
+    * is a FIXED ≤10-row frame from one two-phase aggregate — nothing about
+    * the corpus size reaches the reduce side but 10 groups of exact
+    * decimal sums.
+    */
+  private val mlCalibration = Q(
+    "ml_calibration",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val w = logregSteps(e)
+      val xy = e.select(col("vec_id"), (col("label") % 2).cast("double").as("y"),
+        posexplode(col("embedding")).as(Seq("i", "xf")))
+        .select(col("vec_id"), col("y"), col("i"), col("xf").cast("double").as("x"))
+      xy.join(broadcast(w.select(col("dim").as("i"), col("weight"))), "i")
+        .groupBy("vec_id", "y")
+        .agg(graft.functions.Deterministic.dsumFine(col("x") * col("weight")).as("z"))
+        .select(col("y"), (lit(1.0) / (lit(1.0) + exp(-col("z")))).as("p"))
+        .withColumn("bucket", least(floor(col("p") * 10), lit(9.0)).cast("int"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          round(graft.functions.Deterministic.dsumFine(col("p")) /
+            count(lit(1)), 6).as("mean_p"),
+          round(sum(col("y").cast("long")).cast("double") /
+            count(lit(1)), 6).as("pos_rate"))
+        .orderBy("bucket")
+    },
+    Some("""WITH cnt AS (SELECT count(*) AS n FROM embeddings),
+           |x AS (SELECT vec_id, CAST(label % 2 AS DOUBLE) AS y,
+           |        CAST(i - 1 AS INT) AS i, CAST(embedding[i] AS DOUBLE) AS x
+           |      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+           |w0 AS (SELECT DISTINCT i, CAST(0.0 AS DOUBLE) AS w FROM x),
+           |""".stripMargin +
+      (1 to 2).map(logregIterSql).mkString(",\n") + ",\n" +
+      """scores AS (SELECT x.y,
+        |    1.0 / (1.0 + exp(-(CAST(SUM(CAST(x.x * w2.w AS DECIMAL(38,20))) AS DOUBLE)))) AS p
+        |  FROM x JOIN w2 ON x.i = w2.i GROUP BY x.vec_id, x.y)
+        |SELECT CAST(least(floor(p * 10), 9.0) AS INT) AS bucket,
+        |  count(*) AS n,
+        |  round(CAST(SUM(CAST(p AS DECIMAL(38,20))) AS DOUBLE) / count(*), 6) AS mean_p,
+        |  round(CAST(SUM(CAST(y AS BIGINT)) AS DOUBLE) / count(*), 6) AS pos_rate
+        |FROM scores GROUP BY 1 ORDER BY bucket""".stripMargin))
+
   val queries: Seq[Q] = Seq(
     simBruteTopk, simLshAnn, dedupEmbeddingCosine, simIvfAnn,
     dedupSemanticClusters, simQuantizedTopk, simPqTopk, simKmeans,
-    simDimStats, simMutualKnn, simPcaPower, mlLogregStep, mlAuc)
+    simDimStats, simMutualKnn, simPcaPower, mlLogregStep, mlAuc,
+    mlCalibration)
 }

@@ -1022,6 +1022,67 @@ object TextAnalysis {
            |  CAST(top10 AS DOUBLE) / n_tokens AS top10_share
            |FROM tot t JOIN top USING (lang) ORDER BY lang""".stripMargin))
 
+  /** Kneser-Ney-smoothed bigram LM scoring — the stronger companion to the
+    * add-one [[lmScore]]: absolute discounting (D = 0.75) with the
+    * CONTINUATION-count backoff that makes KN the standard n-gram
+    * smoother — P(w₂|w₁) = max(c(w₁w₂)−D, 0)/c(w₁·)
+    * + (D·N₁₊(w₁·)/c(w₁·)) · N₁₊(·w₂)/N₁₊(··). Every factor is an exact
+    * integer-count ratio over the bigram-type table, so the whole model is
+    * four two-phase aggregates off ONE bigram count (c₂; c₁ and both
+    * fan-out tables reduce the vocabulary-sized c₂, not the corpus), then
+    * the corpus stream equi-joins the probability back per bigram — the
+    * same linear shape as [[lmScore]]; the type total rides a broadcast
+    * 1-row frame. Per-row ln + fine-decimal NLL sums, round(·, 6).
+    */
+  def knScore(d: DataFrame, discount: Double = 0.75): DataFrame = {
+    val w = col("w")
+    val bigrams = transform(sequence(lit(1), size(w) - 1),
+      i => struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2")))
+    val bg = Tables.spread(d)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(w) >= 2)
+      .select(col("doc_id"), explode(bigrams).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    // first-token mass and forward fan-out reduce the TYPE table, not the corpus
+    val c1 = c2.groupBy("w1")
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1f"))
+    val nback = c2.groupBy("w2").agg(count(lit(1)).as("n1b"))
+    val ntypes = c2.agg(count(lit(1)).as("nt"))
+    val pkn = (greatest(col("c2") - lit(discount), lit(0.0)) / col("c1") +
+      (lit(discount) * col("n1f") / col("c1")) *
+        (col("n1b").cast("double") / col("nt"))).as("p")
+    bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1")).join(nback, Seq("w2"))
+      .crossJoin(broadcast(ntypes))
+      .select(col("doc_id"), pkn)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        dsumFine(-log(col("p"))).as("nll"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("nll") / col("n_bigrams"), 6).as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
+  private val textKnScore = Q(
+    "text_kn_score",
+    (s, dir) => knScore(docs(s, dir)),
+    Some("""WITH d AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+           |bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+           |       FROM d, unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
+           |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+           |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1, count(*) AS n1f
+           |       FROM c2 GROUP BY w1),
+           |nb AS (SELECT w2, count(*) AS n1b FROM c2 GROUP BY w2),
+           |nt AS (SELECT count(*) AS nt FROM c2),
+           |x AS (SELECT bg.doc_id,
+           |        greatest(CAST(c2.c2 AS DOUBLE) - CAST(0.75 AS DOUBLE), CAST(0.0 AS DOUBLE)) / c1.c1
+           |        + (CAST(0.75 AS DOUBLE) * c1.n1f / c1.c1) * (CAST(nb.n1b AS DOUBLE) / nt.nt) AS p
+           |      FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+           |      JOIN nb USING (w2) CROSS JOIN nt)
+           |SELECT doc_id, count(*) AS n_bigrams,
+           |  round(CAST(SUM(CAST(-ln(p) AS DECIMAL(38,20))) AS DOUBLE) / count(*), 6) AS avg_nll
+           |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   /** Per-document unigram Shannon entropy — the diversity twin of the
     * repetition signals: low entropy flags keyword-stuffed / template /
     * looped text, high entropy tracks natural prose (a standard pretraining
@@ -1116,6 +1177,6 @@ object TextAnalysis {
     textNovelty, textMixtureReport, textLangid,
     textFingerprint, textNormalize, textPack, textPackSpans, textVocab,
     textHeavyHitters, textChunk, textEncode, textRedact, textRepetition,
-    textBpe, textBpeEncode, textLmScore, textZipfHead, textEntropy,
-    textCmsCounts)
+    textBpe, textBpeEncode, textLmScore, textKnScore, textZipfHead,
+    textEntropy, textCmsCounts)
 }
