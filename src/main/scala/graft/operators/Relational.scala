@@ -1366,6 +1366,59 @@ object Relational {
            |FROM contrib, mx WHERE w_end <= mxd
            |GROUP BY 1 ORDER BY w_end""".stripMargin))
 
+  /** Association-rule mining over the order basket — the rules layer above
+    * the co-purchase graph (`graph_triangles` builds the same supported
+    * pairs): confidence c(a→b) = supp(ab)/supp(a) and lift =
+    * supp(ab)·N / (supp(a)·supp(b)), both directions per pair, top-20 by
+    * lift. The pair support is one two-phase count on the pair key with
+    * per-order fanout bounded by basket size; the per-item supports
+    * broadcast back onto the (support-thresholded, graph-sized) pair
+    * frame; N rides a 1-row broadcast. Counts never multiply as longs —
+    * every ratio is computed in doubles.
+    */
+  private val ordersBasketRules = Q(
+    "orders_basket_rules",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      val nOrders = l.select(col("ok")).distinct().agg(count(lit(1)).as("n"))
+      val itemSupp = l.groupBy(col("p")).agg(count(lit(1)).as("s"))
+      val pairSupp = l.select(col("ok"), col("p").as("a"))
+        .join(l.select(col("ok"), col("p").as("b")), "ok")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("sab"))
+        .filter(col("sab") >= 2)
+      val directed = pairSupp.select(col("a").as("ant"), col("b").as("cons"), col("sab"))
+        .unionByName(pairSupp.select(col("b").as("ant"), col("a").as("cons"), col("sab")))
+      directed
+        .join(itemSupp.select(col("p").as("ant"), col("s").as("sa")), "ant")
+        .join(itemSupp.select(col("p").as("cons"), col("s").as("sc")), "cons")
+        .crossJoin(broadcast(nOrders))
+        .select(col("ant"), col("cons"), col("sab"),
+          round(col("sab").cast("double") / col("sa"), 6).as("confidence"),
+          round(col("sab").cast("double") * col("n") /
+            (col("sa").cast("double") * col("sc").cast("double")), 6).as("lift"))
+        .orderBy(col("lift").desc, col("ant"), col("cons"))
+        .limit(20)
+    },
+    Some("""WITH l AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+           |n AS (SELECT count(DISTINCT ok) AS n FROM l),
+           |isupp AS (SELECT p, count(*) AS s FROM l GROUP BY p),
+           |pairs AS (SELECT a, b, sab FROM (
+           |    SELECT x.p AS a, y.p AS b, count(*) AS sab
+           |    FROM l x JOIN l y ON x.ok = y.ok AND x.p < y.p GROUP BY x.p, y.p)
+           |  WHERE sab >= 2),
+           |dir_ AS (SELECT a AS ant, b AS cons, sab FROM pairs
+           |         UNION ALL SELECT b, a, sab FROM pairs)
+           |SELECT ant, cons, sab,
+           |  round(CAST(sab AS DOUBLE) / sa.s, 6) AS confidence,
+           |  round(CAST(sab AS DOUBLE) * n.n / (CAST(sa.s AS DOUBLE) * CAST(sc.s AS DOUBLE)), 6) AS lift
+           |FROM dir_
+           |JOIN isupp sa ON dir_.ant = sa.p
+           |JOIN isupp sc ON dir_.cons = sc.p
+           |CROSS JOIN n
+           |ORDER BY lift DESC, ant, cons LIMIT 20""".stripMargin))
+
   /** Per-user daily rate limiting — the quota/throttling pass an event
     * pipeline runs before aggregation (abuse control, fair sampling): keep
     * each user's first 5 events per day (time-ordered, id-tie-broken),
@@ -2172,8 +2225,8 @@ object Relational {
     q5LocalSupplierVolume, q10ReturnedItems, q6ForecastRevenue, q18LargeOrders,
     q7VolumeShipping, q13CustomerDistribution, q14PromoRevenue,
     windowRankStats, eventsMarkov, eventsTopPaths, eventsUniqueRolling,
-    eventsRateLimit, ordersRfm, ordersAbcPareto, profileTable,
-    mixtureTemperature,
+    eventsRateLimit, ordersRfm, ordersAbcPareto, ordersBasketRules,
+    profileTable, mixtureTemperature,
     joinFuzzy, eventsAnomaly,
     eventsFunnel,
     eventsCohortRetention, filterProject, filterString,

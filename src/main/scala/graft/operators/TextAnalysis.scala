@@ -1022,6 +1022,39 @@ object TextAnalysis {
            |  CAST(top10 AS DOUBLE) / n_tokens AS top10_share
            |FROM tot t JOIN top USING (lang) ORDER BY lang""".stripMargin))
 
+  /** Boilerplate phrase mining: the corpus's most frequent 5-grams with
+    * their document spread — the signal behind template/navigation-chrome
+    * removal (a phrase appearing in many documents is boilerplate; one
+    * repeating inside a single document is self-repetition — the report
+    * separates the two via n_docs vs n_occur). Phrase generation is a
+    * per-row sliding window (codegen'd transform over the token array, no
+    * shingle distinct — occurrences count), followed by one two-phase
+    * count; the ≥3-occurrence floor keeps the reduce side to genuinely
+    * repeated phrases. Top-20 plans as TakeOrderedAndProject.
+    */
+  private val textPhraseMine = Q(
+    "text_phrase_mine",
+    (s, dir) => {
+      val w = words(col("text"))
+      docs(s, dir)
+        .filter(size(w) >= 5)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(w) - 4),
+          i => concat_ws(" ", slice(w, i, lit(5))))).as("phrase"))
+        .groupBy("phrase")
+        .agg(count(lit(1)).as("n_occur"), countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_occur") >= 3)
+        .orderBy(col("n_occur").desc, col("phrase"))
+        .limit(20)
+    },
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |g AS (SELECT doc_id,
+           |        w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS phrase
+           |      FROM d, unnest(range(1, len(w) - 3)) AS t(i) WHERE len(w) >= 5)
+           |SELECT phrase, count(*) AS n_occur, count(DISTINCT doc_id) AS n_docs
+           |FROM g GROUP BY phrase HAVING count(*) >= 3
+           |ORDER BY n_occur DESC, phrase LIMIT 20""".stripMargin))
+
   /** Kneser-Ney-smoothed bigram LM scoring — the stronger companion to the
     * add-one [[lmScore]]: absolute discounting (D = 0.75) with the
     * CONTINUATION-count backoff that makes KN the standard n-gram
@@ -1178,5 +1211,5 @@ object TextAnalysis {
     textFingerprint, textNormalize, textPack, textPackSpans, textVocab,
     textHeavyHitters, textChunk, textEncode, textRedact, textRepetition,
     textBpe, textBpeEncode, textLmScore, textKnScore, textZipfHead,
-    textEntropy, textCmsCounts)
+    textEntropy, textCmsCounts, textPhraseMine)
 }
