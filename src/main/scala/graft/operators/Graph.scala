@@ -305,5 +305,74 @@ object Graph {
            |       n_triangles
            |FROM t""".stripMargin))
 
-  val queries: Seq[Q] = Seq(graphPagerank, graphBfsReach, graphTriangles)
+  /** One synchronous label-propagation round: every node adopts the MODE
+    * of its neighbors' labels, smallest label breaking ties — the
+    * deterministic variant of LPA (random tie-breaks would never
+    * oracle-match). Each round is one equi-join of the label vector
+    * against the (both-directions) edge list plus two two-phase
+    * aggregates — linear in |E|, and the label side broadcasts under AQE
+    * once communities stabilize the frame size. The arg-min is
+    * `min(struct(-cnt, label))`, a two-phase aggregate — no window over
+    * the neighbor-label frame.
+    */
+  private def lpaRound(labels: DataFrame, nbr: DataFrame): DataFrame =
+    nbr.join(labels.withColumnRenamed("node", "m"), "m")
+      .groupBy(col("n"), col("label"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("n").as("node"))
+      .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l"))).as("t"))
+      .select(col("node"), col("t").getField("l").as("label"))
+
+  /** Community detection by 3 rounds of deterministic label propagation
+    * over the supported co-purchase graph (the same supp ≥ 2 edges as
+    * [[graphTriangles]]): labels start as node ids and converge toward
+    * dense groups. 3 unrolled rounds — like PageRank's power iterations —
+    * each linear in |E|; the edge frame is reused lazily across rounds
+    * (AQE ReuseExchange dedupes the identical scans within the one
+    * action). Output: the 20 largest communities. All-integer arithmetic;
+    * the oracle replays the rounds CTE-for-CTE with the identical
+    * (cnt DESC, label ASC) tie order.
+    */
+  private def lpaRoundSql(k: Int): String = {
+    val prev = s"l${k - 1}"
+    s"""c$k AS (SELECT nbr.n, $prev.label, count(*) AS cnt
+       |  FROM nbr JOIN $prev ON nbr.m = $prev.node GROUP BY nbr.n, $prev.label),
+       |l$k AS (SELECT n AS node, label FROM (
+       |    SELECT n, label, row_number() OVER (PARTITION BY n
+       |      ORDER BY cnt DESC, label) AS rn FROM c$k) WHERE rn = 1)""".stripMargin
+  }
+
+  private val graphLabelProp = Q(
+    "graph_label_prop",
+    (s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      val edges = l.select(col("ok"), col("p").as("a"))
+        .join(l.select(col("ok"), col("p").as("b")), "ok")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("supp"))
+        .filter(col("supp") >= 2)
+        .select("a", "b")
+      val nbr = edges.select(col("a").as("n"), col("b").as("m"))
+        .unionByName(edges.select(col("b").as("n"), col("a").as("m")))
+      var labels = nbr.select(col("n").as("node")).distinct()
+        .select(col("node"), col("node").as("label"))
+      for (_ <- 1 to 3) labels = lpaRound(labels, nbr)
+      labels.groupBy("label").agg(count(lit(1)).as("size"))
+        .orderBy(col("size").desc, col("label"))
+        .limit(20)
+    },
+    Some("""WITH l AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+           |e AS (SELECT a, b FROM (SELECT x.p AS a, y.p AS b, count(*) AS supp
+           |        FROM l x JOIN l y ON x.ok = y.ok AND x.p < y.p
+           |        GROUP BY x.p, y.p) WHERE supp >= 2),
+           |nbr AS (SELECT a AS n, b AS m FROM e UNION ALL SELECT b AS n, a AS m FROM e),
+           |l0 AS (SELECT DISTINCT n AS node, n AS label FROM nbr),
+           |""".stripMargin +
+      (1 to 3).map(lpaRoundSql).mkString(",\n") + "\n" +
+      """SELECT label, count(*) AS size FROM l3 GROUP BY label
+        |ORDER BY size DESC, label LIMIT 20""".stripMargin))
+
+  val queries: Seq[Q] = Seq(graphPagerank, graphBfsReach, graphTriangles,
+    graphLabelProp)
 }

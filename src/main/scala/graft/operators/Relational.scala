@@ -1419,6 +1419,225 @@ object Relational {
            |CROSS JOIN n
            |ORDER BY lift DESC, ant, cons LIMIT 20""".stripMargin))
 
+  /** Referential-integrity audit across the star schema — the cross-table
+    * companion to [[qualityChecks]]'s single-table constraints: for every
+    * FK edge, the child row count, the rows whose key finds no parent, and
+    * the distinct orphaned key values (null keys count as orphans, the
+    * NOT-EXISTS convention). Each edge is ONE left join against the
+    * parent's unique key plus a conditional aggregate — one pass over the
+    * child, no anti-join second scan — and the parent side broadcasts when
+    * small (nation/region/supplier) under AQE. Linear per edge at any
+    * scale; the seven 1-row edge summaries union into the report.
+    */
+  private val fkIntegrity = Q(
+    "fk_integrity",
+    (s, dir) => {
+      def edge(name: String, child: DataFrame, key: String,
+               parent: DataFrame, pkey: String): DataFrame =
+        child.select(col(key).as("k"))
+          .join(parent.select(col(pkey).as("k"), lit(1).as("hit")), Seq("k"), "left")
+          .agg(count(lit(1)).as("n_rows"),
+            count(when(col("hit").isNull, 1)).as("n_orphans"),
+            countDistinct(when(col("hit").isNull, col("k"))).as("n_orphan_keys"))
+          .select(lit(name).as("fk_edge"), col("n_rows"), col("n_orphans"),
+            col("n_orphan_keys"))
+      Seq(
+        edge("customer.c_nationkey->nation", t(s, dir, "customer"),
+          "c_nationkey", t(s, dir, "nation"), "n_nationkey"),
+        edge("lineitem.l_orderkey->orders", t(s, dir, "lineitem"),
+          "l_orderkey", t(s, dir, "orders"), "o_orderkey"),
+        edge("lineitem.l_partkey->part", t(s, dir, "lineitem"),
+          "l_partkey", t(s, dir, "part"), "p_partkey"),
+        edge("lineitem.l_suppkey->supplier", t(s, dir, "lineitem"),
+          "l_suppkey", t(s, dir, "supplier"), "s_suppkey"),
+        edge("nation.n_regionkey->region", t(s, dir, "nation"),
+          "n_regionkey", t(s, dir, "region"), "r_regionkey"),
+        edge("orders.o_custkey->customer", t(s, dir, "orders"),
+          "o_custkey", t(s, dir, "customer"), "c_custkey"),
+        edge("supplier.s_nationkey->nation", t(s, dir, "supplier"),
+          "s_nationkey", t(s, dir, "nation"), "n_nationkey")
+      ).reduce(_ unionByName _).orderBy("fk_edge")
+    },
+    Some {
+      def edgeSql(name: String, child: String, key: String,
+                  parent: String, pkey: String): String =
+        s"""SELECT '$name' AS fk_edge, count(*) AS n_rows,
+           |  count(CASE WHEN p.$pkey IS NULL THEN 1 END) AS n_orphans,
+           |  count(DISTINCT CASE WHEN p.$pkey IS NULL THEN c.$key END) AS n_orphan_keys
+           |FROM $child c LEFT JOIN $parent p ON c.$key = p.$pkey""".stripMargin
+      Seq(
+        edgeSql("customer.c_nationkey->nation", "customer", "c_nationkey",
+          "nation", "n_nationkey"),
+        edgeSql("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        edgeSql("lineitem.l_partkey->part", "lineitem", "l_partkey",
+          "part", "p_partkey"),
+        edgeSql("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+          "supplier", "s_suppkey"),
+        edgeSql("nation.n_regionkey->region", "nation", "n_regionkey",
+          "region", "r_regionkey"),
+        edgeSql("orders.o_custkey->customer", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        edgeSql("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+          "nation", "n_nationkey")
+      ).mkString("", "\nUNION ALL\n", "\nORDER BY fk_edge")
+    })
+
+  /** Peak concurrent sessions per day — the capacity/load readout on top
+    * of the gap-based sessionization [[graft.streaming.EventWindows]]
+    * established (10-minute gap, session closes gap after the last event,
+    * half-open [start, end)). The classic +1/−1 interval sweep, kept
+    * scale-honest: sessions are SPLIT AT DAY BOUNDARIES (a ≤ span-days
+    * explode), deltas are pre-aggregated to one net value per (day, ts),
+    * and the running sum's window partitions BY DAY — no global
+    * single-partition ordered sweep anywhere. Determinism: the peak is a
+    * max over prefix sums of per-timestamp NETS, so no start/end
+    * tie-ordering ambiguity exists; everything is integer arithmetic.
+    */
+  private val eventsMaxConcurrency = Q(
+    "events_max_concurrency",
+    (s, dir) => {
+      val uw = Window.partitionBy("user_id").orderBy("ts")
+      val sess = t(s, dir, "events")
+        .select(col("user_id"), col("ts"))
+        .withColumn("brk", when(
+          col("ts") - lag(col("ts"), 1).over(uw) < expr("INTERVAL 10 MINUTES"),
+          0L).otherwise(1L))
+        .withColumn("sid", sum(col("brk")).over(
+          uw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(min(col("ts")).as("st"),
+          (max(col("ts")) + expr("INTERVAL 10 MINUTES")).as("en"))
+      val bounds = sess
+        .select(col("st"), col("en"), explode(sequence(to_date(col("st")),
+          to_date(col("en") - expr("INTERVAL 1 MICROSECOND")))).as("d"))
+        .select(col("d"),
+          greatest(col("st"), col("d").cast("timestamp")).as("s"),
+          least(col("en"), date_add(col("d"), 1).cast("timestamp")).as("e"))
+      val net = bounds.select(col("d"), col("s").as("ts"), lit(1L).as("delta"))
+        .unionByName(bounds.select(col("d"), col("e").as("ts"), lit(-1L).as("delta")))
+        .groupBy("d", "ts").agg(sum(col("delta")).as("net"))
+      val dw = Window.partitionBy("d").orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val peak = net.withColumn("cur", sum(col("net")).over(dw))
+        .groupBy("d").agg(max(col("cur")).as("peak_sessions"))
+      val active = bounds.groupBy("d").agg(count(lit(1)).as("n_active"))
+      peak.join(active, "d").orderBy("d")
+    },
+    Some("""WITH x AS (SELECT user_id, ts,
+           |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+           |           < INTERVAL 10 MINUTE THEN 0 ELSE 1 END AS brk
+           |  FROM events),
+           |y AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM x),
+           |sess AS (SELECT min(ts) AS st, max(ts) + INTERVAL 10 MINUTE AS en
+           |         FROM y GROUP BY user_id, sid),
+           |bounds AS (SELECT CAST(dd AS DATE) AS d,
+           |    greatest(st, CAST(CAST(dd AS DATE) AS TIMESTAMP)) AS s,
+           |    least(en, CAST(CAST(dd AS DATE) + 1 AS TIMESTAMP)) AS e
+           |  FROM sess, unnest(generate_series(CAST(st AS DATE),
+           |    CAST(en - INTERVAL 1 MICROSECOND AS DATE), INTERVAL 1 DAY)) AS t(dd)),
+           |net AS (SELECT d, ts, SUM(delta) AS net FROM (
+           |    SELECT d, s AS ts, 1 AS delta FROM bounds
+           |    UNION ALL SELECT d, e AS ts, -1 AS delta FROM bounds)
+           |  GROUP BY d, ts),
+           |peak AS (SELECT d, max(cur) AS peak_sessions FROM (
+           |    SELECT d, SUM(net) OVER (PARTITION BY d ORDER BY ts
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cur FROM net)
+           |  GROUP BY d),
+           |active AS (SELECT d, count(*) AS n_active FROM bounds GROUP BY d)
+           |SELECT peak.d, peak_sessions, n_active
+           |FROM peak JOIN active ON peak.d = active.d ORDER BY peak.d""".stripMargin))
+
+  /** EWMA-smoothed daily event volume (α = 1/2, 20-day horizon) — the
+    * trend line behind monitoring dashboards and the denominator for
+    * anomaly scores like [[eventsAnomaly]]. The closed form
+    * `s_d = Σ_k x_{d−k}·2^−(k+1)` is computed by the bounded-fanout
+    * explode idiom ([[eventsUniqueRolling]]): each daily count contributes
+    * to the ≤ 20 window-end days ahead of it, one two-phase sum finishes —
+    * linear in days, no range join, no recursive state. α = 1/2 makes
+    * every term an exact dyadic (count · 2^−k, common denominator 2^20),
+    * so the double sum is EXACT and order-independent — no decimal
+    * detour, no rounding, hash-identical to DuckDB. (At per-day counts
+    * beyond ~2^33 the exactness argument would need the decimal path.)
+    */
+  private val eventsEwmaVolume = Q(
+    "events_ewma_volume",
+    (s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("n"))
+      val mx = daily.agg(max(col("d")).as("mxd"))
+      val ewma = daily
+        .select(col("n"), col("d"),
+          explode(sequence(col("d"), date_add(col("d"), 19))).as("w"))
+        .crossJoin(broadcast(mx))
+        .filter(col("w") <= col("mxd"))
+        .groupBy(col("w").as("d"))
+        .agg(sum(col("n") * pow(lit(2.0),
+          -(datediff(col("w"), col("d")) + 1))).as("ewma"))
+      ewma.join(daily, Seq("d"), "left")
+        .select(col("d"), coalesce(col("n"), lit(0L)).as("n"), col("ewma"))
+        .orderBy("d")
+    },
+    Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n
+           |               FROM events GROUP BY 1),
+           |mx AS (SELECT max(d) AS mxd FROM daily),
+           |ew AS (SELECT d + CAST(off AS INT) AS w,
+           |         SUM(n * power(2.0, -(off + 1))) AS ewma
+           |       FROM daily, mx, unnest(range(0, 20)) AS t(off)
+           |       WHERE d + CAST(off AS INT) <= mxd GROUP BY 1)
+           |SELECT ew.w AS d, COALESCE(daily.n, 0) AS n, ewma
+           |FROM ew LEFT JOIN daily ON ew.w = daily.d ORDER BY d""".stripMargin))
+
+  /** Leave-one-out target encoding of the customer nation against the
+    * order total — the category-to-number featurization step of a
+    * training pipeline, with the LOO correction that keeps the encoding
+    * leak-free: enc(o) = (Σ_nation total − total_o) / (n_nation − 1).
+    * Two-phase shape: per-nation (sum, count) aggregate once, broadcast
+    * the tiny stats frame back onto the fact, encode row-side, aggregate
+    * the report — no window over the raw fact. Determinism: the sums stay
+    * DECIMAL through the subtraction (exact), then ONE double division per
+    * row ([[graft.functions.Deterministic]] §dsum); singleton categories
+    * (n = 1, undefined LOO) are excluded by the stats join, not divided
+    * into infinities.
+    */
+  private val mlTargetEncode = Q(
+    "ml_target_encode",
+    (s, dir) => {
+      val o = t(s, dir, "orders").join(
+        t(s, dir, "customer")
+          .select(col("c_custkey").as("o_custkey"), col("c_nationkey")),
+        "o_custkey")
+      val stats = o.groupBy("c_nationkey")
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("tot"),
+          count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+      o.join(broadcast(stats), "c_nationkey")
+        .select(col("c_nationkey"),
+          ((col("tot") - col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("double") / (col("n") - 1).cast("double")).as("enc"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_orders"),
+          round(dsumFine(col("enc")) / count(lit(1)), 6).as("mean_enc"),
+          round(min(col("enc")), 6).as("min_enc"),
+          round(max(col("enc")), 6).as("max_enc"))
+        .orderBy("c_nationkey")
+    },
+    Some("""WITH o AS (SELECT c_nationkey, o_totalprice
+           |           FROM orders JOIN customer ON o_custkey = c_custkey),
+           |st AS (SELECT c_nationkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tot,
+           |         count(*) AS n
+           |       FROM o GROUP BY c_nationkey HAVING count(*) >= 2),
+           |e AS (SELECT o.c_nationkey,
+           |        CAST(tot - CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+           |          / CAST(n - 1 AS DOUBLE) AS enc
+           |      FROM o JOIN st ON o.c_nationkey = st.c_nationkey)
+           |SELECT c_nationkey, count(*) AS n_orders,
+           |  round(CAST(SUM(CAST(enc AS DECIMAL(38,20))) AS DOUBLE) / count(*), 6) AS mean_enc,
+           |  round(min(enc), 6) AS min_enc,
+           |  round(max(enc), 6) AS max_enc
+           |FROM e GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin))
+
   /** Per-user daily rate limiting — the quota/throttling pass an event
     * pipeline runs before aggregation (abuse control, fair sampling): keep
     * each user's first 5 events per day (time-ordered, id-tie-broken),
@@ -2226,6 +2445,7 @@ object Relational {
     q7VolumeShipping, q13CustomerDistribution, q14PromoRevenue,
     windowRankStats, eventsMarkov, eventsTopPaths, eventsUniqueRolling,
     eventsRateLimit, ordersRfm, ordersAbcPareto, ordersBasketRules,
+    fkIntegrity, eventsMaxConcurrency, eventsEwmaVolume, mlTargetEncode,
     profileTable, mixtureTemperature,
     joinFuzzy, eventsAnomaly,
     eventsFunnel,

@@ -1055,6 +1055,35 @@ object TextAnalysis {
            |FROM g GROUP BY phrase HAVING count(*) >= 3
            |ORDER BY n_occur DESC, phrase LIMIT 20""".stripMargin))
 
+  /** Feature hashing (the "hashing trick") over document tokens — the
+    * fixed-width featurization that replaces a vocabulary dictionary when
+    * the vocab won't fit or drifts: bucket = hash(token) mod 64, no
+    * dictionary build, no join against a vocab table — which is exactly
+    * why it scales to unbounded token streams. Per-bucket report: token
+    * occurrences, document spread, and distinct words (the collision
+    * load). One explode + one two-phase aggregate over 64 groups; the
+    * oracle replays the [[md5Hash32]] engine-portable hash exactly.
+    */
+  private val mlFeatureHash = Q(
+    "ml_feature_hash",
+    (s, dir) => docsSpread(s, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("doc_id"), col("w"), pmod(md5Hash32(col("w")), lit(64)).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        countDistinct(col("w")).as("n_words"))
+      .orderBy("bucket"),
+    Some("""WITH tok AS (SELECT doc_id, w
+           |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+           |  WHERE len(w) > 0)
+           |SELECT CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 64 AS bucket,
+           |  count(*) AS n_tokens,
+           |  count(DISTINCT doc_id) AS n_docs,
+           |  count(DISTINCT w) AS n_words
+           |FROM tok GROUP BY bucket ORDER BY bucket""".stripMargin))
+
   /** Kneser-Ney-smoothed bigram LM scoring — the stronger companion to the
     * add-one [[lmScore]]: absolute discounting (D = 0.75) with the
     * CONTINUATION-count backoff that makes KN the standard n-gram
@@ -1211,5 +1240,5 @@ object TextAnalysis {
     textFingerprint, textNormalize, textPack, textPackSpans, textVocab,
     textHeavyHitters, textChunk, textEncode, textRedact, textRepetition,
     textBpe, textBpeEncode, textLmScore, textKnScore, textZipfHead,
-    textEntropy, textCmsCounts, textPhraseMine)
+    textEntropy, textCmsCounts, textPhraseMine, mlFeatureHash)
 }
