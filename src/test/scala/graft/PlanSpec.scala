@@ -278,4 +278,70 @@ class PlanSpec extends SparkSuite {
     assert("Reused".r.findAllIn(p).size >= 3,
       s"expected exchange/stage reuse in the final plan\n${p.take(3000)}")
   }
+
+  test("graph_label_prop takes each round's arg-min as an aggregate, no window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val opt = Queries.byName("graph_label_prop").run(spark, sfDir)
+      .queryExecution.optimizedPlan
+    // the per-node mode is min(struct(-cnt, label)) — a two-phase hash
+    // aggregate; a Window here means a sort + single pass over the
+    // neighbor-label frame crept back in (3× per query, once per round)
+    assert(opt.collect { case w: LWindow => w }.isEmpty, opt.toString)
+    val p = plan("graph_label_prop")
+    assert(p.contains("partial_min") || p.contains("partial_count"), p)
+  }
+
+  test("fk_integrity audits each edge in one pass — no anti-join second scan") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val opt = Queries.byName("fk_integrity").run(spark, sfDir)
+      .queryExecution.optimizedPlan
+    val joins = opt.collect { case j: LJoin => j }
+    // one LEFT join per FK edge; an orphan count via a separate anti-join
+    // would double the child-table scans
+    assert(joins.size == 7, s"expected 7 edge joins, got ${joins.size}")
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    assert(!joins.exists(_.joinType == LeftAnti), opt.toString)
+  }
+
+  test("events_max_concurrency never sweeps globally: every window is partitioned") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val opt = Queries.byName("events_max_concurrency").run(spark, sfDir)
+      .queryExecution.optimizedPlan
+    // the +1/−1 sweep must run per day and the sessionizer per user; an
+    // empty partitionSpec is the classic single-reducer interval sweep
+    val bad = opt.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+    assert(bad.isEmpty, s"global ordered sweep:\n${bad.mkString("\n")}")
+  }
+
+  test("events_ewma_volume fans out with Generate — no range join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val p = plan("events_ewma_volume")
+    assert(p.contains("Generate"), p)
+    val joins = Queries.byName("events_ewma_volume").run(spark, sfDir)
+      .queryExecution.optimizedPlan.collect { case j: LJoin => j }
+    // only the 1-row max-day scalar cross plus the final left join back to
+    // daily counts; a BETWEEN range join would appear as a third
+    assert(joins.size == 2, s"expected 2 joins (scalar cross + daily), got ${joins.size}")
+  }
+
+  test("ml_target_encode broadcasts the per-nation stats back onto the fact") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val p = plan("ml_target_encode")
+    // the 25-row stats frame broadcasts; the LOO correction is row-side
+    // arithmetic, never a window over the order stream
+    assert(p.contains("BroadcastHashJoin"), p)
+    val opt = Queries.byName("ml_target_encode").run(spark, sfDir)
+      .queryExecution.optimizedPlan
+    assert(opt.collect { case w: LWindow => w }.isEmpty, opt.toString)
+  }
+
+  test("ml_feature_hash is join-free: hashing replaces the vocab dictionary") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val opt = Queries.byName("ml_feature_hash").run(spark, sfDir)
+      .queryExecution.optimizedPlan
+    // the whole point of the hashing trick is NO vocab build and NO join
+    assert(opt.collect { case j: LJoin => j }.isEmpty, opt.toString)
+    val p = plan("ml_feature_hash")
+    assert(p.contains("partial_count"), p)
+  }
 }
