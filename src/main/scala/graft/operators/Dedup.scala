@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import graft.functions.Deterministic.md5Hash32
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -871,9 +872,84 @@ object Dedup {
            |GROUP BY source_a, source_b
            |ORDER BY source_a, source_b""".stripMargin))
 
+  /** Winnowing fingerprint near-dup pairs (Schleimer/Wilkerson/Aiken, the
+    * MOSS algorithm): per document, hash every 4-token gram, then slide a
+    * 4-window over the gram-hash sequence and keep each window's minimum
+    * (RIGHTMOST position on ties — the deterministic variant); documents
+    * sharing ≥ 2 selected fingerprints pair up. Winnowing guarantees any
+    * shared run of ≥ 7 tokens yields a shared fingerprint while storing
+    * only ~2/(w+1) of the grams — the storage rung between full n-gram
+    * Jaccard and MinHash. Per-doc work is ALL higher-order array functions
+    * (hashes computed once into an array, the window fold reads it) — zero
+    * shuffle until the inverted-index pair join, which is df-capped at 50
+    * docs per fingerprint exactly like [[dedupNgramJaccard]]'s posting
+    * lists, so no hot fingerprint can quadratic-blow the self-join at
+    * scale. Short docs (4–6 tokens: grams but no full window) keep their
+    * single minimum gram hash; the engine-portable [[md5Hash32]] hash lets
+    * the oracle replay gram hashing, rightmost-min selection (row_number
+    * ORDER BY h, i DESC), df cap, and pair counting exactly.
+    */
+  private val dedupWinnow = Q(
+    "dedup_winnow",
+    (s, dir) => {
+      val d = Tables.spread(docs(s, dir))
+        .select(col("doc_id"),
+          filter(words(col("text")), t => length(t) > 0).as("ts"))
+        .filter(size(col("ts")) >= 4)
+        .select(col("doc_id"),
+          transform(sequence(lit(0), size(col("ts")) - 4),
+            i => md5Hash32(concat_ws(" ", slice(col("ts"), i + 1, lit(4)))))
+            .as("g"))
+      val winnowed = when(size(col("g")) >= 4,
+        array_distinct(transform(sequence(lit(0), size(col("g")) - 4),
+          j => aggregate(sequence(j, j + 3),
+            struct(lit(Long.MaxValue).as("h"), lit(-1).as("p")),
+            (acc, i) => when(element_at(col("g"), i + 1) <= acc.getField("h"),
+              struct(element_at(col("g"), i + 1).as("h"), i.as("p")))
+              .otherwise(acc))
+            .getField("h"))))
+        .otherwise(array(array_min(col("g"))))
+      val inv = d.select(col("doc_id"), explode(winnowed).as("fp"))
+      val ok = inv.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 50).select("fp")
+      val use = inv.join(ok, "fp")
+      use.select(col("fp"), col("doc_id").as("doc_a"))
+        .join(use.select(col("fp"), col("doc_id").as("doc_b")), "fp")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .orderBy("doc_a", "doc_b")
+    },
+    Some("""WITH t AS (SELECT doc_id,
+           |        list_filter(string_split(text, ' '), x -> len(x) > 0) AS ts
+           |      FROM documents),
+           |g AS (SELECT doc_id, i,
+           |        CAST('0x' || substr(md5(array_to_string(ts[i:i+3], ' ')), 1, 8)
+           |          AS BIGINT) AS h
+           |      FROM t, unnest(range(1, len(ts) - 2)) AS r(i)
+           |      WHERE len(ts) >= 4),
+           |m AS (SELECT doc_id, count(*) AS m FROM g GROUP BY doc_id),
+           |js AS (SELECT doc_id, r.j FROM m, unnest(range(1, m.m - 2)) AS r(j)),
+           |win AS (SELECT g.doc_id, js.j, g.i, g.h,
+           |          row_number() OVER (PARTITION BY g.doc_id, js.j
+           |            ORDER BY g.h, g.i DESC) AS rn
+           |        FROM js JOIN g ON g.doc_id = js.doc_id
+           |                      AND g.i BETWEEN js.j AND js.j + 3),
+           |sel AS (SELECT DISTINCT doc_id, h FROM win WHERE rn = 1
+           |        UNION ALL
+           |        SELECT doc_id, min(h) AS h FROM g
+           |        WHERE doc_id IN (SELECT doc_id FROM m WHERE m < 4)
+           |        GROUP BY doc_id),
+           |okfp AS (SELECT h FROM sel GROUP BY h HAVING count(*) <= 50),
+           |u AS (SELECT doc_id, h FROM sel WHERE h IN (SELECT h FROM okfp)),
+           |p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_shared
+           |      FROM u x JOIN u y ON x.h = y.h AND x.doc_id < y.doc_id
+           |      GROUP BY 1, 2 HAVING count(*) >= 2)
+           |SELECT doc_a, doc_b, n_shared FROM p ORDER BY doc_a, doc_b""".stripMargin))
+
   val queries: Seq[Q] = Seq(
     dedupExact, dedupKeepfirst, dedupNgramJaccard, dedupMinhashLsh,
     dedupSimhash, dedupClusters, dedupPipelineSurvivors, dedupDecontaminate,
     dedupDecontaminateBloom, dedupIncremental, dedupLines, pipelineCurate,
-    dedupSourceOverlap)
+    dedupSourceOverlap, dedupWinnow)
 }

@@ -373,6 +373,74 @@ object Graph {
       """SELECT label, count(*) AS size FROM l3 GROUP BY label
         |ORDER BY size DESC, label LIMIT 20""".stripMargin))
 
+  /** Bounded k-core peel (k = 2, 3 rounds) over the same supp ≥ 2
+    * co-purchase graph: each round drops every node whose current degree
+    * falls below k, then keeps only the edges whose BOTH endpoints survive —
+    * the standard iterative peel toward the 2-core, bounded-round like
+    * [[graphBfsReach]] (a fixpoint loop would need a driver-side
+    * convergence check per round; 3 rounds is the declared semantic and the
+    * oracle replays exactly those). Per round: one two-phase degree count
+    * plus two LEFT SEMI joins on a node key — linear in |E| at any scale,
+    * no window, no collect. Output: the 20 highest-degree nodes of the
+    * peeled core. All-integer arithmetic, CTE-for-CTE oracle replay.
+    */
+  private def kcoreRoundSql(r: Int): String = {
+    val prev = s"e${r - 1}"
+    s"""d$r AS (SELECT n, count(*) AS deg FROM (SELECT a AS n FROM $prev
+       |    UNION ALL SELECT b AS n FROM $prev) GROUP BY n),
+       |s$r AS (SELECT n FROM d$r WHERE deg >= 2),
+       |e$r AS (SELECT a, b FROM $prev
+       |  WHERE a IN (SELECT n FROM s$r) AND b IN (SELECT n FROM s$r))""".stripMargin
+  }
+
+  private val graphKcore = Q(
+    "graph_kcore",
+    (s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      // The peel rounds reference their input through THREE branches each
+      // (degree, and both semi-join sides), so the base frame appears 3³
+      // times in the final plan. For triangles/LPA lazy recompute still won
+      // (2 branches, shallow), but here it is the measured loser (9.0 s at
+      // sf0.1), and an eager persist() is WORSE (31.9 s — 27 cached-plan
+      // consumers each re-planned under AQE). The [[Dedup.clusters]]
+      // pointer-jumping convention wins: localCheckpoint the tiny supported
+      // edge set once (eager, lineage truncated → every round plans against
+      // a 3.6 k-row leaf), then checkpoint each round's survivor edges the
+      // same way.
+      var edges = l.select(col("ok"), col("p").as("a"))
+        .join(l.select(col("ok"), col("p").as("b")), "ok")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("supp"))
+        .filter(col("supp") >= 2)
+        .select("a", "b")
+        .localCheckpoint()
+      for (_ <- 1 to 3) {
+        val deg = edges.select(col("a").as("n"))
+          .unionByName(edges.select(col("b").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("deg"))
+        val surv = deg.filter(col("deg") >= 2).select("n")
+        edges = edges
+          .join(surv.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
+          .join(surv.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
+          .localCheckpoint()
+      }
+      edges.select(col("a").as("n")).unionByName(edges.select(col("b").as("n")))
+        .groupBy(col("n").as("node")).agg(count(lit(1)).as("degree"))
+        .orderBy(col("degree").desc, col("node"))
+        .limit(20)
+    },
+    Some("""WITH l AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+           |e0 AS (SELECT a, b FROM (SELECT x.p AS a, y.p AS b, count(*) AS supp
+           |        FROM l x JOIN l y ON x.ok = y.ok AND x.p < y.p
+           |        GROUP BY x.p, y.p) WHERE supp >= 2),
+           |""".stripMargin +
+      (1 to 3).map(kcoreRoundSql).mkString(",\n") + "\n" +
+      """SELECT node, degree FROM (
+        |  SELECT n AS node, count(*) AS degree FROM (SELECT a AS n FROM e3
+        |    UNION ALL SELECT b AS n FROM e3) GROUP BY n)
+        |ORDER BY degree DESC, node LIMIT 20""".stripMargin))
+
   val queries: Seq[Q] = Seq(graphPagerank, graphBfsReach, graphTriangles,
-    graphLabelProp)
+    graphLabelProp, graphKcore)
 }

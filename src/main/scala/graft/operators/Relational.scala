@@ -1638,6 +1638,62 @@ object Relational {
            |  round(max(enc), 6) AS max_enc
            |FROM e GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin))
 
+  /** Per-segment OLS trend line (closed form) of order value over time —
+    * the grouped linear-regression primitive behind drift monitors and
+    * forecast baselines: slope/intercept of o_totalprice on the day offset
+    * since 2000-01-01, per market segment. ONE two-phase aggregate
+    * computes the five sufficient statistics (n, Σx, Σy, Σxy, Σx²) —
+    * x is an integer day count and y a 2-dp decimal, so Σy and Σxy are
+    * EXACT decimals and Σx/Σx² exact longs; the slope
+    * (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) then runs entirely in double on those
+    * exact inputs with the identical expression tree in both engines — no
+    * per-row FP accumulation anywhere, no second pass, mergeable partials
+    * (the same stats compose across shards/days for free).
+    */
+  private val mlOlsTrend = Q(
+    "ml_ols_trend",
+    (s, dir) => {
+      val j = t(s, dir, "orders").join(
+        t(s, dir, "customer")
+          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+        "o_custkey")
+        .select(col("c_mktsegment").as("segment"),
+          datediff(col("o_orderdate"), lit("2000-01-01")).cast("long").as("x"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("y"))
+      val m = j.groupBy("segment")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+      val nD = col("n").cast("double")
+      val sxD = col("sx").cast("double")
+      val num = nD * col("sxy").cast("double") - sxD * col("sy").cast("double")
+      val den = nD * col("sxx").cast("double") - sxD * sxD
+      m.select(col("segment"), col("n").as("n_orders"),
+        round(num / den, 6).as("slope"),
+        round((col("sy").cast("double") - num / den * sxD) / nD, 6)
+          .as("intercept"))
+        .orderBy("segment")
+    },
+    Some("""WITH j AS (SELECT c_mktsegment AS segment,
+           |    datediff('day', DATE '2000-01-01', o_orderdate) AS x,
+           |    CAST(o_totalprice AS DECIMAL(18,2)) AS y
+           |  FROM orders JOIN customer ON o_custkey = c_custkey),
+           |m AS (SELECT segment, count(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+           |        SUM(x * y) AS sxy, SUM(x * x) AS sxx
+           |      FROM j GROUP BY segment)
+           |SELECT segment, n AS n_orders,
+           |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+           |  round((CAST(sy AS DOUBLE)
+           |         - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           |            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           |           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           |              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           |           * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
+           |FROM m ORDER BY segment""".stripMargin))
+
   /** Per-user daily rate limiting — the quota/throttling pass an event
     * pipeline runs before aggregation (abuse control, fair sampling): keep
     * each user's first 5 events per day (time-ordered, id-tie-broken),
@@ -2446,6 +2502,7 @@ object Relational {
     windowRankStats, eventsMarkov, eventsTopPaths, eventsUniqueRolling,
     eventsRateLimit, ordersRfm, ordersAbcPareto, ordersBasketRules,
     fkIntegrity, eventsMaxConcurrency, eventsEwmaVolume, mlTargetEncode,
+    mlOlsTrend,
     profileTable, mixtureTemperature,
     joinFuzzy, eventsAnomaly,
     eventsFunnel,

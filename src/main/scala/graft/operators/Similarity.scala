@@ -1089,9 +1089,72 @@ object Similarity {
         |  round(CAST(SUM(CAST(y AS BIGINT)) AS DOUBLE) / count(*), 6) AS pos_rate
         |FROM scores GROUP BY 1 ORDER BY bucket""".stripMargin))
 
+  /** Deterministic ±1 Rademacher projection matrix (seed 7), 16 rows of 64 —
+    * the same seeded-literal convention as the LSH [[planes]].
+    */
+  private lazy val rpSigns: Array[Array[Float]] = {
+    val rnd = new scala.util.Random(7)
+    Array.fill(16, 64)(if (rnd.nextBoolean()) 1.0f else -1.0f)
+  }
+
+  /** Johnson–Lindenstrauss random projection 64-d → 16-d:
+    * y_j = (1/√16)·Σ_d sign(j,d)·x_d with a fixed ±1 Rademacher matrix —
+    * the 4× dimensionality-reduction rung BEFORE the quantization rungs
+    * (SQ8/PQ compress precision; this compresses dimensions, and
+    * E‖y‖² = ‖x‖² keeps distances usable downstream). Map-only per row: 16
+    * codegen'd [[FloatVecDot]] kernels against literal sign vectors, scale
+    * by the exact dyadic 0.25 — no shuffle until the 16-group moment
+    * aggregate. Output: per projected dimension, mean and variance (fine-
+    * decimal sums → exact moments; variance via (s/n) reused, never
+    * `pow`, and clamped at 0 — the [[graft.functions.Deterministic]]
+    * conventions). The oracle interpolates the same sign literals and
+    * replays dot, scale, and moments bit-for-bit.
+    */
+  private lazy val simRandProj = Q(
+    "sim_rand_proj",
+    (s, dir) => {
+      import graft.functions.Deterministic.dsumFine
+      VectorKernels.register(s)
+      val ys = (0 until 16).map { j =>
+        val sv = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+          rpSigns(j).map(lit)): _*)
+        (dot(col("embedding"), sv) * lit(0.25)).as(s"y$j")
+      }
+      val n = count(lit(1))
+      val mean = dsumFine(col("y")) / n
+      emb(s, dir).select(col("vec_id") +: ys: _*)
+        .select(posexplode(array((0 until 16).map(j => col(s"y$j")): _*))
+          .as(Seq("proj_dim", "y")))
+        .groupBy("proj_dim")
+        .agg(n.as("n"),
+          round(mean, 9).as("mean_y"),
+          round(greatest(dsumFine(col("y") * col("y")) / n - mean * mean,
+            lit(0.0)), 9).as("var_y"))
+        .orderBy("proj_dim")
+    },
+    Some {
+      val vals = rpSigns.zipWithIndex.map { case (p, j) =>
+        s"($j, [${p.map(c => if (c > 0) "1.0" else "-1.0").mkString(",")}]::DOUBLE[])"
+      }.mkString(",\n")
+      s"""WITH pl(j, coef) AS (VALUES $vals),
+         |y AS (SELECT e.vec_id, pl.j,
+         |    list_sum(list_transform(range(1, 65),
+         |      i -> CAST(e.embedding[i] AS DOUBLE) * coef[i])) * 0.25 AS y
+         |  FROM embeddings e CROSS JOIN pl)
+         |SELECT j AS proj_dim, count(*) AS n,
+         |  round(CAST(SUM(CAST(y AS DECIMAL(38,20))) AS DOUBLE) / count(*), 9)
+         |    AS mean_y,
+         |  round(greatest(
+         |    CAST(SUM(CAST(y*y AS DECIMAL(38,20))) AS DOUBLE) / count(*)
+         |    - (CAST(SUM(CAST(y AS DECIMAL(38,20))) AS DOUBLE) / count(*))
+         |      * (CAST(SUM(CAST(y AS DECIMAL(38,20))) AS DOUBLE) / count(*)),
+         |    0.0), 9) AS var_y
+         |FROM y GROUP BY j ORDER BY proj_dim""".stripMargin
+    })
+
   val queries: Seq[Q] = Seq(
     simBruteTopk, simLshAnn, dedupEmbeddingCosine, simIvfAnn,
     dedupSemanticClusters, simQuantizedTopk, simPqTopk, simKmeans,
     simDimStats, simMutualKnn, simPcaPower, mlLogregStep, mlAuc,
-    mlCalibration)
+    mlCalibration, simRandProj)
 }

@@ -1240,5 +1240,80 @@ object TextAnalysis {
     textFingerprint, textNormalize, textPack, textPackSpans, textVocab,
     textHeavyHitters, textChunk, textEncode, textRedact, textRepetition,
     textBpe, textBpeEncode, textLmScore, textKnScore, textZipfHead,
-    textEntropy, textCmsCounts, textPhraseMine, mlFeatureHash)
+    textEntropy, textCmsCounts, textPhraseMine, mlFeatureHash, mlNaiveBayes)
+
+  /** Multinomial Naive Bayes (train + resubstitution score) predicting the
+    * document language from its tokens — the classic generatively-trained
+    * quality/routing classifier a curation pipeline trains in one pass:
+    * log P(c|d) ∝ ln P(c) + Σ_w mult(w,d)·ln((cnt(w,c)+1)/(tot_c+V))
+    * (Laplace α = 1). Training is two two-phase aggregates over the token
+    * stream (token-class counts, class totals); the V×5 smoothed log-prob
+    * table materializes the zero-count cells via one cross join + left
+    * join — vocabulary-sized, NOT corpus-sized. Scoring joins per-doc token
+    * multiplicities against that table (vocab-keyed equi-join) and reduces
+    * per (doc, class) with fine-decimal sums, so the log-likelihood is
+    * order-independent; the arg-max is `min(struct(-score, class))` on the
+    * 9-dp-rounded score (class-name tie-break — no window, no near-tie
+    * FP ambiguity). Output: the 5×5 confusion matrix, integer counts. The
+    * oracle replays training and scoring end-to-end (`ln` parity
+    * established by [[lmScore]]).
+    */
+  private lazy val mlNaiveBayes = Q(
+    "ml_naive_bayes",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val tok = d.select(col("doc_id"), col("lang"),
+        explode(words(col("text"))).as("w")).filter(length(col("w")) > 0)
+      val wc = tok.groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
+      val ct = wc.groupBy("lang").agg(sum(col("cnt")).as("tot"))
+      val vocab = wc.select("w").distinct()
+      val vsize = vocab.agg(count(lit(1)).as("v"))
+      val prior = d.groupBy(col("lang").as("cls")).agg(count(lit(1)).as("nd"))
+      val ndocs = d.agg(count(lit(1)).as("nn"))
+      val lps = vocab.crossJoin(ct)
+        .join(wc, Seq("lang", "w"), "left")
+        .crossJoin(broadcast(vsize))
+        .select(col("w"), col("lang").as("cls"),
+          (log(coalesce(col("cnt"), lit(0L)) + 1) -
+            log(col("tot") + col("v"))).as("lp"))
+      val dm = tok.groupBy("doc_id", "lang", "w").agg(count(lit(1)).as("mult"))
+      val scored = dm.join(lps, "w")
+        .groupBy("doc_id", "lang", "cls")
+        .agg(dsumFine(col("mult") * col("lp")).as("ll"))
+        .join(broadcast(prior), "cls")
+        .crossJoin(broadcast(ndocs))
+        .select(col("doc_id"), col("lang"), col("cls"),
+          round(col("ll") + log(col("nd")) - log(col("nn")), 9).as("score"))
+      scored.groupBy("doc_id", "lang")
+        .agg(min(struct((-col("score")).as("ns"), col("cls").as("c"))).as("t"))
+        .select(col("lang"), col("t").getField("c").as("predicted"))
+        .groupBy("lang", "predicted").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "predicted")
+    },
+    Some("""WITH tok AS (SELECT doc_id, lang, w
+           |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+           |        FROM documents) WHERE len(w) > 0),
+           |wc AS (SELECT lang, w, count(*) AS cnt FROM tok GROUP BY lang, w),
+           |ct AS (SELECT lang, sum(cnt) AS tot FROM wc GROUP BY lang),
+           |vocab AS (SELECT DISTINCT w FROM wc),
+           |vs AS (SELECT count(*) AS v FROM vocab),
+           |prior AS (SELECT lang AS cls, count(*) AS nd FROM documents GROUP BY lang),
+           |nn AS (SELECT count(*) AS nn FROM documents),
+           |lps AS (SELECT vocab.w, ct.lang AS cls,
+           |    ln(COALESCE(wc.cnt, 0) + 1) - ln(ct.tot + vs.v) AS lp
+           |  FROM vocab CROSS JOIN ct CROSS JOIN vs
+           |    LEFT JOIN wc ON wc.lang = ct.lang AND wc.w = vocab.w),
+           |dm AS (SELECT doc_id, lang, w, count(*) AS mult
+           |       FROM tok GROUP BY doc_id, lang, w),
+           |sc AS (SELECT dm.doc_id, dm.lang, f.cls,
+           |    round(CAST(SUM(CAST(dm.mult * f.lp AS DECIMAL(38,20))) AS DOUBLE)
+           |      + ln(p.nd) - ln(nn.nn), 9) AS score
+           |  FROM dm JOIN lps f ON dm.w = f.w
+           |    JOIN prior p ON p.cls = f.cls CROSS JOIN nn
+           |  GROUP BY dm.doc_id, dm.lang, f.cls, p.nd, nn.nn),
+           |pred AS (SELECT lang, cls AS predicted FROM (
+           |    SELECT doc_id, lang, cls, row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY score DESC, cls) AS rn FROM sc) WHERE rn = 1)
+           |SELECT lang, predicted, count(*) AS n_docs
+           |FROM pred GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin))
 }
