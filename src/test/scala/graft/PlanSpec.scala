@@ -335,6 +335,44 @@ class PlanSpec extends SparkSuite {
     assert(opt.collect { case w: LWindow => w }.isEmpty, opt.toString)
   }
 
+  test("sim_rand_proj is join-free map-side projection + one moment aggregate") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val opt = Queries.byName("sim_rand_proj").run(spark, sfDir)
+      .queryExecution.optimizedPlan
+    // the sign matrix rides as literals inside the dot kernels — a join
+    // against a sign/plane table would shuffle the corpus for 16 rows
+    assert(opt.collect { case j: LJoin => j }.isEmpty, opt.toString)
+    val p = plan("sim_rand_proj")
+    assert(p.contains("fvec_dot"), p)
+  }
+
+  test("ml_naive_bayes scores through aggregates only — no window pass") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val opt = Queries.byName("ml_naive_bayes").run(spark, sfDir)
+      .queryExecution.optimizedPlan
+    // the per-doc arg-max is min(struct(-score, class)) — a Window here
+    // means a sort crept over the doc × class score stream
+    assert(opt.collect { case w: LWindow => w }.isEmpty, opt.toString)
+  }
+
+  test("ml_ols_trend reduces to one fact join + one two-phase moment aggregate") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, Window => LWindow}
+    val opt = Queries.byName("ml_ols_trend").run(spark, sfDir)
+      .queryExecution.optimizedPlan
+    assert(opt.collect { case j: LJoin => j }.size == 1, opt.toString)
+    assert(opt.collect { case w: LWindow => w }.isEmpty, opt.toString)
+    val p = plan("ml_ols_trend")
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+  }
+
+  test("dedup_winnow pairs only through the df-capped fingerprint index") {
+    val p = plan("dedup_winnow")
+    // fingerprints explode map-side; docs meet ONLY via equi-joins on the
+    // fingerprint key — a nested-loop anywhere means the cap regressed
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("ml_feature_hash is join-free: hashing replaces the vocab dictionary") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
     val opt = Queries.byName("ml_feature_hash").run(spark, sfDir)
