@@ -244,11 +244,13 @@ object Graph {
     // The edge frame feeds four consumers (both degree legs, orientation,
     // wedge closing) whose divergent column pruning defeats AQE's
     // ReuseExchange, so the upstream pair-aggregation is re-planned per
-    // consumer. Measured at sf0.1: fully lazy 3.7 s vs 10.2 s with a lazy
+    // consumer. Measured at sf0.1: fully lazy 3.7 s vs 10.2 s with a LAZY
     // persist of this frame (the persist-before-branch-fan-out trap, third
-    // confirmation in this repo) — recomputation is the cheaper evil on
-    // this stage-overhead-bound rig, and each recomputation is one
-    // two-phase count, not quadratic work.
+    // confirmation in this repo). The round-8 fix: callers that derive an
+    // expensive edge frame pass it localCheckpoint'd (eager, lineage
+    // truncated — no cached-plan re-planning, no population barrier),
+    // which took the declared query 3.0 s → 2.2 s; see graphKcore for the
+    // same pattern at higher branch factor.
     val deg = edges.select(col("a").as("n"))
       .unionAll(edges.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
@@ -283,7 +285,7 @@ object Graph {
         .groupBy("a", "b").agg(count(lit(1)).as("supp"))
         .filter(col("supp") >= 2)
         .select("a", "b")
-      triangleCensus(edges)
+      triangleCensus(edges.localCheckpoint())
     },
     Some("""WITH l AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
            |e AS (SELECT a, b FROM (SELECT x.p AS a, y.p AS b, count(*) AS supp
@@ -327,9 +329,10 @@ object Graph {
     * over the supported co-purchase graph (the same supp ≥ 2 edges as
     * [[graphTriangles]]): labels start as node ids and converge toward
     * dense groups. 3 unrolled rounds — like PageRank's power iterations —
-    * each linear in |E|; the edge frame is reused lazily across rounds
-    * (AQE ReuseExchange dedupes the identical scans within the one
-    * action). Output: the 20 largest communities. All-integer arithmetic;
+    * each linear in |E|; the both-directions neighbor frame is
+    * localCheckpoint'd once (eager, tiny — the 1.2 M-pair support build
+    * would otherwise replay per round; measured 3.2 s → 2.6 s at sf0.1).
+    * Output: the 20 largest communities. All-integer arithmetic;
     * the oracle replays the rounds CTE-for-CTE with the identical
     * (cnt DESC, label ASC) tie order.
     */
@@ -355,6 +358,7 @@ object Graph {
         .select("a", "b")
       val nbr = edges.select(col("a").as("n"), col("b").as("m"))
         .unionByName(edges.select(col("b").as("n"), col("a").as("m")))
+        .localCheckpoint()
       var labels = nbr.select(col("n").as("node")).distinct()
         .select(col("node"), col("node").as("label"))
       for (_ <- 1 to 3) labels = lpaRound(labels, nbr)
