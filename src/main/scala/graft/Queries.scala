@@ -24,6 +24,7 @@ object Queries {
   def all: Seq[Q] =
     operators.Relational.queries ++
       operators.Analytics.queries ++
+      operators.Wrangling.queries ++
       operators.Dedup.queries ++
       operators.TextAnalysis.queries ++
       operators.Similarity.queries ++

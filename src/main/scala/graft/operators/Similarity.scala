@@ -1152,9 +1152,50 @@ object Similarity {
          |FROM y GROUP BY j ORDER BY proj_dim""".stripMargin
     })
 
+  /** Quantile normalization across embedding dimensions — the batch-effect
+    * remover (force every dimension onto one common distribution: rank each
+    * value within its dim, replace it by the cross-dim mean at that rank).
+    * The shape: one posexplode (rows × dims), a rank window PARTITIONED BY
+    * DIM (parallelism = dim count — inherent to the definition; each dim's
+    * sort is independent and distributes across the cluster), then a
+    * two-phase mean per rank. No window is global and no frame is
+    * corpus × corpus. Determinism: float→double casts are exact, rank ties
+    * break on vec_id, and the per-rank mean rides fine-decimal sums
+    * ([[graft.functions.Deterministic.dsumFine]]) — the reference
+    * distribution is bit-stable under any partitioning. Output: the first
+    * 100 ranks of the learned reference distribution.
+    */
+  private lazy val mlQuantileNorm = Q(
+    "ml_quantile_norm",
+    (s, dir) => {
+      import graft.functions.Deterministic.dsumFine
+      val x = emb(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+        .select(col("vec_id"), col("dim"), col("xf").cast("double").as("x"))
+      val w = Window.partitionBy("dim").orderBy(col("x"), col("vec_id"))
+      x.withColumn("rank_pos", row_number().over(w))
+        .groupBy("rank_pos")
+        .agg(count(lit(1)).as("n_dims"), dsumFine(col("x")).as("sx"))
+        .select(col("rank_pos"), col("n_dims"),
+          round(col("sx") / col("n_dims"), 6).as("norm_value"))
+        .orderBy("rank_pos")
+        .limit(100)
+    },
+    Some("""WITH x AS (SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+           |        CAST(embedding[i] AS DOUBLE) AS x
+           |      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+           |r AS (SELECT x, row_number() OVER (PARTITION BY dim
+           |        ORDER BY x, vec_id) AS rk FROM x),
+           |a AS (SELECT rk, count(*) AS n_dims,
+           |        CAST(SUM(CAST(x AS DECIMAL(38,20))) AS DOUBLE) AS sx
+           |      FROM r GROUP BY rk)
+           |SELECT CAST(rk AS INT) AS rank_pos, n_dims,
+           |  round(sx / n_dims, 6) AS norm_value
+           |FROM a ORDER BY rank_pos LIMIT 100""".stripMargin))
+
   val queries: Seq[Q] = Seq(
     simBruteTopk, simLshAnn, dedupEmbeddingCosine, simIvfAnn,
     dedupSemanticClusters, simQuantizedTopk, simPqTopk, simKmeans,
     simDimStats, simMutualKnn, simPcaPower, mlLogregStep, mlAuc,
-    mlCalibration, simRandProj)
+    mlCalibration, simRandProj, mlQuantileNorm)
 }

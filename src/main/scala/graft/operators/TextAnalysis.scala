@@ -1240,7 +1240,76 @@ object TextAnalysis {
     textFingerprint, textNormalize, textPack, textPackSpans, textVocab,
     textHeavyHitters, textChunk, textEncode, textRedact, textRepetition,
     textBpe, textBpeEncode, textLmScore, textKnScore, textZipfHead,
-    textEntropy, textCmsCounts, textPhraseMine, mlFeatureHash, mlNaiveBayes)
+    textEntropy, textCmsCounts, textPhraseMine, mlFeatureHash, mlNaiveBayes,
+    mlMutualInfo)
+
+  /** Mutual-information feature selection: I(token-presence; source) over
+    * the 2×2 contingency of each (token, source) pair — the supervised
+    * vocabulary-selection step (which tokens identify which corpus slice)
+    * complementing the unsupervised tf-idf ranking. All counts come from
+    * TWO two-phase aggregates over the doc-distinct token stream
+    * (`array_distinct` fuses the per-doc dedup into the explode — no
+    * corpus-wide distinct); margins join on the token key and the 1-row /
+    * per-source frames broadcast, so the MI arithmetic runs over a
+    * vocabulary×sources-sized frame, never the corpus. Zero cells
+    * contribute 0 by definition (guarded, not NaN-poisoned). Determinism:
+    * each ln() argument is one exact-integer-ratio division, the four cell
+    * terms add in fixed order, ranking uses round(·,9) + token/source
+    * tie-breaks and reports at round(·,6) — the [[textTfidf]] stance.
+    */
+  private lazy val mlMutualInfo = Q(
+    "ml_mutual_info",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val meta = d.agg(count(lit(1)).as("nn"))
+      val ns = d.groupBy("source").agg(count(lit(1)).as("n_s"))
+      val dt = d.select(col("source"),
+        explode(array_distinct(words(col("text")))).as("token"))
+      val nts = dt.groupBy("token", "source").agg(count(lit(1)).as("n_ts"))
+      val nt = nts.groupBy("token").agg(sum(col("n_ts")).as("n_t"))
+      def term(a: Column, r: Column, c: Column): Column =
+        when(a > 0, (a.cast("double") / col("nn")) *
+          log(a.cast("double") * col("nn") / (r.cast("double") * c.cast("double"))))
+          .otherwise(lit(0.0))
+      val mi =
+        term(col("n_ts"), col("n_t"), col("n_s")) +
+          term(col("n_t") - col("n_ts"), col("n_t"), col("nn") - col("n_s")) +
+          term(col("n_s") - col("n_ts"), col("nn") - col("n_t"), col("n_s")) +
+          term(col("nn") - col("n_t") - col("n_s") + col("n_ts"),
+            col("nn") - col("n_t"), col("nn") - col("n_s"))
+      nts.join(nt, "token").join(broadcast(ns), "source")
+        .crossJoin(broadcast(meta))
+        .select(col("token"), col("source"), col("n_ts"), mi.as("mi"))
+        .orderBy(round(col("mi"), 9).desc, col("token"), col("source"))
+        .limit(50)
+        .select(col("token"), col("source"), col("n_ts"),
+          round(col("mi"), 6).as("mi"))
+    },
+    Some("""WITH meta AS (SELECT count(*) AS nn FROM documents),
+           |ns AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+           |dt AS (SELECT source, unnest(list_distinct(string_split(text, ' '))) AS token
+           |       FROM documents),
+           |nts AS (SELECT token, source, count(*) AS n_ts FROM dt GROUP BY 1, 2),
+           |nt AS (SELECT token, CAST(sum(n_ts) AS BIGINT) AS n_t FROM nts GROUP BY token),
+           |j AS (SELECT nts.token, nts.source, n_ts, n_t, n_s, nn
+           |      FROM nts JOIN nt ON nts.token = nt.token
+           |               JOIN ns ON nts.source = ns.source CROSS JOIN meta),
+           |m AS (SELECT token, source, n_ts,
+           |    (CASE WHEN n_ts > 0 THEN (CAST(n_ts AS DOUBLE) / nn) *
+           |       ln(CAST(n_ts AS DOUBLE) * nn / (CAST(n_t AS DOUBLE) * CAST(n_s AS DOUBLE)))
+           |     ELSE 0.0 END)
+           |    + (CASE WHEN n_t - n_ts > 0 THEN (CAST(n_t - n_ts AS DOUBLE) / nn) *
+           |       ln(CAST(n_t - n_ts AS DOUBLE) * nn / (CAST(n_t AS DOUBLE) * CAST(nn - n_s AS DOUBLE)))
+           |     ELSE 0.0 END)
+           |    + (CASE WHEN n_s - n_ts > 0 THEN (CAST(n_s - n_ts AS DOUBLE) / nn) *
+           |       ln(CAST(n_s - n_ts AS DOUBLE) * nn / (CAST(nn - n_t AS DOUBLE) * CAST(n_s AS DOUBLE)))
+           |     ELSE 0.0 END)
+           |    + (CASE WHEN nn - n_t - n_s + n_ts > 0 THEN (CAST(nn - n_t - n_s + n_ts AS DOUBLE) / nn) *
+           |       ln(CAST(nn - n_t - n_s + n_ts AS DOUBLE) * nn / (CAST(nn - n_t AS DOUBLE) * CAST(nn - n_s AS DOUBLE)))
+           |     ELSE 0.0 END) AS mi
+           |  FROM j)
+           |SELECT token, source, n_ts, round(mi, 6) AS mi FROM m
+           |ORDER BY round(mi, 9) DESC, token, source LIMIT 50""".stripMargin))
 
   /** Multinomial Naive Bayes (train + resubstitution score) predicting the
     * document language from its tokens — the classic generatively-trained

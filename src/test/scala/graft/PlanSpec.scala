@@ -382,4 +382,36 @@ class PlanSpec extends SparkSuite {
     val p = plan("ml_feature_hash")
     assert(p.contains("partial_count"), p)
   }
+
+  test("sample_weighted selects the top-k distributed, never a global sort") {
+    val p = plan("sample_weighted")
+    // A-ES selection is k rows per partition + k at the driver; a
+    // rangepartitioning exchange means the whole corpus got sorted for 200 rows
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("rangepartitioning"), p)
+  }
+
+  test("quality_mad_outliers broadcasts the 5-row stats frames onto the fact") {
+    val p = plan("quality_mad_outliers")
+    // median and MAD frames are priority-sized (5 rows) — every join back
+    // onto orders must be broadcast, never a fact reshuffle per stats pass
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("events_gap_fill windows per user, never over the whole spine") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val opt = Queries.byName("events_gap_fill").run(spark, sfDir)
+      .queryExecution.optimizedPlan
+    // the forward carry must partition by user_id — an empty partitionSpec
+    // funnels every user-day row through one reducer
+    val bad = opt.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+    assert(bad.isEmpty, s"global window in gap fill:\n${bad.mkString("\n")}")
+  }
+
+  test("quality_benford prunes the scan to the single audited column") {
+    val p = plan("quality_benford")
+    assert(p.contains("struct<o_totalprice:double>"), p)
+  }
 }
