@@ -5,6 +5,7 @@ import graft.functions.Deterministic._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Data-wrangling / reliability extensions (SURVEY.md §2 [EXT]): the reshaping,
   * auditing, repair and sampling steps that sit between ingest and analytics in
@@ -115,7 +116,10 @@ object Wrangling {
   private val qualityMadOutliers = Q(
     "quality_mad_outliers",
     (s, dir) => {
-      val cents = (col("o_totalprice") * 100).cast("long")
+      // round, don't truncate: x·100 of a 2-dp double sits within 1e-9 of
+      // the integer on either side, and Spark's long cast truncates while
+      // DuckDB's BIGINT cast rounds — explicit round() on both engines
+      val cents = round(col("o_totalprice") * 100).cast("long")
       val o = t(s, dir, "orders")
         .select(col("o_orderpriority").as("prio"), cents.as("c"))
       val med = o.groupBy("prio")
@@ -136,7 +140,7 @@ object Wrangling {
         .orderBy("o_orderpriority")
     },
     Some("""WITH o AS (SELECT o_orderpriority AS prio,
-           |    CAST(o_totalprice * 100 AS BIGINT) AS c FROM orders),
+           |    CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
            |med AS (SELECT prio, quantile_cont(c, 0.5) AS med_c FROM o GROUP BY prio),
            |dev AS (SELECT o.prio, c, abs(c - med_c) AS dev_c
            |        FROM o JOIN med ON o.prio = med.prio),
@@ -228,6 +232,241 @@ object Wrangling {
            |  FROM documents)
            |ORDER BY key DESC, doc_id LIMIT 200""".stripMargin))
 
+  /** Linear interpolation of missing daily values — the numeric twin of
+    * [[eventsGapFill]]'s zero-fill: a gap day's value is interpolated
+    * between the nearest active days on both sides. The bracketing days
+    * come from two per-user ordered windows (`max(day-if-active)` looking
+    * back, `min(day-if-active)` looking forward — monotone day makes both
+    * plain ANSI aggregates, no IGNORE NULLS); the bracket VALUES arrive by
+    * two equi-joins back onto the daily frame on (user, bracket-day) —
+    * joins on a key, never a second window over values. The spine bounds
+    * gaps to [first, last] active day, so both brackets always exist.
+    * Determinism: daily values are exact 2-dp decimal sums; the
+    * interpolation is a fixed double expression mirrored in the oracle,
+    * reported at round(·,6).
+    */
+  private val eventsInterpolate = Q(
+    "events_interpolate",
+    (s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(dsum(col("value")).as("day_value"))
+      val spine = daily.groupBy("user_id")
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      val wBack = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wFwd = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val active = when(col("day_value").isNotNull, col("day"))
+      val bracketed = spine.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"), col("day_value"),
+          max(active).over(wBack).as("pd"),
+          min(active).over(wFwd).as("nd"))
+      val pv = daily.select(col("user_id"), col("day").as("pd"),
+        col("day_value").as("pv"))
+      val nv = daily.select(col("user_id"), col("day").as("nd"),
+        col("day_value").as("nv"))
+      bracketed.join(pv, Seq("user_id", "pd")).join(nv, Seq("user_id", "nd"))
+        .select(col("user_id"), col("day"),
+          col("day_value").isNull.as("interpolated"),
+          round(when(col("day_value").isNotNull, col("day_value"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              (datediff(col("day"), col("pd")).cast("double") /
+                datediff(col("nd"), col("pd")))), 6).as("value"))
+        .orderBy("user_id", "day")
+    },
+    Some("""WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+           |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+           |  FROM events GROUP BY 1, 2),
+           |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+           |         FROM daily GROUP BY user_id),
+           |spine AS (SELECT user_id, d0 + CAST(off AS INT) AS day
+           |  FROM span, unnest(range(0, datediff('day', d0, d1) + 1)) AS t(off)),
+           |b AS (SELECT spine.user_id, spine.day, daily.day_value,
+           |    max(CASE WHEN daily.day_value IS NOT NULL THEN spine.day END)
+           |      OVER (PARTITION BY spine.user_id ORDER BY spine.day
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+           |    min(CASE WHEN daily.day_value IS NOT NULL THEN spine.day END)
+           |      OVER (PARTITION BY spine.user_id ORDER BY spine.day
+           |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+           |  FROM spine LEFT JOIN daily
+           |    ON spine.user_id = daily.user_id AND spine.day = daily.day)
+           |SELECT b.user_id, b.day, b.day_value IS NULL AS interpolated,
+           |  round(CASE WHEN b.day_value IS NOT NULL THEN b.day_value
+           |    ELSE p.day_value + (n.day_value - p.day_value) *
+           |      (CAST(datediff('day', b.pd, b.day) AS DOUBLE) /
+           |       datediff('day', b.pd, b.nd)) END, 6) AS value
+           |FROM b JOIN daily p ON b.user_id = p.user_id AND b.pd = p.day
+           |       JOIN daily n ON b.user_id = n.user_id AND b.nd = n.day
+           |ORDER BY b.user_id, b.day""".stripMargin))
+
+  /** Population-stability-index drift monitor: split orders into an early
+    * and a late half at the median order date, bin prices on the shared
+    * fixed-width grid, and report each bin's PSI term
+    * (p−q)·ln(p/q) plus the total — the production monitor for "has the
+    * incoming distribution drifted from the reference". Two scans (split
+    * predicate + binning are row-side), two 20-key two-phase aggregates, a
+    * broadcast full-outer on the bin key, Laplace-smoothed shares so empty
+    * bins stay finite. The date threshold derives from an exact integer
+    * percentile on epoch days (dyadic — bit-stable, the
+    * [[qualityMadOutliers]] stance); shares and PSI report at round(·,6).
+    */
+  private val qualityPsiDrift = Q(
+    "quality_psi_drift",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(unix_date(to_date(col("o_orderdate"))).as("ed"),
+          least(floor(col("o_totalprice") / 30000.0), lit(9L)).as("bin"))
+      val thr = o.agg(percentile(col("ed"), lit(0.5)).as("med_ed"))
+      val halves = o.crossJoin(broadcast(thr))
+        .select(col("bin"), (col("ed").cast("double") <= col("med_ed")).as("early"))
+      val p = halves.filter(col("early")).groupBy("bin").agg(count(lit(1)).as("np"))
+      val q = halves.filter(!col("early")).groupBy("bin").agg(count(lit(1)).as("nq"))
+      val tp = p.agg(sum(col("np")).as("tp"))
+      val tq = q.agg(sum(col("nq")).as("tq"))
+      val ps = (coalesce(col("np"), lit(0L)) + 1).cast("double") / (col("tp") + 10)
+      val qs = (coalesce(col("nq"), lit(0L)) + 1).cast("double") / (col("tq") + 10)
+      p.join(q, Seq("bin"), "full_outer")
+        .crossJoin(broadcast(tp)).crossJoin(broadcast(tq))
+        .select(col("bin"),
+          coalesce(col("np"), lit(0L)).as("n_early"),
+          coalesce(col("nq"), lit(0L)).as("n_late"),
+          round(ps, 6).as("p_share"),
+          round(qs, 6).as("q_share"),
+          round((ps - qs) * log(ps / qs), 6).as("psi_term"))
+        .orderBy("bin")
+    },
+    Some("""WITH o AS (SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS ed,
+           |    least(CAST(floor(o_totalprice / 30000.0) AS BIGINT), 9) AS bin
+           |  FROM orders),
+           |thr AS (SELECT quantile_cont(ed, 0.5) AS med_ed FROM o),
+           |h AS (SELECT bin, CAST(ed AS DOUBLE) <= med_ed AS early
+           |      FROM o CROSS JOIN thr),
+           |p AS (SELECT bin, count(*) AS np FROM h WHERE early GROUP BY bin),
+           |q AS (SELECT bin, count(*) AS nq FROM h WHERE NOT early GROUP BY bin),
+           |tp AS (SELECT CAST(sum(np) AS BIGINT) AS tp FROM p),
+           |tq AS (SELECT CAST(sum(nq) AS BIGINT) AS tq FROM q)
+           |SELECT COALESCE(p.bin, q.bin) AS bin,
+           |  COALESCE(np, 0) AS n_early, COALESCE(nq, 0) AS n_late,
+           |  round(CAST(COALESCE(np, 0) + 1 AS DOUBLE) / (tp + 10), 6) AS p_share,
+           |  round(CAST(COALESCE(nq, 0) + 1 AS DOUBLE) / (tq + 10), 6) AS q_share,
+           |  round((CAST(COALESCE(np, 0) + 1 AS DOUBLE) / (tp + 10)
+           |       - CAST(COALESCE(nq, 0) + 1 AS DOUBLE) / (tq + 10))
+           |    * ln((CAST(COALESCE(np, 0) + 1 AS DOUBLE) / (tp + 10))
+           |       / (CAST(COALESCE(nq, 0) + 1 AS DOUBLE) / (tq + 10))), 6) AS psi_term
+           |FROM p FULL OUTER JOIN q ON p.bin = q.bin
+           |CROSS JOIN tp CROSS JOIN tq
+           |ORDER BY bin""".stripMargin))
+
+  /** Percentile winsorization per order priority: clip prices to the
+    * per-group [p01, p99] fences and report mean before/after plus the
+    * clipped-row count — the heavy-tail preprocessing step that keeps one
+    * typo from dominating a mean feature. Fences come from one 5-key
+    * percentile aggregate IN CENTS (exact dyadic — the
+    * [[qualityMadOutliers]] stance) broadcast back onto the fact; clipping
+    * is row-side; means ride exact cent sums (clipped cents are quarter-
+    * integral after dyadic fences — DECIMAL(38,8) holds them exactly).
+    */
+  private val qualityWinsorize = Q(
+    "quality_winsorize",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderpriority").as("prio"),
+          // round-not-truncate: see qualityMadOutliers
+          round(col("o_totalprice") * 100).cast("long").as("c"))
+      val fences = o.groupBy("prio")
+        .agg(percentile(col("c"), lit(0.01)).as("lo"),
+          percentile(col("c"), lit(0.99)).as("hi"))
+      val clipped = o.join(broadcast(fences), "prio")
+        .select(col("prio"), col("c"),
+          greatest(least(col("c").cast("double"), col("hi")), col("lo")).as("cw"))
+      clipped.groupBy("prio")
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col("cw") =!= col("c").cast("double"), 1)).as("n_clipped"),
+          (sum(col("c")).cast("double") / count(lit(1)) / 100.0).as("mean_raw"),
+          (sum(col("cw").cast(DecimalType(38, 8))).cast("double") /
+            count(lit(1)) / 100.0).as("mean_wins"))
+        .select(col("prio").as("o_orderpriority"), col("n_rows"), col("n_clipped"),
+          round(col("mean_raw"), 6).as("mean_raw"),
+          round(col("mean_wins"), 6).as("mean_wins"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""WITH o AS (SELECT o_orderpriority AS prio,
+           |    CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+           |f AS (SELECT prio, quantile_cont(c, 0.01) AS lo,
+           |             quantile_cont(c, 0.99) AS hi FROM o GROUP BY prio),
+           |cl AS (SELECT o.prio, c,
+           |    greatest(least(CAST(c AS DOUBLE), hi), lo) AS cw
+           |  FROM o JOIN f ON o.prio = f.prio)
+           |SELECT prio AS o_orderpriority, count(*) AS n_rows,
+           |  count(CASE WHEN cw <> CAST(c AS DOUBLE) THEN 1 END) AS n_clipped,
+           |  round(CAST(sum(c) AS DOUBLE) / count(*) / 100.0, 6) AS mean_raw,
+           |  round(CAST(SUM(CAST(cw AS DECIMAL(38,8))) AS DOUBLE)
+           |        / count(*) / 100.0, 6) AS mean_wins
+           |FROM cl GROUP BY prio ORDER BY o_orderpriority""".stripMargin))
+
+  /** Item-item collaborative filtering: the top-3 "customers also bought"
+    * neighbors per part, scored by co-occurrence cosine
+    * cooc(a,b) / √(pop(a)·pop(b)) over order baskets — the recommendation
+    * primitive built from the same supported co-purchase pairs as the
+    * association rules, but normalized so popular parts don't dominate.
+    * Pair generation shuffles on the order key (fanout bounded by basket
+    * size), popularity is a two-phase count joined ON THE PART KEY (the
+    * pair frame is vocabulary-sized after the support cut), and the top-3
+    * ranking windows over the pair frame partitioned by part — never a
+    * corpus-wide sort. Determinism: the score is one sqrt + one division
+    * on exact integers, ranked at round(·,9) with a neighbor tie-break.
+    */
+  private val ordersItemCf = Q(
+    "orders_item_cf",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      val pop = l.groupBy(col("p")).agg(count(lit(1)).as("pop"))
+      val pairs = l.select(col("ok"), col("p").as("a"))
+        .join(l.select(col("ok"), col("p").as("b")), "ok")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("cooc"))
+        .filter(col("cooc") >= 2)
+      // score both directions so every part ranks its own neighbors
+      val sym = pairs.select(col("a").as("part"), col("b").as("nbr"), col("cooc"))
+        .unionByName(pairs.select(col("b").as("part"), col("a").as("nbr"), col("cooc")))
+      val scored = sym
+        .join(pop.select(col("p").as("part"), col("pop").as("pa")), "part")
+        .join(pop.select(col("p").as("nbr"), col("pop").as("pb")), "nbr")
+        .select(col("part"), col("nbr"), col("cooc"),
+          (col("cooc").cast("double") /
+            sqrt(col("pa").cast("double") * col("pb").cast("double"))).as("score"))
+      val w = Window.partitionBy("part")
+        .orderBy(round(col("score"), 9).desc, col("nbr"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("part"), col("rn").as("rank_pos"), col("nbr"),
+          col("cooc"), round(col("score"), 6).as("score"))
+        .orderBy("part", "rank_pos")
+    },
+    Some("""WITH l AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+           |pop AS (SELECT p, count(*) AS pop FROM l GROUP BY p),
+           |pairs AS (SELECT a, b, cooc FROM (
+           |    SELECT x.p AS a, y.p AS b, count(*) AS cooc
+           |    FROM l x JOIN l y ON x.ok = y.ok AND x.p < y.p
+           |    GROUP BY x.p, y.p) WHERE cooc >= 2),
+           |sym AS (SELECT a AS part, b AS nbr, cooc FROM pairs
+           |        UNION ALL SELECT b, a, cooc FROM pairs),
+           |scored AS (SELECT part, nbr, cooc,
+           |    CAST(cooc AS DOUBLE) /
+           |      sqrt(CAST(pa.pop AS DOUBLE) * CAST(pb.pop AS DOUBLE)) AS score
+           |  FROM sym JOIN pop pa ON sym.part = pa.p
+           |           JOIN pop pb ON sym.nbr = pb.p)
+           |SELECT part, CAST(rn AS INT) AS rank_pos, nbr, cooc,
+           |       round(score, 6) AS score
+           |FROM (SELECT part, nbr, cooc, score, row_number() OVER (
+           |        PARTITION BY part ORDER BY round(score, 9) DESC, nbr) AS rn
+           |      FROM scored)
+           |WHERE rn <= 3 ORDER BY part, rank_pos""".stripMargin))
+
   val queries: Seq[Q] = Seq(reshapeUnpivot, qualityBenford, qualityMadOutliers,
-    eventsGapFill, sampleWeighted)
+    eventsGapFill, sampleWeighted, eventsInterpolate, qualityPsiDrift,
+    qualityWinsorize, ordersItemCf)
 }

@@ -414,4 +414,20 @@ class PlanSpec extends SparkSuite {
     val p = plan("quality_benford")
     assert(p.contains("struct<o_totalprice:double>"), p)
   }
+
+  test("quality_winsorize broadcasts the per-group fences onto the fact") {
+    val p = plan("quality_winsorize")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("events_interpolate and orders_item_cf window per key, never globally") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    Seq("events_interpolate", "orders_item_cf").foreach { name =>
+      val opt = Queries.byName(name).run(spark, sfDir)
+        .queryExecution.optimizedPlan
+      val bad = opt.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+      assert(bad.isEmpty, s"$name has a global window:\n${bad.mkString("\n")}")
+    }
+  }
 }
