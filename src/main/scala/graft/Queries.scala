@@ -25,6 +25,7 @@ object Queries {
     operators.Relational.queries ++
       operators.Analytics.queries ++
       operators.Wrangling.queries ++
+      operators.TimeSeries.queries ++
       operators.Dedup.queries ++
       operators.TextAnalysis.queries ++
       operators.Similarity.queries ++

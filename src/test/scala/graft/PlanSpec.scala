@@ -421,6 +421,22 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("events_changepoint windows only over the day-aggregated frame") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val opt = Queries.byName("events_changepoint").run(spark, sfDir)
+      .queryExecution.optimizedPlan
+    // the global CUSUM window is bounded-by-design ONLY because its input
+    // is the daily aggregate; a window whose child still carries raw event
+    // columns means the reduction slipped below the window
+    val bad = opt.collect {
+      case w: LWindow if w.child.output.exists(a =>
+        a.name == "event_id" || a.name == "ts") => w
+    }
+    assert(bad.isEmpty, s"window over raw events:\n${bad.mkString("\n")}")
+    val p = plan("events_changepoint")
+    assert(p.contains("partial_count"), p)
+  }
+
   test("events_interpolate and orders_item_cf window per key, never globally") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     Seq("events_interpolate", "orders_item_cf").foreach { name =>
