@@ -17,13 +17,25 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's TimestampType
-      // (µs) cannot represent and refuses to read. Read the raw int64 and
-      // truncate ns→µs with integral division — exactly what DuckDB does on
-      // its ns→µs read, so oracle comparisons and orderings agree.
+      // The driver testdata has shipped events.ts in two physical layouts
+      // across rounds: parquet TIMESTAMP(NANOS) — which Spark's µs
+      // TimestampType cannot represent and refuses to read without
+      // nanosAsLong — and plain TIMESTAMP(MICROS) with no zone, which Spark
+      // reads as TIMESTAMP_NTZ. Normalize both to session-zone
+      // TimestampType: the int64 ns path truncates ns→µs with integral
+      // division (exactly DuckDB's ns→µs read), and the NTZ path is a
+      // value-preserving cast under the pinned UTC session zone (DuckDB
+      // likewise treats the naive µs values as-is) — so oracle comparisons
+      // and orderings agree on either layout.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Rebalance rows across the session's shuffle parallelism before heavy
@@ -71,11 +83,19 @@ object Tables {
         }
         spark.sql(s"DROP TABLE IF EXISTS $db.events_raw")
         spark.catalog.createTable(s"$db.events_raw", s"$dir/events.parquet", "parquet")
-        val cols = spark.read.parquet(s"$dir/events.parquet").schema.fieldNames
-          .map {
-            case "ts" => "timestamp_micros(ts div 1000) AS ts"
-            case f => s"`$f`"
-          }
+        val raw = spark.read.parquet(s"$dir/events.parquet")
+        // mirror load()'s two-layout ts normalization in view SQL
+        val tsExpr = raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            "timestamp_micros(ts div 1000) AS ts"
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            "CAST(ts AS TIMESTAMP) AS ts"
+          case _ => "`ts`"
+        }
+        val cols = raw.schema.fieldNames.map {
+          case "ts" => tsExpr
+          case f => s"`$f`"
+        }
         spark.sql(s"CREATE OR REPLACE VIEW $db.events AS " +
           s"SELECT ${cols.mkString(", ")} FROM $db.events_raw")
       } else {

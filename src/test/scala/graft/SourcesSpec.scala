@@ -266,9 +266,10 @@ class SourcesSpec extends SparkSuite {
   }
 
   test("catalog events view applies the same ns->us conversion as path reads") {
-    // events is TIMESTAMP(NANOS) parquet: a raw external table would expose
-    // the int64 nanos, silently diverging from Tables.load — the registered
-    // `events` must be the conversion view over `events_raw`
+    // events.ts ships as TIMESTAMP(NANOS) or TIMESTAMP(MICROS) parquet
+    // depending on the testdata round: a raw external table would expose
+    // the int64 nanos / NTZ µs, silently diverging from Tables.load — the
+    // registered `events` must be the normalization view over `events_raw`
     Tables.registerCatalog(spark, TestSpark.Sf0001,
       db = "cat_test_events", tables = Seq("events"))
     val byName = spark.table("cat_test_events.events")
