@@ -445,6 +445,87 @@ object Graph {
         |    UNION ALL SELECT b AS n FROM e3) GROUP BY n)
         |ORDER BY degree DESC, node LIMIT 20""".stripMargin))
 
+  /** Adamic–Adar link prediction over the same supp ≥ 2 co-purchase graph:
+    * score every NON-adjacent part pair (x, y) by Σ_w 1/ln(deg(w)) over
+    * their common neighbors w — the classic "which products will be bought
+    * together next" / recommend-new-edges primitive (Adamic & Adar 2003;
+    * the reference's closest analogue is Athena ad-hoc SQL over the curated
+    * lake, README.md:97-101, which cannot express this at all).
+    *
+    * Scale shape: wedge enumeration fans out from the CENTER node, so the
+    * per-center cost is deg², which a hub would turn into Σ deg² — the
+    * quadratic trap the triangle census avoids by orientation. Orientation
+    * can't help here (the center is fixed by the semantics), so the scale
+    * lever is the HUB CAP: centers with deg > 64 are excluded. That is
+    * simultaneously the noise cut — a hub's AA weight 1/ln(deg) is the
+    * smallest possible, and "everything co-occurs with a bestseller" wedges
+    * are exactly the spurious candidates link prediction must ignore (the
+    * same df-cap reasoning as the Jaccard posting lists, Dedup.scala). With
+    * the cap, wedge fan-out is ≤ 64 per (center, neighbor) edge row —
+    * linear in |E| with a constant factor, at any corpus size.
+    *
+    * Determinism: the AA contribution 1/ln(deg) is one IEEE double division
+    * of exact integer inputs (identical in both engines), summed as
+    * DECIMAL(38,20) — order-independent over any partitioning — and
+    * rounded to 6 dp only at presentation. Every step is an equi-join or a
+    * two-phase aggregate on a node/pair key; the anti-join drops
+    * already-adjacent pairs AFTER the pair aggregate (candidate-sized, not
+    * wedge-sized). The centered neighbor frame feeds the self-join twice,
+    * so it is localCheckpoint'd like [[graphLabelProp]]'s nbr frame.
+    */
+  def adamicAdar(edges: DataFrame, hubCap: Int = 64): DataFrame = {
+    val und = edges.select(col("a").as("w"), col("b").as("x"))
+      .unionByName(edges.select(col("b").as("w"), col("a").as("x")))
+    val deg = und.groupBy("w").agg(count(lit(1)).as("d"))
+    // feeds the wedge self-join twice — checkpoint like [[graphLabelProp]]
+    val ctr = und.join(deg.filter(col("d") <= hubCap), "w").localCheckpoint()
+    val wedges = ctr
+      .join(ctr.select(col("w"), col("x").as("y")),
+        Seq("w")) // equi on the center; the < residual prunes half
+      .filter(col("x") < col("y"))
+    val cand = wedges.groupBy("x", "y")
+      .agg(count(lit(1)).as("n_common"),
+        round(sum((lit(1.0) / log(col("d").cast("double")))
+          .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(38, 20)))
+          .cast("double"), 6).as("aa_score"))
+    cand.join(edges.select(col("a").as("x"), col("b").as("y")),
+      Seq("x", "y"), "left_anti")
+  }
+
+  private val graphLinkPredict = Q(
+    "graph_link_predict",
+    (s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      val edges = l.select(col("ok"), col("p").as("a"))
+        .join(l.select(col("ok"), col("p").as("b")), "ok")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("supp"))
+        .filter(col("supp") >= 2)
+        .select("a", "b")
+        .localCheckpoint()
+      adamicAdar(edges)
+        .orderBy(col("aa_score").desc, col("x"), col("y"))
+        .limit(20)
+    },
+    Some("""WITH l AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+           |e AS (SELECT a, b FROM (SELECT x.p AS a, y.p AS b, count(*) AS supp
+           |        FROM l x JOIN l y ON x.ok = y.ok AND x.p < y.p
+           |        GROUP BY x.p, y.p) WHERE supp >= 2),
+           |und AS (SELECT a AS w, b AS x FROM e UNION ALL SELECT b AS w, a AS x FROM e),
+           |deg AS (SELECT w, count(*) AS d FROM und GROUP BY w),
+           |ctr AS (SELECT und.w, und.x, deg.d FROM und
+           |        JOIN deg ON und.w = deg.w WHERE deg.d <= 64),
+           |wedge AS (SELECT p1.x AS x, p2.x AS y, p1.d AS d
+           |          FROM ctr p1 JOIN ctr p2 ON p1.w = p2.w AND p1.x < p2.x),
+           |cand AS (SELECT x, y, count(*) AS n_common,
+           |    round(CAST(SUM(CAST(1.0/ln(CAST(d AS DOUBLE)) AS DECIMAL(38,20)))
+           |          AS DOUBLE), 6) AS aa_score
+           |  FROM wedge GROUP BY x, y)
+           |SELECT x, y, n_common, aa_score FROM cand
+           |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = cand.x AND e.b = cand.y)
+           |ORDER BY aa_score DESC, x, y LIMIT 20""".stripMargin))
+
   val queries: Seq[Q] = Seq(graphPagerank, graphBfsReach, graphTriangles,
-    graphLabelProp, graphKcore)
+    graphLabelProp, graphKcore, graphLinkPredict)
 }

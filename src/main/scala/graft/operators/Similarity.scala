@@ -175,6 +175,54 @@ object Similarity {
     },
     Some(mutualKnnOracle))
 
+  /** kNN label transfer (weak supervision): predict every vector's class as
+    * the MAJORITY vote of its LSH top-5 neighbors' labels, smallest label
+    * breaking ties — the standard "propagate labels from a seed set through
+    * the embedding space" step of a curation pipeline (quality/domain labels
+    * exist for a slice of the corpus; ANN transfers them to the rest), here
+    * scored in resubstitution form so the output is the 2-D confusion
+    * matrix of true vs kNN-predicted label.
+    *
+    * Scale shape: candidates come from [[lshTopK]]'s band buckets (never
+    * all-pairs); the vote is one equi-join of the k·n neighbor list against
+    * the label column plus two two-phase aggregates; the arg-max is
+    * `min(struct(-cnt, label))` — no window over the vote frame (the only
+    * window is lshTopK's per-query rank, already bounded per bucket).
+    * Vectors whose buckets collide with nothing have no neighbor list and
+    * are absent from the matrix — the abstain set; at production k/bands
+    * the abstain rate is the recall knob, and the oracle replays the same
+    * semantics. All-integer arithmetic after the (already deterministic)
+    * cosine ranking.
+    */
+  private val mlKnnClassify = Q(
+    "ml_knn_classify",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val labels = e.select(col("vec_id"), col("label"))
+      val votes = lshTopK(e, 5)
+        .join(labels.select(col("vec_id").as("n_id"), col("label").as("nlab")), "n_id")
+        .groupBy(col("q_id"), col("nlab"))
+        .agg(count(lit(1)).as("cnt"))
+      val pred = votes.groupBy("q_id")
+        .agg(min(struct((-col("cnt")).as("nc"), col("nlab").as("l"))).as("t"))
+        .select(col("q_id"), col("t").getField("l").as("pred_label"))
+      pred.join(labels.select(col("vec_id").as("q_id"), col("label").as("true_label")), "q_id")
+        .groupBy("true_label", "pred_label")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("true_label", "pred_label")
+    },
+    Some(lshOracleCtes +
+      """,v AS (SELECT r.q_id, l.label AS nlab, count(*) AS cnt
+        |  FROM r JOIN embeddings l ON r.n_id = l.vec_id
+        |  WHERE r.rank <= 5 GROUP BY r.q_id, l.label),
+        |p AS (SELECT q_id, nlab AS pred_label FROM (
+        |    SELECT q_id, nlab, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cnt DESC, nlab) AS rn FROM v) WHERE rn = 1)
+        |SELECT t.label AS true_label, p.pred_label, count(*) AS n
+        |FROM p JOIN embeddings t ON p.q_id = t.vec_id
+        |GROUP BY t.label, p.pred_label
+        |ORDER BY true_label, pred_label""".stripMargin))
+
   def lshTopK(e: DataFrame, k: Int = 5): DataFrame = {
     VectorKernels.register(e.sparkSession)
     // Consumed three times (bucketing, query side, neighbor side) — persist
@@ -1197,5 +1245,5 @@ object Similarity {
     simBruteTopk, simLshAnn, dedupEmbeddingCosine, simIvfAnn,
     dedupSemanticClusters, simQuantizedTopk, simPqTopk, simKmeans,
     simDimStats, simMutualKnn, simPcaPower, mlLogregStep, mlAuc,
-    mlCalibration, simRandProj, mlQuantileNorm)
+    mlCalibration, simRandProj, mlQuantileNorm, mlKnnClassify)
 }

@@ -1234,6 +1234,87 @@ object TextAnalysis {
            |FROM top JOIN est ON top.w = est.w
            |ORDER BY exact_count DESC, word""".stripMargin))
 
+  /** HyperLogLog distinct-word estimate per language, built from scratch
+    * and verified against exact counts — the CARDINALITY member of the
+    * mergeable-sketch family ([[cmsWordCounts]] counting, BloomBuild
+    * membership, SpaceSaving top-k; `agg_approx_distinct` covers Spark's
+    * built-in HLL++, this one makes the register algebra itself a declared,
+    * oracle-replayed capability). m = 64 registers from the md5-derived
+    * 32-bit hash: idx = h mod 64, and the register keeps the MAX of
+    * rho = leading-zero rank of the remaining 26 bits — so shard merge is
+    * cell-wise max (two-phase, map-side combinable) and sketch state is a
+    * CONSTANT 64 cells per group at any corpus size. Estimate = the
+    * standard bias-corrected harmonic mean alpha·m²/Σ2^−Mⱼ with
+    * linear-counting fallback below 2.5·m when empty registers remain.
+    *
+    * Determinism: rho is exact integer logic (bit length via `bin()`
+    * string length — identical semantics in both engines, no log2
+    * rounding); each 2^−Mⱼ is an exact dyadic DECIMAL(38,30) so the
+    * harmonic sum is order-independent; alpha is interpolated into the
+    * oracle as a 17-significant-digit double literal so both engines use
+    * the identical IEEE value; every division is double/double. The
+    * within_band column asserts the estimate sits inside 0.35 ≈ 2.7σ of
+    * the m = 64 standard error 1.04/√m — computed identically on both
+    * engines, and genuinely true of the corpus.
+    */
+  def hllDistinctWords(d: DataFrame): DataFrame = {
+    val alpha = 0.7213 / (1 + 1.079 / 64) // bias constant for m = 64
+    val tok = d.select(col("lang"), explode(words(col("text"))).as("w"))
+    val h = md5Hash32(col("w"))
+    val regs = tok
+      .select(col("lang"), pmod(h, lit(64)).as("idx"),
+        shiftright(h, 6).as("v"))
+      .groupBy("lang", "idx")
+      .agg(max(when(col("v") === 0, lit(27))
+        .otherwise(lit(27) - length(bin(col("v"))))).as("mreg"))
+    val agg = regs.groupBy("lang")
+      .agg(count(lit(1)).as("used"),
+        (sum(pow(lit(2.0), -col("mreg"))
+          .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(38, 30)))
+          .cast("double") + (lit(64) - count(lit(1)))).as("zsum"))
+    val er = agg.select(col("lang"), col("used"),
+      (lit(64) - col("used")).as("vz"),
+      (lit(alpha) * lit(4096) / col("zsum")).as("e_raw"))
+    val fin = er.select(col("lang"), col("used"),
+      when(col("e_raw") <= 160 && col("vz") > 0,
+        lit(64) * log(lit(64.0) / col("vz"))).otherwise(col("e_raw")).as("e"))
+    val exact = tok.groupBy("lang").agg(countDistinct(col("w")).as("exact_distinct"))
+    exact.join(fin, "lang")
+      .select(col("lang"), col("exact_distinct"),
+        round(col("e"), 4).as("hll_est"), col("used").as("registers_used"),
+        (abs(col("e") / col("exact_distinct") - 1) <= 0.35).as("within_band"))
+      .orderBy("lang")
+  }
+
+  private val textHllDistinct = Q(
+    "text_hll_distinct",
+    (s, dir) => hllDistinctWords(docs(s, dir)),
+    Some {
+      val alpha = 0.7213 / (1 + 1.079 / 64)
+      s"""WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+         |h AS (SELECT lang, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS h FROM tok),
+         |r AS (SELECT lang, h % 64 AS idx, h // 64 AS v FROM h),
+         |regs AS (SELECT lang, idx,
+         |    max(CASE WHEN v = 0 THEN 27 ELSE 27 - length(bin(v)) END) AS mreg
+         |  FROM r GROUP BY lang, idx),
+         |agg AS (SELECT lang, count(*) AS used,
+         |    CAST(SUM(CAST(power(2, -mreg) AS DECIMAL(38,30))) AS DOUBLE)
+         |      + (64 - count(*)) AS zsum
+         |  FROM regs GROUP BY lang),
+         |er AS (SELECT lang, used, 64 - used AS vz,
+         |    CAST(${java.lang.Double.toString(alpha)} AS DOUBLE) * 4096 / zsum AS e_raw
+         |  FROM agg),
+         |fin AS (SELECT lang, used,
+         |    CASE WHEN e_raw <= 160 AND vz > 0
+         |         THEN 64 * ln(CAST(64 AS DOUBLE) / vz) ELSE e_raw END AS e
+         |  FROM er),
+         |ex AS (SELECT lang, count(DISTINCT w) AS exact_distinct FROM tok GROUP BY lang)
+         |SELECT ex.lang AS lang, ex.exact_distinct, round(fin.e, 4) AS hll_est,
+         |  fin.used AS registers_used,
+         |  abs(fin.e / ex.exact_distinct - 1) <= 0.35 AS within_band
+         |FROM ex JOIN fin ON ex.lang = fin.lang ORDER BY lang""".stripMargin
+    })
+
   val queries: Seq[Q] = Seq(
     textTokens, textTokenFreq, textTfidf, textQuality, textQualityGate,
     textNovelty, textMixtureReport, textLangid,
@@ -1241,7 +1322,7 @@ object TextAnalysis {
     textHeavyHitters, textChunk, textEncode, textRedact, textRepetition,
     textBpe, textBpeEncode, textLmScore, textKnScore, textZipfHead,
     textEntropy, textCmsCounts, textPhraseMine, mlFeatureHash, mlNaiveBayes,
-    mlMutualInfo)
+    mlMutualInfo, textHllDistinct)
 
   /** Mutual-information feature selection: I(token-presence; source) over
     * the 2×2 contingency of each (token, source) pair — the supervised

@@ -156,5 +156,95 @@ object TimeSeries {
            |        / ss, 6) AS autocorr
            |FROM j CROSS JOIN g GROUP BY lag, ss ORDER BY lag""".stripMargin))
 
-  val queries: Seq[Q] = Seq(eventsSeasonal, eventsChangepoint, eventsAutocorr)
+  /** Kaplan–Meier product-limit estimate of the NEXT-ACTIVITY-GAP survival
+    * function — the censoring-aware recurrence analysis beside
+    * [[graft.operators.Analytics]]'s cohort retention (which cannot
+    * distinguish "gone for good" from "observation window simply ended").
+    * Every consecutive pair of a user's active days contributes an OBSERVED
+    * gap (the return happened, a "death" at t = gap days); each user's last
+    * active day contributes a CENSORED gap to the stream's end (the next
+    * return, if any, lies beyond the data). S(t) = P(next return takes
+    * more than t days) = Π_{t'≤t} (1 − d_{t'}/n_{t'}), at-risk n_t = gaps
+    * (either kind) of length ≥ t.
+    *
+    * Scale shape: ONE two-phase (user, day) distinct reduces the stream to
+    * active-day rows; consecutive gaps come from a lead window PARTITIONED
+    * BY USER over that frame (per-user, distributed); everything after runs
+    * on the gap-cardinality frame (bounded by the observation span in days
+    * — the [[eventsChangepoint]] argument), where the ordered windows for
+    * cumulative departures and the log-product are admissible. The running
+    * product is exp(Σ ln factor) with the ln terms accumulated as
+    * DECIMAL(38,20) in identical t order on both engines; each factor is
+    * one double division of exact integer counts; a zero factor (everyone
+    * at-risk dies — this corpus's final gap row) short-circuits to
+    * survival 0 through the cumzero guard instead of ln(0).
+    */
+  private val eventsSurvival = Q(
+    "events_survival",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "events")
+        .select(col("user_id"), unix_date(to_date(col("ts"))).as("day"))
+        .distinct()
+      val end = d.agg(max(col("day")).as("endd"))
+      val seq = d.withColumn("nxt",
+        lead(col("day"), 1).over(Window.partitionBy("user_id").orderBy("day")))
+      val obs = seq.filter(col("nxt").isNotNull)
+        .select((col("nxt") - col("day")).as("t"), lit(true).as("died"))
+        .unionByName(seq.filter(col("nxt").isNull).crossJoin(broadcast(end))
+          .select((col("endd") - col("day")).as("t"), lit(false).as("died")))
+      val byT = obs.groupBy("t").agg(
+        sum(when(col("died"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("died"), 0L).otherwise(1L)).as("c"))
+      val n = obs.agg(count(lit(1)).as("nn"))
+      val wPrev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+      val dec20 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 20)
+      byT.crossJoin(broadcast(n))
+        .withColumn("at_risk",
+          col("nn") - coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+        .withColumn("cumzero",
+          sum(when(col("d") === col("at_risk"), 1L).otherwise(0L)).over(wCum))
+        .withColumn("cumln",
+          sum(when(col("d") === col("at_risk"), lit(0.0))
+            .otherwise(log(lit(1.0) - col("d").cast("double") / col("at_risk")))
+            .cast(dec20)).over(wCum))
+        .select(col("t"), col("at_risk"), col("d").as("n_deaths"),
+          col("c").as("n_censored"),
+          when(col("cumzero") > 0, lit(0.0))
+            .otherwise(round(exp(col("cumln").cast("double")), 6)).as("survival"))
+        .orderBy("t")
+    },
+    Some("""WITH d AS (SELECT DISTINCT user_id,
+           |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day FROM events),
+           |e AS (SELECT max(day) AS endd FROM d),
+           |seq AS (SELECT user_id, day,
+           |    lead(day) OVER (PARTITION BY user_id ORDER BY day) AS nxt
+           |  FROM d),
+           |obs AS (
+           |  SELECT nxt - day AS t, TRUE AS died FROM seq WHERE nxt IS NOT NULL
+           |  UNION ALL
+           |  SELECT endd - day AS t, FALSE AS died
+           |  FROM seq CROSS JOIN e WHERE nxt IS NULL),
+           |byt AS (SELECT t, sum(CASE WHEN died THEN 1 ELSE 0 END) AS d,
+           |    sum(CASE WHEN died THEN 0 ELSE 1 END) AS c
+           |  FROM obs GROUP BY t),
+           |n AS (SELECT count(*) AS nn FROM obs),
+           |r AS (SELECT t, d, c, nn - coalesce(sum(d + c) OVER (ORDER BY t
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS at_risk
+           |  FROM byt CROSS JOIN n),
+           |s AS (SELECT t, d, c, at_risk,
+           |    sum(CASE WHEN d = at_risk THEN 1 ELSE 0 END)
+           |      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cumzero,
+           |    sum(CASE WHEN d = at_risk THEN CAST(0 AS DECIMAL(38,20))
+           |        ELSE CAST(ln(1 - CAST(d AS DOUBLE)/at_risk) AS DECIMAL(38,20)) END)
+           |      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cumln
+           |  FROM r)
+           |SELECT t, CAST(at_risk AS BIGINT) AS at_risk,
+           |  CAST(d AS BIGINT) AS n_deaths, CAST(c AS BIGINT) AS n_censored,
+           |  CASE WHEN cumzero > 0 THEN CAST(0 AS DOUBLE)
+           |       ELSE round(exp(CAST(cumln AS DOUBLE)), 6) END AS survival
+           |FROM s ORDER BY t""".stripMargin))
+
+  val queries: Seq[Q] = Seq(eventsSeasonal, eventsChangepoint, eventsAutocorr,
+    eventsSurvival)
 }

@@ -70,4 +70,27 @@ class GraphSpec extends SparkSuite {
     val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
     assert(census(g)._3 == 2L, census(g).toString)
   }
+
+  test("adamic-adar scores the hand-computed path graph and skips existing edges") {
+    // path 1-2-3-4: non-adjacent candidates are (1,3) via center 2,
+    // (2,4) via center 3, (1,4) with NO common neighbor (absent).
+    // deg(2) = deg(3) = 2 → both scores are 1/ln 2.
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val got = Graph.adamicAdar(path).orderBy("x", "y")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val w = BigDecimal(1.0 / math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq == Seq((1L, 3L, 1L, w), (2L, 4L, 1L, w)), got.mkString(","))
+    // triangle {1,2,3}: all pairs adjacent → nothing to predict
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("a", "b")
+    assert(Graph.adamicAdar(tri).isEmpty)
+  }
+
+  test("adamic-adar hub cap drops wedges centered at high-degree nodes") {
+    // star center 1 with 5 leaves: every leaf pair is a candidate through
+    // the center; cap below 5 removes the center → no candidates at all
+    val star = (2L to 6L).map(l => (1L, l)).toDF("a", "b")
+    assert(Graph.adamicAdar(star, hubCap = 64).count() == 10L) // C(5,2)
+    assert(Graph.adamicAdar(star, hubCap = 4).isEmpty)
+  }
 }

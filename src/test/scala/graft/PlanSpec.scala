@@ -446,4 +446,48 @@ class PlanSpec extends SparkSuite {
       assert(bad.isEmpty, s"$name has a global window:\n${bad.mkString("\n")}")
     }
   }
+
+  test("events_survival windows only per user or over the gap-reduced frame") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val opt = Queries.byName("events_survival").run(spark, sfDir)
+      .queryExecution.optimizedPlan
+    // the lead window is per-user over the distinct (user, day) frame; the
+    // KM cumulative windows are global but run over the gap-cardinality
+    // frame — a global window whose child still carries event_id/ts means
+    // the reduction slipped below the window (the events_changepoint rule)
+    val bad = opt.collect {
+      case w: LWindow if w.partitionSpec.isEmpty && w.child.output.exists(a =>
+        a.name == "event_id" || a.name == "user_id") => w
+    }
+    assert(bad.isEmpty, s"global window over an unreduced frame:\n${bad.mkString("\n")}")
+  }
+
+  test("graph_link_predict wedges via equi-joins with the hub cap applied, no window") {
+    val p = plan("graph_link_predict")
+    // the center self-join and the adjacency anti-join are key joins; a
+    // CartesianProduct or BroadcastNestedLoopJoin here means the wedge
+    // enumeration lost its equi key
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoop"), p)
+    // (the deg <= 64 hub cap is applied before the ctr localCheckpoint, so
+    // it lives upstream of this plan's ExistingRDD leaf — its behavior is
+    // pinned functionally by GraphSpec's hub-cap test)
+    // the AA arg-ordering is the final top-k, not a window pass
+    assert(!p.contains("Window"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("ml_knn_classify votes through aggregates; the only window is the kNN rank") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val opt = Queries.byName("ml_knn_classify").run(spark, sfDir)
+      .queryExecution.optimizedPlan
+    // lshTopK's per-query rank is the one admissible window (partitioned by
+    // q_id, bucket-bounded); the vote/argmax/confusion stages must all be
+    // two-phase aggregates
+    val ws = opt.collect { case w: LWindow => w }
+    assert(ws.size == 1, s"expected exactly the kNN rank window:\n$ws")
+    assert(ws.head.partitionSpec.nonEmpty, ws.head.toString)
+    val p = plan("ml_knn_classify")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
