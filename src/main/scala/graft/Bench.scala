@@ -23,7 +23,10 @@ object Bench {
     "events_streaks", "sim_pca_power", "agg_incremental_merge",
     "graph_bfs_reach", "ml_logreg_step",
     "q2_min_cost_supplier", "q8_market_share", "q9_product_profit",
-    "q21_waiting_supplier")
+    "q21_waiting_supplier",
+    "graph_ppr", "graph_link_predict", "dedup_spans", "ml_knn_classify",
+    "text_hll_distinct", "events_survival", "multimodal_waveform",
+    "privacy_k_anon")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -770,6 +770,90 @@ object Dedup {
            |FROM d LEFT JOIN k ON d.doc_id = k.doc_id
            |ORDER BY d.doc_id""".stripMargin))
 
+  /** Sliding-window repeated-SPAN scrub — the substring-level dedup rung
+    * below [[segmentDedup]] (which only sees aligned, non-overlapping
+    * segments and so misses duplicated runs at arbitrary offsets; the
+    * suffix-array exact-substring method this approximates is inherently
+    * single-machine). Every `win`-token sliding window is an 8-gram key;
+    * a window text occurring in ≥ `minDf` DISTINCT documents marks ALL
+    * positions it covers in EVERY document containing it; unmarked tokens
+    * reassemble in order. A doc shorter than `win` has no windows and
+    * passes through whole; docs scrubbed to nothing keep their row
+    * (the [[segmentDedup]] total-row contract).
+    *
+    * Scale shape: the window explode is ~1 gram row per corpus token (the
+    * honest linear cost of substring-level matching — ~win× the bytes of
+    * the segment variant, which is why this runs downstream of exact/LSH
+    * dedup in a real pipeline, not instead of them); the df table is one
+    * two-phase distinct-doc count on the gram key; duplicated windows come
+    * back via a semi-join on that key; position marking fans out a
+    * constant `win` per duplicated window; the kept-token anti-join and
+    * the reassembly group-by run on (doc, pos) keys. No doc×doc product
+    * anywhere; hot grams are exactly the ones the df table finds, and at
+    * 100 TB the `df >= minDf` side is the Zipf head — small enough that
+    * AQE broadcasts the probe side of both back-joins. The exploded window
+    * frame feeds the df count and the mark join, so it is built once
+    * ([[graft.Caches.track]]).
+    */
+  def spanDedup(d: DataFrame, win: Int = 8, minDf: Int = 2): DataFrame = {
+    val toks = Tables.spread(d).select(col("doc_id"), words(col("text")).as("w"))
+    // docs shorter than the window have no windows — and must be filtered
+    // BEFORE the explode: sequence(0, negative) auto-descends in Spark and
+    // would emit negative starts (DuckDB's range(0, negative) is empty)
+    val wins = graft.Caches.track(toks
+      .filter(size(col("w")) >= win)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), size(col("w")) - win)).as("st"))
+      .select(col("doc_id"), col("st"),
+        array_join(slice(col("w"), col("st") + 1, lit(win)), " ").as("gram")))
+    val dup = wins.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf)
+      .select("gram")
+    val marked = wins.join(dup, Seq("gram"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("st"), col("st") + (win - 1))).as("pos"))
+      .distinct()
+    val kept = toks
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "tok")))
+      .join(marked, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x("tok")), " ").as("cleaned"))
+    d.select(col("doc_id"), size(words(col("text"))).as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
+  private val dedupSpans = Q(
+    "dedup_spans",
+    (s, dir) => spanDedup(docs(s, dir)).orderBy("doc_id"),
+    Some("""WITH d AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+           |wins AS (SELECT doc_id, s AS st,
+           |    array_to_string(list_slice(w, s+1, s+8), ' ') AS gram
+           |  FROM d, unnest(range(0, len(w) - 8 + 1)) AS t(s)),
+           |f AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS df
+           |      FROM wins GROUP BY gram) WHERE df >= 2),
+           |mk AS (SELECT DISTINCT doc_id, st + i AS pos
+           |       FROM wins JOIN f USING (gram), unnest(range(0, 8)) AS t(i)),
+           |toks AS (SELECT doc_id, i - 1 AS pos, w[CAST(i AS INT)] AS tok
+           |         FROM d, unnest(range(1, len(w)+1)) AS t(i)),
+           |kept AS (SELECT t.doc_id, t.pos, t.tok FROM toks t
+           |         WHERE NOT EXISTS (SELECT 1 FROM mk
+           |                           WHERE mk.doc_id = t.doc_id AND mk.pos = t.pos)),
+           |k AS (SELECT doc_id, count(*) AS n_kept,
+           |        array_to_string(array_agg(tok ORDER BY pos), ' ') AS cleaned
+           |      FROM kept GROUP BY doc_id)
+           |SELECT d.doc_id, CAST(len(d.w) AS INT) AS n_tokens,
+           |  CAST(COALESCE(k.n_kept, 0) AS INT) AS n_kept,
+           |  COALESCE(k.cleaned, '') AS cleaned
+           |FROM d LEFT JOIN k USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin))
+
   /** End-to-end curation pipeline — the full pre-training data path in one
     * DAG: quality gate (length/stopword composite ≥ 0.8) → PII redaction →
     * cross-doc segment boilerplate scrub ([[segmentDedup]]) → exact dedup
@@ -951,5 +1035,5 @@ object Dedup {
     dedupExact, dedupKeepfirst, dedupNgramJaccard, dedupMinhashLsh,
     dedupSimhash, dedupClusters, dedupPipelineSurvivors, dedupDecontaminate,
     dedupDecontaminateBloom, dedupIncremental, dedupLines, pipelineCurate,
-    dedupSourceOverlap, dedupWinnow)
+    dedupSourceOverlap, dedupWinnow, dedupSpans)
 }

@@ -473,6 +473,92 @@ object Graph {
     * wedge-sized). The centered neighbor frame feeds the self-join twice,
     * so it is localCheckpoint'd like [[graphLabelProp]]'s nbr frame.
     */
+  /** Personalized PageRank — random walk with restart from a single SEED
+    * node: rank'(v) = (1−d)·e_s(v) + d·(Σ_{u→v} rank(u)/outdeg(u) +
+    * dangling·e_s(v)). Where global [[pageRank]] answers "who is important
+    * overall", PPR answers "who is important RELATIVE TO s" — the seeded
+    * relevance primitive behind related-item recommendation and
+    * local-neighborhood ranking. Teleport AND dangling mass both return to
+    * the seed (not spread uniformly), so total mass stays exactly 1 and
+    * the csum-complement dangling trick needs no closed-form recurrence at
+    * all: dang = 1 − csum every round.
+    *
+    * Same scale shape as [[pageRank]]: one-shuffle degree-annotated
+    * adjacency, per-iteration equi-join + order-independent decimal
+    * aggregate, broadcast 1-row scalars, no collect, no anti-join. The
+    * seed is the data-derived min customer key — a broadcast scalar, not a
+    * config literal, so every SF replays identically.
+    */
+  def personalizedPageRank(edges: DataFrame, iters: Int = Iters,
+                           damping: Double = Damping): DataFrame = {
+    val edgesDeg = edges.groupBy("src")
+      .agg(collect_set(col("dst")).as("dsts"))
+      .select(col("src"), size(col("dsts")).as("cnt"), explode(col("dsts")).as("dst"))
+    val nodes = edgesDeg.select(col("src").as("id"))
+      .union(edgesDeg.select(col("dst").as("id"))).distinct()
+    val seed = edgesDeg.agg(min(col("src")).as("sid"))
+    def ind: Column =
+      when(col("id") === col("sid"), lit(1.0)).otherwise(lit(0.0))
+    var ranks = nodes.crossJoin(broadcast(seed)).select(col("id"), ind.as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = ranks.join(edgesDeg, col("id") === col("src"))
+        .groupBy(col("dst").as("cid"))
+        .agg(dsumFine(col("pr") / col("cnt")).as("contrib"))
+      val scalars = contrib
+        .agg(coalesce(dsumFine(col("contrib")), lit(0.0)).as("csum"))
+      ranks = nodes
+        .join(contrib, col("id") === col("cid"), "left")
+        .crossJoin(broadcast(scalars))
+        .crossJoin(broadcast(seed))
+        .select(col("id"),
+          (lit(1.0 - damping) * ind + lit(damping) *
+            (coalesce(col("contrib"), lit(0.0)) +
+              (lit(1.0) - col("csum")) * ind)).as("pr"))
+    }
+    ranks
+  }
+
+  private def pprIterSql(i: Int): String = {
+    val prev = s"r${i - 1}"
+    val caseInd =
+      "(CASE WHEN nodes.id = seed.sid THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)"
+    s"""c$i AS (SELECT e.dst AS cid,
+       |    CAST(SUM(CAST(r.pr / e.cnt AS DECIMAL(38,20))) AS DOUBLE) AS contrib
+       |  FROM $prev r JOIN ed e ON r.id = e.src GROUP BY e.dst),
+       |s$i AS (SELECT COALESCE(CAST(SUM(CAST(contrib AS DECIMAL(38,20))) AS DOUBLE),
+       |          CAST(0 AS DOUBLE)) AS csum FROM c$i),
+       |r$i AS (SELECT nodes.id,
+       |    CAST(${1.0 - Damping} AS DOUBLE) * $caseInd + CAST($Damping AS DOUBLE) *
+       |      (COALESCE(c$i.contrib, CAST(0 AS DOUBLE)) +
+       |        (CAST(1.0 AS DOUBLE) - s$i.csum) * $caseInd) AS pr
+       |  FROM nodes CROSS JOIN seed CROSS JOIN s$i
+       |  LEFT JOIN c$i ON c$i.cid = nodes.id)""".stripMargin
+  }
+
+  private val graphPpr = Q(
+    "graph_ppr",
+    (s, dir) => {
+      personalizedPageRank(purchaseEdges(s, dir))
+        .select(nodeLabel(col("id")).as("id"), col("pr"))
+        .orderBy(round(col("pr"), 9).desc, col("id")).limit(20)
+        .select(col("id"), round(col("pr"), 9).as("pr"))
+    },
+    Some("""WITH e AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+           |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           |ed AS (SELECT src, dst, count(*) OVER (PARTITION BY src) AS cnt FROM e),
+           |nodes AS (SELECT DISTINCT src AS id FROM ed UNION SELECT DISTINCT dst FROM ed),
+           |seed AS (SELECT min(src) AS sid FROM ed),
+           |r0 AS (SELECT id, CASE WHEN id = sid THEN CAST(1.0 AS DOUBLE)
+           |         ELSE CAST(0.0 AS DOUBLE) END AS pr
+           |       FROM nodes CROSS JOIN seed),
+           |""".stripMargin +
+      (1 to Iters).map(pprIterSql).mkString(",\n") + "\n" +
+      s"""SELECT CASE WHEN id % 2 = 0 THEN 'c' || CAST(id // 2 AS BIGINT)
+         |            ELSE 's' || CAST((id - 1) // 2 AS BIGINT) END AS id,
+         |       round(pr, 9) AS pr
+         |FROM r$Iters
+         |ORDER BY round(pr, 9) DESC, 1 LIMIT 20""".stripMargin))
+
   def adamicAdar(edges: DataFrame, hubCap: Int = 64): DataFrame = {
     val und = edges.select(col("a").as("w"), col("b").as("x"))
       .unionByName(edges.select(col("b").as("w"), col("a").as("x")))
@@ -527,5 +613,5 @@ object Graph {
            |ORDER BY aa_score DESC, x, y LIMIT 20""".stripMargin))
 
   val queries: Seq[Q] = Seq(graphPagerank, graphBfsReach, graphTriangles,
-    graphLabelProp, graphKcore, graphLinkPredict)
+    graphLabelProp, graphKcore, graphLinkPredict, graphPpr)
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing (SURVEY.md §2.12 D6): media payloads travel as
@@ -418,7 +418,85 @@ object Multimodal {
            |FROM base WHERE clen = 0
            |ORDER BY doc_id""".stripMargin))
 
+  /** Audio-feature extraction plumbing: interpret the payload as PCM16
+    * little-endian mono and compute the standard waveform envelope features
+    * — peak amplitude, RMS level, and the mean-crossing rate (zero-crossing
+    * rate after DC removal — raw zero crossings are degenerate on biased
+    * signals, and provably so on this corpus, where every ASCII-derived
+    * sample is positive). No audio codec ships in a stock JVM, so — per the
+    * multimodal contract above — the DECODE is the deterministic PCM16
+    * interpretation of the bytes, while the Spark-side plumbing is the real
+    * thing a 100 TB audio corpus needs: a linear sample explode, per-doc
+    * two-phase aggregates, the DC mean folded back by a doc-keyed join, and
+    * exact-integer crossing tests ((s·n − Σs) sign products — no division,
+    * no FP) with one double sqrt at presentation. Entirely codegen'd column
+    * expressions — no UDF, no mapPartitions — and replayed byte-for-byte in
+    * DuckDB via the documented all-ASCII `ascii(substr(...))` convention.
+    * An odd trailing byte is truncated (PCM16 frames are 2 bytes); docs
+    * shorter than one sample keep their row with zeroed features.
+    */
+  private val multimodalWaveform = Q(
+    "multimodal_waveform",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("n", (length(col("text")) / 2).cast("int"))
+      val sm0 = Tables.spread(d.filter(col("n") >= 1))
+        .select(col("doc_id"), col("n"), col("text"),
+          explode(sequence(lit(0), col("n") - 1)).as("i"))
+      def byteAt(p: Column): Column = ascii(col("text").substr(p, lit(1)))
+      val u = byteAt(col("i") * 2 + 1) + lit(256) * byteAt(col("i") * 2 + 2)
+      val u2 = when(col("i") < col("n") - 1,
+        byteAt(col("i") * 2 + 3) + lit(256) * byteAt(col("i") * 2 + 4))
+      def toS(c: Column): Column =
+        when(c < 32768, c).otherwise(c - 65536).cast("long")
+      val sm = graft.Caches.track(sm0.select(col("doc_id"), col("n"),
+        toS(u).as("smp"), toS(u2).as("smp2")))
+      val m = sm.groupBy("doc_id").agg(sum(col("smp")).as("ssum"))
+      val a = sm.join(m, "doc_id")
+        .groupBy("doc_id")
+        .agg(max(abs(col("smp"))).as("peak"),
+          sum(col("smp") * col("smp")).as("ssq"),
+          sum(when(col("smp2").isNotNull &&
+            (col("smp") * col("n") - col("ssum")) *
+              (col("smp2") * col("n") - col("ssum")) < 0, 1L)
+            .otherwise(0L)).as("mc"))
+      d.select(col("doc_id"), col("n").as("n_samples"))
+        .join(a, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_samples"),
+          coalesce(col("peak"), lit(0L)).as("peak"),
+          when(col("n_samples") > 0,
+            round(sqrt(col("ssq").cast("double") / col("n_samples")), 6))
+            .otherwise(lit(0.0)).as("rms"),
+          coalesce(col("mc"), lit(0L)).as("mean_crossings"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, text, length(text) // 2 AS n FROM documents),
+           |sm0 AS (SELECT doc_id, n, i,
+           |    ascii(substr(text, CAST(i*2+1 AS INT), 1))
+           |      + 256 * ascii(substr(text, CAST(i*2+2 AS INT), 1)) AS u,
+           |    CASE WHEN i < n - 1 THEN ascii(substr(text, CAST(i*2+3 AS INT), 1))
+           |         + 256 * ascii(substr(text, CAST(i*2+4 AS INT), 1)) END AS u2
+           |  FROM d, unnest(range(0, n)) AS t(i)),
+           |sm AS (SELECT doc_id, n,
+           |    CAST(CASE WHEN u < 32768 THEN u ELSE u - 65536 END AS BIGINT) AS s,
+           |    CAST(CASE WHEN u2 IS NULL THEN NULL
+           |         WHEN u2 < 32768 THEN u2 ELSE u2 - 65536 END AS BIGINT) AS s2
+           |  FROM sm0),
+           |m AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS ssum FROM sm GROUP BY doc_id),
+           |a AS (SELECT sm.doc_id, max(abs(s)) AS peak, sum(s*s) AS ssq,
+           |    sum(CASE WHEN s2 IS NOT NULL
+           |        AND (s * sm.n - m.ssum) * (s2 * sm.n - m.ssum) < 0
+           |        THEN 1 ELSE 0 END) AS mc
+           |  FROM sm JOIN m ON sm.doc_id = m.doc_id GROUP BY sm.doc_id)
+           |SELECT d.doc_id, CAST(d.n AS INT) AS n_samples,
+           |  CAST(COALESCE(a.peak, 0) AS BIGINT) AS peak,
+           |  CASE WHEN d.n > 0
+           |       THEN round(sqrt(CAST(CAST(a.ssq AS BIGINT) AS DOUBLE) / d.n), 6)
+           |       ELSE CAST(0 AS DOUBLE) END AS rms,
+           |  CAST(COALESCE(a.mc, 0) AS BIGINT) AS mean_crossings
+           |FROM d LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin))
+
   val queries: Seq[Q] = Seq(
     multimodalMeta, multimodalDecode, multimodalResize, multimodalFrames,
-    multimodalPhash)
+    multimodalPhash, multimodalWaveform)
 }

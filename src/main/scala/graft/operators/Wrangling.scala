@@ -466,7 +466,47 @@ object Wrangling {
            |      FROM scored)
            |WHERE rn <= 3 ORDER BY part, rank_pos""".stripMargin))
 
+  /** k-anonymity / l-diversity privacy audit over quasi-identifiers — the
+    * re-identification-risk check a healthcare-domain pipeline (the
+    * reference's domain) runs before any data release, complementing
+    * [[TextAnalysis]]'s direct-identifier PII redaction: direct identifiers
+    * get scrubbed, but a RARE COMBINATION of innocuous attributes
+    * (segment × nation here) still singles a record out. Each
+    * quasi-identifier equivalence class reports its size k (re-identification
+    * resistance) and the diversity l of a sensitive attribute's value set
+    * inside it (attribute-disclosure resistance — a class can be large yet
+    * reveal the sensitive value if everyone shares it). at_risk flags
+    * k < 5 ∨ l < 3 — the classes a release must generalize or suppress.
+    *
+    * Scale shape: ONE two-phase aggregate over the QI key (count +
+    * count(distinct band) — the distinct dedups inside each class's
+    * partitions first); the class frame is dimension-sized. The sensitive
+    * banding floor(acctbal/1000) is a single IEEE double op on exact 2-dp
+    * inputs, identical in both engines.
+    */
+  private val privacyKAnon = Q(
+    "privacy_k_anon",
+    (s, dir) => Tables.load(s, dir, "customer")
+      .select(col("c_mktsegment").as("segment"),
+        col("c_nationkey").as("nation"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+      .groupBy("segment", "nation")
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col("bal_band")).as("l_diversity"))
+      .select(col("segment"), col("nation"), col("class_size"),
+        col("l_diversity"),
+        (col("class_size") < 5 || col("l_diversity") < 3).as("at_risk"))
+      .orderBy("segment", "nation"),
+    Some("""SELECT c_mktsegment AS segment, c_nationkey AS nation,
+           |  count(*) AS class_size,
+           |  count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS l_diversity,
+           |  count(*) < 5 OR
+           |    count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) < 3 AS at_risk
+           |FROM customer
+           |GROUP BY c_mktsegment, c_nationkey
+           |ORDER BY segment, nation""".stripMargin))
+
   val queries: Seq[Q] = Seq(reshapeUnpivot, qualityBenford, qualityMadOutliers,
     eventsGapFill, sampleWeighted, eventsInterpolate, qualityPsiDrift,
-    qualityWinsorize, ordersItemCf)
+    qualityWinsorize, ordersItemCf, privacyKAnon)
 }

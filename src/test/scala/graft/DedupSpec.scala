@@ -236,6 +236,30 @@ class DedupSpec extends SparkSuite {
     assert(gotNull.size == 4)
   }
 
+  test("span dedup scrubs offset-shifted runs that segment dedup misses") {
+    import spark.implicits._
+    // a 9-token run shared at DIFFERENT offsets (2 vs 0): no aligned
+    // 3-token segment matches, but both 8-token sliding windows do
+    val d = Seq(
+      (1L, "x1 x2 p1 p2 p3 p4 p5 p6 p7 p8 p9 y1"),
+      (2L, "p1 p2 p3 p4 p5 p6 p7 p8 p9 z1 z2"),
+      (3L, "short doc only")).toDF("doc_id", "text")
+    val got = Dedup.spanDedup(d).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(got(1L) == (12, 3, "x1 x2 y1"), got(1L).toString)
+    assert(got(2L) == (11, 2, "z1 z2"), got(2L).toString)
+    // shorter than the window → passes through whole
+    assert(got(3L) == (3, 3, "short doc only"), got(3L).toString)
+    // the aligned-segment scrub cannot see this duplication
+    val seg = Dedup.segmentDedup(d, segLen = 3, minDocs = 2).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(seg(1L) == "x1 x2 p1 p2 p3 p4 p5 p6 p7 p8 p9 y1", seg(1L))
+    // df below threshold → nothing marked
+    val solo = Dedup.spanDedup(d.filter($"doc_id" === 1L)).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(solo(1L) == 12, solo.toString)
+  }
+
   test("stratified sample takes exactly k per stratum (or all when smaller)") {
     val df = Queries.byName("sample_stratified").run(spark, sfDir)
     val perLang = df.groupBy("lang").count().collect()

@@ -71,6 +71,23 @@ class GraphSpec extends SparkSuite {
     assert(census(g)._3 == 2L, census(g).toString)
   }
 
+  test("personalized pagerank: mass conserved, flows down the chain from the seed") {
+    // chain a -> b -> c, seed = min(src) = "a"
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val pr = Graph.personalizedPageRank(edges, iters = 2).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9, pr.toString)
+    // hand-computed: r1 = (a .15, b .85, c 0);
+    // r2 = (a .15, b .85*.15, c .85*.85)
+    assert(math.abs(pr("a") - 0.15) < 1e-9, pr.toString)
+    assert(math.abs(pr("b") - 0.1275) < 1e-9, pr.toString)
+    assert(math.abs(pr("c") - 0.7225) < 1e-9, pr.toString)
+    // the seed keeps its teleport share; a non-seed source gets none
+    val one = Graph.personalizedPageRank(edges, iters = 1).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(one("b") > one("a") && one("c") == 0.0, one.toString)
+  }
+
   test("adamic-adar scores the hand-computed path graph and skips existing edges") {
     // path 1-2-3-4: non-adjacent candidates are (1,3) via center 2,
     // (2,4) via center 3, (1,4) with NO common neighbor (absent).
