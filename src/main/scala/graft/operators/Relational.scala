@@ -207,6 +207,72 @@ object Relational {
            |     (SELECT s_nationkey k, count(*) n_supp FROM supplier GROUP BY 1) s
            |ON c.k = s.k ORDER BY nationkey""".stripMargin))
 
+  /** Interval-overlap join with NO equi key (J5's hard case): overlapping
+    * user activity spans, the shape stock Spark can only plan as a
+    * broadcast-nested-loop or cartesian product — the canonical 100 TB
+    * scale hazard. The scale-correct formulation BUCKETIZES time: every
+    * span [f, l] replicates to the fixed-width (8-day, power-of-two →
+    * `shiftright` exact) buckets it touches, candidate pairs meet through a
+    * plain EQUI-join on the bucket id, the overlap test is a post-join
+    * residual, and double-counting across shared buckets is eliminated by
+    * the CANONICAL-BUCKET rule: a pair is kept only in the bucket
+    * containing max(f_a, f_b), which every overlapping pair hits in
+    * exactly one bucket. Replication factor = span/width + 1 (bounded);
+    * per-bucket work = n_b² over spans ALIVE in that bucket — the
+    * partition-local quadratic every interval-join engine pays, spread
+    * over bucket keys instead of one nested loop. PlanSpec pins the
+    * equi-join plan (no BNLJ, no cartesian).
+    *
+    * Output is the per-user summary (peer count + total overlap days) so
+    * the result stays user-cardinality; the DuckDB oracle runs the naive
+    * quadratic overlap join — correct at oracle scale — and must agree
+    * exactly, which also proves the canonical-bucket dedup is exact.
+    */
+  private val joinInterval = Q(
+    "join_interval",
+    (s, dir) => {
+      val sp = t(s, dir, "events")
+        .select(col("user_id"), unix_date(to_date(col("ts"))).as("day"))
+        .groupBy("user_id")
+        .agg(min(col("day")).as("f"), max(col("day")).as("l"))
+      val rep = sp.select(col("user_id"), col("f"), col("l"),
+        explode(sequence(shiftright(col("f"), 3), shiftright(col("l"), 3)))
+          .as("bk"))
+      val pairs = rep.toDF("ua", "fa", "la", "bk")
+        .join(rep.toDF("ub", "fb", "lb", "bk2"),
+          col("bk") === col("bk2") && col("ua") < col("ub") &&
+            col("fa") <= col("lb") && col("fb") <= col("la") &&
+            shiftright(greatest(col("fa"), col("fb")), 3) === col("bk"))
+        .select(col("ua"), col("ub"),
+          (least(col("la"), col("lb")) - greatest(col("fa"), col("fb")) + 1)
+            .as("ov"))
+      val ends = pairs.select(col("ua").as("user_id"), col("ov"))
+        .unionByName(pairs.select(col("ub").as("user_id"), col("ov")))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_peers"), sum(col("ov")).cast("long").as("total_overlap_days"))
+      sp.select(col("user_id"))
+        .join(ends, Seq("user_id"), "left")
+        .select(col("user_id"), coalesce(col("n_peers"), lit(0L)).as("n_peers"),
+          coalesce(col("total_overlap_days"), lit(0L)).as("total_overlap_days"))
+        .orderBy("user_id")
+    },
+    Some("""WITH sp AS (SELECT user_id,
+           |    min(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS f,
+           |    max(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS l
+           |  FROM events GROUP BY user_id),
+           |p AS (SELECT a.user_id AS ua, b.user_id AS ub,
+           |    least(a.l, b.l) - greatest(a.f, b.f) + 1 AS ov
+           |  FROM sp a JOIN sp b
+           |  ON a.user_id < b.user_id AND a.f <= b.l AND b.f <= a.l),
+           |u AS (SELECT ua AS user_id, ov FROM p
+           |      UNION ALL SELECT ub, ov FROM p),
+           |g AS (SELECT user_id, count(*) AS cnt, sum(ov) AS s
+           |      FROM u GROUP BY user_id)
+           |SELECT sp.user_id, CAST(COALESCE(g.cnt, 0) AS BIGINT) AS n_peers,
+           |  CAST(COALESCE(g.s, 0) AS BIGINT) AS total_overlap_days
+           |FROM sp LEFT JOIN g USING (user_id)
+           |ORDER BY user_id""".stripMargin))
+
   /** Equi join + range residual (theta, J5): stays a hash/sort-merge join on
     * the equi key; the range predicate is a post-join filter, never a
     * nested-loop cross product.
@@ -2508,7 +2574,7 @@ object Relational {
     eventsFunnel,
     eventsCohortRetention, filterProject, filterString,
     joinInnerStar, joinLeftOuter, joinSemi, joinAnti, joinFullOuter,
-    joinRange, joinAsof, joinAsofForward, joinAsofNearest, aggMode,
+    joinRange, joinInterval, joinAsof, joinAsofForward, joinAsofNearest, aggMode,
     eventsStreaks, aggIncrementalMerge, windowTopkPerGroup, windowRunningSum,
     windowLagLead, windowNtileFirstLast, windowRangeTrailing,
     topkOrders, topkPerGroupCustom, setOps,

@@ -245,6 +245,97 @@ object TimeSeries {
            |       ELSE round(exp(CAST(cumln AS DOUBLE)), 6) END AS survival
            |FROM s ORDER BY t""".stripMargin))
 
+  /** Rolling 7-day distinct users via MERGED daily HyperLogLog registers,
+    * verified day-by-day against the exact rolling count — the query that
+    * demonstrates what the sketch is FOR: the exact path must re-touch
+    * every (user, day) pair per window, while the sketch path reduces each
+    * day once to a constant 64-cell register table and answers any window
+    * by cell-wise MAX over the member days' tables (merge = max — the
+    * associative property that lets 100 TB shards, days, or streaming
+    * micro-batches combine without re-scanning raw data).
+    *
+    * Both paths use the [[graft.operators.Relational]] unique-rolling
+    * bounded-fanout trick — each daily row serves its ≤ 7 target days via a
+    * constant explode, no range join. Register algebra, estimate arithmetic
+    * and the 2.7σ accuracy band are byte-identical to
+    * [[TextAnalysis]]'s `text_hll_distinct` (exact dyadic DECIMAL(38,30)
+    * harmonic sums, 17-digit alpha literal, bit-length rho) and genuinely
+    * hold on every window of this stream.
+    */
+  private val eventsHllRolling = Q(
+    "events_hll_rolling",
+    (s, dir) => {
+      val alpha = 0.7213 / (1 + 1.079 / 64)
+      val dec30 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 30)
+      val ud = Tables.load(s, dir, "events")
+        .select(unix_date(to_date(col("ts"))).as("day"), col("user_id"))
+        .distinct()
+      val days = ud.select("day").distinct()
+      val h = md5Hash32(col("user_id").cast("string"))
+      val dr = ud.select(col("day"), pmod(h, lit(64)).as("idx"),
+          shiftright(h, 6).as("v"))
+        .groupBy("day", "idx")
+        .agg(max(when(col("v") === 0, lit(27))
+          .otherwise(lit(27) - length(bin(col("v"))))).as("mreg"))
+      val mr = dr.select(col("day"), col("idx"), col("mreg"),
+          explode(sequence(lit(0), lit(6))).as("i"))
+        .select((col("day") + col("i")).as("tday"), col("idx"), col("mreg"))
+        .join(days.withColumnRenamed("day", "tday"), Seq("tday"), "left_semi")
+        .groupBy("tday", "idx").agg(max(col("mreg")).as("mreg"))
+      val agg = mr.groupBy("tday")
+        .agg(count(lit(1)).as("used"),
+          (sum(pow(lit(2.0), -col("mreg")).cast(dec30)).cast("double")
+            + (lit(64) - count(lit(1)))).as("zsum"))
+      val eRaw = lit(alpha) * lit(4096) / col("zsum")
+      val vz = lit(64) - col("used")
+      val fin = agg.select(col("tday"),
+        when(eRaw <= 160 && vz > 0, lit(64) * log(lit(64.0) / vz))
+          .otherwise(eRaw).as("e"))
+      val ex = ud.select(col("day"), col("user_id"),
+          explode(sequence(lit(0), lit(6))).as("i"))
+        .select((col("day") + col("i")).as("tday"), col("user_id"))
+        .join(days.withColumnRenamed("day", "tday"), Seq("tday"), "left_semi")
+        .groupBy("tday").agg(countDistinct(col("user_id")).as("exact_distinct"))
+      ex.join(fin, "tday")
+        .select(col("tday").as("day"), col("exact_distinct"),
+          round(col("e"), 4).as("hll_est"),
+          (abs(col("e") / col("exact_distinct") - 1) <= 0.35).as("within_band"))
+        .orderBy("day")
+    },
+    Some {
+      val alpha = 0.7213 / (1 + 1.079 / 64)
+      s"""WITH ud AS (SELECT DISTINCT
+         |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day, user_id
+         |  FROM events),
+         |h AS (SELECT day,
+         |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+         |  FROM ud),
+         |dr AS (SELECT day, h % 64 AS idx,
+         |    max(CASE WHEN h // 64 = 0 THEN 27 ELSE 27 - length(bin(h // 64)) END) AS mreg
+         |  FROM h GROUP BY day, h % 64),
+         |days AS (SELECT DISTINCT day FROM ud),
+         |tr AS (SELECT t.day + i AS tday, t.idx, t.mreg
+         |       FROM dr t, unnest(range(0, 7)) AS u(i)),
+         |mr AS (SELECT tday, idx, max(mreg) AS mreg
+         |       FROM tr JOIN days ON tr.tday = days.day GROUP BY tday, idx),
+         |agg AS (SELECT tday, count(*) AS used,
+         |    CAST(SUM(CAST(power(2, -mreg) AS DECIMAL(38,30))) AS DOUBLE)
+         |      + (64 - count(*)) AS zsum
+         |  FROM mr GROUP BY tday),
+         |er AS (SELECT tday, used, 64 - used AS vz,
+         |    CAST(${java.lang.Double.toString(alpha)} AS DOUBLE) * 4096 / zsum AS e_raw
+         |  FROM agg),
+         |fin AS (SELECT tday, CASE WHEN e_raw <= 160 AND vz > 0
+         |    THEN 64 * ln(CAST(64 AS DOUBLE) / vz) ELSE e_raw END AS e FROM er),
+         |ex0 AS (SELECT ud.day + i AS tday, ud.user_id
+         |        FROM ud, unnest(range(0, 7)) AS u(i)),
+         |ex AS (SELECT tday, count(DISTINCT user_id) AS exact_distinct
+         |       FROM ex0 JOIN days ON ex0.tday = days.day GROUP BY tday)
+         |SELECT ex.tday AS day, ex.exact_distinct, round(fin.e, 4) AS hll_est,
+         |  abs(fin.e / ex.exact_distinct - 1) <= 0.35 AS within_band
+         |FROM ex JOIN fin ON ex.tday = fin.tday ORDER BY day""".stripMargin
+    })
+
   val queries: Seq[Q] = Seq(eventsSeasonal, eventsChangepoint, eventsAutocorr,
-    eventsSurvival)
+    eventsSurvival, eventsHllRolling)
 }

@@ -139,6 +139,13 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("graph_ppr keeps the pagerank plan discipline: one-agg adjacency, no window") {
+    val p = plan("graph_ppr")
+    assert(p.contains("collect_set"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("graph_pagerank builds the adjacency in one aggregation, no window pass") {
     val p = plan("graph_pagerank")
     // degree rides the collect_set aggregation; a Window operator here means
@@ -460,6 +467,17 @@ class PlanSpec extends SparkSuite {
         a.name == "event_id" || a.name == "user_id") => w
     }
     assert(bad.isEmpty, s"global window over an unreduced frame:\n${bad.mkString("\n")}")
+  }
+
+  test("join_interval meets through the bucket equi-join, never a nested loop") {
+    val p = plan("join_interval")
+    // the whole point of the bucketized formulation: a no-equi-key overlap
+    // join must NOT fall back to BNLJ/cartesian — pairs meet on the bucket
+    // id (hash-joinable) with the overlap test as a residual
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
   }
 
   test("graph_link_predict wedges via equi-joins with the hub cap applied, no window") {
