@@ -26,7 +26,8 @@ object Bench {
     "q21_waiting_supplier",
     "graph_ppr", "graph_link_predict", "dedup_spans", "ml_knn_classify",
     "text_hll_distinct", "events_survival", "multimodal_waveform",
-    "privacy_k_anon")
+    "privacy_k_anon", "join_interval", "events_hll_rolling", "ml_pr_curve",
+    "events_bot_detect")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

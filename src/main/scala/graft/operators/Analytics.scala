@@ -556,9 +556,86 @@ object Analytics {
            |WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_3')
            |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin))
 
+  /** Bot / automation detection over the event stream — the abuse-filtering
+    * rung of a curation pipeline (scraped, scripted, or replayed traffic
+    * poisons both analytics and training corpora): per-user volume rate
+    * (events per active day) and inter-event REGULARITY (squared
+    * coefficient of variation of the gap sequence — human activity is
+    * bursty, CV² ≈ 1+; a timer fires on a metronome, CV² ≈ 0). is_bot
+    * flags rate > 40/day OR (≥ 20 gaps AND CV² < 0.01).
+    *
+    * Determinism + scale: gaps are SECOND-granularity epoch diffs (exact
+    * integer `epoch_us // 1e6` in both engines) between events sorted by
+    * that second key — the gap MULTISET is invariant to tie order, so no
+    * hidden dependence on sub-second ordering. The only window is the
+    * per-user lag (high-cardinality partition key); CV² reduces to exact
+    * long moments (m·Σg² − (Σg)², all within long range at second
+    * granularity), compared against (Σg)² div 100 in integers — floats
+    * appear only in the rounded report columns.
+    */
+  private val eventsBotDetect = Q(
+    "events_bot_detect",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), expr("unix_micros(ts) div 1000000").as("sec"),
+          to_date(col("ts")).as("day"))
+      val base = ev.groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("day")).as("active_days"))
+      val sq = ev.withColumn("prv",
+        lag(col("sec"), 1).over(Window.partitionBy("user_id").orderBy("sec")))
+      val g = sq.filter(col("prv").isNotNull)
+        .select(col("user_id"), (col("sec") - col("prv")).as("gp"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("m"), sum(col("gp")).as("sg"),
+          sum(col("gp") * col("gp")).as("sg2"))
+      base.join(g, Seq("user_id"), "left")
+        .select(col("user_id"), col("n_events"), col("active_days"),
+          round(col("n_events").cast("double") / col("active_days"), 6)
+            .as("events_per_day"),
+          when(coalesce(col("m"), lit(0L)) > 0,
+            round(col("sg").cast("double") / col("m"), 6))
+            .otherwise(lit(0.0)).as("mean_gap_s"),
+          when(coalesce(col("m"), lit(0L)) > 0 && col("sg") > 0,
+            round((col("m") * col("sg2") - col("sg") * col("sg")).cast("double") /
+              (col("sg") * col("sg")).cast("double"), 6))
+            .otherwise(lit(0.0)).as("cv2"),
+          (col("n_events") > lit(40) * col("active_days") ||
+            (coalesce(col("m"), lit(0L)) >= 20 && col("sg") > 0 &&
+              (col("m") * col("sg2") - col("sg") * col("sg")) <
+                expr("(sg * sg) div 100"))).as("is_bot"))
+        .orderBy("user_id")
+    },
+    Some("""WITH ev AS (SELECT user_id, epoch_us(ts) // 1000000 AS sec,
+           |    CAST(ts AS DATE) AS day FROM events),
+           |base AS (SELECT user_id, count(*) AS n_events,
+           |    count(DISTINCT day) AS active_days FROM ev GROUP BY user_id),
+           |sq AS (SELECT user_id, sec,
+           |    lag(sec) OVER (PARTITION BY user_id ORDER BY sec) AS prv FROM ev),
+           |g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS m,
+           |    CAST(sum(sec - prv) AS BIGINT) AS sg,
+           |    CAST(sum((sec - prv) * (sec - prv)) AS BIGINT) AS sg2
+           |  FROM sq WHERE prv IS NOT NULL GROUP BY user_id)
+           |SELECT b.user_id, CAST(b.n_events AS BIGINT) AS n_events,
+           |  CAST(b.active_days AS BIGINT) AS active_days,
+           |  round(CAST(b.n_events AS DOUBLE) / b.active_days, 6) AS events_per_day,
+           |  CASE WHEN COALESCE(g.m, 0) > 0
+           |       THEN round(CAST(g.sg AS DOUBLE) / g.m, 6)
+           |       ELSE CAST(0 AS DOUBLE) END AS mean_gap_s,
+           |  CASE WHEN COALESCE(g.m, 0) > 0 AND g.sg > 0
+           |       THEN round(CAST(g.m * g.sg2 - g.sg * g.sg AS DOUBLE)
+           |            / CAST(g.sg * g.sg AS DOUBLE), 6)
+           |       ELSE CAST(0 AS DOUBLE) END AS cv2,
+           |  (b.n_events > 40 * b.active_days) OR
+           |    (COALESCE(g.m, 0) >= 20 AND g.sg > 0 AND
+           |     (g.m * g.sg2 - g.sg * g.sg) < (g.sg * g.sg) // 100) AS is_bot
+           |FROM base b LEFT JOIN g USING (user_id)
+           |ORDER BY user_id""".stripMargin))
+
   val queries: Seq[Q] = Seq(
     q2MinCostSupplier, q4OrderPriority, q8MarketShare, q11ImportantParts,
     q12LateShipments, q15TopSupplier, q16PartsSuppliers, q17SmallQtyRevenue,
     q19DisjunctivePushdown, q20ExcessShare, q21WaitingSupplier,
-    q22SalesOpportunity, q9ProductProfit)
+    q22SalesOpportunity, q9ProductProfit, eventsBotDetect)
 }

@@ -1092,6 +1092,74 @@ object Similarity {
         |    / (CAST(tot.n_pos AS DOUBLE) * CAST(tot.n_neg AS DOUBLE)), 6) AS auc
         |FROM c, tot GROUP BY tot.n_pos, tot.n_neg""".stripMargin))
 
+  /** Precision-recall curve at decile thresholds for the trained
+    * classifier — the threshold-CHOICE readout completing the eval family
+    * ([[aucRankSum]] is threshold-free ranking quality, [[mlCalibration]]
+    * is probability quality): for each decile bucket b, TP/FP counts of
+    * predicting positive at score ≥ b/10, by a cumulative-from-top window
+    * over the FIXED ≤10-row bucket frame (the AUC stance: ordered windows
+    * only over bounded aggregates). Scores and bucketing reuse the exact
+    * GD-chain replay (round(p,6), floor(p·10) clamp 9 — the
+    * [[mlCalibration]] bucket convention); precision/recall are single
+    * double divisions of exact longs.
+    */
+  private val mlPrCurve = Q(
+    "ml_pr_curve",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val w = logregSteps(e)
+      val xy = e.select(col("vec_id"), (col("label") % 2).cast("double").as("y"),
+        posexplode(col("embedding")).as(Seq("i", "xf")))
+        .select(col("vec_id"), col("y"), col("i"), col("xf").cast("double").as("x"))
+      val scores = xy
+        .join(broadcast(w.select(col("dim").as("i"), col("weight"))), "i")
+        .groupBy("vec_id", "y")
+        .agg(graft.functions.Deterministic.dsumFine(col("x") * col("weight")).as("z"))
+        .select(col("y"),
+          round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6).as("p"))
+      val bkt = scores
+        .withColumn("b", least(floor(col("p") * 10), lit(9.0)).cast("int"))
+        .groupBy("b")
+        .agg(sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("np"),
+          sum(when(col("y") === 1.0, 0L).otherwise(1L)).as("nn"))
+      val wTop = Window.orderBy(col("b").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val tot = bkt.agg(sum(col("np")).as("n_pos"))
+      bkt.select(col("b"), sum(col("np")).over(wTop).as("tp"),
+          sum(col("nn")).over(wTop).as("fp"))
+        .crossJoin(broadcast(tot))
+        .select((col("b").cast("double") / 10).as("threshold"),
+          col("tp"), col("fp"),
+          round(col("tp").cast("double") /
+            (col("tp") + col("fp")).cast("double"), 6).as("precision"),
+          round(col("tp").cast("double") / col("n_pos").cast("double"), 6)
+            .as("recall"))
+        .orderBy("threshold")
+    },
+    Some("""WITH cnt AS (SELECT count(*) AS n FROM embeddings),
+           |x AS (SELECT vec_id, CAST(label % 2 AS DOUBLE) AS y,
+           |        CAST(i - 1 AS INT) AS i, CAST(embedding[i] AS DOUBLE) AS x
+           |      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+           |w0 AS (SELECT DISTINCT i, CAST(0.0 AS DOUBLE) AS w FROM x),
+           |""".stripMargin +
+      (1 to 2).map(logregIterSql).mkString(",\n") + ",\n" +
+      """scores AS (SELECT x.y,
+        |    round(1.0 / (1.0 + exp(-(CAST(SUM(CAST(x.x * w2.w AS DECIMAL(38,20))) AS DOUBLE)))), 6) AS p
+        |  FROM x JOIN w2 ON x.i = w2.i GROUP BY x.vec_id, x.y),
+        |bkt AS (SELECT CAST(least(floor(p * 10), 9.0) AS INT) AS b,
+        |    SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS np,
+        |    SUM(CASE WHEN y = 1.0 THEN 0 ELSE 1 END) AS nn
+        |  FROM scores GROUP BY 1),
+        |c AS (SELECT b,
+        |    CAST(SUM(np) OVER (ORDER BY b DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+        |    CAST(SUM(nn) OVER (ORDER BY b DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp
+        |  FROM bkt),
+        |tot AS (SELECT CAST(SUM(np) AS BIGINT) AS n_pos FROM bkt)
+        |SELECT CAST(b AS DOUBLE) / 10 AS threshold, tp, fp,
+        |  round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) AS precision,
+        |  round(CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE), 6) AS recall
+        |FROM c CROSS JOIN tot ORDER BY threshold""".stripMargin))
+
   /** Calibration / reliability table for the trained classifier — the
     * companion readout to [[aucRankSum]]: predicted-probability deciles vs
     * observed positive rate (a well-calibrated model has mean_p ≈ pos_rate
@@ -1245,5 +1313,5 @@ object Similarity {
     simBruteTopk, simLshAnn, dedupEmbeddingCosine, simIvfAnn,
     dedupSemanticClusters, simQuantizedTopk, simPqTopk, simKmeans,
     simDimStats, simMutualKnn, simPcaPower, mlLogregStep, mlAuc,
-    mlCalibration, simRandProj, mlQuantileNorm, mlKnnClassify)
+    mlCalibration, simRandProj, mlQuantileNorm, mlKnnClassify, mlPrCurve)
 }
