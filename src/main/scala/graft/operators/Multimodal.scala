@@ -434,6 +434,14 @@ object Multimodal {
     * DuckDB via the documented all-ASCII `ascii(substr(...))` convention.
     * An odd trailing byte is truncated (PCM16 frames are 2 bytes); docs
     * shorter than one sample keep their row with zeroed features.
+    *
+    * Honest caveat: `substr(text, p, 1)` char addressing is O(p) on
+    * UTF8String, so per-sample access is quadratic in PAYLOAD LENGTH —
+    * irrelevant at this corpus's KB-scale rows (measured 0.13 s at sf0.1)
+    * but wrong for multi-MB audio; there the sample extraction swaps for a
+    * partition-local byte-array decode (the [[imageHashes]] mapPartitions
+    * pattern) while every aggregate downstream of the sample frame — the
+    * actual distributed shape this query declares — stays as is.
     */
   private val multimodalWaveform = Q(
     "multimodal_waveform",

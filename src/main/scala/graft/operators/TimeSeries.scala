@@ -336,6 +336,80 @@ object TimeSeries {
          |FROM ex JOIN fin ON ex.tday = fin.tday ORDER BY day""".stripMargin
     })
 
+  /** Next-7-day volume FORECAST — the projection rung on top of the
+    * descriptive suite: ŷ(d) = (a + b·(d − d₀)) · s(dow(d)), closed-form
+    * OLS trend over the daily frame times the weekday seasonal index (the
+    * classic multiplicative trend × seasonality decomposition, the
+    * [[eventsSeasonal]] index applied forward). Everything reduces to the
+    * day-cardinality frame first; the OLS sufficient statistics are EXACT
+    * LONGS (x = day offset, y = integer daily counts — no decimal carrier
+    * needed), so slope/intercept are single double expressions of exact
+    * integers, identical in both engines; the 7 future rows explode from
+    * the broadcast 1-row (mind, maxd) frame and join the 7-row seasonal
+    * index. Mergeable: the five OLS sums compose across shards like
+    * [[graft.operators.Relational]]'s grouped-OLS partials.
+    */
+  private val eventsForecast = Q(
+    "events_forecast",
+    (s, dir) => {
+      val daily = Tables.load(s, dir, "events")
+        .groupBy(unix_date(to_date(col("ts"))).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val m = daily.agg(min(col("day")).as("mind"), max(col("day")).as("maxd"),
+        count(lit(1)).as("md"))
+      val st = daily.crossJoin(broadcast(m))
+        .agg(sum(col("day") - col("mind")).as("sx"),
+          sum((col("day") - col("mind")) * (col("day") - col("mind"))).as("sx2"),
+          sum(col("n")).as("sy"),
+          sum((col("day") - col("mind")) * col("n")).as("sxy"),
+          first(col("md")).as("m"))
+      val slope = (col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (col("m") * col("sx2") - col("sx") * col("sx")).cast("double")
+      val co = st.select(slope.as("slope"),
+        ((col("sy").cast("double") - slope * col("sx")) / col("m")).as("icept"))
+      val g = daily.agg((sum(col("n")).cast("double") / count(lit(1))).as("gmean"))
+      val si = daily.groupBy((col("day") % 7).as("dow"))
+        .agg((sum(col("n")).cast("double") / count(lit(1))).as("mean_n"))
+        .crossJoin(broadcast(g))
+        .select(col("dow"), (col("mean_n") / col("gmean")).as("idx"))
+      val fut = m.select(col("maxd"), col("mind"),
+          explode(sequence(lit(1), lit(7))).as("i"))
+        .select((col("maxd") + col("i")).as("day"), col("mind"))
+      fut.crossJoin(broadcast(co))
+        .join(broadcast(si), col("day") % 7 === col("dow"))
+        .select(col("day"), (col("day") % 7).cast("int").as("dow"),
+          round(col("icept") + col("slope") * (col("day") - col("mind")), 6)
+            .as("trend"),
+          round(col("idx"), 6).as("seasonal_index"),
+          round((col("icept") + col("slope") * (col("day") - col("mind"))) *
+            col("idx"), 6).as("forecast"))
+        .orderBy("day")
+    },
+    Some("""WITH daily AS (SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+           |    count(*) AS n FROM events GROUP BY 1),
+           |m AS (SELECT min(day) AS mind, max(day) AS maxd, count(*) AS md FROM daily),
+           |st AS (SELECT CAST(sum(day - mind) AS BIGINT) AS sx,
+           |    CAST(sum((day - mind) * (day - mind)) AS BIGINT) AS sx2,
+           |    CAST(sum(n) AS BIGINT) AS sy,
+           |    CAST(sum((day - mind) * n) AS BIGINT) AS sxy,
+           |    CAST(md AS BIGINT) AS m
+           |  FROM daily CROSS JOIN m GROUP BY md),
+           |co AS (SELECT
+           |    (CAST(m * sxy - sx * sy AS DOUBLE)) / (CAST(m * sx2 - sx * sx AS DOUBLE)) AS slope,
+           |    (CAST(sy AS DOUBLE) - (CAST(m * sxy - sx * sy AS DOUBLE))
+           |       / (CAST(m * sx2 - sx * sx AS DOUBLE)) * sx) / m AS icept
+           |  FROM st),
+           |g AS (SELECT CAST(sum(n) AS DOUBLE) / count(*) AS gmean FROM daily),
+           |si AS (SELECT day % 7 AS dow, (CAST(sum(n) AS DOUBLE) / count(*)) / g.gmean AS idx
+           |       FROM daily CROSS JOIN g GROUP BY day % 7, g.gmean),
+           |fut AS (SELECT maxd + i AS day, mind FROM m, unnest(range(1, 8)) AS t(i))
+           |SELECT fut.day, CAST(fut.day % 7 AS INT) AS dow,
+           |  round(co.icept + co.slope * (fut.day - fut.mind), 6) AS trend,
+           |  round(si.idx, 6) AS seasonal_index,
+           |  round((co.icept + co.slope * (fut.day - fut.mind)) * si.idx, 6) AS forecast
+           |FROM fut CROSS JOIN co JOIN si ON fut.day % 7 = si.dow
+           |ORDER BY day""".stripMargin))
+
   val queries: Seq[Q] = Seq(eventsSeasonal, eventsChangepoint, eventsAutocorr,
-    eventsSurvival, eventsHllRolling)
+    eventsSurvival, eventsHllRolling, eventsForecast)
 }
