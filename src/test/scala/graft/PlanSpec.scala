@@ -469,6 +469,35 @@ class PlanSpec extends SparkSuite {
     assert(bad.isEmpty, s"global window over an unreduced frame:\n${bad.mkString("\n")}")
   }
 
+  test("events_hll_rolling fans out map-side — no range join, no nested loop") {
+    val p = plan("events_hll_rolling")
+    // both the sketch and exact paths reach their 7 target days through the
+    // constant Generate fanout; a BNLJ/cartesian means a day-range join
+    // crept back in
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("ml_pr_curve and events_bot_detect window only over reduced or keyed frames") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // pr_curve: the cumulative TP/FP window is global but must run over the
+    // decile-bucket aggregate, never the raw score stream
+    val prOpt = Queries.byName("ml_pr_curve").run(spark, sfDir)
+      .queryExecution.optimizedPlan
+    val badPr = prOpt.collect {
+      case w: LWindow if w.partitionSpec.isEmpty && w.child.output.exists(a =>
+        a.name == "vec_id") => w
+    }
+    assert(badPr.isEmpty, s"global window over raw scores:\n${badPr.mkString("\n")}")
+    // bot_detect: the only window is the per-user gap lag
+    val botOpt = Queries.byName("events_bot_detect").run(spark, sfDir)
+      .queryExecution.optimizedPlan
+    val botWs = botOpt.collect { case w: LWindow => w }
+    assert(botWs.nonEmpty && botWs.forall(_.partitionSpec.nonEmpty),
+      botWs.mkString("\n"))
+  }
+
   test("join_interval meets through the bucket equi-join, never a nested loop") {
     val p = plan("join_interval")
     // the whole point of the bucketized formulation: a no-equi-key overlap
