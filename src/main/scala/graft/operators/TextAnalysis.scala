@@ -1258,26 +1258,10 @@ object TextAnalysis {
     * engines, and genuinely true of the corpus.
     */
   def hllDistinctWords(d: DataFrame): DataFrame = {
-    val alpha = 0.7213 / (1 + 1.079 / 64) // bias constant for m = 64
+    import graft.functions.Hll
     val tok = d.select(col("lang"), explode(words(col("text"))).as("w"))
-    val h = md5Hash32(col("w"))
-    val regs = tok
-      .select(col("lang"), pmod(h, lit(64)).as("idx"),
-        shiftright(h, 6).as("v"))
-      .groupBy("lang", "idx")
-      .agg(max(when(col("v") === 0, lit(27))
-        .otherwise(lit(27) - length(bin(col("v"))))).as("mreg"))
-    val agg = regs.groupBy("lang")
-      .agg(count(lit(1)).as("used"),
-        (sum(pow(lit(2.0), -col("mreg"))
-          .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(38, 30)))
-          .cast("double") + (lit(64) - count(lit(1)))).as("zsum"))
-    val er = agg.select(col("lang"), col("used"),
-      (lit(64) - col("used")).as("vz"),
-      (lit(alpha) * lit(4096) / col("zsum")).as("e_raw"))
-    val fin = er.select(col("lang"), col("used"),
-      when(col("e_raw") <= 160 && col("vz") > 0,
-        lit(64) * log(lit(64.0) / col("vz"))).otherwise(col("e_raw")).as("e"))
+    val fin = Hll.estimate(Hll.registers(tok, col("lang"), col("w")))
+      .withColumnRenamed("g", "lang")
     val exact = tok.groupBy("lang").agg(countDistinct(col("w")).as("exact_distinct"))
     exact.join(fin, "lang")
       .select(col("lang"), col("exact_distinct"),

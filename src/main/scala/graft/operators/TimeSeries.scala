@@ -265,38 +265,24 @@ object TimeSeries {
   private val eventsHllRolling = Q(
     "events_hll_rolling",
     (s, dir) => {
-      val alpha = 0.7213 / (1 + 1.079 / 64)
-      val dec30 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 30)
+      import graft.functions.Hll
       val ud = Tables.load(s, dir, "events")
         .select(unix_date(to_date(col("ts"))).as("day"), col("user_id"))
         .distinct()
       val days = ud.select("day").distinct()
-      val h = md5Hash32(col("user_id").cast("string"))
-      val dr = ud.select(col("day"), pmod(h, lit(64)).as("idx"),
-          shiftright(h, 6).as("v"))
-        .groupBy("day", "idx")
-        .agg(max(when(col("v") === 0, lit(27))
-          .otherwise(lit(27) - length(bin(col("v"))))).as("mreg"))
-      val mr = dr.select(col("day"), col("idx"), col("mreg"),
+      val dr = Hll.registers(ud, col("day"), col("user_id").cast("string"))
+      val mr = dr.select(col("g"), col("idx"), col("mreg"),
           explode(sequence(lit(0), lit(6))).as("i"))
-        .select((col("day") + col("i")).as("tday"), col("idx"), col("mreg"))
-        .join(days.withColumnRenamed("day", "tday"), Seq("tday"), "left_semi")
-        .groupBy("tday", "idx").agg(max(col("mreg")).as("mreg"))
-      val agg = mr.groupBy("tday")
-        .agg(count(lit(1)).as("used"),
-          (sum(pow(lit(2.0), -col("mreg")).cast(dec30)).cast("double")
-            + (lit(64) - count(lit(1)))).as("zsum"))
-      val eRaw = lit(alpha) * lit(4096) / col("zsum")
-      val vz = lit(64) - col("used")
-      val fin = agg.select(col("tday"),
-        when(eRaw <= 160 && vz > 0, lit(64) * log(lit(64.0) / vz))
-          .otherwise(eRaw).as("e"))
+        .select((col("g") + col("i")).as("g"), col("idx"), col("mreg"))
+        .join(days.withColumnRenamed("day", "g"), Seq("g"), "left_semi")
+        .groupBy("g", "idx").agg(max(col("mreg")).as("mreg"))
+      val fin = Hll.estimate(mr)
       val ex = ud.select(col("day"), col("user_id"),
           explode(sequence(lit(0), lit(6))).as("i"))
         .select((col("day") + col("i")).as("tday"), col("user_id"))
         .join(days.withColumnRenamed("day", "tday"), Seq("tday"), "left_semi")
         .groupBy("tday").agg(countDistinct(col("user_id")).as("exact_distinct"))
-      ex.join(fin, "tday")
+      ex.join(fin, col("tday") === col("g"))
         .select(col("tday").as("day"), col("exact_distinct"),
           round(col("e"), 4).as("hll_est"),
           (abs(col("e") / col("exact_distinct") - 1) <= 0.35).as("within_band"))
