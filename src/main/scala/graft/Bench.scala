@@ -27,7 +27,16 @@ object Bench {
     "graph_ppr", "graph_link_predict", "dedup_spans", "ml_knn_classify",
     "text_hll_distinct", "events_survival", "multimodal_waveform",
     "privacy_k_anon", "join_interval", "events_hll_rolling", "ml_pr_curve",
-    "events_bot_detect")
+    "events_bot_detect", "events_forecast")
+
+  /** Noise canary: a cheap, code-stable query whose implementation has not
+    * changed since round 1. Its best-of-N time moves only with host
+    * contention, never with this repo's code — so round-over-round bench
+    * deltas can be read against it instead of re-litigating the ±25 %
+    * noise band each round (SURVEY §6's r5/r8 A/B methodology, promoted
+    * into the harness).
+    */
+  private val canaryQuery = "ref_partition_count"
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -79,12 +88,13 @@ object Bench {
       while (jsonOf(kept).length > 1750 && kept.nonEmpty) kept = kept.tail
       kept
     }
+    val canary = results.toMap.getOrElse(canaryQuery, -1.0)
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-      s""""queries":${jsonOf(headlined)},"sf":$sf}"""
+      s""""canary":${fmt(canary)},"queries":${jsonOf(headlined)},"sf":$sf}"""
     // full per-query map → file (the stdout line must fit the driver's tail)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"),
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-        s""""queries":${jsonOf(results)},"sf":$sf}""")
+        s""""canary":${fmt(canary)},"queries":${jsonOf(results)},"sf":$sf}""")
     spark.stop()
     // last line of output, after Spark's shutdown noise
     println(line)

@@ -63,6 +63,31 @@ object Caches {
     tracked.remove(spark).foreach(_.foreach(_.unpersist(false)))
   }
 
+  private val memos =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  /** Memoize a SMALL deterministic frame (model weights, centroids — think
+    * tens of KB, never a fact table) across the operation boundaries of one
+    * session: the first call materializes `build` eagerly via
+    * `localCheckpoint` (lineage truncated, partitions pinned in block
+    * storage) and every later call for the same (session, key) reuses the
+    * pinned frame. Unlike [[track]]ed frames, memos deliberately SURVIVE
+    * [[release]] — they are the cross-query carry that keeps a batch
+    * session from re-deriving one model per evaluation query (the GD-eval
+    * family re-trained the identical weights four times per bench pass
+    * before this) — and fall only with [[releaseAll]] or session stop.
+    * The builder must be deterministic: callers stay self-contained for
+    * correctness because reuse is value-identical to recomputing. The key
+    * must encode every input the build depends on (e.g. the data dir).
+    * `localCheckpoint` is executor-local (not fault-tolerant); on executor
+    * loss the worst case is rebuilding a tiny frame, which is exactly the
+    * no-memo baseline.
+    */
+  def memo(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    synchronized {
+      memos.getOrElseUpdate((spark, key), build.localCheckpoint(true))
+    }
+
   /** Unpersist everything tracked under EVERY session — the escape hatch
     * for a driver hosting many short-lived sessions whose per-session
     * [[release]] calls it can't guarantee (a forgotten release would
@@ -74,5 +99,8 @@ object Caches {
   def releaseAll(): Unit = synchronized {
     tracked.valuesIterator.foreach(_.foreach(_.unpersist(false)))
     tracked.clear()
+    // memoized frames hold localCheckpoint RDDs; dropping the references
+    // lets the ContextCleaner reclaim their blocks
+    memos.clear()
   }
 }

@@ -441,8 +441,8 @@ object Analytics {
         .orderBy("l_linestatus")
     },
     Some("""SELECT l_linestatus,
-           |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-           |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+           |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
            |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
            |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -569,9 +569,12 @@ object Analytics {
     * that second key — the gap MULTISET is invariant to tie order, so no
     * hidden dependence on sub-second ordering. The only window is the
     * per-user lag (high-cardinality partition key); CV² reduces to exact
-    * long moments (m·Σg² − (Σg)², all within long range at second
-    * granularity), compared against (Σg)² div 100 in integers — floats
-    * appear only in the rounded report columns.
+    * moments m·Σg² − (Σg)² carried in DECIMAL(38,0) (Spark) / HUGEINT
+    * (oracle) — a long would overflow m·Σg² for a user with ~10³ gaps
+    * over a multi-year span — and the bot test compares 100·(m·Σg² −
+    * (Σg)²) < (Σg)² exactly in integers (the algebraic form of
+    * CV² < 0.01, no floor-division approximation). Floats appear only in
+    * the rounded report columns.
     */
   private val eventsBotDetect = Q(
     "events_bot_detect",
@@ -585,11 +588,13 @@ object Analytics {
           countDistinct(col("day")).as("active_days"))
       val sq = ev.withColumn("prv",
         lag(col("sec"), 1).over(Window.partitionBy("user_id").orderBy("sec")))
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
       val g = sq.filter(col("prv").isNotNull)
-        .select(col("user_id"), (col("sec") - col("prv")).as("gp"))
+        .select(col("user_id"), (col("sec") - col("prv")).cast(dec).as("gp"))
         .groupBy("user_id")
         .agg(count(lit(1)).as("m"), sum(col("gp")).as("sg"),
           sum(col("gp") * col("gp")).as("sg2"))
+      val mom = col("m").cast(dec) * col("sg2") - col("sg") * col("sg")
       base.join(g, Seq("user_id"), "left")
         .select(col("user_id"), col("n_events"), col("active_days"),
           round(col("n_events").cast("double") / col("active_days"), 6)
@@ -598,13 +603,12 @@ object Analytics {
             round(col("sg").cast("double") / col("m"), 6))
             .otherwise(lit(0.0)).as("mean_gap_s"),
           when(coalesce(col("m"), lit(0L)) > 0 && col("sg") > 0,
-            round((col("m") * col("sg2") - col("sg") * col("sg")).cast("double") /
+            round(mom.cast("double") /
               (col("sg") * col("sg")).cast("double"), 6))
             .otherwise(lit(0.0)).as("cv2"),
           (col("n_events") > lit(40) * col("active_days") ||
             (coalesce(col("m"), lit(0L)) >= 20 && col("sg") > 0 &&
-              (col("m") * col("sg2") - col("sg") * col("sg")) <
-                expr("(sg * sg) div 100"))).as("is_bot"))
+              mom * lit(100) < col("sg") * col("sg"))).as("is_bot"))
         .orderBy("user_id")
     },
     Some("""WITH ev AS (SELECT user_id, epoch_us(ts) // 1000000 AS sec,
@@ -614,8 +618,8 @@ object Analytics {
            |sq AS (SELECT user_id, sec,
            |    lag(sec) OVER (PARTITION BY user_id ORDER BY sec) AS prv FROM ev),
            |g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS m,
-           |    CAST(sum(sec - prv) AS BIGINT) AS sg,
-           |    CAST(sum((sec - prv) * (sec - prv)) AS BIGINT) AS sg2
+           |    sum(CAST(sec - prv AS HUGEINT)) AS sg,
+           |    sum(CAST(sec - prv AS HUGEINT) * CAST(sec - prv AS HUGEINT)) AS sg2
            |  FROM sq WHERE prv IS NOT NULL GROUP BY user_id)
            |SELECT b.user_id, CAST(b.n_events AS BIGINT) AS n_events,
            |  CAST(b.active_days AS BIGINT) AS active_days,
@@ -629,7 +633,7 @@ object Analytics {
            |       ELSE CAST(0 AS DOUBLE) END AS cv2,
            |  (b.n_events > 40 * b.active_days) OR
            |    (COALESCE(g.m, 0) >= 20 AND g.sg > 0 AND
-           |     (g.m * g.sg2 - g.sg * g.sg) < (g.sg * g.sg) // 100) AS is_bot
+           |     100 * (g.m * g.sg2 - g.sg * g.sg) < g.sg * g.sg) AS is_bot
            |FROM base b LEFT JOIN g USING (user_id)
            |ORDER BY user_id""".stripMargin))
 

@@ -445,34 +445,6 @@ object Graph {
         |    UNION ALL SELECT b AS n FROM e3) GROUP BY n)
         |ORDER BY degree DESC, node LIMIT 20""".stripMargin))
 
-  /** Adamic–Adar link prediction over the same supp ≥ 2 co-purchase graph:
-    * score every NON-adjacent part pair (x, y) by Σ_w 1/ln(deg(w)) over
-    * their common neighbors w — the classic "which products will be bought
-    * together next" / recommend-new-edges primitive (Adamic & Adar 2003;
-    * the reference's closest analogue is Athena ad-hoc SQL over the curated
-    * lake, README.md:97-101, which cannot express this at all).
-    *
-    * Scale shape: wedge enumeration fans out from the CENTER node, so the
-    * per-center cost is deg², which a hub would turn into Σ deg² — the
-    * quadratic trap the triangle census avoids by orientation. Orientation
-    * can't help here (the center is fixed by the semantics), so the scale
-    * lever is the HUB CAP: centers with deg > 64 are excluded. That is
-    * simultaneously the noise cut — a hub's AA weight 1/ln(deg) is the
-    * smallest possible, and "everything co-occurs with a bestseller" wedges
-    * are exactly the spurious candidates link prediction must ignore (the
-    * same df-cap reasoning as the Jaccard posting lists, Dedup.scala). With
-    * the cap, wedge fan-out is ≤ 64 per (center, neighbor) edge row —
-    * linear in |E| with a constant factor, at any corpus size.
-    *
-    * Determinism: the AA contribution 1/ln(deg) is one IEEE double division
-    * of exact integer inputs (identical in both engines), summed as
-    * DECIMAL(38,20) — order-independent over any partitioning — and
-    * rounded to 6 dp only at presentation. Every step is an equi-join or a
-    * two-phase aggregate on a node/pair key; the anti-join drops
-    * already-adjacent pairs AFTER the pair aggregate (candidate-sized, not
-    * wedge-sized). The centered neighbor frame feeds the self-join twice,
-    * so it is localCheckpoint'd like [[graphLabelProp]]'s nbr frame.
-    */
   /** Personalized PageRank — random walk with restart from a single SEED
     * node: rank'(v) = (1−d)·e_s(v) + d·(Σ_{u→v} rank(u)/outdeg(u) +
     * dangling·e_s(v)). Where global [[pageRank]] answers "who is important
@@ -559,6 +531,34 @@ object Graph {
          |FROM r$Iters
          |ORDER BY round(pr, 9) DESC, 1 LIMIT 20""".stripMargin))
 
+  /** Adamic–Adar link prediction over the same supp ≥ 2 co-purchase graph:
+    * score every NON-adjacent part pair (x, y) by Σ_w 1/ln(deg(w)) over
+    * their common neighbors w — the classic "which products will be bought
+    * together next" / recommend-new-edges primitive (Adamic & Adar 2003;
+    * the reference's closest analogue is Athena ad-hoc SQL over the curated
+    * lake, README.md:97-101, which cannot express this at all).
+    *
+    * Scale shape: wedge enumeration fans out from the CENTER node, so the
+    * per-center cost is deg², which a hub would turn into Σ deg² — the
+    * quadratic trap the triangle census avoids by orientation. Orientation
+    * can't help here (the center is fixed by the semantics), so the scale
+    * lever is the HUB CAP: centers with deg > 64 are excluded. That is
+    * simultaneously the noise cut — a hub's AA weight 1/ln(deg) is the
+    * smallest possible, and "everything co-occurs with a bestseller" wedges
+    * are exactly the spurious candidates link prediction must ignore (the
+    * same df-cap reasoning as the Jaccard posting lists, Dedup.scala). With
+    * the cap, wedge fan-out is ≤ 64 per (center, neighbor) edge row —
+    * linear in |E| with a constant factor, at any corpus size.
+    *
+    * Determinism: the AA contribution 1/ln(deg) is one IEEE double division
+    * of exact integer inputs (identical in both engines), summed as
+    * DECIMAL(38,20) — order-independent over any partitioning — and
+    * rounded to 6 dp only at presentation. Every step is an equi-join or a
+    * two-phase aggregate on a node/pair key; the anti-join drops
+    * already-adjacent pairs AFTER the pair aggregate (candidate-sized, not
+    * wedge-sized). The centered neighbor frame feeds the self-join twice,
+    * so it is localCheckpoint'd like [[graphLabelProp]]'s nbr frame.
+    */
   def adamicAdar(edges: DataFrame, hubCap: Int = 64): DataFrame = {
     val und = edges.select(col("a").as("w"), col("b").as("x"))
       .unionByName(edges.select(col("b").as("w"), col("a").as("x")))

@@ -1612,7 +1612,7 @@ object Relational {
            |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cur FROM net)
            |  GROUP BY d),
            |active AS (SELECT d, count(*) AS n_active FROM bounds GROUP BY d)
-           |SELECT peak.d, peak_sessions, n_active
+           |SELECT peak.d, CAST(peak_sessions AS BIGINT) AS peak_sessions, n_active
            |FROM peak JOIN active ON peak.d = active.d ORDER BY peak.d""".stripMargin))
 
   /** EWMA-smoothed daily event volume (α = 1/2, 20-day horizon) — the
@@ -1790,8 +1790,8 @@ object Relational {
            |                       ORDER BY ts, event_id) AS rn
            |  FROM events)
            |SELECT d, count(*) AS n_events,
-           |  SUM(CASE WHEN rn <= 5 THEN 1 ELSE 0 END) AS n_kept,
-           |  SUM(CASE WHEN rn > 5 THEN 1 ELSE 0 END) AS n_dropped,
+           |  CAST(SUM(CASE WHEN rn <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           |  CAST(SUM(CASE WHEN rn > 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
            |  count(DISTINCT CASE WHEN rn > 5 THEN user_id END) AS n_users_capped
            |FROM r GROUP BY d ORDER BY d""".stripMargin))
 

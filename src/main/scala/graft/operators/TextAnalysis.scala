@@ -1175,7 +1175,7 @@ object TextAnalysis {
            |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
            |        FROM documents)
            |  GROUP BY doc_id, w),
-           |d AS (SELECT doc_id, sum(c) AS n_tokens,
+           |d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
            |    CAST(SUM(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) AS DECIMAL(38,20))) AS DOUBLE) AS clc
            |  FROM c GROUP BY doc_id)
            |SELECT doc_id, n_tokens,
@@ -1226,7 +1226,7 @@ object TextAnalysis {
            |    CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || w), 1, 8) AS BIGINT) % 512 AS bucket
            |  FROM wc, unnest(range(0, 4)) AS t(r)),
            |cms AS (SELECT r, bucket, sum(c) AS bsum FROM rows_ GROUP BY r, bucket),
-           |est AS (SELECT w, min(bsum) AS cms_est
+           |est AS (SELECT w, CAST(min(bsum) AS BIGINT) AS cms_est
            |        FROM rows_ JOIN cms USING (r, bucket) GROUP BY w),
            |top AS (SELECT w, c FROM wc ORDER BY c DESC, w LIMIT 10)
            |SELECT top.w AS word, top.c AS exact_count, est.cms_est,

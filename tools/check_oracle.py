@@ -67,11 +67,33 @@ def main(sf_dir, out_dir, only=()):
             print(f"          duck:  {b}")
             n_fail += 1
         else:
-            # type check (schema match): compare python types of first row
-            if s_rows and any(type(a) is not type(b) and not (a is None or b is None)
-                              for a, b in zip(s_rows[0], d_rows[0])):
-                print(f"WARNTYPE  {name}: value types differ: "
-                      f"{[ (type(a).__name__, type(b).__name__) for a,b in zip(s_rows[0], d_rows[0])]}")
+            # Declared-type check, mirroring the driver's dtype-sensitive
+            # hash: fetchall() folds DuckDB HUGEINT into Python int (equal
+            # to Spark's long), but the driver materializes frames where
+            # HUGEINT lands as float64 and hash-mismatches an int64 column
+            # even when every value is equal (the round-8 5-query slip).
+            # Compare integer-ness of the DECLARED types, not the values.
+            INT_DUCK = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                        "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
+            INT_ARROW = {"int8", "int16", "int32", "int64",
+                         "uint8", "uint16", "uint32", "uint64"}
+            duck_types = {c: str(t) for c, t in zip(duck.columns, duck.types)}
+            bad_t = []
+            for c in s_cols:
+                s_int = str(spark_tbl.schema.field(c).type) in INT_ARROW
+                d_t = duck_types[c].upper()
+                d_int = d_t in INT_DUCK
+                d_float = d_t in ("DOUBLE", "FLOAT", "HUGEINT")
+                if s_int and not d_int:
+                    bad_t.append((c, str(spark_tbl.schema.field(c).type), d_t))
+                elif (not s_int) and d_int and \
+                        str(spark_tbl.schema.field(c).type) in ("double", "float"):
+                    bad_t.append((c, str(spark_tbl.schema.field(c).type), d_t))
+            if bad_t:
+                print(f"FAILTYPE  {name}: declared types diverge "
+                      f"(driver hashes these differently): {bad_t}")
+                n_fail += 1
+                continue
             print(f"PASS      {name}: {len(s_rows)} rows")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, "
