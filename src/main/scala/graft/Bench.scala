@@ -41,6 +41,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Dev knobs for scale spot-runs (SURVEY §6's sf1 section): restrict to a
+    // comma-separated query subset and/or fewer best-of passes. Unset (the
+    // driver's call) → full map, best-of-3, unchanged contract.
+    val onlyQ = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).toSet)
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
     val spark = Sessions.builder(s"local[$cpus]", cpus.toInt)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -53,7 +59,9 @@ object Bench {
     // 2-3× of codegen/JIT cost), so two passes still reported warm-up, not
     // steady state
     def pass(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => onlyQ.forall(_.contains(name)) }
+        .map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
@@ -63,10 +71,9 @@ object Bench {
         spark.catalog.clearCache()
         name -> dt
       }
-    val p1 = pass().toMap
-    val p2 = pass().toMap
+    val warm = (1 until passes).map(_ => pass().toMap)
     val results = pass().map { case (name, t) =>
-      name -> math.min(t, math.min(p1(name), p2(name))) }
+      name -> (t +: warm.map(_(name))).min }
     def fmt(v: Double): String = f"$v%.3f"
     def jsonOf(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev/bench utility: amplify a testdata scale-factor directory by an
+  * integer factor, producing a workload-representative larger corpus for
+  * scale validation (`args: srcDir dstDir factor`). This is measurement
+  * scaffolding, not an operator — the library's scale arguments live in the
+  * operators themselves; this main exists so those arguments can be checked
+  * against a 10× corpus instead of only being argued (SURVEY §6).
+  *
+  * Amplification rules, chosen so per-key densities stay CONSTANT while row
+  * counts scale — i.e. the amplified corpus stresses the linear machinery
+  * (shuffles, joins, aggregates) without manufacturing quadratic blow-ups
+  * the real distribution wouldn't have:
+  *
+  *  - Fact/entity keys shift by a constant stride (2⁴⁰) per replica: each
+  *    replica is a disjoint key space, so joins/groups see 10× groups of the
+  *    SAME size, never 10×-deeper groups (no driver-side max+1 — the stride
+  *    is static, nothing is collected).
+  *  - `nation`/`region` stay fixed (genuinely low-cardinality dims; facts
+  *    keep referencing them, as a real 100 TB lake would).
+  *  - `documents.text` prefixes every word with a replica tag (`r3_the`):
+  *    replica shingle/token spaces are DISJOINT, so posting-list dfs and
+  *    near-dup densities match the source corpus instead of every doc
+  *    gaining 9 cross-replica near-duplicates that a real 10× crawl would
+  *    not have.
+  *  - `embeddings.embedding` gets deterministic per-(vec, dim, replica)
+  *    hash noise (±0.05 against a 0.125 component σ): replica vectors are
+  *    genuine new points — close to the source distribution, but not exact
+  *    duplicates that would stack LSH/IVF buckets 10 deep at one point.
+  */
+object ScaleUp {
+  private val Stride = 1L << 40
+
+  def main(args: Array[String]): Unit = {
+    val Array(src, dst, fStr) = args
+    val f = fStr.toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = Sessions.builder(s"local[$cpus]", cpus.toInt)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def shift(c: String, i: Int) = col(c) + lit(i * Stride)
+
+    def replicate(name: String)(tx: (DataFrame, Int) => DataFrame): Unit = {
+      val base = Tables.load(spark, src, name)
+      val out = (0 until f).map(i => tx(base, i)).reduce(_ unionByName _)
+      out.repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+        .write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      println(s"[scaleup] $name x$f written")
+    }
+
+    Seq("region", "nation").foreach { n =>
+      replicate(n)((df, i) => if (i == 0) df else df.limit(0))
+    }
+    replicate("customer")((df, i) => df.withColumn("c_custkey", shift("c_custkey", i)))
+    replicate("supplier")((df, i) => df.withColumn("s_suppkey", shift("s_suppkey", i)))
+    replicate("part")((df, i) => df.withColumn("p_partkey", shift("p_partkey", i)))
+    replicate("orders")((df, i) => df
+      .withColumn("o_orderkey", shift("o_orderkey", i))
+      .withColumn("o_custkey", shift("o_custkey", i)))
+    replicate("lineitem")((df, i) => df
+      .withColumn("l_orderkey", shift("l_orderkey", i))
+      .withColumn("l_partkey", shift("l_partkey", i))
+      .withColumn("l_suppkey", shift("l_suppkey", i)))
+    replicate("events")((df, i) => df
+      .withColumn("event_id", shift("event_id", i))
+      .withColumn("user_id", shift("user_id", i)))
+    replicate("documents")((df, i) =>
+      if (i == 0) df
+      else df
+        .withColumn("doc_id", shift("doc_id", i))
+        .withColumn("text", concat_ws(" ",
+          transform(split(col("text"), " "), w => concat(lit(s"r${i}_"), w))))
+        .withColumn("n_chars", length(col("text"))))
+    replicate("embeddings")((df, i) =>
+      if (i == 0) df
+      else df
+        .withColumn("vec_id", shift("vec_id", i))
+        .withColumn("embedding", transform(col("embedding"), (x, d) =>
+          (x + (hash(col("vec_id"), d, lit(i)) % 1000).cast("float") / 20000.0f)
+            .cast("float"))))
+    spark.stop()
+  }
+}

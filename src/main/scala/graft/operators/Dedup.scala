@@ -97,7 +97,25 @@ object Dedup {
     * building; `spread` parallelizes the per-doc shingling.
     */
   def jaccardPairs(d: DataFrame, minJ: Double = 0.8,
-                   dfCap: Int = DefaultShingleDfCap): DataFrame = {
+                   dfCap: Int = DefaultShingleDfCap): DataFrame =
+    shinglePairCommons(d, dfCap)
+      // valid (unique-keyed) input always has denom >= max(n_a, n_b) >= 1
+      // and a score <= 1; both clamps only guard duplicated-doc_id input,
+      // where over-counted commons could otherwise hit an ANSI
+      // divide-by-zero or emit a score > 1
+      .withColumn("jaccard", least(col("common").cast("double") /
+        greatest(col("n_a") + col("n_b") - col("common"), lit(1)), lit(1.0)))
+      .filter(col("jaccard") >= minJ)
+      .select("doc_a", "doc_b", "jaccard")
+
+  /** The shared candidate machinery under [[jaccardPairs]] and
+    * [[containmentPairs]]: exact shingle-intersection sizes for every
+    * within-language doc pair sharing at least one SUB-CAP shingle —
+    * columns (doc_a < doc_b, n_a, n_b, common). df-capped posting lists +
+    * the hot-membership correction keep `common` exact under the cap (the
+    * documented hot-only-pair trade applies to any consumer).
+    */
+  private def shinglePairCommons(d: DataFrame, dfCap: Int): DataFrame = {
     graft.functions.TextKernels.register(d.sparkSession)
     val ex = Tables.spread(d)
       .select(col("doc_id"), col("lang"),
@@ -129,15 +147,34 @@ object Dedup {
       .withColumn("common", col("common_capped") +
         when(col("hot_a").isNull || col("hot_b").isNull, lit(0))
           .otherwise(size(array_intersect(col("hot_a"), col("hot_b")))))
-      // valid (unique-keyed) input always has denom >= max(n_a, n_b) >= 1
-      // and a score <= 1; both clamps only guard duplicated-doc_id input,
-      // where over-counted commons could otherwise hit an ANSI
-      // divide-by-zero or emit a score > 1
+      .select("doc_a", "doc_b", "n_a", "n_b", "common")
+  }
+
+  /** Asymmetric CONTAINMENT near-dup pairs — the quote/subset detector
+    * Jaccard provably misses: a short doc fully embedded in a long one has
+    * C = |A∩B|/min(|A|,|B|) ≈ 1 while J = |A∩B|/|A∪B| stays low (the size
+    * mismatch inflates the union). Flags (inner, outer) with C ≥ `minC`,
+    * oriented so `inner` is the smaller shingle set (ties by doc id) and
+    * J < 0.8 — pairs the symmetric pass already catches are excluded, so
+    * the two passes partition the near-dup space instead of double-
+    * reporting. Same df-capped posting-list candidates as [[jaccardPairs]]
+    * ([[shinglePairCommons]]) — linear at any corpus size, same
+    * hot-only-pair trade.
+    */
+  def containmentPairs(d: DataFrame, minC: Double = 0.9,
+                       dfCap: Int = DefaultShingleDfCap): DataFrame =
+    shinglePairCommons(d, dfCap)
+      .withColumn("containment", least(col("common").cast("double") /
+        greatest(least(col("n_a"), col("n_b")), lit(1)), lit(1.0)))
       .withColumn("jaccard", least(col("common").cast("double") /
         greatest(col("n_a") + col("n_b") - col("common"), lit(1)), lit(1.0)))
-      .filter(col("jaccard") >= minJ)
-      .select("doc_a", "doc_b", "jaccard")
-  }
+      .filter(col("containment") >= minC && col("jaccard") < lit(0.8))
+      .select(
+        when(col("n_a") <= col("n_b"), col("doc_a")).otherwise(col("doc_b"))
+          .as("inner_doc"),
+        when(col("n_a") <= col("n_b"), col("doc_b")).otherwise(col("doc_a"))
+          .as("outer_doc"),
+        col("containment"), col("jaccard"), col("common"))
 
   /** Near-duplicate pairs by exact 3-gram-shingle Jaccard >= 0.8 (D3,
     * oracle-checkable ground truth for the MinHash variant below) — the
@@ -1031,9 +1068,121 @@ object Dedup {
            |      GROUP BY 1, 2 HAVING count(*) >= 2)
            |SELECT doc_a, doc_b, n_shared FROM p ORDER BY doc_a, doc_b""".stripMargin))
 
+  /** Top-20 containment pairs (the quote/subset readout of
+    * [[containmentPairs]]): on a corpus with no strong subset relations the
+    * ranking surfaces the closest asymmetric overlaps; on a quote-heavy
+    * crawl the same query is the C ≥ 0.9 scrub list. `common ≥ 2` drops the
+    * single-shared-shingle noise tail; ordering is on the ROUNDED score (6
+    * dp, then the pair key) so the top-k cut is engine-stable.
+    */
+  private val dedupContainment = Q(
+    "dedup_containment",
+    (s, dir) => containmentPairs(docs(s, dir), minC = 0.0)
+      .filter(col("common") >= 2)
+      .select(col("inner_doc"), col("outer_doc"),
+        round(col("containment"), 6).as("containment"),
+        round(col("jaccard"), 6).as("jaccard"), col("common"))
+      .orderBy(col("containment").desc, col("inner_doc"), col("outer_doc"))
+      .limit(20)
+      .orderBy(col("containment").desc, col("inner_doc"), col("outer_doc")),
+    Some("""WITH w AS (SELECT doc_id, lang, string_split(text,' ') AS w FROM documents),
+           |s AS (SELECT doc_id, lang, CASE WHEN len(w) < 3 THEN [array_to_string(w,' ')]
+           |        ELSE list_distinct(list_transform(range(1, len(w)-1),
+           |               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS sh
+           |      FROM w),
+           |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |        len(list_intersect(a.sh, b.sh)) AS c, len(a.sh) AS na, len(b.sh) AS nb
+           |      FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id),
+           |x AS (SELECT CASE WHEN na <= nb THEN doc_a ELSE doc_b END AS inner_doc,
+           |        CASE WHEN na <= nb THEN doc_b ELSE doc_a END AS outer_doc,
+           |        round(CAST(c AS DOUBLE)/least(na, nb), 6) AS containment,
+           |        round(CAST(c AS DOUBLE)/(na+nb-c), 6) AS jaccard,
+           |        CAST(c AS BIGINT) AS common
+           |      FROM p WHERE c >= 2 AND CAST(c AS DOUBLE)/(na+nb-c) < 0.8)
+           |SELECT * FROM x
+           |ORDER BY containment DESC, inner_doc, outer_doc LIMIT 20""".stripMargin))
+
+  /** Content-defined chunking (CDC) duplicate report — the storage-dedup
+    * rung of the family: chunk boundaries are set by CONTENT (a token
+    * position starts a new chunk when its 4-token gram hashes to
+    * 0 mod 16, the Rabin-cut idea with the engine-portable md5 hash), so
+    * an insertion early in a document shifts every FIXED window
+    * ([[segmentDedup]]'s segments, [[dedup_spans]]'s positions) but leaves
+    * all later CDC cut points — and therefore all later chunks —
+    * byte-identical, which is exactly why backup/dedup systems chunk this
+    * way (expected chunk length 16 tokens ≈ the segment scale).
+    *
+    * Shape: per-doc flag array via ONE indexed `transform` (each position
+    * hashes its own 4-token slice — no w-array carried through a join),
+    * one explode to (doc, pos, tok, flag) rows, the chunk id as a running
+    * flag sum over the doc-partitioned position window (high-cardinality
+    * partition key), order-independent chunk reassembly via
+    * `array_sort(collect_list(struct))`, then the cross-doc duplicate
+    * report is a two-phase aggregate on the chunk text. Linear —
+    * 1 row/token, the dedup_spans honesty — at any corpus size.
+    */
+  /** The chunk table under the `text_cdc_chunks` query: every document cut into
+    * content-defined chunks — (doc_id, cid, chunk, n_tok), cid ordinal per
+    * doc. Public so the shift-invariance property (the REASON to chunk by
+    * content) is spec-testable on crafted docs.
+    */
+  def cdcChunks(d0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.spread(d0)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val rows = d.select(col("doc_id"), explode(transform(col("w"),
+      (tok, p) => struct(
+        p.as("p"), tok.as("tok"),
+        when(p <= size(col("w")) - 4,
+          (pmod(graft.functions.Deterministic.md5Hash32(
+            concat_ws(" ", slice(col("w"), p + 1, lit(4)))), lit(16)) === 0)
+            .cast("long")).otherwise(lit(0L)).as("flag")))).as("x"))
+      .select(col("doc_id"), col("x.p").as("p"), col("x.tok").as("tok"),
+        col("x.flag").as("flag"))
+    val cid = sum(col("flag")).over(Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    rows.withColumn("cid", cid)
+      .groupBy("doc_id", "cid")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("p"), col("tok")))),
+        x => x.getField("tok")), " ").as("chunk"),
+        count(lit(1)).as("n_tok"))
+  }
+
+  private val textCdcChunks = Q(
+    "text_cdc_chunks",
+    (s, dir) => {
+      cdcChunks(docs(s, dir)).groupBy("chunk")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"), max(col("n_tok")).as("chunk_tokens"))
+        .filter(col("n_occ") >= 2)
+        .orderBy(col("n_occ").desc, col("n_docs").desc, col("chunk"))
+        .limit(20)
+        .orderBy(col("n_occ").desc, col("n_docs").desc, col("chunk"))
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+           |pos AS (SELECT doc_id, CAST(i - 1 AS INT) AS p, w[i] AS tok,
+           |    CASE WHEN i - 1 <= len(w) - 4 AND
+           |        CAST('0x' || substr(md5(array_to_string(w[i:i+3], ' ')), 1, 8)
+           |          AS BIGINT) % 16 = 0
+           |      THEN 1 ELSE 0 END AS flag
+           |  FROM w, unnest(range(1, len(w) + 1)) AS t(i)),
+           |c AS (SELECT doc_id, p, tok,
+           |    SUM(flag) OVER (PARTITION BY doc_id ORDER BY p
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cid
+           |  FROM pos),
+           |ch AS (SELECT doc_id, cid, string_agg(tok, ' ' ORDER BY p) AS chunk,
+           |    count(*) AS n_tok FROM c GROUP BY doc_id, cid)
+           |SELECT chunk, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           |  CAST(count(*) AS BIGINT) AS n_occ,
+           |  CAST(max(n_tok) AS BIGINT) AS chunk_tokens
+           |FROM ch GROUP BY chunk HAVING count(*) >= 2
+           |ORDER BY n_occ DESC, n_docs DESC, chunk LIMIT 20""".stripMargin))
+
   val queries: Seq[Q] = Seq(
     dedupExact, dedupKeepfirst, dedupNgramJaccard, dedupMinhashLsh,
     dedupSimhash, dedupClusters, dedupPipelineSurvivors, dedupDecontaminate,
     dedupDecontaminateBloom, dedupIncremental, dedupLines, pipelineCurate,
-    dedupSourceOverlap, dedupWinnow, dedupSpans)
+    dedupSourceOverlap, dedupWinnow, dedupSpans, dedupContainment,
+    textCdcChunks)
 }

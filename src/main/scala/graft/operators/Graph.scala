@@ -612,6 +612,69 @@ object Graph {
            |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = cand.x AND e.b = cand.y)
            |ORDER BY aa_score DESC, x, y LIMIT 20""".stripMargin))
 
+  /** Degree assortativity of the supp ≥ 2 co-purchase graph — Pearson
+    * correlation of endpoint degrees over the directed edge list (Newman
+    * 2002): r > 0 means high-degree parts co-occur with other high-degree
+    * parts (a rich-club catalogue), r < 0 a hub-and-spoke one. One number
+    * that summarizes whether hub mitigation (the AA hub cap, salting) will
+    * matter on a given corpus.
+    *
+    * Shape: degree is one two-phase count over the undirected adjacency;
+    * each directed edge picks up (deg u, deg v) by two node-keyed
+    * equi-joins; the five moments reduce in ONE aggregate. Products are
+    * carried as DECIMAL(38,0) — m·Σxy for a hubby graph overflows a long
+    * (the events_bot_detect lesson) — and the final r is one double
+    * expression of exact integers, identical in both engines. Linear in
+    * |E| at any scale.
+    */
+  private val graphAssortativity = Q(
+    "graph_assortativity",
+    (s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val l = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      val edges = l.select(col("ok"), col("p").as("a"))
+        .join(l.select(col("ok"), col("p").as("b")), "ok")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("supp"))
+        .filter(col("supp") >= 2)
+        .select("a", "b").localCheckpoint()
+      val dir2 = edges.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+      val deg = dir2.groupBy("u").agg(count(lit(1)).as("d"))
+      val xy = dir2
+        .join(deg.select(col("u"), col("d").as("du")), "u")
+        .join(deg.select(col("u").as("v"), col("d").as("dv")), "v")
+        .select(col("du").cast(dec).as("x"), col("dv").cast(dec).as("y"))
+      val mo = xy.agg(count(lit(1)).cast(dec).as("m"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      mo.select(
+        (col("m") / 2).cast("long").as("n_edges"),
+        round((col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("m") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("m") * col("syy") - col("sy") * col("sy")).cast("double"))),
+          6).as("assortativity"))
+    },
+    Some("""WITH l AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+           |e AS (SELECT a, b FROM (SELECT x.p AS a, y.p AS b, count(*) AS supp
+           |        FROM l x JOIN l y ON x.ok = y.ok AND x.p < y.p
+           |        GROUP BY x.p, y.p) WHERE supp >= 2),
+           |d2 AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e),
+           |deg AS (SELECT u, count(*) AS d FROM d2 GROUP BY u),
+           |xy AS (SELECT CAST(du.d AS HUGEINT) AS x, CAST(dv.d AS HUGEINT) AS y
+           |  FROM d2 JOIN deg du ON d2.u = du.u JOIN deg dv ON d2.v = dv.u),
+           |mo AS (SELECT CAST(count(*) AS HUGEINT) AS m, SUM(x) AS sx, SUM(y) AS sy,
+           |    SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy FROM xy)
+           |SELECT CAST(m // 2 AS BIGINT) AS n_edges,
+           |  round(CAST(m * sxy - sx * sy AS DOUBLE) /
+           |    (sqrt(CAST(m * sxx - sx * sx AS DOUBLE)) *
+           |     sqrt(CAST(m * syy - sy * sy AS DOUBLE))), 6) AS assortativity
+           |FROM mo""".stripMargin))
+
   val queries: Seq[Q] = Seq(graphPagerank, graphBfsReach, graphTriangles,
-    graphLabelProp, graphKcore, graphLinkPredict, graphPpr)
+    graphLabelProp, graphKcore, graphLinkPredict, graphPpr,
+    graphAssortativity)
 }

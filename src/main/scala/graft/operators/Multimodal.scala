@@ -504,7 +504,66 @@ object Multimodal {
            |  CAST(COALESCE(a.mc, 0) AS BIGINT) AS mean_crossings
            |FROM d LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin))
 
+  /** Walsh–Hadamard band correlations over the PCM16 stream — the
+    * integer-exact spectral proxy beside [[multimodalWaveform]]'s envelope
+    * features: correlate each signal with the first four Walsh square
+    * waves, w_k(i) = (−1)^bit_{k−1}(i) (alternating at every sample, every
+    * 2nd, 4th, 8th — a dyadic filter bank). A true DFT needs cos/sin of
+    * arbitrary angles (cross-engine libm on transcendental ARGUMENTS, the
+    * one FP dependence this repo bans); Walsh correlations are ±1 dot
+    * products, so every coefficient is an EXACT long and the only double
+    * is the presentation-time normalization by sample count. Same linear
+    * sample explode + per-doc two-phase aggregate shape as the waveform
+    * query; all codegen column expressions, byte-for-byte replayed in
+    * DuckDB via the ascii(substr) convention.
+    */
+  private val multimodalHadamard = Q(
+    "multimodal_hadamard",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("n", (length(col("text")) / 2).cast("int"))
+      val sm0 = Tables.spread(d.filter(col("n") >= 1))
+        .select(col("doc_id"), col("n"), col("text"),
+          explode(sequence(lit(0), col("n") - 1)).as("i"))
+      def byteAt(p: Column): Column = ascii(col("text").substr(p, lit(1)))
+      val u = byteAt(col("i") * 2 + 1) + lit(256) * byteAt(col("i") * 2 + 2)
+      val smp = when(u < 32768, u).otherwise(u - 65536).cast("long")
+      def walsh(k: Int): Column =
+        (lit(1L) - lit(2L) * shiftright(col("i"), k - 1).bitwiseAND(lit(1)))
+          .cast("long")
+      val a = sm0.select(col("doc_id"), col("n"), smp.as("s"), col("i"))
+        .groupBy("doc_id")
+        .agg(max(col("n")).as("n_samples"),
+          sum(col("s") * walsh(1)).as("c1"), sum(col("s") * walsh(2)).as("c2"),
+          sum(col("s") * walsh(3)).as("c3"), sum(col("s") * walsh(4)).as("c4"))
+      d.select(col("doc_id"), col("n"))
+        .join(a, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n").as("n_samples"),
+          coalesce(col("c1"), lit(0L)).as("c1"),
+          coalesce(col("c2"), lit(0L)).as("c2"),
+          coalesce(col("c3"), lit(0L)).as("c3"),
+          coalesce(col("c4"), lit(0L)).as("c4"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, text, length(text) // 2 AS n FROM documents),
+           |sm AS (SELECT doc_id, i,
+           |    CAST(CASE WHEN u < 32768 THEN u ELSE u - 65536 END AS BIGINT) AS s
+           |  FROM (SELECT doc_id, i,
+           |      ascii(substr(text, CAST(i*2+1 AS INT), 1))
+           |        + 256 * ascii(substr(text, CAST(i*2+2 AS INT), 1)) AS u
+           |    FROM d, unnest(range(0, n)) AS t(i))),
+           |a AS (SELECT doc_id,
+           |    CAST(sum(s * (1 - 2 * ((i >> 0) & 1))) AS BIGINT) AS c1,
+           |    CAST(sum(s * (1 - 2 * ((i >> 1) & 1))) AS BIGINT) AS c2,
+           |    CAST(sum(s * (1 - 2 * ((i >> 2) & 1))) AS BIGINT) AS c3,
+           |    CAST(sum(s * (1 - 2 * ((i >> 3) & 1))) AS BIGINT) AS c4
+           |  FROM sm GROUP BY doc_id)
+           |SELECT d.doc_id, CAST(d.n AS INT) AS n_samples,
+           |  COALESCE(a.c1, 0) AS c1, COALESCE(a.c2, 0) AS c2,
+           |  COALESCE(a.c3, 0) AS c3, COALESCE(a.c4, 0) AS c4
+           |FROM d LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin))
+
   val queries: Seq[Q] = Seq(
     multimodalMeta, multimodalDecode, multimodalResize, multimodalFrames,
-    multimodalPhash, multimodalWaveform)
+    multimodalPhash, multimodalWaveform, multimodalHadamard)
 }

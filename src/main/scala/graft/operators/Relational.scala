@@ -1760,6 +1760,87 @@ object Relational {
            |           * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
            |FROM m ORDER BY segment""".stripMargin))
 
+  /** 5-fold cross-validated evaluation of the [[mlOlsTrend]] regression —
+    * the honest-error counterpart to resubstitution scoring: folds are the
+    * deterministic md5 hash of the order key (the [[sampleHashSplit]]
+    * convention — reproducible, engine-portable, no RNG state), each
+    * fold's model trains on the OTHER four folds, and the whole train step
+    * is pure sufficient-statistic algebra: per-fold (n, Σx, Σy, Σxy, Σx²)
+    * aggregates once, and the leave-fold-out training stats are TOTAL −
+    * FOLD — five subtractions on the 5-row frame, no second scan, the
+    * mergeable-partials property doing the actual work. Test-side errors
+    * are one broadcast join of the 5-row coefficient frame back onto the
+    * fact; RMSE accumulates via fine decimals. x is an exact integer day,
+    * y an exact 2-dp decimal, so every sufficient statistic is exact and
+    * slope/intercept/SE are identical double expressions in both engines.
+    */
+  private val mlKfoldCv = Q(
+    "ml_kfold_cv",
+    (s, dir) => {
+      val j = t(s, dir, "orders").select(
+        pmod(md5Hash32(col("o_orderkey").cast("string")), lit(5)).as("fold"),
+        datediff(col("o_orderdate"), lit("2000-01-01")).cast("long").as("x"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("y"))
+      val m = j.groupBy("fold")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+      val tot = m.agg(sum(col("n")).as("tn"), sum(col("sx")).as("tsx"),
+        sum(col("sy")).as("tsy"), sum(col("sxy")).as("tsxy"),
+        sum(col("sxx")).as("tsxx"))
+      val nD = (col("tn") - col("n")).cast("double")
+      val sxD = (col("tsx") - col("sx")).cast("double")
+      val syD = (col("tsy") - col("sy")).cast("double")
+      val num = nD * (col("tsxy") - col("sxy")).cast("double") - sxD * syD
+      val den = nD * (col("tsxx") - col("sxx")).cast("double") - sxD * sxD
+      val coef = m.crossJoin(broadcast(tot))
+        .select(col("fold"), (num / den).as("slp"),
+          ((syD - num / den * sxD) / nD).as("itc"))
+      j.join(broadcast(coef), "fold")
+        .select(col("fold"),
+          (col("y").cast("double") - (col("itc") + col("slp") * col("x")))
+            .as("err"),
+          col("slp"), col("itc"))
+        .groupBy("fold")
+        .agg(count(lit(1)).as("n_test"),
+          round(max(col("slp")), 6).as("slope"),
+          round(max(col("itc")), 6).as("intercept"),
+          round(sqrt(dsumFine(col("err") * col("err")) / count(lit(1))), 6)
+            .as("rmse"))
+        .orderBy("fold")
+    },
+    Some("""WITH j AS (SELECT
+           |    CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT)
+           |      % 5 AS fold,
+           |    datediff('day', DATE '2000-01-01', o_orderdate) AS x,
+           |    CAST(o_totalprice AS DECIMAL(18,2)) AS y
+           |  FROM orders),
+           |m AS (SELECT fold, count(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+           |        SUM(x * y) AS sxy, SUM(x * x) AS sxx
+           |      FROM j GROUP BY fold),
+           |t AS (SELECT SUM(n) AS tn, SUM(sx) AS tsx, SUM(sy) AS tsy,
+           |        SUM(sxy) AS tsxy, SUM(sxx) AS tsxx FROM m),
+           |c AS (SELECT fold,
+           |    (CAST(tn - n AS DOUBLE) * CAST(tsxy - sxy AS DOUBLE)
+           |     - CAST(tsx - sx AS DOUBLE) * CAST(tsy - sy AS DOUBLE))
+           |    / (CAST(tn - n AS DOUBLE) * CAST(tsxx - sxx AS DOUBLE)
+           |       - CAST(tsx - sx AS DOUBLE) * CAST(tsx - sx AS DOUBLE)) AS slp,
+           |    (CAST(tsy - sy AS DOUBLE)
+           |     - (CAST(tn - n AS DOUBLE) * CAST(tsxy - sxy AS DOUBLE)
+           |        - CAST(tsx - sx AS DOUBLE) * CAST(tsy - sy AS DOUBLE))
+           |       / (CAST(tn - n AS DOUBLE) * CAST(tsxx - sxx AS DOUBLE)
+           |          - CAST(tsx - sx AS DOUBLE) * CAST(tsx - sx AS DOUBLE))
+           |       * CAST(tsx - sx AS DOUBLE)) / CAST(tn - n AS DOUBLE) AS itc
+           |  FROM m CROSS JOIN t),
+           |e AS (SELECT j.fold, CAST(y AS DOUBLE) - (itc + slp * x) AS err,
+           |        slp, itc
+           |      FROM j JOIN c ON j.fold = c.fold)
+           |SELECT fold, count(*) AS n_test,
+           |  round(max(slp), 6) AS slope, round(max(itc), 6) AS intercept,
+           |  round(sqrt(CAST(SUM(CAST(err * err AS DECIMAL(38,20))) AS DOUBLE)
+           |    / count(*)), 6) AS rmse
+           |FROM e GROUP BY fold ORDER BY fold""".stripMargin))
+
   /** Per-user daily rate limiting — the quota/throttling pass an event
     * pipeline runs before aggregation (abuse control, fair sampling): keep
     * each user's first 5 events per day (time-ordered, id-tie-broken),
@@ -2559,7 +2640,58 @@ object Relational {
            |   AS dup_keys
            |FROM lineitem""".stripMargin))
 
+  /** Pointwise mutual information between event types co-occurring within
+    * a (user, day) — the "which behaviors travel together" readout behind
+    * session-feature engineering and next-event recommendation (PMI > 0:
+    * the pair co-occurs more than independence predicts). Presence, not
+    * frequency: one distinct (user, day, type) reduction first, so a
+    * burst of clicks counts once — then the pair frame is a self-equi-join
+    * on the user-day key with a < b (fan-out ≤ types² per user-day, types
+    * is a small fixed set), and all probabilities are exact count ratios
+    * against the broadcast user-day total. One ln per OUTPUT row (≤ types²
+    * of them) on identical exact-integer ratios in both engines.
+    */
+  private val eventsPmiPairs = Q(
+    "events_pmi_pairs",
+    (s, dir) => {
+      val ud = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d"), col("event_type"))
+        .distinct()
+      val n = ud.select(col("user_id"), col("d")).distinct()
+        .agg(count(lit(1)).as("n_ud"))
+      val singles = ud.groupBy(col("event_type").as("et"))
+        .agg(count(lit(1)).as("n_t"))
+      val pairs = ud.toDF("user_id", "d", "ta")
+        .join(ud.toDF("user_id", "d", "tb"), Seq("user_id", "d"))
+        .filter(col("ta") < col("tb"))
+        .groupBy("ta", "tb").agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(broadcast(singles.toDF("ta", "n_a")), "ta")
+        .join(broadcast(singles.toDF("tb", "n_b")), "tb")
+        .crossJoin(broadcast(n))
+        .select(col("ta").as("type_a"), col("tb").as("type_b"), col("n_ab"),
+          round(log(col("n_ab").cast("double") * col("n_ud").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double"))), 6)
+            .as("pmi"))
+        .orderBy("type_a", "type_b")
+    },
+    Some("""WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, event_type
+           |  FROM events),
+           |n AS (SELECT count(*) AS n_ud FROM
+           |  (SELECT DISTINCT user_id, d FROM ud)),
+           |s AS (SELECT event_type AS et, count(*) AS n_t FROM ud GROUP BY 1),
+           |p AS (SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS n_ab
+           |  FROM ud a JOIN ud b ON a.user_id = b.user_id AND a.d = b.d
+           |    AND a.event_type < b.event_type
+           |  GROUP BY 1, 2)
+           |SELECT ta AS type_a, tb AS type_b, CAST(n_ab AS BIGINT) AS n_ab,
+           |  round(ln(CAST(n_ab AS DOUBLE) * CAST(n_ud AS DOUBLE) /
+           |    (CAST(sa.n_t AS DOUBLE) * CAST(sb.n_t AS DOUBLE))), 6) AS pmi
+           |FROM p JOIN s sa ON p.ta = sa.et JOIN s sb ON p.tb = sb.et
+           |CROSS JOIN n ORDER BY type_a, type_b""".stripMargin))
+
   val queries: Seq[Q] = Seq(
+    eventsPmiPairs,
     catalogAgg, sampleMixture, qualityChecks, aggFooterStats, tableDiffQ,
     scd2MergeQ, aggHistogram, refPartitionCount,
     aggPricingSummary, q3ShippingPriority,
@@ -2568,7 +2700,7 @@ object Relational {
     windowRankStats, eventsMarkov, eventsTopPaths, eventsUniqueRolling,
     eventsRateLimit, ordersRfm, ordersAbcPareto, ordersBasketRules,
     fkIntegrity, eventsMaxConcurrency, eventsEwmaVolume, mlTargetEncode,
-    mlOlsTrend,
+    mlOlsTrend, mlKfoldCv,
     profileTable, mixtureTemperature,
     joinFuzzy, eventsAnomaly,
     eventsFunnel,

@@ -142,9 +142,16 @@ object Similarity {
   /** Deterministic ±1 hyperplanes (seed 42), 64-dim each; float so they feed
     * the array<float> kernel directly.
     */
-  private lazy val planes: Array[Array[Float]] = {
+  private lazy val planes: Array[Array[Float]] = planesFor(NumPlanes)
+
+  /** Seed-42 ±1 hyperplanes, any count: `Random(42)` draws sequentially,
+    * so the first 16 rows of a larger request are IDENTICAL to [[planes]]
+    * — raising the bit budget extends the plane set without moving the
+    * oracle-pinned defaults.
+    */
+  private def planesFor(n: Int): Array[Array[Float]] = {
     val rnd = new scala.util.Random(42)
-    Array.fill(NumPlanes, 64)(if (rnd.nextBoolean()) 1.0f else -1.0f)
+    Array.fill(n, 64)(if (rnd.nextBoolean()) 1.0f else -1.0f)
   }
 
   // declared AFTER the constants and lshOracle it captures — a val
@@ -223,19 +230,36 @@ object Similarity {
         |GROUP BY t.label, p.pred_label
         |ORDER BY true_label, pred_label""".stripMargin))
 
-  def lshTopK(e: DataFrame, k: Int = 5): DataFrame = {
+  /** LSH top-k with the oracle-pinned default geometry (4 bands × 4 bits).
+    *
+    * SCALE KNOB (measured, SURVEY §6): bucket count per band is 2^bits and
+    * does NOT grow with the corpus, so at fixed bits the candidate stage is
+    * Θ(Σ bucket²) — per-bucket occupancy rises linearly with n and
+    * candidate pairs quadratically (the 10× amplified corpus measured
+    * 10.7× wall on this query while the honest-linear operators sat at
+    * ~2×). The production setting raises `bitsPerBand` by log₂ of the
+    * corpus growth (10× data ≈ +3–4 bits) to hold occupancy — and
+    * therefore per-row cost — constant; recall is then re-bought with more
+    * bands if the threshold regime needs it. The declared query keeps the
+    * 4×4 default because the planes are interpolated into the DuckDB
+    * oracle as literals.
+    */
+  def lshTopK(e: DataFrame, k: Int = 5, bands: Int = Bands,
+              bitsPerBand: Int = BitsPerBand): DataFrame = {
     VectorKernels.register(e.sparkSession)
+    val pl = if (bands * bitsPerBand <= NumPlanes) planes
+             else planesFor(bands * bitsPerBand)
     // Consumed three times (bucketing, query side, neighbor side) — persist
     // so the norm pass runs once. At cluster scale this is the standard
     // MEMORY_AND_DISK persist of a prepared candidate set.
     val withNorm = graft.Caches.track(e.select(col("vec_id"), col("embedding"),
       l2norm(col("embedding")).as("nrm")))
     // sign bit per plane, packed into one bucket id per band
-    val bucketCols = (0 until Bands).map { b =>
-      val bits = (0 until BitsPerBand).map { j =>
+    val bucketCols = (0 until bands).map { b =>
+      val bits = (0 until bitsPerBand).map { j =>
         val plane = array(
           scala.collection.immutable.ArraySeq.unsafeWrapArray(
-            planes(b * BitsPerBand + j).map(lit)): _*)
+            pl(b * bitsPerBand + j).map(lit)): _*)
         when(dot(col("embedding"), plane) >= 0, lit(1L << j)).otherwise(lit(0L))
       }
       struct(lit(b).as("band"), bits.reduce(_ + _).as("bucket")).as(s"bb_$b")
@@ -1320,9 +1344,97 @@ object Similarity {
            |  round(sx / n_dims, 6) AS norm_value
            |FROM a ORDER BY rank_pos LIMIT 100""".stripMargin))
 
+  /** Gini-optimal decision stump over the embedding dims — the weakest
+    * useful learner (the unit a boosting/tree ensemble stacks) and the
+    * fastest "is there any single separating feature?" probe before
+    * spending GD steps: for every dimension, split the corpus at that
+    * dimension's mean and score the weighted Gini impurity of the
+    * (label % 2) classes; report the best dim. ONE n·d-row pass computes
+    * the per-dim means (fine-decimal, exact), ONE more the four split
+    * counts per dim (64-row frame); everything after is closed-form
+    * arithmetic on exact longs, with the arg-min taken on the 9-dp-rounded
+    * score + dim tiebreak (the [[mlKnnClassify]] selection convention).
+    * Two linear shuffles total; nothing about the corpus size reaches the
+    * reduce side but 64 groups.
+    */
+  /** The stump trainer under `ml_decision_stump`, public for the
+    * planted-feature spec: best mean-split (dim, threshold, gini, accuracy)
+    * over an embeddings-shaped frame (vec_id, embedding, label).
+    */
+  def decisionStump(e: DataFrame): DataFrame = {
+      val xy = e.select((col("label") % 2).cast("long").as("y"),
+        posexplode(col("embedding")).as(Seq("i", "xf")))
+        .select(col("y"), col("i"), col("xf").cast("double").as("x"))
+      val mu = xy.groupBy("i")
+        .agg((graft.functions.Deterministic.dsumFine(col("x")) /
+          count(lit(1))).as("mu"))
+      val c = xy.join(broadcast(mu), "i")
+        .groupBy("i")
+        .agg(max(col("mu")).as("mu"),
+          sum(when(col("x") <= col("mu") && col("y") === 1, 1L).otherwise(0L)).as("l1"),
+          sum(when(col("x") <= col("mu") && col("y") === 0, 1L).otherwise(0L)).as("l0"),
+          sum(when(col("x") > col("mu") && col("y") === 1, 1L).otherwise(0L)).as("r1"),
+          sum(when(col("x") > col("mu") && col("y") === 0, 1L).otherwise(0L)).as("r0"))
+      def d(c: Column) = c.cast("double")
+      val nL = col("l0") + col("l1")
+      val nR = col("r0") + col("r1")
+      val n = nL + nR
+      val gL = when(nL > 0,
+        lit(1.0) - (d(col("l0")) * d(col("l0")) + d(col("l1")) * d(col("l1"))) /
+          (d(nL) * d(nL))).otherwise(lit(0.0))
+      val gR = when(nR > 0,
+        lit(1.0) - (d(col("r0")) * d(col("r0")) + d(col("r1")) * d(col("r1"))) /
+          (d(nR) * d(nR))).otherwise(lit(0.0))
+      val gini = (d(nL) * gL + d(nR) * gR) / d(n)
+      val acc = (greatest(col("l0"), col("l1")) + greatest(col("r0"), col("r1")))
+        .cast("double") / d(n)
+      c.select(col("i").as("dim"), col("mu"), gini.as("gini"), acc.as("acc"))
+        .orderBy(round(col("gini"), 9), col("dim"))
+        .limit(1)
+        .select(col("dim"), round(col("mu"), 6).as("threshold"),
+          round(col("gini"), 6).as("gini"), round(col("acc"), 6).as("accuracy"))
+  }
+
+  private val mlDecisionStump = Q(
+    "ml_decision_stump",
+    (s, dir) => decisionStump(emb(s, dir)),
+    Some("""WITH x AS (SELECT CAST(label % 2 AS BIGINT) AS y, CAST(i - 1 AS INT) AS i,
+           |    CAST(embedding[i] AS DOUBLE) AS x
+           |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+           |mu AS (SELECT i, CAST(SUM(CAST(x AS DECIMAL(38,20))) AS DOUBLE)
+           |         / count(*) AS mu
+           |       FROM x GROUP BY i),
+           |c AS (SELECT x.i, max(mu.mu) AS mu,
+           |    CAST(SUM(CASE WHEN x <= mu AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS l1,
+           |    CAST(SUM(CASE WHEN x <= mu AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS l0,
+           |    CAST(SUM(CASE WHEN x > mu AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+           |    CAST(SUM(CASE WHEN x > mu AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS r0
+           |  FROM x JOIN mu ON x.i = mu.i GROUP BY x.i),
+           |g AS (SELECT i AS dim, mu,
+           |    (CAST(l0 + l1 AS DOUBLE) *
+           |       (CASE WHEN l0 + l1 > 0 THEN 1.0 -
+           |          (CAST(l0 AS DOUBLE) * CAST(l0 AS DOUBLE)
+           |           + CAST(l1 AS DOUBLE) * CAST(l1 AS DOUBLE))
+           |          / (CAST(l0 + l1 AS DOUBLE) * CAST(l0 + l1 AS DOUBLE))
+           |        ELSE 0.0 END)
+           |     + CAST(r0 + r1 AS DOUBLE) *
+           |       (CASE WHEN r0 + r1 > 0 THEN 1.0 -
+           |          (CAST(r0 AS DOUBLE) * CAST(r0 AS DOUBLE)
+           |           + CAST(r1 AS DOUBLE) * CAST(r1 AS DOUBLE))
+           |          / (CAST(r0 + r1 AS DOUBLE) * CAST(r0 + r1 AS DOUBLE))
+           |        ELSE 0.0 END))
+           |    / CAST(l0 + l1 + r0 + r1 AS DOUBLE) AS gini,
+           |    CAST(greatest(l0, l1) + greatest(r0, r1) AS DOUBLE)
+           |      / CAST(l0 + l1 + r0 + r1 AS DOUBLE) AS acc
+           |  FROM c)
+           |SELECT dim, round(mu, 6) AS threshold, round(gini, 6) AS gini,
+           |  round(acc, 6) AS accuracy
+           |FROM g ORDER BY round(gini, 9), dim LIMIT 1""".stripMargin))
+
   val queries: Seq[Q] = Seq(
     simBruteTopk, simLshAnn, dedupEmbeddingCosine, simIvfAnn,
     dedupSemanticClusters, simQuantizedTopk, simPqTopk, simKmeans,
     simDimStats, simMutualKnn, simPcaPower, mlLogregStep, mlAuc,
-    mlCalibration, simRandProj, mlQuantileNorm, mlKnnClassify, mlPrCurve)
+    mlCalibration, simRandProj, mlQuantileNorm, mlKnnClassify, mlPrCurve,
+    mlDecisionStump)
 }

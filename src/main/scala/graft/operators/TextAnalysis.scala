@@ -1299,6 +1299,68 @@ object TextAnalysis {
          |FROM ex JOIN fin ON ex.lang = fin.lang ORDER BY lang""".stripMargin
     })
 
+  /** Jensen–Shannon divergence between source unigram distributions — the
+    * corpus-mixture distance matrix a data-mixing run reads before setting
+    * sampling weights (JSD is symmetric, bounded by ln 2, and defined even
+    * where KL blows up on disjoint support). For each source pair (a, b):
+    * JSD = ½KL(p‖m) + ½KL(q‖m) with m = ½(p+q), decomposed so only the
+    * SHARED vocabulary is ever joined: tokens private to one side
+    * contribute exactly (ln 2)/2 times their probability mass, so
+    * JSD = Σ_shared [p/2·ln(2p/(p+q)) + q/2·ln(2q/(p+q))]
+    *       + (1−Σ_shared p)·(ln 2)/2 + (1−Σ_shared q)·(ln 2)/2.
+    *
+    * Shape: per-source token counts (one two-phase aggregate), totals
+    * broadcast back, one vocab-keyed self-equi-join restricted to a < b
+    * (pairs ≤ sources², join rows ≤ vocab·pairs), ONE aggregate for the
+    * shared-term sum and both shared masses. Probabilities are single
+    * double divisions of exact longs; the ln terms sum via fine decimals
+    * (order-independent); (ln 2)/2 is interpolated as the same 17-digit
+    * literal into both engines. Linear in the token stream at any scale.
+    */
+  private val textJsdSources = Q(
+    "text_jsd_sources",
+    (s, dir) => {
+      val halfLn2 = math.log(2.0) / 2
+      val cnt = docs(s, dir)
+        .select(col("source"), explode(words(col("text"))).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      val tot = cnt.groupBy("source").agg(sum(col("c")).as("t"))
+      val withP = cnt.join(broadcast(tot), "source")
+        .select(col("source"), col("w"),
+          (col("c").cast("double") / col("t").cast("double")).as("p"))
+      val j = withP.toDF("sa", "w", "pa")
+        .join(withP.toDF("sb", "wb", "pb"),
+          col("w") === col("wb") && col("sa") < col("sb"))
+      j.groupBy("sa", "sb")
+        .agg(count(lit(1)).as("n_shared"),
+          dsumFine(col("pa") / 2 * log(lit(2.0) * col("pa") / (col("pa") + col("pb"))) +
+            col("pb") / 2 * log(lit(2.0) * col("pb") / (col("pa") + col("pb"))))
+            .as("sh"),
+          dsumFine(col("pa")).as("ma"), dsumFine(col("pb")).as("mb"))
+        .select(col("sa").as("source_a"), col("sb").as("source_b"),
+          col("n_shared"),
+          round(col("sh") + (lit(1.0) - col("ma")) * lit(halfLn2) +
+            (lit(1.0) - col("mb")) * lit(halfLn2), 6).as("jsd"))
+        .orderBy("source_a", "source_b")
+    },
+    Some(s"""WITH cnt AS (SELECT source, w, count(*) AS c
+            |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+            |  GROUP BY source, w),
+            |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS t FROM cnt GROUP BY source),
+            |p AS (SELECT cnt.source, w, CAST(c AS DOUBLE) / CAST(t AS DOUBLE) AS p
+            |      FROM cnt JOIN tot ON cnt.source = tot.source),
+            |j AS (SELECT a.source AS sa, b.source AS sb, a.p AS pa, b.p AS pb
+            |      FROM p a JOIN p b ON a.w = b.w AND a.source < b.source)
+            |SELECT sa AS source_a, sb AS source_b,
+            |  CAST(count(*) AS BIGINT) AS n_shared,
+            |  round(CAST(SUM(CAST(pa / 2 * ln(2.0 * pa / (pa + pb)) +
+            |                      pb / 2 * ln(2.0 * pb / (pa + pb)) AS DECIMAL(38,20)))
+            |          AS DOUBLE)
+            |    + (1.0 - CAST(SUM(CAST(pa AS DECIMAL(38,20))) AS DOUBLE)) * ${math.log(2.0) / 2}
+            |    + (1.0 - CAST(SUM(CAST(pb AS DECIMAL(38,20))) AS DOUBLE)) * ${math.log(2.0) / 2},
+            |    6) AS jsd
+            |FROM j GROUP BY sa, sb ORDER BY source_a, source_b""".stripMargin))
+
   val queries: Seq[Q] = Seq(
     textTokens, textTokenFreq, textTfidf, textQuality, textQualityGate,
     textNovelty, textMixtureReport, textLangid,
@@ -1306,7 +1368,7 @@ object TextAnalysis {
     textHeavyHitters, textChunk, textEncode, textRedact, textRepetition,
     textBpe, textBpeEncode, textLmScore, textKnScore, textZipfHead,
     textEntropy, textCmsCounts, textPhraseMine, mlFeatureHash, mlNaiveBayes,
-    mlMutualInfo, textHllDistinct)
+    mlMutualInfo, textHllDistinct, textJsdSources)
 
   /** Mutual-information feature selection: I(token-presence; source) over
     * the 2×2 contingency of each (token, source) pair — the supervised

@@ -506,7 +506,44 @@ object Wrangling {
            |GROUP BY c_mktsegment, c_nationkey
            |ORDER BY segment, nation""".stripMargin))
 
+  /** ε-differentially-private release of the lang × source composition
+    * table — the publish-side complement to [[privacyKAnon]]'s audit: each
+    * cell count is released with Laplace(Δf/ε) noise (sensitivity 1 for a
+    * counting query, ε = 1), the standard DP mechanism. The noise is
+    * DETERMINISTIC-SEEDED the way every random draw in this repo is
+    * ([[sampleWeighted]]'s md5 uniforms): u = (md5(cell-key) mod 2²⁰ + ½)/2²⁰
+    * ∈ (0,1), noise = −sign(u−½)·ln(1−2|u−½|)/ε by Laplace inverse-CDF — so
+    * releases are reproducible across reruns and engines, and the oracle
+    * replays the mechanism bit-for-bit. (A production release would swap
+    * the seed source per epoch; the mechanism and its plan shape — one
+    * two-phase aggregate, noise as a map-side expression on the tiny cell
+    * frame — are the declared operator. true_n rides along as the audit
+    * column this test harness compares; a real release drops it.)
+    */
+  private val privacyDpCounts = Q(
+    "privacy_dp_counts",
+    (s, dir) => {
+      val cells = Tables.load(s, dir, "documents")
+        .groupBy("lang", "source").agg(count(lit(1)).as("true_n"))
+      val u = (pmod(md5Hash32(concat(col("lang"), lit(":"), col("source"))),
+        lit(1048576)).cast("double") + 0.5) / 1048576.0
+      val noise = -signum(u - 0.5) * log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+      cells.select(col("lang"), col("source"), col("true_n"),
+          round((col("true_n").cast("double") + noise), 6).as("released_n"))
+        .orderBy("lang", "source")
+    },
+    Some("""WITH cells AS (SELECT lang, source, count(*) AS true_n
+           |  FROM documents GROUP BY lang, source),
+           |n AS (SELECT lang, source, true_n,
+           |    (CAST(CAST('0x' || substr(md5(lang || ':' || source), 1, 8) AS BIGINT)
+           |       % 1048576 AS DOUBLE) + 0.5) / 1048576.0 AS u
+           |  FROM cells)
+           |SELECT lang, source, CAST(true_n AS BIGINT) AS true_n,
+           |  round(CAST(true_n AS DOUBLE) +
+           |    -sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS released_n
+           |FROM n ORDER BY lang, source""".stripMargin))
+
   val queries: Seq[Q] = Seq(reshapeUnpivot, qualityBenford, qualityMadOutliers,
     eventsGapFill, sampleWeighted, eventsInterpolate, qualityPsiDrift,
-    qualityWinsorize, ordersItemCf, privacyKAnon)
+    qualityWinsorize, ordersItemCf, privacyKAnon, privacyDpCounts)
 }

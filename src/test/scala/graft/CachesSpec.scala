@@ -51,4 +51,23 @@ class CachesSpec extends SparkSuite {
     Caches.release(a)
     assert(pre.storageLevel == StorageLevel.NONE)
   }
+
+  test("memo builds once per (session, key), survives release, falls to releaseAll") {
+    var builds = 0
+    def build() = { builds += 1; spark.range(7).toDF("x") }
+    val f1 = Caches.memo(spark, "memo-spec-key")(build())
+    assert(f1.count() == 7 && builds == 1)
+    // the per-operation release boundary must NOT evict the memo
+    Caches.release(spark)
+    val f2 = Caches.memo(spark, "memo-spec-key")(build())
+    assert(builds == 1, "memo rebuilt despite being cached")
+    assert(f2.count() == 7)
+    // a different key builds independently
+    Caches.memo(spark, "memo-spec-key-2")(build())
+    assert(builds == 2)
+    Caches.releaseAll()
+    Caches.memo(spark, "memo-spec-key")(build())
+    assert(builds == 3, "releaseAll should clear memos")
+    Caches.releaseAll()
+  }
 }

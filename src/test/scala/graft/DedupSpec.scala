@@ -345,4 +345,37 @@ class DedupSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(rows("dedup_decontaminate_bloom") == rows("dedup_decontaminate"))
   }
+
+  test("containment flags a subset pair that Jaccard misses") {
+    import spark.implicits._
+    // doc 2 = an interior 8-token run of doc 1: every shingle of 2 is in 1
+    // (C = 1.0) while the union is dominated by doc 1 (J << 0.8)
+    val big = (1 to 30).map(i => s"w$i").mkString(" ")
+    val small = (11 to 18).map(i => s"w$i").mkString(" ")
+    val d = Seq((1L, big, "en"), (2L, small, "en"), (3L, "unrelated text here", "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = Dedup.containmentPairs(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    assert(got == List((2L, 1L, 1.0)), got.toString)
+    val j = Dedup.jaccardPairs(d).count()
+    assert(j == 0, s"jaccard unexpectedly caught the subset pair ($j rows)")
+  }
+
+  test("cdc chunks after the first cut are invariant to a front insertion") {
+    import spark.implicits._
+    val toks = (0 until 200).map(i => s"t$i")
+    val base = toks.mkString(" ")
+    val shifted = ("NEW " + base)
+    val d = Seq((1L, base), (2L, shifted)).toDF("doc_id", "text")
+    val ch = Dedup.cdcChunks(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val baseChunks = ch.filter(_._1 == 1L).sortBy(_._2).map(_._3).toList
+    val shiftChunks = ch.filter(_._1 == 2L).sortBy(_._2).map(_._3).toList
+    assert(baseChunks.size >= 2, s"expected >=1 content cut, got $baseChunks")
+    // content cuts travel with the tokens: every chunk after the first is
+    // byte-identical across the insertion; only the head chunk grew
+    assert(shiftChunks.tail == baseChunks.tail,
+      s"base=$baseChunks shifted=$shiftChunks")
+    assert(shiftChunks.head == "NEW " + baseChunks.head)
+  }
 }

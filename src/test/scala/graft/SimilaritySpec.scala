@@ -241,4 +241,35 @@ class SimilaritySpec extends SparkSuite {
     assert((2 until 64).forall(i => w(i) == 0.0),
       "zero-variance dims picked up weight")
   }
+
+  test("decision stump finds the planted separating dimension") {
+    import spark.implicits._
+    // dim 3 perfectly separates label parity; every other dim is constant
+    val pts = (0 until 40).map { k =>
+      val v = Array.fill(64)(0.5f)
+      v(3) = if (k % 2 == 1) 1.0f else -1.0f
+      (k.toLong, v, k % 2)
+    }
+    val d = pts.toDF("vec_id", "embedding", "label")
+    val r = Similarity.decisionStump(d).collect().head
+    assert(r.getAs[Int]("dim") == 3, r.toString)
+    assert(r.getAs[Double]("gini") == 0.0, r.toString)
+    assert(r.getAs[Double]("accuracy") == 1.0, r.toString)
+  }
+
+  test("scaled LSH geometry: default args equal the pinned 4x4, wider bits keep full lists") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val default = key(Similarity.lshTopK(e, 5))
+    val explicit = key(Similarity.lshTopK(e, 5, 4, 4))
+    assert(default == explicit, "explicit 4x4 must equal the pinned default")
+    // the scale knob (more bits = smaller buckets) must still produce
+    // non-empty ranked lists per query at this corpus size — occupancy
+    // drops, candidates shrink, the operator stays sound
+    val scaled = Similarity.lshTopK(e, 5, 4, 6)
+    val n = scaled.select("q_id").distinct().count()
+    assert(n > 0, "scaled geometry produced no neighbor lists")
+    Caches.release(spark)
+  }
 }
