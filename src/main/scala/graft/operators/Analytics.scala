@@ -637,9 +637,68 @@ object Analytics {
            |FROM base b LEFT JOIN g USING (user_id)
            |ORDER BY user_id""".stripMargin))
 
+  /** Cohort lifetime-value triangle — customers grouped by FIRST-order
+    * year, revenue tracked per order-age year, with the cumulative
+    * per-customer LTV each cohort has accrued by each age (the
+    * acquisition-economics readout; the events-side cohort retention
+    * counts users, this one follows the money). Shapes: first-order year
+    * is one per-customer aggregate joined back onto orders (key join, no
+    * window over the fact); the triangle is a two-phase decimal-exact
+    * aggregate on (cohort, age); the cumulative LTV window runs over that
+    * TINY triangle frame partitioned by cohort (the ABC-Pareto stance:
+    * ordered windows only over aggregates). cum_rev stays DECIMAL through
+    * the window sum — exact — and divides by the cohort size once per
+    * output row.
+    */
+  private val ordersCohortLtv = Q(
+    "orders_cohort_ltv",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_custkey"), year(col("o_orderdate")).as("yr"),
+          col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+            .as("rev"))
+      val first = o.groupBy("o_custkey").agg(min(col("yr")).as("cohort"))
+      val tri = o.join(first, "o_custkey")
+        .groupBy(col("cohort"), (col("yr") - col("cohort")).as("age"))
+        .agg(countDistinct(col("o_custkey")).as("n_active"),
+          sum(col("rev")).as("revenue"))
+      val size = first.groupBy("cohort")
+        .agg(countDistinct(col("o_custkey")).as("n_cohort"))
+      val w = Window.partitionBy("cohort").orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tri.join(broadcast(size), "cohort")
+        .withColumn("cum_rev", sum(col("revenue")).over(w))
+        .select(col("cohort").cast("long").as("cohort"),
+          col("age").cast("long").as("age"), col("n_active"), col("n_cohort"),
+          col("revenue").cast("double").as("revenue"),
+          round(col("cum_rev").cast("double") / col("n_cohort").cast("double"), 6)
+            .as("ltv_per_customer"))
+        .orderBy("cohort", "age")
+    },
+    Some("""WITH o AS (SELECT o_custkey, year(o_orderdate) AS yr,
+           |    CAST(o_totalprice AS DECIMAL(18,2)) AS rev FROM orders),
+           |f AS (SELECT o_custkey, min(yr) AS cohort FROM o GROUP BY o_custkey),
+           |tri AS (SELECT cohort, yr - cohort AS age,
+           |    count(DISTINCT o.o_custkey) AS n_active, SUM(rev) AS revenue
+           |  FROM o JOIN f ON o.o_custkey = f.o_custkey GROUP BY 1, 2),
+           |sz AS (SELECT cohort, count(DISTINCT o_custkey) AS n_cohort
+           |       FROM f GROUP BY cohort),
+           |c AS (SELECT tri.cohort, age, n_active, n_cohort,
+           |    CAST(revenue AS DOUBLE) AS revenue,
+           |    SUM(revenue) OVER (PARTITION BY tri.cohort ORDER BY age
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+           |  FROM tri JOIN sz ON tri.cohort = sz.cohort)
+           |SELECT CAST(cohort AS BIGINT) AS cohort, CAST(age AS BIGINT) AS age,
+           |  CAST(n_active AS BIGINT) AS n_active,
+           |  CAST(n_cohort AS BIGINT) AS n_cohort, revenue,
+           |  round(CAST(cum_rev AS DOUBLE) / CAST(n_cohort AS DOUBLE), 6)
+           |    AS ltv_per_customer
+           |FROM c ORDER BY cohort, age""".stripMargin))
+
   val queries: Seq[Q] = Seq(
     q2MinCostSupplier, q4OrderPriority, q8MarketShare, q11ImportantParts,
     q12LateShipments, q15TopSupplier, q16PartsSuppliers, q17SmallQtyRevenue,
     q19DisjunctivePushdown, q20ExcessShare, q21WaitingSupplier,
-    q22SalesOpportunity, q9ProductProfit, eventsBotDetect)
+    q22SalesOpportunity, q9ProductProfit, eventsBotDetect, ordersCohortLtv)
 }

@@ -674,7 +674,94 @@ object Graph {
            |     sqrt(CAST(m * syy - sy * sy AS DOUBLE))), 6) AS assortativity
            |FROM mo""".stripMargin))
 
+  /** Bounded-horizon harmonic centrality over the supp ≥ 2 co-purchase
+    * graph: H₃(u) = Σ_{v, d(u,v) ≤ 3} 1/d(u,v) — the "how quickly can u
+    * reach everything nearby" score (harmonic, not closeness, because it
+    * is well-defined on disconnected graphs; the 3-hop horizon is the
+    * standard bounded approximation that keeps all-sources computation
+    * linear-ish). Frontier algebra, not per-source BFS: the distance-2
+    * pair set is ONE self-join of the adjacency minus the distance-1 set,
+    * distance-3 expands the exact d2 frontier once more — each round an
+    * equi-join + distinct + anti-join on a pair key. The scale levers are
+    * the [[adamicAdar]] HUB CAP on EXPANSION-THROUGH nodes (paths routed
+    * through deg > 64 hubs are dropped — the documented approximation,
+    * same noise-cut argument) and the exact-d2 base for round 3 (never
+    * re-expanding d1 ∪ d2). 1/2 and 1/3 are the same IEEE divisions of
+    * exact longs in both engines.
+    */
+  private val graphHarmonic = Q(
+    "graph_harmonic",
+    (s, dir) => {
+      val hubCap = 64
+      val l = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      val edges = l.select(col("ok"), col("p").as("a"))
+        .join(l.select(col("ok"), col("p").as("b")), "ok")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("supp"))
+        .filter(col("supp") >= 2)
+        .select("a", "b").localCheckpoint()
+      val und = edges.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+      val deg = und.groupBy("u").agg(count(lit(1)).as("dg"))
+      // expansion steps route only through sub-cap intermediates
+      val thru = und.join(deg.filter(col("dg") <= hubCap)
+        .select(col("u").as("v")), "v")
+        .select(col("u"), col("v")).localCheckpoint()
+      val d1 = und
+      val d2 = d1.join(thru.toDF("m", "w"), col("v") === col("m"))
+        .select(col("u"), col("w").as("v")).distinct()
+        .filter(col("u") =!= col("v"))
+        .join(d1, Seq("u", "v"), "left_anti").localCheckpoint()
+      val d3 = d2.join(thru.toDF("m", "w"), col("v") === col("m"))
+        .select(col("u"), col("w").as("v")).distinct()
+        .filter(col("u") =!= col("v"))
+        .join(d1, Seq("u", "v"), "left_anti")
+        .join(d2, Seq("u", "v"), "left_anti")
+      def cnt(df: DataFrame, out: String) =
+        df.groupBy("u").agg(count(lit(1)).as(out))
+      cnt(d1, "n1")
+        .join(cnt(d2, "n2"), Seq("u"), "left")
+        .join(cnt(d3, "n3"), Seq("u"), "left")
+        .select(col("u").as("node"),
+          col("n1"), coalesce(col("n2"), lit(0L)).as("n2"),
+          coalesce(col("n3"), lit(0L)).as("n3"),
+          round(col("n1").cast("double") +
+            coalesce(col("n2"), lit(0L)).cast("double") / 2.0 +
+            coalesce(col("n3"), lit(0L)).cast("double") / 3.0, 6).as("harmonic"))
+        .orderBy(col("harmonic").desc, col("node"))
+        .limit(20)
+        .orderBy(col("harmonic").desc, col("node"))
+    },
+    Some("""WITH l AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+           |e AS (SELECT a, b FROM (SELECT x.p AS a, y.p AS b, count(*) AS supp
+           |        FROM l x JOIN l y ON x.ok = y.ok AND x.p < y.p
+           |        GROUP BY x.p, y.p) WHERE supp >= 2),
+           |und AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e),
+           |deg AS (SELECT u, count(*) AS dg FROM und GROUP BY u),
+           |thru AS (SELECT und.u, und.v FROM und
+           |         JOIN deg ON und.v = deg.u WHERE deg.dg <= 64),
+           |d2 AS (SELECT u, v FROM (
+           |    SELECT DISTINCT a.u, t.v FROM und a JOIN thru t ON a.v = t.u
+           |    WHERE a.u != t.v) q
+           |  WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.u = q.u AND und.v = q.v)),
+           |d3 AS (SELECT u, v FROM (
+           |    SELECT DISTINCT d2.u, t.v FROM d2 JOIN thru t ON d2.v = t.u
+           |    WHERE d2.u != t.v) x
+           |  WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.u = x.u AND und.v = x.v)
+           |    AND NOT EXISTS (SELECT 1 FROM d2 WHERE d2.u = x.u AND d2.v = x.v)),
+           |c1 AS (SELECT u, count(*) AS n1 FROM und GROUP BY u),
+           |c2 AS (SELECT u, count(*) AS n2 FROM d2 GROUP BY u),
+           |c3 AS (SELECT u, count(*) AS n3 FROM d3 GROUP BY u)
+           |SELECT c1.u AS node, CAST(n1 AS BIGINT) AS n1,
+           |  CAST(COALESCE(n2, 0) AS BIGINT) AS n2,
+           |  CAST(COALESCE(n3, 0) AS BIGINT) AS n3,
+           |  round(CAST(n1 AS DOUBLE) + CAST(COALESCE(n2, 0) AS DOUBLE) / 2.0
+           |    + CAST(COALESCE(n3, 0) AS DOUBLE) / 3.0, 6) AS harmonic
+           |FROM c1 LEFT JOIN c2 ON c1.u = c2.u LEFT JOIN c3 ON c1.u = c3.u
+           |ORDER BY harmonic DESC, node LIMIT 20""".stripMargin))
+
   val queries: Seq[Q] = Seq(graphPagerank, graphBfsReach, graphTriangles,
     graphLabelProp, graphKcore, graphLinkPredict, graphPpr,
-    graphAssortativity)
+    graphAssortativity, graphHarmonic)
 }

@@ -1841,6 +1841,58 @@ object Relational {
            |    / count(*)), 6) AS rmse
            |FROM e GROUP BY fold ORDER BY fold""".stripMargin))
 
+  /** Per-day error-rate monitor with a Wilson 95 % lower confidence bound —
+    * the alerting primitive a pipeline pages on: a day alerts only when the
+    * STATISTICALLY CONSERVATIVE lower bound of its error rate clears the
+    * corpus baseline, so low-volume days with a couple of errors don't
+    * page (the Wilson interval is the standard small-n-safe choice over
+    * the normal approximation). One two-phase (day) aggregate of exact
+    * longs; the baseline rides a broadcast 1-row frame; the bound is a
+    * single double expression of exact integers with the z = 1.96 literal
+    * identical in both engines.
+    */
+  private val eventsErrorRateAlert = Q(
+    "events_error_rate_alert",
+    (s, dir) => {
+      val d = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("e"))
+      val base = d.agg((sum(col("e")).cast("double") /
+        sum(col("n")).cast("double")).as("base_rate"))
+      val z2 = lit(1.96) * lit(1.96)
+      val nD = col("n").cast("double")
+      val p = col("e").cast("double") / nD
+      val low = (p + z2 / (lit(2) * nD) -
+        lit(1.96) * sqrt(p * (lit(1.0) - p) / nD + z2 / (lit(4) * nD * nD))) /
+        (lit(1.0) + z2 / nD)
+      d.crossJoin(broadcast(base))
+        .select(col("d"), col("n").as("n_events"), col("e").as("n_errors"),
+          round(p, 6).as("rate"), round(low, 6).as("ci_low"),
+          round(col("base_rate"), 6).as("base_rate"),
+          (low > col("base_rate")).as("alert"))
+        .orderBy("d")
+    },
+    Some("""WITH d AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n,
+           |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS e
+           |  FROM events GROUP BY 1),
+           |b AS (SELECT CAST(SUM(e) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+           |        AS base_rate FROM d),
+           |c AS (SELECT d.d, n, e, b.base_rate,
+           |    CAST(e AS DOUBLE) / n AS p, CAST(n AS DOUBLE) AS nd
+           |  FROM d CROSS JOIN b)
+           |SELECT d, CAST(n AS BIGINT) AS n_events, e AS n_errors,
+           |  round(p, 6) AS rate,
+           |  round((p + 1.96*1.96 / (2*nd)
+           |    - 1.96 * sqrt(p * (1.0 - p) / nd + 1.96*1.96 / (4*nd*nd)))
+           |    / (1.0 + 1.96*1.96 / nd), 6) AS ci_low,
+           |  round(base_rate, 6) AS base_rate,
+           |  (p + 1.96*1.96 / (2*nd)
+           |    - 1.96 * sqrt(p * (1.0 - p) / nd + 1.96*1.96 / (4*nd*nd)))
+           |    / (1.0 + 1.96*1.96 / nd) > base_rate AS alert
+           |FROM c ORDER BY d""".stripMargin))
+
   /** Per-user daily rate limiting — the quota/throttling pass an event
     * pipeline runs before aggregation (abuse control, fair sampling): keep
     * each user's first 5 events per day (time-ordered, id-tie-broken),
@@ -2700,7 +2752,7 @@ object Relational {
     windowRankStats, eventsMarkov, eventsTopPaths, eventsUniqueRolling,
     eventsRateLimit, ordersRfm, ordersAbcPareto, ordersBasketRules,
     fkIntegrity, eventsMaxConcurrency, eventsEwmaVolume, mlTargetEncode,
-    mlOlsTrend, mlKfoldCv,
+    mlOlsTrend, mlKfoldCv, eventsErrorRateAlert,
     profileTable, mixtureTemperature,
     joinFuzzy, eventsAnomaly,
     eventsFunnel,

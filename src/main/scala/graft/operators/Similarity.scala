@@ -1431,10 +1431,48 @@ object Similarity {
            |  round(acc, 6) AS accuracy
            |FROM g ORDER BY round(gini, 9), dim LIMIT 1""".stripMargin))
 
+  /** Cosine RANGE query — the "everything within θ of this anchor" API
+    * member beside top-k ([[simBruteTopk]]) and threshold self-join
+    * ([[tiledCosinePairs]]): one anchor vector (vec_id 0, the corpus
+    * min) broadcast against the corpus, every dot a codegen'd
+    * [[FloatVecDot]], one filter, distributed top-ordering of the matches.
+    * Map-only until the final sort — the 1×n shape whose scale path at
+    * many anchors is the LSH/IVF bucket route; a single range probe is
+    * exactly a broadcast scan and should plan as one.
+    */
+  private val simRangeQuery = Q(
+    "sim_range_query",
+    (s, dir) => {
+      VectorKernels.register(s)
+      val raw = Tables.load(s, dir, "embeddings")
+      val seed = broadcast(raw.filter(col("vec_id") === 0)
+        .select(col("embedding").as("s_emb"))
+        .withColumn("s_nrm", l2norm(col("s_emb"))))
+      emb(s, dir).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
+        .crossJoin(seed)
+        .withColumn("cos",
+          dot(col("embedding"), col("s_emb")) / (col("nrm") * col("s_nrm")))
+        .filter(col("cos") >= 0.25)
+        .select(col("vec_id"), round(col("cos"), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding,
+           |   sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+           | FROM embeddings),
+           |s AS (SELECT embedding AS s_emb, nrm AS s_nrm FROM e WHERE vec_id = 0),
+           |c AS (SELECT e.vec_id,
+           |   list_sum(list_transform(range(1, 65),
+           |     i -> CAST(e.embedding[i] AS DOUBLE) * CAST(s.s_emb[i] AS DOUBLE)))
+           |     / (e.nrm * s.s_nrm) AS cos
+           | FROM e CROSS JOIN s WHERE e.vec_id != 0)
+           |SELECT vec_id, round(cos, 6) AS cosine FROM c
+           |WHERE cos >= 0.25 ORDER BY cosine DESC, vec_id""".stripMargin))
+
   val queries: Seq[Q] = Seq(
     simBruteTopk, simLshAnn, dedupEmbeddingCosine, simIvfAnn,
     dedupSemanticClusters, simQuantizedTopk, simPqTopk, simKmeans,
     simDimStats, simMutualKnn, simPcaPower, mlLogregStep, mlAuc,
     mlCalibration, simRandProj, mlQuantileNorm, mlKnnClassify, mlPrCurve,
-    mlDecisionStump)
+    mlDecisionStump, simRangeQuery)
 }

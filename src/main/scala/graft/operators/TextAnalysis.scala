@@ -1361,6 +1361,52 @@ object TextAnalysis {
             |    6) AS jsd
             |FROM j GROUP BY sa, sb ORDER BY source_a, source_b""".stripMargin))
 
+  /** Vocabulary coverage curve — what fraction of the corpus token MASS the
+    * top-k vocabulary covers, at k ∈ {100, 1k, 10k}: the sizing readout a
+    * tokenizer/vocab decision reads (BPE merge budget, OOV rate at a cap).
+    * Each point is a DISTRIBUTED top-k (TakeOrderedAndProject on the
+    * vocabulary-sized count frame — the text_vocab stance: no global
+    * ordered window) reduced to one mass sum; three points union; the
+    * total rides a broadcast 1-row frame. Tie order at the k boundary is
+    * pinned by (count desc, token).
+    */
+  private val textNgramCoverage = Q(
+    "text_ngram_coverage",
+    (s, dir) => {
+      val cnt = graft.Caches.track(docs(s, dir)
+        .select(explode(words(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c")))
+      val tot = cnt.agg(sum(col("c")).as("t"), count(lit(1)).as("n_vocab"))
+      val pts = Seq(100, 1000, 10000).map { k =>
+        cnt.orderBy(col("c").desc, col("w")).limit(k)
+          .agg(sum(col("c")).as("covered"), count(lit(1)).as("n_terms"))
+          .select(lit(k.toLong).as("k"), col("n_terms"), col("covered"))
+      }.reduce(_ unionByName _)
+      pts.crossJoin(broadcast(tot))
+        .select(col("k"), col("n_terms"), col("covered"), col("n_vocab"),
+          round(col("covered").cast("double") / col("t").cast("double"), 6)
+            .as("coverage"))
+        .orderBy("k")
+    },
+    Some("""WITH cnt AS (SELECT w, count(*) AS c
+           |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           |  GROUP BY w),
+           |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t,
+           |               count(*) AS n_vocab FROM cnt),
+           |p AS (
+           |  SELECT CAST(100 AS BIGINT) AS k, count(*) AS n_terms,
+           |      CAST(SUM(c) AS BIGINT) AS covered
+           |    FROM (SELECT c FROM cnt ORDER BY c DESC, w LIMIT 100)
+           |  UNION ALL
+           |  SELECT 1000, count(*), CAST(SUM(c) AS BIGINT)
+           |    FROM (SELECT c FROM cnt ORDER BY c DESC, w LIMIT 1000)
+           |  UNION ALL
+           |  SELECT 10000, count(*), CAST(SUM(c) AS BIGINT)
+           |    FROM (SELECT c FROM cnt ORDER BY c DESC, w LIMIT 10000))
+           |SELECT k, n_terms, covered, n_vocab,
+           |  round(CAST(covered AS DOUBLE) / CAST(t AS DOUBLE), 6) AS coverage
+           |FROM p CROSS JOIN tot ORDER BY k""".stripMargin))
+
   val queries: Seq[Q] = Seq(
     textTokens, textTokenFreq, textTfidf, textQuality, textQualityGate,
     textNovelty, textMixtureReport, textLangid,
@@ -1368,7 +1414,7 @@ object TextAnalysis {
     textHeavyHitters, textChunk, textEncode, textRedact, textRepetition,
     textBpe, textBpeEncode, textLmScore, textKnScore, textZipfHead,
     textEntropy, textCmsCounts, textPhraseMine, mlFeatureHash, mlNaiveBayes,
-    mlMutualInfo, textHllDistinct, textJsdSources)
+    mlMutualInfo, textHllDistinct, textJsdSources, textNgramCoverage)
 
   /** Mutual-information feature selection: I(token-presence; source) over
     * the 2×2 contingency of each (token, source) pair — the supervised

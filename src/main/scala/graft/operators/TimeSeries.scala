@@ -396,6 +396,101 @@ object TimeSeries {
            |FROM fut CROSS JOIN co JOIN si ON fut.day % 7 = si.dow
            |ORDER BY day""".stripMargin))
 
+  /** DAU / WAU / MAU engagement panel with the DAU/MAU stickiness ratio —
+    * the standing product-health readout over the event stream. All three
+    * distinct-user counts use the bounded-fanout explode idiom
+    * (`events_unique_rolling`): each (user, active-day) row fans out to
+    * the ≤ 1/7/28 trailing-window END days it contributes to (a Generate,
+    * never a range join or a per-day rescan), then ONE two-phase
+    * count-distinct per window size. Window ends are capped at the stream
+    * maximum via the broadcast 1-row extent; early days carry partial
+    * (shorter-history) windows, the standard dashboard convention.
+    * Fan-out is a fixed ×36 of the DISTINCT user-day frame — linear at
+    * any scale. Stickiness = dau/mau is one double division of exact
+    * longs.
+    */
+  private val eventsDauWauMau = Q(
+    "events_dau_wau_mau",
+    (s, dir) => {
+      val au = Tables.load(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val mx = au.agg(max(col("d")).as("mxd"))
+      def windowed(len: Int, out: String): DataFrame = au
+        .select(col("user_id"),
+          explode(sequence(col("d"), date_add(col("d"), len - 1))).as("w"))
+        .crossJoin(broadcast(mx))
+        .filter(col("w") <= col("mxd"))
+        .groupBy(col("w").as("d"))
+        .agg(countDistinct(col("user_id")).as(out))
+      windowed(1, "dau")
+        .join(windowed(7, "wau"), "d")
+        .join(windowed(28, "mau"), "d")
+        .select(col("d"), col("dau"), col("wau"), col("mau"),
+          round(col("dau").cast("double") / col("mau").cast("double"), 6)
+            .as("stickiness"))
+        .orderBy("d")
+    },
+    Some("""WITH au AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+           |mx AS (SELECT max(d) AS mxd FROM au),
+           |dau AS (SELECT d, count(DISTINCT user_id) AS dau FROM au GROUP BY d),
+           |wau AS (SELECT d + CAST(off AS INT) AS d, count(DISTINCT user_id) AS wau
+           |        FROM au, mx, unnest(range(0, 7)) AS t(off)
+           |        WHERE d + CAST(off AS INT) <= mxd GROUP BY 1),
+           |mau AS (SELECT d + CAST(off AS INT) AS d, count(DISTINCT user_id) AS mau
+           |        FROM au, mx, unnest(range(0, 28)) AS t(off)
+           |        WHERE d + CAST(off AS INT) <= mxd GROUP BY 1)
+           |SELECT dau.d AS d, dau.dau, wau.wau, mau.mau,
+           |  round(CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE), 6) AS stickiness
+           |FROM dau JOIN wau ON dau.d = wau.d JOIN mau ON dau.d = mau.d
+           |ORDER BY d""".stripMargin))
+
+  /** Time-to-convert distribution through the view → purchase funnel — the
+    * latency companion to `events_funnel`'s step counts: per converting
+    * user, the gap from FIRST view to FIRST subsequent purchase, reduced
+    * to one summary row (count, min/p50/p90/max/mean seconds). Durations
+    * are exact integer microsecond diffs; the percentiles interpolate on
+    * those exact longs (the agg_percentile_exact convention — bit-identical
+    * to quantile_cont) and convert to seconds as one double division at
+    * presentation. Two keyed aggregates + one equi-join; the summary is a
+    * single global aggregate over the per-user frame.
+    */
+  private val eventsFunnelTime = Q(
+    "events_funnel_time",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val fv = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("v"))
+      val fp = ev.filter(col("event_type") === "purchase")
+        .join(fv, "user_id")
+        .filter(col("ts") >= col("v"))
+        .groupBy("user_id").agg(min(col("ts")).as("p"), max(col("v")).as("v"))
+      val dur = fp.select((expr("unix_micros(p)") - expr("unix_micros(v)"))
+        .as("us"))
+      dur.agg(count(lit(1)).as("n_converted"),
+          (min(col("us")).cast("double") / 1e6).as("min_s"),
+          (percentile(col("us"), lit(0.5)) / 1e6).as("p50_s"),
+          (percentile(col("us"), lit(0.9)) / 1e6).as("p90_s"),
+          (max(col("us")).cast("double") / 1e6).as("max_s"),
+          round(graft.functions.Deterministic.dsumFine(col("us").cast("double"))
+            / count(lit(1)) / 1e6, 6).as("mean_s"))
+    },
+    Some("""WITH fv AS (SELECT user_id, min(ts) AS v FROM events
+           |            WHERE event_type = 'view' GROUP BY user_id),
+           |fp AS (SELECT e.user_id, min(e.ts) AS p, max(fv.v) AS v
+           |       FROM events e JOIN fv ON e.user_id = fv.user_id
+           |       WHERE e.event_type = 'purchase' AND e.ts >= fv.v
+           |       GROUP BY e.user_id),
+           |dur AS (SELECT epoch_us(p) - epoch_us(v) AS us FROM fp)
+           |SELECT count(*) AS n_converted,
+           |  CAST(min(us) AS DOUBLE) / 1e6 AS min_s,
+           |  quantile_cont(us, 0.5) / 1e6 AS p50_s,
+           |  quantile_cont(us, 0.9) / 1e6 AS p90_s,
+           |  CAST(max(us) AS DOUBLE) / 1e6 AS max_s,
+           |  round(CAST(SUM(CAST(CAST(us AS DOUBLE) AS DECIMAL(38,20))) AS DOUBLE)
+           |    / count(*) / 1e6, 6) AS mean_s
+           |FROM dur""".stripMargin))
+
   val queries: Seq[Q] = Seq(eventsSeasonal, eventsChangepoint, eventsAutocorr,
-    eventsSurvival, eventsHllRolling, eventsForecast)
+    eventsSurvival, eventsHllRolling, eventsForecast, eventsDauWauMau,
+    eventsFunnelTime)
 }

@@ -537,4 +537,45 @@ class PlanSpec extends SparkSuite {
     val p = plan("ml_knn_classify")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("graph_harmonic frontier rounds stay equi-join + anti-join, no nested loop") {
+    val p = plan("graph_harmonic")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoop"), p)
+    // the final ranking is distributed top-k
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("events_dau_wau_mau fans out map-side, no range join") {
+    val p = plan("events_dau_wau_mau")
+    // the 1/7/28-day trailing windows are Generates (explode), never a
+    // BETWEEN-style range join over the day frame; the only nested-loop
+    // joins are the 1-row max-day scalar crosses (the unique_rolling
+    // convention), and the three window frames combine by hash join
+    assert("Generate".r.findAllIn(p).size >= 3, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("orders_cohort_ltv runs its cumulative window over the cohort aggregate") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow, Aggregate => LAgg}
+    val opt = Queries.byName("orders_cohort_ltv").run(spark, sfDir)
+      .queryExecution.optimizedPlan
+    val ws = opt.collect { case w: LWindow => w }
+    assert(ws.size == 1, s"expected one cumulative window, got ${ws.size}")
+    assert(ws.head.partitionSpec.nonEmpty, "LTV window must partition by cohort")
+    // the window input is the (cohort, age) triangle aggregate, never raw orders
+    assert(ws.head.collectFirst { case a: LAgg => a }.nonEmpty,
+      s"window reads a non-aggregated child:\n${ws.head}")
+  }
+
+  test("ml_kfold_cv trains from per-fold partials, coefficients broadcast back") {
+    val p = plan("ml_kfold_cv")
+    // leave-fold-out = total - fold on the 5-row stats frame: the join of
+    // coefficients back onto the fact must be broadcast, not sort-merge
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // two-phase aggregation of the sufficient statistics
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+  }
 }

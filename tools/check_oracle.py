@@ -73,22 +73,33 @@ def main(sf_dir, out_dir, only=()):
             # HUGEINT lands as float64 and hash-mismatches an int64 column
             # even when every value is equal (the round-8 5-query slip).
             # Compare integer-ness of the DECLARED types, not the values.
-            INT_DUCK = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
-                        "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
-            INT_ARROW = {"int8", "int16", "int32", "int64",
-                         "uint8", "uint16", "uint32", "uint64"}
+            INT_DUCK = {"TINYINT": 8, "SMALLINT": 16, "INTEGER": 32,
+                        "BIGINT": 64, "HUGEINT": 128, "UTINYINT": 8,
+                        "USMALLINT": 16, "UINTEGER": 32, "UBIGINT": 64}
+            INT_ARROW = {"int8": 8, "int16": 16, "int32": 32, "int64": 64,
+                         "uint8": 8, "uint16": 16, "uint32": 32, "uint64": 64}
             duck_types = {c: str(t) for c, t in zip(duck.columns, duck.types)}
-            bad_t = []
+            bad_t, warn_t = [], []
             for c in s_cols:
-                s_int = str(spark_tbl.schema.field(c).type) in INT_ARROW
+                s_t = str(spark_tbl.schema.field(c).type)
                 d_t = duck_types[c].upper()
-                d_int = d_t in INT_DUCK
-                d_float = d_t in ("DOUBLE", "FLOAT", "HUGEINT")
-                if s_int and not d_int:
-                    bad_t.append((c, str(spark_tbl.schema.field(c).type), d_t))
-                elif (not s_int) and d_int and \
-                        str(spark_tbl.schema.field(c).type) in ("double", "float"):
-                    bad_t.append((c, str(spark_tbl.schema.field(c).type), d_t))
+                s_w = INT_ARROW.get(s_t)
+                d_w = INT_DUCK.get(d_t)
+                if s_w is not None and d_w is None:
+                    # int on the Spark side, non-int (HUGEINT/DOUBLE) on the
+                    # DuckDB side — the r8 5-query failure class: the driver
+                    # materializes HUGEINT as float64 and hash-diverges
+                    bad_t.append((c, s_t, d_t))
+                elif s_w is None and s_t in ("double", "float") and d_w is not None:
+                    bad_t.append((c, s_t, d_t))
+                elif s_w is not None and d_w is not None and s_w != d_w:
+                    # width-only divergence (int32 vs BIGINT): the driver's
+                    # hash treats these as equal (r8 evidence: four green
+                    # queries carry it) — warn, don't fail
+                    warn_t.append((c, s_t, d_t))
+            if warn_t:
+                print(f"WARNWIDTH {name}: int widths differ (driver "
+                      f"tolerates): {warn_t}")
             if bad_t:
                 print(f"FAILTYPE  {name}: declared types diverge "
                       f"(driver hashes these differently): {bad_t}")
