@@ -36,10 +36,19 @@ object AsOfJoin {
     *                  true = earliest right at-or-after (the same window
     *                  pass over a reversed sort)
     */
+  /** @param toleranceSec when set, a carried match farther than this many
+    *                     seconds from the left timestamp is nulled — the
+    *                     feature-store staleness bound ("use the latest
+    *                     price, but never one older than 30 minutes").
+    *                     Applied AFTER the carry, which is equivalent to
+    *                     restricting the search window: any in-window right
+    *                     row would itself be the carried latest.
+    */
   def apply(left: DataFrame, right: DataFrame, key: String,
             leftTs: String, rightTs: String,
             asOfCol: String = "asof_ts",
-            forward: Boolean = false): DataFrame = {
+            forward: Boolean = false,
+            toleranceSec: Option[Long] = None): DataFrame = {
     val r = right.select(
       col(key).as("__k"), col(rightTs).as("__t"),
       col(rightTs).as("__carry"), lit(0).as("__side"))
@@ -52,10 +61,18 @@ object AsOfJoin {
     val ord = if (forward) col("__t").desc else col("__t").asc
     val w = Window.partitionBy("__k").orderBy(ord, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r, allowMissingColumns = true)
+    val joined = l.unionByName(r, allowMissingColumns = true)
       .withColumn(asOfCol, last(col("__carry"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .drop("__k", "__t", "__carry", "__side")
+    toleranceSec.fold(joined.drop("__k", "__t", "__carry", "__side")) { tol =>
+      // exact integer-µs gap test, sign per direction
+      val gap =
+        if (forward) expr(s"unix_micros($asOfCol)") - expr("unix_micros(__t)")
+        else expr("unix_micros(__t)") - expr(s"unix_micros($asOfCol)")
+      joined.withColumn(asOfCol,
+          when(gap <= tol * 1000000L, col(asOfCol)))
+        .drop("__k", "__t", "__carry", "__side")
+    }
   }
 
   /** Nearest as-of join: the closest right timestamp in EITHER direction

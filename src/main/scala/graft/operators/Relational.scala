@@ -354,6 +354,36 @@ object Relational {
            |FROM events p WHERE p.event_type = 'purchase'
            |ORDER BY p.event_id""".stripMargin))
 
+  /** Tolerance-bounded as-of join — the feature-store staleness rule on top
+    * of [[AsOfJoin]]: each purchase takes the user's latest prior view ONLY
+    * if it is at most 30 minutes old, else null (stale features are worse
+    * than missing ones). Same one-shuffle window carry; the bound is one
+    * exact integer-µs comparison applied after it — provably equivalent to
+    * windowing the search itself, since any in-window candidate IS the
+    * carried latest.
+    */
+  private val joinAsofTolerance = Q(
+    "join_asof_tolerance",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val views = ev.filter(col("event_type") === "view")
+        .select("user_id", "ts")
+      AsOfJoin(purchases, views, "user_id", "ts", "ts", "recent_view_ts",
+          toleranceSec = Some(1800L))
+        .select(col("event_id"), col("user_id"),
+          col("ts").as("purchase_ts"), col("value"), col("recent_view_ts"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS purchase_ts, p.value,
+           | (SELECT CAST(max(v.ts) AS TIMESTAMP) FROM events v
+           |  WHERE v.event_type = 'view' AND v.user_id = p.user_id
+           |    AND v.ts <= p.ts
+           |    AND v.ts >= p.ts - INTERVAL 30 MINUTE) AS recent_view_ts
+           |FROM events p WHERE p.event_type = 'purchase'
+           |ORDER BY p.event_id""".stripMargin))
+
   /** Forward as-of join (J6 mirror): each purchase gets the EARLIEST
     * at-or-after view by the same user — same single-shuffle window pass as
     * [[AsOfJoin]] over a reversed sort.
@@ -2758,7 +2788,8 @@ object Relational {
     eventsFunnel,
     eventsCohortRetention, filterProject, filterString,
     joinInnerStar, joinLeftOuter, joinSemi, joinAnti, joinFullOuter,
-    joinRange, joinInterval, joinAsof, joinAsofForward, joinAsofNearest, aggMode,
+    joinRange, joinInterval, joinAsof, joinAsofForward, joinAsofNearest,
+    joinAsofTolerance, aggMode,
     eventsStreaks, aggIncrementalMerge, windowTopkPerGroup, windowRunningSum,
     windowLagLead, windowNtileFirstLast, windowRangeTrailing,
     topkOrders, topkPerGroupCustom, setOps,
