@@ -696,9 +696,110 @@ object Analytics {
            |    AS ltv_per_customer
            |FROM c ORDER BY cohort, age""".stripMargin))
 
+  /** Gini coefficient of customer-spend concentration per market segment —
+    * the whale-dependence / inequality readout behind the ABC classes
+    * (`orders_abc_pareto` answers "which customers form the top 80 %?";
+    * Gini answers "HOW concentrated is the whole curve?" in one number,
+    * comparable across segments). Uses the sorted-rank identity
+    * G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx), folded over DISTINCT spend
+    * values so no per-customer rank is ever materialized: a value v with
+    * count c and C predecessors contributes Σi·xᵢ = v·(c·C + c(c+1)/2).
+    * The predecessor counts C need a prefix sum — the same DISTRIBUTED
+    * two-level shape as `quality_ks_test`: cumulative window inside fixed
+    * $100k spend bands (partitioned by segment × band), band offsets from
+    * a window over the tiny per-segment band frame. Everything stays on
+    * the distinct-cents frame, bounded by the price domain, not the
+    * customer count.
+    *
+    * Determinism: spend is exact cents ([[dsum]] per customer first), all
+    * rank algebra is exact DECIMAL(38,0) (Σ i·x reaches n²·x ≳ 2⁶³ at
+    * lake scale), and G is ONE double division of two exact decimals.
+    */
+  private val ordersGini = Q(
+    "orders_gini",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val dec = DecimalType(38, 0)
+      val spend = t(s, dir, "orders")
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment").as("segment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("segment"), col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val vals = spend.groupBy("segment", "cents")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("bkt", (col("cents") / 10000000L).cast("long"))
+      val inb = Window.partitionBy("segment", "bkt").orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val within = vals.withColumn("wc",
+        coalesce(sum(col("c")).over(inb), lit(0L)))
+      val bw = Window.partitionBy("segment").orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val off = vals.groupBy("segment", "bkt").agg(sum(col("c")).as("t"))
+        .select(col("segment"), col("bkt"),
+          coalesce(sum(col("t")).over(bw), lit(0L)).as("o"))
+      val contrib = within.join(broadcast(off), Seq("segment", "bkt"))
+        .select(col("segment"), col("cents"), col("c"),
+          (col("wc") + col("o")).as("cc"))
+        .select(col("segment"),
+          // c(c+1) is even, so the shift is the exact triangular number —
+          // a decimal "/ 2" would drag in fractional scale both engines
+          // would then have to agree on
+          (col("cents").cast(dec) *
+            (col("c").cast(dec) * col("cc") +
+              shiftright(col("c") * (col("c") + 1), 1))).as("ix"),
+          col("c"), (col("cents").cast(dec) * col("c")).as("vx"))
+      contrib.groupBy("segment")
+        .agg(sum(col("ix")).as("six"), sum(col("c")).as("n"),
+          sum(col("vx")).as("sx"))
+        .select(col("segment"), col("n").as("n_customers"),
+          (col("sx").cast("double") / 100.0).as("total_spend"),
+          round(((lit(2).cast(dec) * col("six") -
+            (col("n").cast(dec) + 1) * col("sx")).cast("double")) /
+            ((col("n").cast(dec) * col("sx")).cast("double")), 6).as("gini"))
+        .select(col("segment"), col("n_customers"),
+          round(col("total_spend"), 2).as("total_spend"), col("gini"))
+        .orderBy("segment")
+    },
+    Some("""WITH spend AS (SELECT c_mktsegment AS segment, o_custkey,
+           |    SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+           |  FROM orders JOIN customer ON o_custkey = c_custkey
+           |  GROUP BY 1, 2),
+           |vals AS (SELECT segment, cents, cents // 10000000 AS bkt,
+           |    count(*) AS c
+           |  FROM spend GROUP BY 1, 2, 3),
+           |w AS (SELECT segment, bkt, cents, c,
+           |    COALESCE(SUM(c) OVER (PARTITION BY segment, bkt ORDER BY cents
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS wc
+           |  FROM vals),
+           |bt AS (SELECT segment, bkt, sum(c) AS t FROM vals GROUP BY 1, 2),
+           |off AS (SELECT segment, bkt,
+           |    COALESCE(SUM(t) OVER (PARTITION BY segment ORDER BY bkt
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+           |  FROM bt),
+           |contrib AS (SELECT w.segment, cents, c, wc + o AS cc
+           |  FROM w JOIN off ON w.segment = off.segment AND w.bkt = off.bkt),
+           |agg AS (SELECT segment,
+           |    SUM(CAST(cents AS DECIMAL(38,0)) *
+           |        (CAST(c AS DECIMAL(38,0)) * cc +
+           |         (c * (c + 1)) // 2)) AS six,
+           |    CAST(SUM(c) AS BIGINT) AS n,
+           |    SUM(CAST(cents AS DECIMAL(38,0)) * c) AS sx
+           |  FROM contrib GROUP BY segment)
+           |SELECT segment, n AS n_customers,
+           |  round(CAST(sx AS DOUBLE) / 100.0, 2) AS total_spend,
+           |  round(CAST(CAST(2 AS DECIMAL(38,0)) * six
+           |        - (CAST(n AS DECIMAL(38,0)) + 1) * sx AS DOUBLE) /
+           |      CAST(CAST(n AS DECIMAL(38,0)) * sx AS DOUBLE), 6) AS gini
+           |FROM agg ORDER BY segment""".stripMargin))
+
   val queries: Seq[Q] = Seq(
     q2MinCostSupplier, q4OrderPriority, q8MarketShare, q11ImportantParts,
     q12LateShipments, q15TopSupplier, q16PartsSuppliers, q17SmallQtyRevenue,
     q19DisjunctivePushdown, q20ExcessShare, q21WaitingSupplier,
-    q22SalesOpportunity, q9ProductProfit, eventsBotDetect, ordersCohortLtv)
+    q22SalesOpportunity, q9ProductProfit, eventsBotDetect, ordersCohortLtv,
+    ordersGini)
+
+
 }

@@ -761,7 +761,75 @@ object Graph {
            |FROM c1 LEFT JOIN c2 ON c1.u = c2.u LEFT JOIN c3 ON c1.u = c3.u
            |ORDER BY harmonic DESC, node LIMIT 20""".stripMargin))
 
+  /** HITS hubs & authorities (Kleinberg 1999) over the directed
+    * customer → supplier purchase graph — the mutually-reinforcing
+    * authority score PageRank's single rank conflates: a good HUB
+    * (customer) buys from many good authorities, a good AUTHORITY
+    * (supplier) is bought from by many good hubs. On this bipartite graph
+    * the two iterations stay cleanly separated: a₁ = in-degree,
+    * h₁ = Σ_out a₁, a₂ = Σ_in h₁ — each step ONE equi-join of the score
+    * vector against the distinct edge list plus a two-phase aggregate,
+    * exactly the per-iteration shape (and cost) of [[pageRank]], linear
+    * in |E|.
+    *
+    * Determinism, stronger than PageRank's: with h₀ = 1 every unnormalized
+    * score is an exact INTEGER (sums of sums of in-degrees), accumulated in
+    * DECIMAL(38,0) because the composition squares magnitudes (a₂ ≤
+    * indeg·max h₁ ≳ 2⁶³ on a lake-scale graph) — no FP anywhere in the
+    * iterations. The single normalization by the max (the classical unit-
+    * norm step, deferred to the readout) is ONE double division of two
+    * exact decimals per row, engine-identical.
+    */
+  /** HITS hub/authority scores on a directed edge list — see
+    * [[graphHits]]'s Scaladoc. Returns max-normalized top-`k` rows per
+    * kind: (kind ∈ {authority, hub}, node label, score ∈ (0, 1]).
+    */
+  def hits(edges: DataFrame, k: Int = 10): DataFrame = {
+    val e = edges.distinct()
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val a1 = e.groupBy("dst").agg(count(lit(1)).cast(dec).as("a1"))
+    val h1 = e.join(a1, "dst")
+      .groupBy("src").agg(sum(col("a1")).as("h1"))
+    val a2 = e.join(h1, "src")
+      .groupBy("dst").agg(sum(col("h1")).as("a2"))
+    val am = a2.agg(max(col("a2")).as("m"))
+    val hm = h1.agg(max(col("h1")).as("m"))
+    val auth = a2.crossJoin(broadcast(am))
+      .select(lit("authority").as("kind"), nodeLabel(col("dst")).as("node"),
+        round(col("a2").cast("double") / col("m").cast("double"), 9).as("score"))
+      .orderBy(col("score").desc, col("node")).limit(k)
+    val hub = h1.crossJoin(broadcast(hm))
+      .select(lit("hub").as("kind"), nodeLabel(col("src")).as("node"),
+        round(col("h1").cast("double") / col("m").cast("double"), 9).as("score"))
+      .orderBy(col("score").desc, col("node")).limit(k)
+    auth.unionByName(hub).orderBy(col("kind"), col("score").desc, col("node"))
+  }
+
+  private val graphHits = Q(
+    "graph_hits",
+    (s, dir) => hits(purchaseEdges(s, dir)),
+    Some("""WITH e AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+           |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           |a1 AS (SELECT dst, CAST(count(*) AS DECIMAL(38,0)) AS a1
+           |       FROM e GROUP BY dst),
+           |h1 AS (SELECT src, CAST(SUM(a1) AS DECIMAL(38,0)) AS h1
+           |       FROM e JOIN a1 USING (dst) GROUP BY src),
+           |a2 AS (SELECT dst, CAST(SUM(h1) AS DECIMAL(38,0)) AS a2
+           |       FROM e JOIN h1 USING (src) GROUP BY dst),
+           |am AS (SELECT max(a2) AS m FROM a2),
+           |hm AS (SELECT max(h1) AS m FROM h1),
+           |auth AS (SELECT 'authority' AS kind,
+           |    's' || CAST((dst - 1) // 2 AS BIGINT) AS node,
+           |    round(CAST(a2 AS DOUBLE) / CAST(m AS DOUBLE), 9) AS score
+           |  FROM a2 CROSS JOIN am ORDER BY score DESC, node LIMIT 10),
+           |hub AS (SELECT 'hub' AS kind,
+           |    'c' || CAST(src // 2 AS BIGINT) AS node,
+           |    round(CAST(h1 AS DOUBLE) / CAST(m AS DOUBLE), 9) AS score
+           |  FROM h1 CROSS JOIN hm ORDER BY score DESC, node LIMIT 10)
+           |SELECT * FROM auth UNION ALL SELECT * FROM hub
+           |ORDER BY kind, score DESC, node""".stripMargin))
+
   val queries: Seq[Q] = Seq(graphPagerank, graphBfsReach, graphTriangles,
     graphLabelProp, graphKcore, graphLinkPredict, graphPpr,
-    graphAssortativity, graphHarmonic)
+    graphAssortativity, graphHarmonic, graphHits)
 }

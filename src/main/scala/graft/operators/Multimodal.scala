@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing (SURVEY.md §2.12 D6): media payloads travel as
@@ -563,7 +564,76 @@ object Multimodal {
            |  COALESCE(a.c3, 0) AS c3, COALESCE(a.c4, 0) AS c4
            |FROM d LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin))
 
+  /** Byte-stream run-length profile per payload — the COMPRESSIBILITY
+    * signal of the multimodal family: run structure separates flat/
+    * synthetic content (screenshots, rendered frames, silence — few long
+    * runs) from natural/noisy content (photos, speech — runs ≈ 1), the
+    * cheap screen a curation pipeline applies before spending decode
+    * budget, and 2·runs/bytes is the exact coded-size ratio of a
+    * (byte, count) RLE codec. Same byte-level access path as
+    * [[multimodalWaveform]] (one position explode, `ascii ∘ substr` —
+    * codegen expressions, no UDF). Run boundaries need NO window: boundary
+    * b(i) = byte(i) ≠ byte(i−1) reads both bytes directly, so n_runs is a
+    * plain conditional count; only max_run orders anything — a lead window
+    * over the BOUNDARY rows (≤ runs per doc), partitioned by doc_id,
+    * closed by each doc's n+1 sentinel. Linear, doc-partitioned at any
+    * corpus size.
+    *
+    * Determinism: everything is integer arithmetic except the final ratio,
+    * one double division per doc, rounded at 6 dp.
+    */
+  private val multimodalRle = Q(
+    "multimodal_rle",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+      def byteAt(p: Column): Column = ascii(col("text").substr(p, lit(1)))
+      val pos = Tables.spread(d.filter(col("n") >= 1))
+        .select(col("doc_id"), col("n"),
+          explode(sequence(lit(1), col("n"))).as("i"), col("text"))
+        .withColumn("brk",
+          (col("i") === 1 || byteAt(col("i")) =!= byteAt(col("i") - 1))
+            .cast("int"))
+      val bounds = pos.filter(col("brk") === 1)
+        .select(col("doc_id"), col("n"), col("i"))
+      val w = Window.partitionBy("doc_id").orderBy("i")
+      val runs = bounds
+        .withColumn("rlen",
+          coalesce(lead(col("i"), 1).over(w), col("n") + 1) - col("i"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_runs"), max(col("rlen")).as("max_run"))
+      d.select(col("doc_id"), col("n").cast("long").as("n_bytes"))
+        .join(runs, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_bytes"),
+          coalesce(col("n_runs"), lit(0L)).as("n_runs"),
+          coalesce(col("max_run"), lit(0L)).cast("long").as("max_run"),
+          when(col("n_bytes") > 0,
+            round(lit(2.0) * col("n_runs") / col("n_bytes"), 6))
+            .otherwise(lit(0.0)).as("rle_ratio"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+           |pos AS (SELECT doc_id, n, i,
+           |    CASE WHEN i = 1 OR ascii(substr(text, CAST(i AS INT), 1))
+           |        <> ascii(substr(text, CAST(i - 1 AS INT), 1))
+           |      THEN 1 ELSE 0 END AS brk
+           |  FROM d, unnest(range(1, n + 1)) AS t(i)),
+           |bounds AS (SELECT doc_id, n, i FROM pos WHERE brk = 1),
+           |runs AS (SELECT doc_id,
+           |    COALESCE(lead(i, 1) OVER (PARTITION BY doc_id ORDER BY i),
+           |             n + 1) - i AS rlen
+           |  FROM bounds),
+           |agg AS (SELECT doc_id, count(*) AS n_runs, max(rlen) AS max_run
+           |  FROM runs GROUP BY doc_id)
+           |SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_bytes,
+           |  CAST(COALESCE(agg.n_runs, 0) AS BIGINT) AS n_runs,
+           |  CAST(COALESCE(agg.max_run, 0) AS BIGINT) AS max_run,
+           |  CASE WHEN d.n > 0
+           |    THEN round(2.0 * agg.n_runs / d.n, 6) ELSE 0.0 END AS rle_ratio
+           |FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id
+           |ORDER BY d.doc_id""".stripMargin))
+
   val queries: Seq[Q] = Seq(
     multimodalMeta, multimodalDecode, multimodalResize, multimodalFrames,
-    multimodalPhash, multimodalWaveform, multimodalHadamard)
+    multimodalPhash, multimodalWaveform, multimodalHadamard, multimodalRle)
 }

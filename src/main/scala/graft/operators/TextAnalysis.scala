@@ -1407,6 +1407,139 @@ object TextAnalysis {
            |  round(CAST(covered AS DOUBLE) / CAST(t AS DOUBLE), 6) AS coverage
            |FROM p CROSS JOIN tot ORDER BY k""".stripMargin))
 
+  /** KMV (k-minimum-values) distinct sketch with SET-OPERATION estimates —
+    * the set-algebra member of the mergeable-sketch family (HLL = pure
+    * cardinality, CMS = counts, Bloom = membership, SpaceSaving = top-k):
+    * only KMV signatures support union AND intersection estimation, the
+    * "how much would corpus B add to corpus A?" / "how contaminated is B
+    * by A?" planning readout, here over the en vs de 3-gram shingle
+    * universes. The signature is the k = 128 smallest md5 hash values of
+    * the distinct-shingle set: per-set via the custom grouped-top-k
+    * physical operator (map-side bounded heaps — never a set-wide sort),
+    * the union via `TakeOrderedAndProject`; merge of shard signatures is
+    * "k smallest of concatenation", making the sketch mergeable across
+    * shards/days like the HLL registers. Estimators: distinct ≈
+    * (k−1)·2³²/h₍ₖ₎ (exact-count fallback below k members), Jaccard from
+    * the union signature's both-sides membership fraction (Beyer et al.
+    * 2007), intersection = Ĵ·Û.
+    *
+    * Determinism: hash values are exact longs, signatures are exact sets,
+    * so every estimate is 1–2 IEEE ops on exact integers and the 3/√(k−2)
+    * accuracy-band booleans (union-scale absolute band for the
+    * intersection, whose error propagates from Û) compare engine-identical
+    * doubles against exact counts — the agg_approx_distinct hard-check
+    * convention.
+    */
+  /** KMV set-operations panel over a (lang, h) distinct-hash frame — see
+    * [[textKmvSetops]]'s Scaladoc. `a`/`b` name the two sets (values of
+    * the `lang` column); returns 4 rows (a, b, intersection, union) of
+    * (set_name, exact_distinct, kmv_est, within_band).
+    */
+  def kmvPanel(h: DataFrame, a: String, b: String, k: Int = 128): DataFrame = {
+    // (k−1)·2³² as one literal so both engines divide the same constant
+    val scale = lit((k - 1).toDouble * 4294967296.0)
+    val band = lit(3.0) / sqrt(lit((k - 2).toDouble))
+    def est(m: Column, kk: Column): Column =
+      when(kk < k, kk.cast("double")).otherwise(scale / m.cast("double"))
+    val sig = graft.plans.TopK.perGroup(h, Seq("lang"), Seq(col("h").asc), k)
+    val perLang = sig.groupBy("lang")
+      .agg(max(col("h")).as("m"), count(lit(1)).as("kk"))
+    val exactLang = h.groupBy("lang").agg(count(lit(1)).as("exact"))
+    val hu = h.select("h").distinct()
+    val sigu = hu.orderBy("h").limit(k)
+    val mu = sigu.agg(max(col("h")).as("m"), count(lit(1)).as("kk"))
+    val stats = h.agg(
+        count(when(col("lang") === a, 1)).as("ne"),
+        count(when(col("lang") === b, 1)).as("nd"))
+      .crossJoin(hu.agg(count(lit(1)).as("nu")))
+      .select(col("ne"), col("nd"), col("nu"),
+        (col("ne") + col("nd") - col("nu")).as("ni"))
+    val interC = sigu
+      .join(h.filter(col("lang") === a).select("h"), Seq("h"), "left_semi")
+      .join(h.filter(col("lang") === b).select("h"), Seq("h"), "left_semi")
+      .agg(count(lit(1)).as("c"))
+    val langRows = perLang.join(exactLang, "lang")
+      .select(col("lang").as("set_name"), col("exact").as("exact_distinct"),
+        round(est(col("m"), col("kk")), 3).as("kmv_est"),
+        (abs(est(col("m"), col("kk")) - col("exact")) <=
+          band * col("exact").cast("double")).as("within_band"))
+    val uRow = mu.crossJoin(broadcast(stats))
+      .select(lit("union").as("set_name"), col("nu").as("exact_distinct"),
+        round(est(col("m"), col("kk")), 3).as("kmv_est"),
+        (abs(est(col("m"), col("kk")) - col("nu")) <=
+          band * col("nu").cast("double")).as("within_band"))
+    // Jaccard denominator is the ACTUAL signature size (= min(k, |union|)):
+    // below k the signature is the whole union and dividing by k would
+    // shrink J by |union|/k
+    val iEst = (col("c").cast("double") / col("kk")) * est(col("m"), col("kk"))
+    val iRow = interC.crossJoin(broadcast(mu)).crossJoin(broadcast(stats))
+      .select(lit("intersection").as("set_name"),
+        col("ni").as("exact_distinct"),
+        round(iEst, 3).as("kmv_est"),
+        (abs(iEst - col("ni")) <= band * col("nu").cast("double"))
+          .as("within_band"))
+    langRows.unionByName(uRow).unionByName(iRow).orderBy("set_name")
+  }
+
+  private val textKmvSetops = Q(
+    "text_kmv_setops",
+    (s, dir) => kmvPanel(
+      docs(s, dir).filter(col("lang").isin("en", "de"))
+        .select(col("lang"), explode(shingles(col("text"))).as("g"))
+        .select(col("lang"), md5Hash32(col("g")).as("h")).distinct(),
+      a = "en", b = "de"),
+    Some("""WITH w AS (SELECT lang, string_split(text,' ') AS w FROM documents
+           |           WHERE lang IN ('en','de')),
+           |s AS (SELECT lang, CASE WHEN len(w) < 3 THEN [array_to_string(w,' ')]
+           |        ELSE list_distinct(list_transform(range(1, len(w)-1),
+           |               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS sh
+           |      FROM w),
+           |hx AS (SELECT DISTINCT lang,
+           |    CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) AS h
+           |  FROM (SELECT lang, unnest(sh) AS g FROM s)),
+           |sig AS (SELECT lang, h FROM (SELECT lang, h,
+           |    row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM hx)
+           |  WHERE rn <= 128),
+           |pl AS (SELECT lang, max(h) AS m, count(*) AS kk FROM sig GROUP BY lang),
+           |ex AS (SELECT lang, count(*) AS exact FROM hx GROUP BY lang),
+           |hu AS (SELECT DISTINCT h FROM hx),
+           |sigu AS (SELECT h FROM (SELECT h,
+           |    row_number() OVER (ORDER BY h) AS rn FROM hu) WHERE rn <= 128),
+           |mu AS (SELECT max(h) AS m, count(*) AS kk FROM sigu),
+           |st AS (SELECT (SELECT count(*) FROM hx WHERE lang = 'en') AS ne,
+           |              (SELECT count(*) FROM hx WHERE lang = 'de') AS nd,
+           |              (SELECT count(*) FROM hu) AS nu),
+           |isig AS (SELECT count(*) AS c FROM sigu
+           |  WHERE h IN (SELECT h FROM hx WHERE lang = 'en')
+           |    AND h IN (SELECT h FROM hx WHERE lang = 'de'))
+           |SELECT * FROM (
+           |  SELECT lang AS set_name, CAST(exact AS BIGINT) AS exact_distinct,
+           |    round(CASE WHEN kk < 128 THEN CAST(kk AS DOUBLE)
+           |          ELSE 545460846592.0 / CAST(m AS DOUBLE) END, 3) AS kmv_est,
+           |    abs((CASE WHEN kk < 128 THEN CAST(kk AS DOUBLE)
+           |          ELSE 545460846592.0 / CAST(m AS DOUBLE) END) - exact)
+           |      <= 3.0 / sqrt(126.0) * CAST(exact AS DOUBLE) AS within_band
+           |  FROM pl JOIN ex USING (lang)
+           |  UNION ALL
+           |  SELECT 'union', CAST(nu AS BIGINT),
+           |    round(CASE WHEN kk < 128 THEN CAST(kk AS DOUBLE)
+           |          ELSE 545460846592.0 / CAST(m AS DOUBLE) END, 3),
+           |    abs((CASE WHEN kk < 128 THEN CAST(kk AS DOUBLE)
+           |          ELSE 545460846592.0 / CAST(m AS DOUBLE) END) - nu)
+           |      <= 3.0 / sqrt(126.0) * CAST(nu AS DOUBLE)
+           |  FROM mu CROSS JOIN st
+           |  UNION ALL
+           |  SELECT 'intersection', CAST(ne + nd - nu AS BIGINT),
+           |    round((CAST(c AS DOUBLE) / mu.kk) *
+           |      (CASE WHEN mu.kk < 128 THEN CAST(mu.kk AS DOUBLE)
+           |       ELSE 545460846592.0 / CAST(mu.m AS DOUBLE) END), 3),
+           |    abs((CAST(c AS DOUBLE) / mu.kk) *
+           |      (CASE WHEN mu.kk < 128 THEN CAST(mu.kk AS DOUBLE)
+           |       ELSE 545460846592.0 / CAST(mu.m AS DOUBLE) END) - (ne + nd - nu))
+           |      <= 3.0 / sqrt(126.0) * CAST(nu AS DOUBLE)
+           |  FROM isig CROSS JOIN mu CROSS JOIN st)
+           |ORDER BY set_name""".stripMargin))
+
   val queries: Seq[Q] = Seq(
     textTokens, textTokenFreq, textTfidf, textQuality, textQualityGate,
     textNovelty, textMixtureReport, textLangid,
@@ -1414,7 +1547,8 @@ object TextAnalysis {
     textHeavyHitters, textChunk, textEncode, textRedact, textRepetition,
     textBpe, textBpeEncode, textLmScore, textKnScore, textZipfHead,
     textEntropy, textCmsCounts, textPhraseMine, mlFeatureHash, mlNaiveBayes,
-    mlMutualInfo, textHllDistinct, textJsdSources, textNgramCoverage)
+    mlMutualInfo, textHllDistinct, textJsdSources, textNgramCoverage,
+    textKmvSetops)
 
   /** Mutual-information feature selection: I(token-presence; source) over
     * the 2×2 contingency of each (token, source) pair — the supervised

@@ -490,7 +490,67 @@ object TimeSeries {
            |    / count(*) / 1e6, 6) AS mean_s
            |FROM dur""".stripMargin))
 
+  /** Brown's double exponential smoothing of daily event volume (α = 1/2,
+    * 20-day horizon) — the TREND-AWARE smoother one rung above the plain
+    * EWMA (`events_ewma_volume`), whose forecast lags any drifting series
+    * by design: smoothing the smoothed series a second time recovers the
+    * lag as an explicit trend estimate (level a = 2s₁ − s₂, trend
+    * b = s₁ − s₂ for α = 1/2, one-step forecast a + b = 3s₁ − 2s₂ —
+    * Brown 1959). Both smoothing passes collapse into ONE closed-form
+    * convolution: s₁ carries the EWMA weights 2^−(k+1), and the double-
+    * smoothed s₂ = Σ_k x_{d−k}·(k+1)·2^−(k+2) (the self-convolution of the
+    * geometric kernel), so one bounded-fanout explode — each daily count
+    * feeding its ≤ 20 window-end days — computes both sums in a single
+    * two-phase aggregate: linear in days, no recursive state, no second
+    * pass for the second smoothing.
+    *
+    * Determinism: α = 1/2 makes every weight an exact dyadic with common
+    * denominator 2²¹, so both sums (and the level/trend/forecast combines,
+    * which stay in that dyadic lattice) are EXACT doubles, order-
+    * independent and engine-identical with no rounding — the
+    * events_ewma_volume argument, holding for per-day counts to ~2³².
+    */
+  /** Brown double smoothing over a (day, n) daily frame — see
+    * [[eventsBrownSmooth]]'s Scaladoc. Returns
+    * (d, n, level, trend, forecast_next) per day.
+    */
+  def brownSmooth(dailyCounts: DataFrame): DataFrame = {
+    val d = dailyCounts
+    val mx = d.agg(max(col("day")).as("mxd"))
+    val k = datediff(col("w"), col("day"))
+    val sm = d
+      .select(col("n"), col("day"),
+        explode(sequence(col("day"), date_add(col("day"), 19))).as("w"))
+      .crossJoin(broadcast(mx))
+      .filter(col("w") <= col("mxd"))
+      .groupBy(col("w").as("d"))
+      .agg(sum(col("n") * pow(lit(2.0), -(k + 1))).as("s1"),
+        sum(col("n") * (k + 1) * pow(lit(2.0), -(k + 2))).as("s2"))
+    sm.join(d.withColumnRenamed("day", "d"), Seq("d"), "left")
+      .select(col("d"), coalesce(col("n"), lit(0L)).as("n"),
+        (lit(2.0) * col("s1") - col("s2")).as("level"),
+        (col("s1") - col("s2")).as("trend"),
+        (lit(3.0) * col("s1") - lit(2.0) * col("s2")).as("forecast_next"))
+      .orderBy("d")
+  }
+
+  private val eventsBrownSmooth = Q(
+    "events_brown_smooth",
+    (s, dir) => brownSmooth(daily(s, dir)),
+    Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n
+           |               FROM events GROUP BY 1),
+           |mx AS (SELECT max(d) AS mxd FROM daily),
+           |sm AS (SELECT d + CAST(off AS INT) AS w,
+           |         SUM(n * power(2.0, -(off + 1))) AS s1,
+           |         SUM(n * (off + 1) * power(2.0, -(off + 2))) AS s2
+           |       FROM daily, mx, unnest(range(0, 20)) AS t(off)
+           |       WHERE d + CAST(off AS INT) <= mxd GROUP BY 1)
+           |SELECT sm.w AS d, COALESCE(daily.n, 0) AS n,
+           |  2.0 * s1 - s2 AS level, s1 - s2 AS trend,
+           |  3.0 * s1 - 2.0 * s2 AS forecast_next
+           |FROM sm LEFT JOIN daily ON sm.w = daily.d ORDER BY d""".stripMargin))
+
   val queries: Seq[Q] = Seq(eventsSeasonal, eventsChangepoint, eventsAutocorr,
     eventsSurvival, eventsHllRolling, eventsForecast, eventsDauWauMau,
-    eventsFunnelTime)
+    eventsFunnelTime, eventsBrownSmooth)
 }

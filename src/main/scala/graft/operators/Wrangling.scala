@@ -543,7 +543,190 @@ object Wrangling {
            |    -sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS released_n
            |FROM n ORDER BY lang, source""".stripMargin))
 
+  /** χ² independence test of the documents' lang × source contingency —
+    * "is the language mix the same across sources?", the statistical
+    * upgrade of [[TextAnalysis]]'s descriptive mixture report and the
+    * drift detector's ([[qualityPsiDrift]]) categorical sibling. The
+    * statistic is computed over the FULL nl × ns grid including
+    * zero-observed cells (dropping them biases χ² low), built by crossing
+    * the two marginal frames — both dimension-sized, so the grid is a
+    * broadcast-cheap nl·ns rows no matter the corpus size; the only
+    * corpus-scale work is the ONE two-phase (lang, source) count.
+    *
+    * Determinism (SURVEY.md §7.4): observed/marginal counts are exact
+    * longs; each cell's term is (O·N − r·c)²/(N·r·c) with both numerator
+    * root and denominator formed in exact DECIMAL(38,0) (O·N ≲ 10²⁴
+    * overflows a long at lake scale) and cast once to double, so the term
+    * is three IEEE ops on identically-derived values; the grid sum rides
+    * the order-independent fine decimal. Cramér's V adds one IEEE sqrt
+    * (correctly rounded per IEEE 754, engine-identical).
+    */
+  /** χ² independence of two categorical columns — see [[qualityChi2]]'s
+    * Scaladoc for the statistic, grid construction and determinism
+    * argument. Returns one row: (n_obs, dof, chi2, cramers_v).
+    */
+  def chi2Independence(df: DataFrame, a: String, b: String): DataFrame = {
+    val obs = df.groupBy(a, b).agg(count(lit(1)).as("o"))
+    val rows = obs.groupBy(a).agg(sum(col("o")).as("r"))
+    val cols = obs.groupBy(b).agg(sum(col("o")).as("c"))
+    val meta = df.agg(count(lit(1)).as("n"), countDistinct(col(a)).as("nl"),
+      countDistinct(col(b)).as("ns"))
+    val grid = rows.crossJoin(cols)
+      .join(obs, Seq(a, b), "left")
+      .select(col("r"), col("c"), coalesce(col("o"), lit(0L)).as("o"))
+      .crossJoin(broadcast(meta))
+    val d = (col("o").cast(DecimalType(38, 0)) * col("n") -
+      col("r").cast(DecimalType(38, 0)) * col("c")).cast("double")
+    val den = (col("n").cast(DecimalType(38, 0)) * col("r") * col("c"))
+      .cast("double")
+    val stat = grid.agg(dsumFine(d * d / den).as("chi2"))
+    stat.crossJoin(broadcast(meta))
+      .select(col("n").as("n_obs"),
+        ((col("nl") - 1) * (col("ns") - 1)).as("dof"),
+        round(col("chi2"), 6).as("chi2"),
+        round(sqrt(col("chi2") /
+          (col("n").cast("double") * least(col("nl") - 1, col("ns") - 1))),
+          6).as("cramers_v"))
+  }
+
+  private val qualityChi2 = Q(
+    "quality_chi2",
+    (s, dir) => chi2Independence(t(s, dir, "documents"), "lang", "source")
+      .withColumnRenamed("n_obs", "n_docs"),
+    Some("""WITH obs AS (SELECT lang, source, count(*) AS o
+           |  FROM documents GROUP BY 1, 2),
+           |r AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM obs GROUP BY 1),
+           |c AS (SELECT source, CAST(sum(o) AS BIGINT) AS c FROM obs GROUP BY 1),
+           |meta AS (SELECT count(*) AS n, count(DISTINCT lang) AS nl,
+           |    count(DISTINCT source) AS ns FROM documents),
+           |grid AS (SELECT r.r, c.c, COALESCE(obs.o, 0) AS o
+           |  FROM r CROSS JOIN c
+           |  LEFT JOIN obs ON obs.lang = r.lang AND obs.source = c.source),
+           |terms AS (SELECT
+           |    CAST(CAST(o AS DECIMAL(38,0)) * n
+           |         - CAST(r AS DECIMAL(38,0)) * c AS DOUBLE) AS d,
+           |    CAST(CAST(n AS DECIMAL(38,0)) * r * c AS DOUBLE) AS den
+           |  FROM grid CROSS JOIN meta),
+           |stat AS (SELECT CAST(SUM(CAST(d * d / den AS DECIMAL(38,20)))
+           |    AS DOUBLE) AS chi2 FROM terms)
+           |SELECT n AS n_docs, CAST((nl - 1) * (ns - 1) AS BIGINT) AS dof,
+           |  round(chi2, 6) AS chi2,
+           |  round(sqrt(chi2 / (CAST(n AS DOUBLE) * least(nl - 1, ns - 1))),
+           |    6) AS cramers_v
+           |FROM stat CROSS JOIN meta""".stripMargin))
+
+  /** Two-sample Kolmogorov–Smirnov test on the order-value distribution of
+    * two market segments — "did this cohort's spend distribution shift?",
+    * the distribution-level comparison the mean-based checks miss entirely
+    * (two segments can share a mean and differ everywhere else). D is the
+    * max CDF gap over the pooled distinct-value frame, which requires a
+    * prefix sum — computed with the DISTRIBUTED two-level idiom, not a
+    * global ordered window: values bucket by a fixed $50k price band,
+    * cumulative counts run inside each bucket's partition, and the per-
+    * bucket offsets come from a window over the ~11-row bucket-total frame
+    * (the only unpartitioned window, over a provably band-count-sized
+    * frame). Values are CENTS (exact), so the distinct-value frame is
+    * bounded by the price domain, not the row count.
+    *
+    * Determinism: cumulative counts are exact longs; the gap numerator
+    * |c1·n2 − c2·n1| stays in exact DECIMAL(38,0) (c·n ≳ 2⁶³ at lake
+    * scale), so max picks deterministically; D and the α=0.05 critical
+    * value c(α)·√((n1+n2)/(n1·n2)) are a handful of IEEE ops (÷, √, ×
+    * by the 1.358 literal) on exact inputs — the reject boolean compares
+    * two engine-identical doubles.
+    */
+  /** Two-sample KS test — see [[qualityKsTest]]'s Scaladoc. `df` carries an
+    * exact-integer `value` column and a boolean `isa` sample flag;
+    * `bucketWidth` is the fixed coarse band of the distributed prefix sum.
+    * Returns one row: (n1, n2, d_stat, ks_crit_05, reject_05).
+    */
+  def ksTwoSample(df: DataFrame, bucketWidth: Long): DataFrame = {
+    val vals = df.groupBy("value")
+      .agg(count(when(col("isa"), 1)).as("d1"),
+        count(when(!col("isa"), 1)).as("d2"))
+      .withColumn("bkt", (col("value") / bucketWidth).cast("long"))
+    val inb = Window.partitionBy("bkt").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = vals
+      .withColumn("w1", sum(col("d1")).over(inb))
+      .withColumn("w2", sum(col("d2")).over(inb))
+    val bw = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = vals.groupBy("bkt")
+      .agg(sum(col("d1")).as("t1"), sum(col("d2")).as("t2"))
+      .select(col("bkt"),
+        coalesce(sum(col("t1")).over(bw), lit(0L)).as("o1"),
+        coalesce(sum(col("t2")).over(bw), lit(0L)).as("o2"))
+    val meta = vals.agg(sum(col("d1")).as("n1"), sum(col("d2")).as("n2"))
+    val dn = within.join(broadcast(off), "bkt")
+      .crossJoin(broadcast(meta))
+      .agg(max(abs(
+        (col("w1") + col("o1")).cast(DecimalType(38, 0)) * col("n2") -
+          (col("w2") + col("o2")).cast(DecimalType(38, 0)) * col("n1")))
+        .as("dn"))
+    val nn = (col("n1").cast(DecimalType(38, 0)) * col("n2")).cast("double")
+    val dStat = col("dn").cast("double") / nn
+    val crit = lit(1.358) *
+      sqrt((col("n1") + col("n2")).cast("double") / nn)
+    dn.crossJoin(broadcast(meta))
+      .select(col("n1"), col("n2"),
+        round(dStat, 6).as("d_stat"),
+        round(crit, 6).as("ks_crit_05"),
+        (dStat > crit).as("reject_05"))
+  }
+
+  private val qualityKsTest = Q(
+    "quality_ks_test",
+    (s, dir) => ksTwoSample(
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(round(col("o_totalprice") * 100).cast("long").as("value"),
+          (col("c_mktsegment") === "BUILDING").as("isa")),
+      bucketWidth = 5000000L),
+    Some("""WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           |    c_mktsegment = 'BUILDING' AS isa
+           |  FROM orders JOIN customer ON o_custkey = c_custkey
+           |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+           |vals AS (SELECT cents, cents // 5000000 AS bkt,
+           |    count(CASE WHEN isa THEN 1 END) AS d1,
+           |    count(CASE WHEN NOT isa THEN 1 END) AS d2
+           |  FROM o GROUP BY 1, 2),
+           |w AS (SELECT bkt,
+           |    SUM(d1) OVER (PARTITION BY bkt ORDER BY cents
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS w1,
+           |    SUM(d2) OVER (PARTITION BY bkt ORDER BY cents
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS w2
+           |  FROM vals),
+           |bt AS (SELECT bkt, sum(d1) AS t1, sum(d2) AS t2
+           |  FROM vals GROUP BY 1),
+           |off AS (SELECT bkt,
+           |    COALESCE(SUM(t1) OVER (ORDER BY bkt
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o1,
+           |    COALESCE(SUM(t2) OVER (ORDER BY bkt
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o2
+           |  FROM bt),
+           |meta AS (SELECT CAST(sum(d1) AS BIGINT) AS n1,
+           |    CAST(sum(d2) AS BIGINT) AS n2 FROM vals),
+           |dn AS (SELECT max(abs(
+           |    CAST(w1 + o1 AS DECIMAL(38,0)) * n2 -
+           |    CAST(w2 + o2 AS DECIMAL(38,0)) * n1)) AS dn
+           |  FROM w JOIN off USING (bkt) CROSS JOIN meta)
+           |SELECT n1, n2,
+           |  round(CAST(dn AS DOUBLE) /
+           |    CAST(CAST(n1 AS DECIMAL(38,0)) * n2 AS DOUBLE), 6) AS d_stat,
+           |  round(1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) /
+           |    CAST(CAST(n1 AS DECIMAL(38,0)) * n2 AS DOUBLE)), 6) AS ks_crit_05,
+           |  CAST(dn AS DOUBLE) /
+           |    CAST(CAST(n1 AS DECIMAL(38,0)) * n2 AS DOUBLE) >
+           |    1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) /
+           |      CAST(CAST(n1 AS DECIMAL(38,0)) * n2 AS DOUBLE)) AS reject_05
+           |FROM dn CROSS JOIN meta""".stripMargin))
+
   val queries: Seq[Q] = Seq(reshapeUnpivot, qualityBenford, qualityMadOutliers,
     eventsGapFill, sampleWeighted, eventsInterpolate, qualityPsiDrift,
-    qualityWinsorize, ordersItemCf, privacyKAnon, privacyDpCounts)
+    qualityWinsorize, ordersItemCf, privacyKAnon, privacyDpCounts,
+    qualityChi2, qualityKsTest)
 }

@@ -578,4 +578,65 @@ class PlanSpec extends SparkSuite {
     // two-phase aggregation of the sufficient statistics
     assert(p.contains("partial_sum") || p.contains("partial_count"), p)
   }
+
+  /** Shared pin for the distributed two-level prefix sum (quality_ks_test,
+    * orders_gini): any UNPARTITIONED window must read an Aggregate child —
+    * i.e. run over the per-band totals frame (bounded by the fixed band
+    * count), never over the distinct-value frame.
+    */
+  private def assertTwoLevelPrefix(name: String): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow, Aggregate => LAgg}
+    val opt = Queries.byName(name).run(spark, sfDir)
+      .queryExecution.optimizedPlan
+    val ws = opt.collect { case w: LWindow => w }
+    assert(ws.nonEmpty, s"$name lost its prefix-sum windows")
+    ws.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.collectFirst { case a: LAgg => a }.nonEmpty,
+        s"$name: global window over a non-aggregated child:\n$w")
+    }
+    assert(!plan(name).contains("CartesianProduct"))
+  }
+
+  test("quality_ks_test prefix sums stay two-level: global window only over band totals") {
+    assertTwoLevelPrefix("quality_ks_test")
+  }
+
+  test("orders_gini rank algebra windows partition by segment/band over aggregates") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val opt = Queries.byName("orders_gini").run(spark, sfDir)
+      .queryExecution.optimizedPlan
+    // both prefix windows carry a partition spec (segment×band / segment)
+    val ws = opt.collect { case w: LWindow => w }
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+      s"orders_gini grew an unpartitioned window:\n$ws")
+    assert(!plan("orders_gini").contains("CartesianProduct"))
+  }
+
+  test("graph_hits iterations are joins + aggregates — zero windows, no nested loop") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val opt = Queries.byName("graph_hits").run(spark, sfDir)
+      .queryExecution.optimizedPlan
+    assert(opt.collect { case w: LWindow => w }.isEmpty)
+    val p = plan("graph_hits")
+    assert(!p.contains("CartesianProduct"), p)
+    // the per-kind top-10 readouts are distributed top-k, not full sorts
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("text_kmv_setops signatures come from the bounded-heap grouped top-k") {
+    val p = plan("text_kmv_setops")
+    // per-set signature: custom TopKPerGroup; union signature: global
+    // TakeOrdered — neither is a set-wide sort or window rank
+    assert(p.contains("TopKPerGroup"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("events_brown_smooth is one bounded-fanout explode, no range join") {
+    val p = plan("events_brown_smooth")
+    assert(p.contains("Generate"), p) // the ≤20-day explode
+    assert(!p.contains("CartesianProduct"), p)
+    // both smoothing sums come out of ONE final aggregate over the explode
+    assert(p.contains("partial_sum"), p)
+  }
 }
