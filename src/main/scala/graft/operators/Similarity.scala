@@ -738,7 +738,13 @@ object Similarity {
     * (order-independent decimal sum) so re-runs are identical on any
     * partitioning.
     */
-  def kmeansAssign(e: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+  /** K-means internals exposed for the quality readouts ([[simSilhouette]]):
+    * returns (assignments carrying the normalized vectors, the centroids
+    * that PRODUCED the final assignment). Same algorithm and determinism
+    * as [[kmeansAssign]].
+    */
+  def kmeansModel(e: DataFrame, k: Int = 8,
+                  iters: Int = 2): (DataFrame, DataFrame) = {
     require(k >= 1, s"kmeansAssign: k must be >= 1, got $k")
     require(iters >= 1, s"kmeansAssign: iters must be >= 1, got $iters")
     VectorKernels.register(e.sparkSession)
@@ -770,8 +776,12 @@ object Similarity {
           .withColumn("cn", sqrt(dotD(col("cv"), col("cv"))))
       }
     }
-    assigned.select(col("vec_id"), col("c").as("cluster_id"))
+    (assigned, cents)
   }
+
+  def kmeansAssign(e: DataFrame, k: Int = 8, iters: Int = 2): DataFrame =
+    kmeansModel(e, k, iters)._1
+      .select(col("vec_id"), col("c").as("cluster_id"))
 
   /** K-means summary over the corpus (k = 8, 2 Lloyd iterations): integer
     * per-cluster stats only, so cross-engine float noise in the means can't
@@ -1469,10 +1479,160 @@ object Similarity {
            |SELECT vec_id, round(cos, 6) AS cosine FROM c
            |WHERE cos >= 0.25 ORDER BY cosine DESC, vec_id""".stripMargin))
 
+  /** Simplified (centroid-based) silhouette of the k-means clustering —
+    * the cluster-quality readout completing the clustering family
+    * (sim_kmeans = the partition, this = "is the partition any good?"):
+    * per vector, a = cosine distance to its OWN centroid, b = the minimum
+    * distance to any OTHER centroid, s = (b−a)/max(a,b) ∈ [−1, 1]; the
+    * per-cluster mean separates tight clusters (s → 1) from arbitrary
+    * splits (s ≈ 0). The full-silhouette a/b (mean pairwise member
+    * distances) is corpus-quadratic; the centroid form (Hruschka 2004) is
+    * the standard linear surrogate — one broadcast-centroid cross per
+    * vector, map-only until the per-cluster aggregate, the exact shape of
+    * the assignment pass it audits.
+    *
+    * Determinism: identical centroid chain as sim_kmeans (fully oracle-
+    * replayed), each distance the same single-division expression the
+    * assignment ranked on, s two subtractions + one division, means via
+    * fine-decimal sums at round(·,6).
+    */
+  private val simSilhouette = Q(
+    "sim_silhouette",
+    (s, dir) => {
+      val (assigned, cents) = kmeansModel(emb(s, dir))
+      val d = assigned
+        .crossJoin(broadcast(cents.withColumnRenamed("c", "cc")))
+        .withColumn("dist",
+          lit(1.0) - dotD(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      val ab = d.groupBy("vec_id", "c")
+        .agg(max(when(col("cc") === col("c"), col("dist"))).as("a"),
+          min(when(col("cc") =!= col("c"), col("dist"))).as("b"))
+      val sil = ab.select(col("vec_id"), col("c"),
+        when(greatest(col("a"), col("b")) > 0,
+          (col("b") - col("a")) / greatest(col("a"), col("b")))
+          .otherwise(lit(0.0)).as("s"))
+      sil.groupBy(col("c").as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          round(graft.functions.Deterministic.dsumFine(col("s")) /
+            count(lit(1)), 6).as("mean_silhouette"))
+        .orderBy("cluster_id")
+    },
+    Some("""WITH en AS (SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+           |    sqrt(list_sum(list_transform(embedding,
+           |      x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+           |  FROM embeddings),
+           |c0 AS (SELECT vec_id AS c, v AS cv, nrm AS cn FROM en
+           |       ORDER BY vec_id LIMIT 8),
+           |a1 AS (SELECT vec_id, v, nrm, c FROM (
+           |    SELECT en.vec_id, en.v, en.nrm, c0.c,
+           |      ROW_NUMBER() OVER (PARTITION BY en.vec_id ORDER BY round(
+           |        list_sum(list_transform(range(1,65), i -> en.v[i]*c0.cv[i]))
+           |        / (en.nrm*c0.cn), 9) DESC, c0.c) AS rn
+           |    FROM en CROSS JOIN c0) WHERE rn = 1),
+           |m AS (SELECT c, i,
+           |        CAST(sum(CAST(v[i] AS DECIMAL(38,20))) AS DOUBLE) / count(*) AS mv
+           |      FROM a1, unnest(range(1,65)) AS t(i) GROUP BY c, i),
+           |c1 AS (SELECT c, array_agg(mv ORDER BY i) AS cv FROM m GROUP BY c),
+           |c1n AS (SELECT c, cv, sqrt(list_sum(list_transform(cv, x -> x*x))) AS cn
+           |        FROM c1),
+           |a2 AS (SELECT vec_id, v, nrm, c FROM (
+           |    SELECT en.vec_id, en.v, en.nrm, c1n.c,
+           |      ROW_NUMBER() OVER (PARTITION BY en.vec_id ORDER BY round(
+           |        list_sum(list_transform(range(1,65), i -> en.v[i]*c1n.cv[i]))
+           |        / (en.nrm*c1n.cn), 9) DESC, c1n.c) AS rn
+           |    FROM en CROSS JOIN c1n) WHERE rn = 1),
+           |d AS (SELECT a2.vec_id, a2.c, c1n.c AS cc,
+           |        1.0 - list_sum(list_transform(range(1,65),
+           |          i -> a2.v[i]*c1n.cv[i])) / (a2.nrm*c1n.cn) AS dist
+           |      FROM a2 CROSS JOIN c1n),
+           |ab AS (SELECT vec_id, c,
+           |        max(CASE WHEN cc = c THEN dist END) AS a,
+           |        min(CASE WHEN cc <> c THEN dist END) AS b
+           |       FROM d GROUP BY vec_id, c),
+           |sil AS (SELECT vec_id, c,
+           |        CASE WHEN greatest(a, b) > 0
+           |          THEN (b - a) / greatest(a, b) ELSE 0.0 END AS s
+           |       FROM ab)
+           |SELECT c AS cluster_id, count(*) AS n_members,
+           |  round(CAST(SUM(CAST(s AS DECIMAL(38,20))) AS DOUBLE) / count(*),
+           |    6) AS mean_silhouette
+           |FROM sil GROUP BY c ORDER BY cluster_id""".stripMargin))
+
+  /** Reciprocal-rank fusion (Cormack 2009, the RAG-stack default) of two
+    * retrieval rankings — cosine (norm-calibrated) and raw inner product
+    * (magnitude-sensitive): RRF(d) = Σᵣ 1/(60 + rankᵣ(d)) rewards documents
+    * BOTH rankers place high without comparing their incommensurable
+    * scores. Both rankings come off ONE pass over the query×corpus frame
+    * (two windows, both partitioned by q_id); this is the brute-force
+    * baseline exactly like [[simBruteTopk]] — the scale path swaps each
+    * ranker for its ANN variant and fuses the candidate lists, the fusion
+    * arithmetic is unchanged.
+    *
+    * Determinism: ranks are exact ints off round(·,9)+id orderings; each
+    * RRF term is one IEEE division by a small exact integer, the fusion
+    * one addition, ordered at round(·,9) with id tie-break.
+    */
+  private val simRrfFusion = Q(
+    "sim_rrf_fusion",
+    (s, dir) => {
+      VectorKernels.register(s)
+      val raw = Tables.load(s, dir, "embeddings")
+      val q = broadcast(raw.filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
+        .toDF("q_id", "q_emb", "q_nrm"))
+      val n = emb(s, dir).select(col("vec_id"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"))
+        .toDF("n_id", "n_emb", "n_nrm")
+      val scored = q.join(n, col("q_id") =!= col("n_id"))
+        .withColumn("dp", dot(col("q_emb"), col("n_emb")))
+        .withColumn("cos", col("dp") / (col("q_nrm") * col("n_nrm")))
+      val wc = Window.partitionBy("q_id")
+        .orderBy(round(col("cos"), 9).desc, col("n_id"))
+      val wd = Window.partitionBy("q_id")
+        .orderBy(round(col("dp"), 9).desc, col("n_id"))
+      val wf = Window.partitionBy("q_id")
+        .orderBy(round(col("rrf"), 9).desc, col("n_id"))
+      scored
+        .withColumn("r_cos", row_number().over(wc))
+        .withColumn("r_dot", row_number().over(wd))
+        .withColumn("rrf",
+          lit(1.0) / (lit(60) + col("r_cos")) +
+            lit(1.0) / (lit(60) + col("r_dot")))
+        .withColumn("rank", row_number().over(wf))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("n_id"),
+          col("r_cos"), col("r_dot"), round(col("rrf"), 6).as("rrf"))
+        .orderBy("q_id", "rank")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding,
+           |   sqrt(list_sum(list_transform(embedding,
+           |     x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+           | FROM embeddings),
+           |p AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+           |   list_sum(list_transform(range(1, 65),
+           |     i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)))
+           |     AS dp,
+           |   q.nrm * n.nrm AS nn
+           | FROM e q JOIN e n ON q.vec_id < 10 AND n.vec_id != q.vec_id),
+           |r AS (SELECT q_id, n_id,
+           |   CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+           |     ORDER BY round(dp / nn, 9) DESC, n_id) AS INT) AS r_cos,
+           |   CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+           |     ORDER BY round(dp, 9) DESC, n_id) AS INT) AS r_dot
+           | FROM p),
+           |f AS (SELECT q_id, n_id, r_cos, r_dot,
+           |   1.0 / (60 + r_cos) + 1.0 / (60 + r_dot) AS rrf FROM r),
+           |k AS (SELECT q_id, n_id, r_cos, r_dot, rrf,
+           |   CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+           |     ORDER BY round(rrf, 9) DESC, n_id) AS INT) AS rank FROM f)
+           |SELECT q_id, rank, n_id, r_cos, r_dot, round(rrf, 6) AS rrf
+           |FROM k WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin))
+
   val queries: Seq[Q] = Seq(
     simBruteTopk, simLshAnn, dedupEmbeddingCosine, simIvfAnn,
     dedupSemanticClusters, simQuantizedTopk, simPqTopk, simKmeans,
     simDimStats, simMutualKnn, simPcaPower, mlLogregStep, mlAuc,
     mlCalibration, simRandProj, mlQuantileNorm, mlKnnClassify, mlPrCurve,
-    mlDecisionStump, simRangeQuery)
+    mlDecisionStump, simRangeQuery, simSilhouette, simRrfFusion)
 }

@@ -1540,6 +1540,83 @@ object TextAnalysis {
            |  FROM isig CROSS JOIN mu CROSS JOIN st)
            |ORDER BY set_name""".stripMargin))
 
+  /** RAKE keyword extraction (Rose 2010) over the English corpus — the
+    * unsupervised keyword/topic surface beside the collocation-PMI phrase
+    * miner (`text_phrase_mine` finds STATISTICALLY GLUED pairs; RAKE finds
+    * SALIENT multi-word candidates): texts split into candidate phrases at
+    * stopword boundaries, each word scored deg/freq (deg = Σ length of
+    * containing phrases — co-occurrence degree including self), a phrase
+    * scores the sum of its member words, identical candidates aggregate.
+    * Scale shape: the only window is the stopword-prefix-count phrase id,
+    * partitioned BY DOC (doc-length bounded); word stats are one two-phase
+    * vocabulary aggregate; phrase reassembly is the order-independent
+    * array_sort(collect_list(struct)) idiom per (doc, phrase) key; the
+    * readout is a distributed top-20.
+    *
+    * Determinism: deg/freq is one IEEE division of exact longs per word;
+    * phrase scores are fine-decimal sums of those (order-independent);
+    * identical phrase strings provably carry identical scores (same member
+    * multiset → same sum), so the dedup max() is value-stable; final
+    * ordering at round(·,9) with the phrase string as tie-break.
+    */
+  private val textRakeKeywords = Q(
+    "text_rake_keywords",
+    (s, dir) => {
+      val toks = docs(s, dir).filter(col("lang") === "en")
+        .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "w")))
+        .withColumn("stop", col("w").isin(StopWords.map(x => x: Any): _*))
+      val wp = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val mem0 = toks
+        .withColumn("pid", sum(col("stop").cast("long")).over(wp))
+        .filter(!col("stop"))
+        .select(col("doc_id"), col("pid"), col("pos"), col("w"))
+      val plens = mem0.groupBy("doc_id", "pid").agg(count(lit(1)).as("plen"))
+      val mem = mem0.join(plens, Seq("doc_id", "pid"))
+      val wstats = mem.groupBy("w")
+        .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      val scored = mem.join(wstats, "w")
+        .withColumn("wsv", col("deg").cast("double") / col("freq"))
+      val phrases = scored.groupBy("doc_id", "pid")
+        .agg(array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("w")))),
+            x => x("w")), " ").as("phrase"),
+          dsumFine(col("wsv")).as("score"))
+      phrases.groupBy("phrase")
+        .agg(count(lit(1)).as("n_occurrences"), max(col("score")).as("score"))
+        .orderBy(round(col("score"), 9).desc, col("phrase")).limit(20)
+        .select(col("phrase"), col("n_occurrences"),
+          round(col("score"), 6).as("score"))
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, i - 1 AS pos, w[i] AS w,
+            |    list_contains([$StopWordsSql], w[i]) AS stop
+            |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+            |        FROM documents WHERE lang = 'en') d,
+            |       unnest(range(1, len(d.w) + 1)) AS t(i)),
+            |ph AS (SELECT doc_id, pos, w, stop,
+            |    SUM(CASE WHEN stop THEN 1 ELSE 0 END) OVER (
+            |      PARTITION BY doc_id ORDER BY pos
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid
+            |  FROM toks),
+            |mem0 AS (SELECT doc_id, pid, pos, w FROM ph WHERE NOT stop),
+            |plen AS (SELECT doc_id, pid, count(*) AS plen
+            |  FROM mem0 GROUP BY 1, 2),
+            |mem AS (SELECT mem0.doc_id, mem0.pid, mem0.pos, mem0.w, plen.plen
+            |  FROM mem0 JOIN plen USING (doc_id, pid)),
+            |ws AS (SELECT w, count(*) AS freq, CAST(sum(plen) AS BIGINT) AS deg
+            |  FROM mem GROUP BY w),
+            |sc AS (SELECT mem.doc_id, mem.pid, mem.pos, mem.w,
+            |    CAST(deg AS DOUBLE) / freq AS wsv
+            |  FROM mem JOIN ws USING (w)),
+            |phr AS (SELECT doc_id, pid,
+            |    string_agg(w, ' ' ORDER BY pos) AS phrase,
+            |    CAST(SUM(CAST(wsv AS DECIMAL(38,20))) AS DOUBLE) AS score
+            |  FROM sc GROUP BY doc_id, pid),
+            |agg AS (SELECT phrase, count(*) AS n_occurrences,
+            |    max(score) AS score FROM phr GROUP BY phrase)
+            |SELECT phrase, n_occurrences, round(score, 6) AS score
+            |FROM agg ORDER BY round(score, 9) DESC, phrase LIMIT 20""".stripMargin))
+
   val queries: Seq[Q] = Seq(
     textTokens, textTokenFreq, textTfidf, textQuality, textQualityGate,
     textNovelty, textMixtureReport, textLangid,
@@ -1548,7 +1625,7 @@ object TextAnalysis {
     textBpe, textBpeEncode, textLmScore, textKnScore, textZipfHead,
     textEntropy, textCmsCounts, textPhraseMine, mlFeatureHash, mlNaiveBayes,
     mlMutualInfo, textHllDistinct, textJsdSources, textNgramCoverage,
-    textKmvSetops)
+    textKmvSetops, textRakeKeywords)
 
   /** Mutual-information feature selection: I(token-presence; source) over
     * the 2×2 contingency of each (token, source) pair — the supervised

@@ -632,6 +632,31 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("text_rake_keywords: phrase-id window partitions by doc, readout is distributed top-k") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val opt = Queries.byName("text_rake_keywords").run(spark, sfDir)
+      .queryExecution.optimizedPlan
+    val ws = opt.collect { case w: LWindow => w }
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+      s"rake grew an unpartitioned window:\n$ws")
+    val p = plan("text_rake_keywords")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sim_rrf_fusion ranks partition by query; fusion adds no extra scan") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val opt = Queries.byName("sim_rrf_fusion").run(spark, sfDir)
+      .queryExecution.optimizedPlan
+    val ws = opt.collect { case w: LWindow => w }
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+      s"rrf grew an unpartitioned window:\n$ws")
+    // both rankings and the fusion rank come off ONE scored frame — the
+    // embeddings table is scanned for queries + corpus, never per-ranker
+    assert("Scan parquet .*embeddings".r.findAllIn(plan("sim_rrf_fusion"))
+      .size <= 2, plan("sim_rrf_fusion"))
+  }
+
   test("events_brown_smooth is one bounded-fanout explode, no range join") {
     val p = plan("events_brown_smooth")
     assert(p.contains("Generate"), p) // the ≤20-day explode
