@@ -70,6 +70,30 @@ object Graph {
         (col("l_suppkey") * 2 + 1).as("dst"))
   }
 
+  /** supp ≥ 2 co-purchase part–part edges (a < b) — the shared substrate of
+    * the triangle / label-prop / k-core / link-predict / assortativity /
+    * harmonic family. The 1.2 M-pair market-basket support build is the
+    * family's dominant cost and its output is tiny (3.6 k edges at sf0.1),
+    * so it is memoized per (session, dir) via [[graft.Caches.memo]]: the
+    * first query of a batch session pays the build once, the rest reuse the
+    * pinned lineage-truncated frame (the memo localCheckpoints eagerly, so
+    * callers need no further checkpoint). Reuse is value-identical to
+    * rebuilding — the build is a deterministic two-phase count — so every
+    * declared query stays self-contained for Verify.
+    */
+  private def coPurchaseEdges(s: org.apache.spark.sql.SparkSession,
+                              dir: String): DataFrame =
+    graft.Caches.memo(s, s"graph:copurchase:$dir") {
+      val l = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      l.select(col("ok"), col("p").as("a"))
+        .join(l.select(col("ok"), col("p").as("b")), "ok")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("supp"))
+        .filter(col("supp") >= 2)
+        .select("a", "b")
+    }
+
   /** Decode an integer-coded purchase-graph node key to its public label.
     * `shiftright`, not `/`: Column `/` is DOUBLE division, which loses
     * exactness above 2^53 — the integral shift decodes the full long range
@@ -276,17 +300,7 @@ object Graph {
 
   private val graphTriangles = Q(
     "graph_triangles",
-    (s, dir) => {
-      val l = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
-      val edges = l.select(col("ok"), col("p").as("a"))
-        .join(l.select(col("ok"), col("p").as("b")), "ok")
-        .filter(col("a") < col("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("supp"))
-        .filter(col("supp") >= 2)
-        .select("a", "b")
-      triangleCensus(edges.localCheckpoint())
-    },
+    (s, dir) => triangleCensus(coPurchaseEdges(s, dir)),
     Some("""WITH l AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
            |e AS (SELECT a, b FROM (SELECT x.p AS a, y.p AS b, count(*) AS supp
            |        FROM l x JOIN l y ON x.ok = y.ok AND x.p < y.p
@@ -348,14 +362,7 @@ object Graph {
   private val graphLabelProp = Q(
     "graph_label_prop",
     (s, dir) => {
-      val l = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
-      val edges = l.select(col("ok"), col("p").as("a"))
-        .join(l.select(col("ok"), col("p").as("b")), "ok")
-        .filter(col("a") < col("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("supp"))
-        .filter(col("supp") >= 2)
-        .select("a", "b")
+      val edges = coPurchaseEdges(s, dir)
       val nbr = edges.select(col("a").as("n"), col("b").as("m"))
         .unionByName(edges.select(col("b").as("n"), col("a").as("m")))
         .localCheckpoint()
@@ -400,25 +407,17 @@ object Graph {
   private val graphKcore = Q(
     "graph_kcore",
     (s, dir) => {
-      val l = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
       // The peel rounds reference their input through THREE branches each
       // (degree, and both semi-join sides), so the base frame appears 3³
       // times in the final plan. For triangles/LPA lazy recompute still won
       // (2 branches, shallow), but here it is the measured loser (9.0 s at
       // sf0.1), and an eager persist() is WORSE (31.9 s — 27 cached-plan
       // consumers each re-planned under AQE). The [[Dedup.clusters]]
-      // pointer-jumping convention wins: localCheckpoint the tiny supported
-      // edge set once (eager, lineage truncated → every round plans against
-      // a 3.6 k-row leaf), then checkpoint each round's survivor edges the
+      // pointer-jumping convention wins: start from the eagerly
+      // checkpointed memoized edge set (every round plans against a
+      // 3.6 k-row leaf), then checkpoint each round's survivor edges the
       // same way.
-      var edges = l.select(col("ok"), col("p").as("a"))
-        .join(l.select(col("ok"), col("p").as("b")), "ok")
-        .filter(col("a") < col("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("supp"))
-        .filter(col("supp") >= 2)
-        .select("a", "b")
-        .localCheckpoint()
+      var edges = coPurchaseEdges(s, dir)
       for (_ <- 1 to 3) {
         val deg = edges.select(col("a").as("n"))
           .unionByName(edges.select(col("b").as("n")))
@@ -581,16 +580,7 @@ object Graph {
   private val graphLinkPredict = Q(
     "graph_link_predict",
     (s, dir) => {
-      val l = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
-      val edges = l.select(col("ok"), col("p").as("a"))
-        .join(l.select(col("ok"), col("p").as("b")), "ok")
-        .filter(col("a") < col("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("supp"))
-        .filter(col("supp") >= 2)
-        .select("a", "b")
-        .localCheckpoint()
-      adamicAdar(edges)
+      adamicAdar(coPurchaseEdges(s, dir))
         .orderBy(col("aa_score").desc, col("x"), col("y"))
         .limit(20)
     },
@@ -631,14 +621,7 @@ object Graph {
     "graph_assortativity",
     (s, dir) => {
       val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-      val l = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
-      val edges = l.select(col("ok"), col("p").as("a"))
-        .join(l.select(col("ok"), col("p").as("b")), "ok")
-        .filter(col("a") < col("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("supp"))
-        .filter(col("supp") >= 2)
-        .select("a", "b").localCheckpoint()
+      val edges = coPurchaseEdges(s, dir)
       val dir2 = edges.select(col("a").as("u"), col("b").as("v"))
         .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
       val deg = dir2.groupBy("u").agg(count(lit(1)).as("d"))
@@ -693,14 +676,7 @@ object Graph {
     "graph_harmonic",
     (s, dir) => {
       val hubCap = 64
-      val l = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
-      val edges = l.select(col("ok"), col("p").as("a"))
-        .join(l.select(col("ok"), col("p").as("b")), "ok")
-        .filter(col("a") < col("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("supp"))
-        .filter(col("supp") >= 2)
-        .select("a", "b").localCheckpoint()
+      val edges = coPurchaseEdges(s, dir)
       val und = edges.select(col("a").as("u"), col("b").as("v"))
         .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
       val deg = und.groupBy("u").agg(count(lit(1)).as("dg"))
