@@ -805,7 +805,132 @@ object Graph {
            |SELECT * FROM auth UNION ALL SELECT * FROM hub
            |ORDER BY kind, score DESC, node""".stripMargin))
 
+  /** Newman modularity of the 3-round label-propagation partition over the
+    * supp ≥ 2 co-purchase graph — the standard "are these communities
+    * real?" score (Newman & Girvan 2004): Q = Σ_c (e_c/m − (d_c/2m)²),
+    * e_c = intra-community edges, d_c = community degree sum. The quality
+    * gate a pipeline runs AFTER community detection before acting on the
+    * clusters (e.g. curriculum bucketing by product family) — LPA always
+    * returns *some* partition; modularity says whether it beats the random-
+    * graph null.
+    *
+    * Scale shape: LPA rounds as in [[graphLabelProp]] (linear in |E|), then
+    * two label joins on the tiny memoized edge frame plus per-community
+    * two-phase aggregates. Determinism: Q reduces to the exact integer
+    * numerator Σ_c (4·m·e_c − d_c²) carried in DECIMAL(38,0) (at lake scale
+    * m ~ 10¹², d_c² ~ 10²⁴ — far past long range, within decimal), with ONE
+    * final IEEE divide by 4m² mirrored literally in the oracle.
+    */
+  /** Newman modularity of a node→label partition over an (a < b) edge
+    * list — see [[graphModularity]] for the statistic and determinism
+    * argument. Returns one row:
+    * (n_nodes, n_edges, n_communities, modularity).
+    */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val lab = labels.localCheckpoint()
+    val nbr = edges.select(col("a").as("n"), col("b").as("m"))
+      .unionByName(edges.select(col("b").as("n"), col("a").as("m")))
+    val m = edges.agg(count(lit(1)).as("m"))
+    val ec = edges
+      .join(lab.select(col("node").as("a"), col("label").as("la")), "a")
+      .join(lab.select(col("node").as("b"), col("label").as("lb")), "b")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label")).agg(count(lit(1)).as("ec"))
+    val dc = nbr.join(lab.withColumnRenamed("node", "n"), "n")
+      .groupBy("label").agg(count(lit(1)).as("dc"))
+    val qnum = dc.join(ec, Seq("label"), "left")
+      .crossJoin(broadcast(m))
+      .select((col("m").cast(dec) * coalesce(col("ec"), lit(0L)) * 4 -
+        col("dc").cast(dec) * col("dc")).as("qn"))
+      .agg(sum(col("qn")).as("qnum"))
+    val meta = lab.agg(count(lit(1)).as("n_nodes"),
+      countDistinct(col("label")).as("n_communities"))
+    qnum.crossJoin(broadcast(m)).crossJoin(broadcast(meta))
+      .select(col("n_nodes"), col("m").as("n_edges"), col("n_communities"),
+        round(col("qnum").cast("double") /
+          (lit(4.0) * col("m").cast("double") * col("m").cast("double")),
+          6).as("modularity"))
+  }
+
+  private val graphModularity = Q(
+    "graph_modularity",
+    (s, dir) => {
+      val edges = coPurchaseEdges(s, dir)
+      val nbr = edges.select(col("a").as("n"), col("b").as("m"))
+        .unionByName(edges.select(col("b").as("n"), col("a").as("m")))
+        .localCheckpoint()
+      var labels = nbr.select(col("n").as("node")).distinct()
+        .select(col("node"), col("node").as("label"))
+      for (_ <- 1 to 3) labels = lpaRound(labels, nbr)
+      modularity(edges, labels)
+    },
+    Some("""WITH l AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+           |e AS (SELECT a, b FROM (SELECT x.p AS a, y.p AS b, count(*) AS supp
+           |        FROM l x JOIN l y ON x.ok = y.ok AND x.p < y.p
+           |        GROUP BY x.p, y.p) WHERE supp >= 2),
+           |nbr AS (SELECT a AS n, b AS m FROM e UNION ALL SELECT b AS n, a AS m FROM e),
+           |l0 AS (SELECT DISTINCT n AS node, n AS label FROM nbr),
+           |""".stripMargin +
+      (1 to 3).map(lpaRoundSql).mkString(",\n") + ",\n" +
+      """m AS (SELECT count(*) AS m FROM e),
+        |ec AS (SELECT x.label AS label, count(*) AS ec
+        |  FROM e JOIN l3 x ON e.a = x.node JOIN l3 y ON e.b = y.node
+        |  WHERE x.label = y.label GROUP BY 1),
+        |dc AS (SELECT l3.label, count(*) AS dc
+        |  FROM nbr JOIN l3 ON nbr.n = l3.node GROUP BY 1),
+        |q AS (SELECT SUM(CAST(m AS DECIMAL(38,0)) * COALESCE(ec.ec, 0) * 4
+        |    - CAST(dc AS DECIMAL(38,0)) * dc) AS qnum
+        |  FROM dc LEFT JOIN ec USING (label) CROSS JOIN m),
+        |meta AS (SELECT count(*) AS n_nodes,
+        |    count(DISTINCT label) AS n_communities FROM l3)
+        |SELECT n_nodes, m AS n_edges, n_communities,
+        |  round(CAST(qnum AS DOUBLE) /
+        |    (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)), 6) AS modularity
+        |FROM q CROSS JOIN m CROSS JOIN meta""".stripMargin))
+
+  /** Degree distribution of the supp ≥ 2 co-purchase graph, bucketed by
+    * bit-length (⌊log₂ d⌋ + 1 — computed as `length(bin(d))`, exact integer
+    * string arithmetic in both engines, no floating log near power-of-two
+    * boundaries): per-bucket node count, degree range and share. The
+    * heavy-tail diagnostic that justifies every hub cap in this file — a
+    * power-law tail in the top buckets is precisely what makes uncapped
+    * wedge/expansion enumeration quadratic, so deployments run this BEFORE
+    * choosing caps. One two-phase degree count plus a ~⌈log₂ dmax⌉-row
+    * aggregate; linear at any scale.
+    */
+  private val graphDegreeDist = Q(
+    "graph_degree_dist",
+    (s, dir) => {
+      val edges = coPurchaseEdges(s, dir)
+      val deg = edges.select(col("a").as("n"))
+        .unionByName(edges.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val tot = deg.agg(count(lit(1)).as("tot"))
+      deg.select(length(bin(col("d"))).cast("long").as("deg_bits"), col("d"))
+        .groupBy("deg_bits")
+        .agg(count(lit(1)).as("n_nodes"), min(col("d")).as("min_deg"),
+          max(col("d")).as("max_deg"))
+        .crossJoin(broadcast(tot))
+        .select(col("deg_bits"), col("n_nodes"), col("min_deg"), col("max_deg"),
+          round(col("n_nodes").cast("double") / col("tot"), 6).as("share"))
+        .orderBy("deg_bits")
+    },
+    Some("""WITH l AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+           |e AS (SELECT a, b FROM (SELECT x.p AS a, y.p AS b, count(*) AS supp
+           |        FROM l x JOIN l y ON x.ok = y.ok AND x.p < y.p
+           |        GROUP BY x.p, y.p) WHERE supp >= 2),
+           |deg AS (SELECT n, count(*) AS d FROM
+           |    (SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e) GROUP BY n),
+           |tot AS (SELECT count(*) AS tot FROM deg)
+           |SELECT CAST(length(bin(d)) AS BIGINT) AS deg_bits,
+           |  count(*) AS n_nodes, min(d) AS min_deg, max(d) AS max_deg,
+           |  round(CAST(count(*) AS DOUBLE) / tot, 6) AS share
+           |FROM deg CROSS JOIN tot
+           |GROUP BY deg_bits, tot ORDER BY deg_bits""".stripMargin))
+
   val queries: Seq[Q] = Seq(graphPagerank, graphBfsReach, graphTriangles,
     graphLabelProp, graphKcore, graphLinkPredict, graphPpr,
-    graphAssortativity, graphHarmonic, graphHits)
+    graphAssortativity, graphHarmonic, graphHits, graphModularity,
+    graphDegreeDist)
 }

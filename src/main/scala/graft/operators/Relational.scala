@@ -2772,7 +2772,98 @@ object Relational {
            |FROM p JOIN s sa ON p.ta = sa.et JOIN s sb ON p.tb = sb.et
            |CROSS JOIN n ORDER BY type_a, type_b""".stripMargin))
 
+  /** Poisson(1) cumulative thresholds on a 10⁶ integer grid (⌊cdf·10⁶⌋),
+    * capped at weight 8 (residual mass ~1.1·10⁻⁵, documented bias): the
+    * inverse-CDF table for hash-deterministic Poisson bootstrap weights.
+    */
+  private val PoissonThr =
+    Seq(367879L, 735758L, 919698L, 981011L, 996340L, 999405L, 999916L, 999989L)
+
+  /** Poisson bootstrap confidence interval for the mean order price — the
+    * uncertainty-quantification primitive a metrics pipeline needs at lake
+    * scale. Classic resample-with-replacement needs n draws per replica
+    * against a global index (a shuffle per replica); the POISSON bootstrap
+    * replaces each replica's multinomial with independent per-row
+    * Poisson(1) weights, so all B = 64 replicas compute in ONE linear pass
+    * (explode ×64 + two-phase weighted aggregate) with no resampling join
+    * — the standard large-scale formulation. Weights are deterministic:
+    * md5-hash of (orderkey, replica) → uniform on a 10⁶ grid → inverse-CDF
+    * against the [[PoissonThr]] integer literals, never `rand()`.
+    *
+    * Determinism: weighted cent sums ride DECIMAL(38,0); each replica mean
+    * is two IEEE divides; the CI bounds are ORDER STATISTICS (2nd and 63rd
+    * of 64 replica means ≈ 2.5/97.5 %), picked by a window over the 64-row
+    * replica frame; the bootstrap SE moments ride the fine decimal. Every
+    * downstream window/aggregate runs over the B-row frame, never the
+    * facts.
+    */
+  private val samplePoissonBootstrap = Q(
+    "sample_poisson_bootstrap",
+    (s, dir) => {
+      val dec = DecimalType(38, 0)
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val rep = o.select(col("o_orderkey"), col("cents"),
+        explode(sequence(lit(0), lit(63))).as("b"))
+      val u = pmod(md5Hash32(concat(col("o_orderkey").cast("string"),
+        lit(":"), col("b").cast("string"))), lit(1000000))
+      val wgt = PoissonThr.zipWithIndex
+        .foldRight(lit(8L): Column) { case ((thr, i), els) =>
+          when(u < thr, i.toLong).otherwise(els)
+        }
+      val means = rep.withColumn("w", wgt)
+        .groupBy("b")
+        .agg(sum(col("w").cast(dec) * col("cents")).as("sw"),
+          sum(col("w")).as("nw"))
+        .select(col("b"),
+          (col("sw").cast("double") / col("nw").cast("double") / 100.0).as("m"))
+      val mo = means.agg(count(lit(1)).as("nb"),
+        dsumFine(col("m")).as("sm"),
+        dsumFine(col("m") * col("m")).as("smm"))
+      val rn = means.withColumn("rn",
+        row_number().over(Window.orderBy(col("m"), col("b"))))
+      val ci = rn.agg(max(when(col("rn") === 2, col("m"))).as("lo"),
+        max(when(col("rn") === 63, col("m"))).as("hi"))
+      val full = o.agg(count(lit(1)).as("n_orders"),
+        (dsum(col("cents").cast("double")) / count(lit(1)) / 100.0).as("mp"))
+      mo.crossJoin(broadcast(ci)).crossJoin(broadcast(full))
+        .select(col("n_orders"), col("nb").as("n_reps"),
+          round(col("mp"), 6).as("mean_price"),
+          round(sqrt((col("smm") - col("sm") * col("sm") / col("nb")) /
+            (col("nb") - 1)), 6).as("boot_se"),
+          round(col("lo"), 6).as("ci_lo"), round(col("hi"), 6).as("ci_hi"))
+    },
+    Some(s"""WITH o AS (SELECT o_orderkey,
+            |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+            |rep AS (SELECT o_orderkey, cents, b,
+            |    CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' ||
+            |      CAST(b AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 AS u
+            |  FROM o, unnest(range(0, 64)) AS t(b)),
+            |w AS (SELECT b, cents, CASE
+            |    ${PoissonThr.zipWithIndex
+               .map { case (thr, i) => s"WHEN u < $thr THEN $i" }
+               .mkString(" ")} ELSE 8 END AS w FROM rep),
+            |means AS (SELECT b,
+            |    CAST(SUM(CAST(w AS DECIMAL(38,0)) * cents) AS DOUBLE)
+            |      / CAST(SUM(w) AS DOUBLE) / 100.0 AS m
+            |  FROM w GROUP BY b),
+            |mo AS (SELECT count(*) AS nb,
+            |    CAST(SUM(CAST(m AS DECIMAL(38,20))) AS DOUBLE) AS sm,
+            |    CAST(SUM(CAST(m * m AS DECIMAL(38,20))) AS DOUBLE) AS smm
+            |  FROM means),
+            |rn AS (SELECT m, row_number() OVER (ORDER BY m, b) AS rn FROM means),
+            |ci AS (SELECT max(CASE WHEN rn = 2 THEN m END) AS lo,
+            |    max(CASE WHEN rn = 63 THEN m END) AS hi FROM rn),
+            |base AS (SELECT count(*) AS n_orders,
+            |    CAST(SUM(CAST(CAST(cents AS DOUBLE) AS DECIMAL(18,2))) AS DOUBLE)
+            |      / count(*) / 100.0 AS mp FROM o)
+            |SELECT n_orders, nb AS n_reps, round(mp, 6) AS mean_price,
+            |  round(sqrt((smm - sm * sm / nb) / (nb - 1)), 6) AS boot_se,
+            |  round(lo, 6) AS ci_lo, round(hi, 6) AS ci_hi
+            |FROM mo CROSS JOIN ci CROSS JOIN base""".stripMargin))
+
   val queries: Seq[Q] = Seq(
+    samplePoissonBootstrap,
     eventsPmiPairs,
     catalogAgg, sampleMixture, qualityChecks, aggFooterStats, tableDiffQ,
     scd2MergeQ, aggHistogram, refPartitionCount,

@@ -1629,10 +1629,370 @@ object Similarity {
            |SELECT q_id, rank, n_id, r_cos, r_dot, round(rrf, 6) AS rrf
            |FROM k WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin))
 
+  /** Full confusion-matrix sweep for the trained classifier at decile
+    * thresholds — the model-SELECTION readout completing the eval family:
+    * [[mlPrCurve]] reports precision/recall, this adds the fn/tn halves,
+    * F1, accuracy, and flags the F1-maximizing threshold (the operating
+    * point a gating pipeline would deploy). Same shape discipline as the
+    * PR curve: the exact GD-chain scores bucket by floor(p·10), the
+    * cumulative-from-top window runs over the FIXED ≤10-row bucket frame,
+    * fn/tn derive from the broadcast 1-row totals, and the best-F1 flag
+    * compares each row's unrounded F1 against the broadcast max of the
+    * same 10-row frame — identical IEEE expressions on both engines, so
+    * the boolean is engine-stable.
+    */
+  private val mlF1Sweep = Q(
+    "ml_f1_sweep",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val w = trainedLogreg(s, dir)
+      val xy = e.select(col("vec_id"), (col("label") % 2).cast("double").as("y"),
+        posexplode(col("embedding")).as(Seq("i", "xf")))
+        .select(col("vec_id"), col("y"), col("i"), col("xf").cast("double").as("x"))
+      val scores = xy
+        .join(broadcast(w.select(col("dim").as("i"), col("weight"))), "i")
+        .groupBy("vec_id", "y")
+        .agg(graft.functions.Deterministic.dsumFine(col("x") * col("weight")).as("z"))
+        .select(col("y"),
+          round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6).as("p"))
+      val bkt = scores
+        .withColumn("b", least(floor(col("p") * 10), lit(9.0)).cast("int"))
+        .groupBy("b")
+        .agg(sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("np"),
+          sum(when(col("y") === 1.0, 0L).otherwise(1L)).as("nn"))
+      val wTop = Window.orderBy(col("b").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val tot = bkt.agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"))
+      val conf = bkt
+        .select(col("b"), sum(col("np")).over(wTop).as("tp"),
+          sum(col("nn")).over(wTop).as("fp"))
+        .crossJoin(broadcast(tot))
+        .select(col("b"), col("tp"), col("fp"),
+          (col("n_pos") - col("tp")).as("fn"),
+          (col("n_neg") - col("fp")).as("tn"),
+          col("n_pos"), col("n_neg"))
+        .withColumn("f1", (lit(2.0) * col("tp").cast("double")) /
+          (lit(2) * col("tp") + col("fp") + col("fn")).cast("double"))
+      val best = conf.agg(max(col("f1")).as("bf"))
+      conf.crossJoin(broadcast(best))
+        .select((col("b").cast("double") / 10).as("threshold"),
+          col("tp"), col("fp"), col("fn"), col("tn"),
+          round(col("f1"), 6).as("f1"),
+          round((col("tp") + col("tn")).cast("double") /
+            (col("n_pos") + col("n_neg")).cast("double"), 6).as("accuracy"),
+          (col("f1") === col("bf")).as("is_best"))
+        .orderBy("threshold")
+    },
+    Some("""WITH cnt AS (SELECT count(*) AS n FROM embeddings),
+           |x AS (SELECT vec_id, CAST(label % 2 AS DOUBLE) AS y,
+           |        CAST(i - 1 AS INT) AS i, CAST(embedding[i] AS DOUBLE) AS x
+           |      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+           |w0 AS (SELECT DISTINCT i, CAST(0.0 AS DOUBLE) AS w FROM x),
+           |""".stripMargin +
+      (1 to 2).map(logregIterSql).mkString(",\n") + ",\n" +
+      """scores AS (SELECT x.y,
+        |    round(1.0 / (1.0 + exp(-(CAST(SUM(CAST(x.x * w2.w AS DECIMAL(38,20))) AS DOUBLE)))), 6) AS p
+        |  FROM x JOIN w2 ON x.i = w2.i GROUP BY x.vec_id, x.y),
+        |bkt AS (SELECT CAST(least(floor(p * 10), 9.0) AS INT) AS b,
+        |    SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS np,
+        |    SUM(CASE WHEN y = 1.0 THEN 0 ELSE 1 END) AS nn
+        |  FROM scores GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+        |               CAST(SUM(nn) AS BIGINT) AS n_neg FROM bkt),
+        |conf AS (SELECT b,
+        |    CAST(SUM(np) OVER (ORDER BY b DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+        |    CAST(SUM(nn) OVER (ORDER BY b DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp
+        |  FROM bkt),
+        |f AS (SELECT b, tp, fp, n_pos - tp AS fn, n_neg - fp AS tn,
+        |    n_pos, n_neg,
+        |    (2.0 * CAST(tp AS DOUBLE)) / CAST(2 * tp + fp + (n_pos - tp) AS DOUBLE) AS f1
+        |  FROM conf CROSS JOIN tot),
+        |best AS (SELECT max(f1) AS bf FROM f)
+        |SELECT CAST(b AS DOUBLE) / 10 AS threshold, tp, fp, fn, tn,
+        |  round(f1, 6) AS f1,
+        |  round(CAST(tp + tn AS DOUBLE) / CAST(n_pos + n_neg AS DOUBLE), 6) AS accuracy,
+        |  f1 = bf AS is_best
+        |FROM f CROSS JOIN best ORDER BY threshold""".stripMargin))
+
+  /** Position-discount literals for NDCG@20: 1/log₂(i+1) and their running
+    * sums, computed ONCE in the JVM and inlined as literals into both the
+    * Spark plan and the oracle SQL (the LSH-plane stance — no cross-engine
+    * per-row transcendental dependence; 20 bounded positions make the
+    * table finite by construction).
+    */
+  private val NdcgDisc: IndexedSeq[Double] =
+    (1 to 20).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+  private val NdcgDiscCum: IndexedSeq[Double] =
+    NdcgDisc.scanLeft(0.0)(_ + _).tail.toIndexedSeq
+
+  /** NDCG@20 of the trained classifier's score ranking against the binary
+    * labels — the RANKING-quality readout the retrieval half of a curation
+    * pipeline needs (AUC says "positives rank above negatives on average";
+    * NDCG says "the top of the list, where the budget goes, is right").
+    * DCG = Σ y_i/log₂(1+rank_i) over the top 20 by (score desc, vec_id);
+    * IDCG indexes the cumulative discount literal at min(n_pos, 20).
+    *
+    * Scale shape: top-20 selection is a global top-k (TakeOrdered — no
+    * global sort), the rank window runs over the selected 20-row frame
+    * only, and the discount/ideal tables are inlined literals, so nothing
+    * engine-variant or super-linear exists anywhere. The DCG sum rides
+    * [[graft.functions.Deterministic.dsumFine]].
+    */
+  private val mlNdcg = Q(
+    "ml_ndcg",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val w = trainedLogreg(s, dir)
+      val xy = e.select(col("vec_id"), (col("label") % 2).cast("double").as("y"),
+        posexplode(col("embedding")).as(Seq("i", "xf")))
+        .select(col("vec_id"), col("y"), col("i"), col("xf").cast("double").as("x"))
+      val scores = xy
+        .join(broadcast(w.select(col("dim").as("i"), col("weight"))), "i")
+        .groupBy("vec_id", "y")
+        .agg(graft.functions.Deterministic.dsumFine(col("x") * col("weight")).as("z"))
+        .select(col("vec_id"), col("y"),
+          round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6).as("p"))
+      val top = scores.orderBy(col("p").desc, col("vec_id")).limit(20)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("p").desc, col("vec_id"))))
+      val disc = array(NdcgDisc.map(lit): _*)
+      val cum = array(NdcgDiscCum.map(lit): _*)
+      val dcg = top
+        .select((col("y") * element_at(disc, col("rnk"))).as("g"))
+        .agg(graft.functions.Deterministic.dsumFine(col("g")).as("dcg"))
+      val npos = scores.agg(
+        sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("n_pos"))
+      val idcg = element_at(cum, least(col("n_pos"), lit(20L)).cast("int"))
+      dcg.crossJoin(broadcast(npos))
+        .select(col("n_pos"), round(col("dcg"), 6).as("dcg_at20"),
+          round(idcg, 6).as("idcg_at20"),
+          round(col("dcg") / idcg, 6).as("ndcg_at20"))
+    },
+    Some("""WITH cnt AS (SELECT count(*) AS n FROM embeddings),
+           |x AS (SELECT vec_id, CAST(label % 2 AS DOUBLE) AS y,
+           |        CAST(i - 1 AS INT) AS i, CAST(embedding[i] AS DOUBLE) AS x
+           |      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+           |w0 AS (SELECT DISTINCT i, CAST(0.0 AS DOUBLE) AS w FROM x),
+           |""".stripMargin +
+      (1 to 2).map(logregIterSql).mkString(",\n") + ",\n" +
+      s"""scores AS (SELECT x.vec_id, x.y,
+         |    round(1.0 / (1.0 + exp(-(CAST(SUM(CAST(x.x * w2.w AS DECIMAL(38,20))) AS DOUBLE)))), 6) AS p
+         |  FROM x JOIN w2 ON x.i = w2.i GROUP BY x.vec_id, x.y),
+         |top AS (SELECT y, rnk FROM (SELECT y, row_number() OVER
+         |    (ORDER BY p DESC, vec_id) AS rnk FROM scores) WHERE rnk <= 20),
+         |dcg AS (SELECT CAST(SUM(CAST(y * CAST(([${NdcgDisc.mkString(", ")}])[rnk] AS DOUBLE)
+         |    AS DECIMAL(38,20))) AS DOUBLE) AS dcg FROM top),
+         |npos AS (SELECT CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_pos FROM scores)
+         |SELECT n_pos, round(dcg, 6) AS dcg_at20,
+         |  round(CAST(([${NdcgDiscCum.mkString(", ")}])[CAST(least(n_pos, 20) AS INT)] AS DOUBLE), 6) AS idcg_at20,
+         |  round(dcg / CAST(([${NdcgDiscCum.mkString(", ")}])[CAST(least(n_pos, 20) AS INT)] AS DOUBLE), 6) AS ndcg_at20
+         |FROM dcg CROSS JOIN npos""".stripMargin))
+
+  /** One unrolled MMR greedy step as oracle SQL: from the not-yet-selected
+    * candidates, pick the arg-max of λ·rel − (1−λ)·max-sim-to-selected with
+    * the (round(score, 9) DESC, n_id) tiebreak.
+    */
+  private def mmrStepSql(k: Int): String = {
+    val prev = s"sel${k - 1}"
+    s"""s$k AS (SELECT c.n_id, c.rel,
+       |    0.7 * c.rel - 0.3 * mx.ms AS mmr_score, $k AS pick_order
+       |  FROM cand c JOIN (SELECT a_id, max(sim) AS ms FROM pair
+       |      WHERE b_id IN (SELECT n_id FROM $prev) GROUP BY a_id) mx
+       |    ON c.n_id = mx.a_id
+       |  WHERE c.n_id NOT IN (SELECT n_id FROM $prev)
+       |  ORDER BY round(0.7 * c.rel - 0.3 * mx.ms, 9) DESC, c.n_id LIMIT 1),
+       |sel$k AS (SELECT n_id FROM $prev UNION ALL SELECT n_id FROM s$k)""".stripMargin
+  }
+
+  /** Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein 1998) of
+    * the query vector's top-20 exact-cosine candidates: greedily select 5,
+    * each step maximizing λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s) with
+    * λ = 0.7 — the DIVERSIFIED retrieval a curation pipeline uses to avoid
+    * filling a context/training budget with near-duplicates of one
+    * document. The greedy recurrence is inherently sequential, but every
+    * step runs over the BOUNDED candidate frame (20 rows, 380 pairwise
+    * sims), so the unrolled 5-step plan is deep-but-tiny; at lake scale
+    * the candidate generation (global top-k, no sort) is the only part
+    * that sees the corpus, and per-query MMR parallelizes by query id
+    * over windowed candidate groups.
+    *
+    * Determinism: cosines are the [[dot]] kernel's sequential float→double
+    * accumulation (bit-matched by the DuckDB list_sum replay); every
+    * arg-max uses the round-9 + id tiebreak; λ-combines are two IEEE ops
+    * mirrored literally. The oracle unrolls the same 5 steps CTE-for-CTE.
+    */
+  private val simMmrRerank = Q(
+    "sim_mmr_rerank",
+    (s, dir) => {
+      VectorKernels.register(s)
+      val raw = Tables.load(s, dir, "embeddings")
+      val q = broadcast(raw.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"), l2norm(col("embedding")).as("q_nrm")))
+      val n = emb(s, dir).filter(col("vec_id") =!= 0)
+        .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+          l2norm(col("embedding")).as("n_nrm"))
+      val rel = n.crossJoin(q)
+        .select(col("n_id"), col("n_emb"), col("n_nrm"),
+          (dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm"))).as("rel"))
+      val cand = rel.orderBy(round(col("rel"), 9).desc, col("n_id")).limit(20)
+        .localCheckpoint()
+      val ca = cand.select(col("n_id").as("a_id"), col("n_emb").as("a_emb"),
+        col("n_nrm").as("a_nrm"))
+      val cb = cand.select(col("n_id").as("b_id"), col("n_emb").as("b_emb"),
+        col("n_nrm").as("b_nrm"))
+      val pair = ca.join(cb, col("a_id") =!= col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          (dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm"))).as("sim"))
+        .localCheckpoint()
+      var sel = cand.orderBy(round(col("rel"), 9).desc, col("n_id")).limit(1)
+        .select(col("n_id"), col("rel"), col("rel").as("mmr_score"),
+          lit(1).as("pick_order"))
+      for (k <- 2 to 5) {
+        val selIds = sel.select("n_id")
+        val mx = pair.join(selIds.withColumnRenamed("n_id", "b_id"), "b_id")
+          .groupBy(col("a_id").as("n_id")).agg(max(col("sim")).as("ms"))
+        val scored = cand.join(selIds, Seq("n_id"), "left_anti")
+          .join(mx, "n_id")
+          .select(col("n_id"), col("rel"),
+            (lit(0.7) * col("rel") - lit(0.3) * col("ms")).as("mmr_score"))
+        val pick = scored
+          .orderBy(round(col("mmr_score"), 9).desc, col("n_id")).limit(1)
+          .select(col("n_id"), col("rel"), col("mmr_score"),
+            lit(k).as("pick_order"))
+        sel = sel.unionByName(pick)
+      }
+      sel.select(col("pick_order"), col("n_id"),
+        round(col("rel"), 6).as("rel"),
+        round(col("mmr_score"), 6).as("mmr_score"))
+        .orderBy("pick_order")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding,
+           |   sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+           | FROM embeddings),
+           |q AS (SELECT embedding, nrm FROM e WHERE vec_id = 0),
+           |rel0 AS (SELECT e.vec_id AS n_id, e.embedding, e.nrm,
+           |    list_sum(list_transform(range(1, 65),
+           |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+           |      / (q.nrm * e.nrm) AS rel
+           |  FROM e CROSS JOIN q WHERE e.vec_id != 0),
+           |cand AS (SELECT n_id, embedding, nrm, rel FROM rel0
+           |  ORDER BY round(rel, 9) DESC, n_id LIMIT 20),
+           |pair AS (SELECT a.n_id AS a_id, b.n_id AS b_id,
+           |    list_sum(list_transform(range(1, 65),
+           |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+           |      / (a.nrm * b.nrm) AS sim
+           |  FROM cand a JOIN cand b ON a.n_id != b.n_id),
+           |s1 AS (SELECT n_id, rel, rel AS mmr_score, 1 AS pick_order
+           |  FROM cand ORDER BY round(rel, 9) DESC, n_id LIMIT 1),
+           |sel1 AS (SELECT n_id FROM s1),
+           |""".stripMargin +
+      (2 to 5).map(mmrStepSql).mkString(",\n") + "\n" +
+      """SELECT pick_order, n_id, round(rel, 6) AS rel,
+        |  round(mmr_score, 6) AS mmr_score
+        |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+        |      UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+        |      UNION ALL SELECT * FROM s5)
+        |ORDER BY pick_order""".stripMargin))
+
+  /** Rocchio pseudo-relevance-feedback query expansion (Rocchio 1971, the
+    * classic two-round retrieval): retrieve the query vector's top-10 by
+    * exact cosine, move the query toward their centroid
+    * (q' = q + 0.5·mean(top10), the positive-feedback half with β = 0.5),
+    * and re-retrieve the final top-5 against q' — reporting each hit's
+    * original and expanded-query cosine side by side. The recall-widening
+    * step a retrieval stack runs between first-pass ANN and
+    * [[simMmrRerank]]-style diversification.
+    *
+    * Scale shape: round one is the [[simBruteTopk]] broadcast-query scan;
+    * the feedback centroid and q' are 64-row frames (one bounded
+    * aggregate); round two scores by an exploded per-dimension product
+    * against the BROADCAST q' — linear in vectors with no new shuffle
+    * keyed on anything but vec_id. Determinism: q' components are doubles
+    * from order-independent fine-decimal sums; both dot products against
+    * q' ride [[graft.functions.Deterministic.dsumFine]] (q' is a frame,
+    * not a float array, so the sequential-kernel convention does not
+    * apply — the oracle mirrors the decimal sums instead); arg-max uses
+    * the round-9 + id tiebreak throughout.
+    */
+  private val simRocchioExpand = Q(
+    "sim_rocchio_expand",
+    (s, dir) => {
+      VectorKernels.register(s)
+      val raw = Tables.load(s, dir, "embeddings")
+      val q = broadcast(raw.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"), l2norm(col("embedding")).as("q_nrm")))
+      val n = emb(s, dir).filter(col("vec_id") =!= 0)
+        .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+          l2norm(col("embedding")).as("n_nrm"))
+      val rel = n.crossJoin(q)
+        .select(col("n_id"), col("n_emb"), col("n_nrm"),
+          (dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm"))).as("rel"))
+      val top10 = rel.orderBy(round(col("rel"), 9).desc, col("n_id")).limit(10)
+      val fb = top10.select(posexplode(col("n_emb")).as(Seq("i", "v")))
+        .groupBy("i")
+        .agg(graft.functions.Deterministic.dsumFine(col("v").cast("double")).as("sv"),
+          count(lit(1)).as("c"))
+        .select(col("i"), (col("sv") / col("c")).as("fbv"))
+      val q1 = q.select(posexplode(col("q_emb")).as(Seq("i", "qv")))
+        .select(col("i"), col("qv").cast("double").as("qv"))
+      val q2 = q1.join(fb, "i")
+        .select(col("i"), (col("qv") + lit(0.5) * col("fbv")).as("qq"))
+        .localCheckpoint()
+      val qn = q2.agg(
+        sqrt(graft.functions.Deterministic.dsumFine(col("qq") * col("qq"))).as("q2n"))
+      val sc = rel
+        .select(col("n_id"), col("n_nrm"), col("rel"),
+          posexplode(col("n_emb")).as(Seq("i", "v")))
+        .join(broadcast(q2), "i")
+        .groupBy("n_id", "n_nrm", "rel")
+        .agg(graft.functions.Deterministic.dsumFine(
+          col("v").cast("double") * col("qq")).as("dp"))
+        .crossJoin(broadcast(qn))
+        .select(col("n_id"), col("rel"),
+          (col("dp") / (col("q2n") * col("n_nrm"))).as("cos2"))
+      sc.orderBy(round(col("cos2"), 9).desc, col("n_id")).limit(5)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(round(col("cos2"), 9).desc, col("n_id"))))
+        .select(col("rank"), col("n_id"),
+          round(col("rel"), 6).as("cos_orig"),
+          round(col("cos2"), 6).as("cos_expanded"))
+        .orderBy("rank")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding,
+           |   sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+           | FROM embeddings),
+           |q AS (SELECT embedding, nrm FROM e WHERE vec_id = 0),
+           |rel AS (SELECT e.vec_id AS n_id, e.embedding, e.nrm,
+           |    list_sum(list_transform(range(1, 65),
+           |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+           |      / (q.nrm * e.nrm) AS rel
+           |  FROM e CROSS JOIN q WHERE e.vec_id != 0),
+           |top10 AS (SELECT n_id, embedding FROM rel
+           |  ORDER BY round(rel, 9) DESC, n_id LIMIT 10),
+           |fb AS (SELECT i,
+           |    CAST(SUM(CAST(CAST(embedding[i + 1] AS DOUBLE) AS DECIMAL(38,20))) AS DOUBLE)
+           |      / count(*) AS fbv
+           |  FROM top10, unnest(range(0, 64)) AS t(i) GROUP BY i),
+           |q2 AS (SELECT i, CAST(q.embedding[i + 1] AS DOUBLE) + 0.5 * fbv AS qq
+           |  FROM fb CROSS JOIN q),
+           |qn AS (SELECT sqrt(CAST(SUM(CAST(qq * qq AS DECIMAL(38,20))) AS DOUBLE)) AS q2n
+           |  FROM q2),
+           |sc AS (SELECT r.n_id, r.rel, any_value(r.nrm) AS nrm,
+           |    CAST(SUM(CAST(CAST(r.embedding[q2.i + 1] AS DOUBLE) * q2.qq
+           |      AS DECIMAL(38,20))) AS DOUBLE) AS dp
+           |  FROM rel r CROSS JOIN q2 GROUP BY r.n_id, r.rel),
+           |f AS (SELECT n_id, rel, dp / (q2n * nrm) AS cos2
+           |  FROM sc CROSS JOIN qn)
+           |SELECT CAST(row_number() OVER (ORDER BY round(cos2, 9) DESC, n_id) AS INT) AS rank,
+           |  n_id, round(rel, 6) AS cos_orig, round(cos2, 6) AS cos_expanded
+           |FROM f ORDER BY round(cos2, 9) DESC, n_id LIMIT 5""".stripMargin))
+
   val queries: Seq[Q] = Seq(
     simBruteTopk, simLshAnn, dedupEmbeddingCosine, simIvfAnn,
     dedupSemanticClusters, simQuantizedTopk, simPqTopk, simKmeans,
     simDimStats, simMutualKnn, simPcaPower, mlLogregStep, mlAuc,
     mlCalibration, simRandProj, mlQuantileNorm, mlKnnClassify, mlPrCurve,
-    mlDecisionStump, simRangeQuery, simSilhouette, simRrfFusion)
+    mlDecisionStump, simRangeQuery, simSilhouette, simRrfFusion,
+    mlF1Sweep, mlNdcg, simMmrRerank, simRocchioExpand)
 }

@@ -1617,6 +1617,74 @@ object TextAnalysis {
             |SELECT phrase, n_occurrences, round(score, 6) AS score
             |FROM agg ORDER BY round(score, 9) DESC, phrase LIMIT 20""".stripMargin))
 
+  /** Rule-based suffix stemmer (Porter-lite: the first matching rule of
+    * sses→ss, ies→y, -ing, -ed, -s-not-ss, each with a minimum surface
+    * length) applied to the corpus vocabulary — the index-normalization
+    * step (search indexing, vocabulary compaction before embedding lookup)
+    * measured by what it buys: the 15 stems merging the most surface
+    * forms, each row carrying the corpus-level type-compression ratio
+    * |stems| / |types|. Pure string CASE logic — identical `ends_with` /
+    * `substr` semantics on both engines, no locale, no regex backtracking
+    * — over the per-type frame (stemming is a FUNCTION of the distinct
+    * vocabulary, so the expensive map runs once per TYPE, not per token:
+    * explode → distinct-count per word → stem the vocab frame). Linear:
+    * one token count aggregate + one vocab-sized projection + one stem
+    * aggregate.
+    */
+  private val textStemIndex = Q(
+    "text_stem_index",
+    (s, dir) => {
+      val tok = docs(s, dir)
+        .select(explode(graft.functions.TextFunctions.words(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("occ"))
+      val n = length(col("w"))
+      val stem = when(n > 5 && col("w").endsWith("sses"),
+          expr("substring(w, 1, length(w) - 2)"))
+        .when(n > 4 && col("w").endsWith("ies"),
+          concat(expr("substring(w, 1, length(w) - 3)"), lit("y")))
+        .when(n > 5 && col("w").endsWith("ing"),
+          expr("substring(w, 1, length(w) - 3)"))
+        .when(n > 4 && col("w").endsWith("ed"),
+          expr("substring(w, 1, length(w) - 2)"))
+        .when(n > 3 && col("w").endsWith("s") && !col("w").endsWith("ss"),
+          expr("substring(w, 1, length(w) - 1)"))
+        .otherwise(col("w"))
+      val st = tok.select(col("w"), col("occ"), stem.as("stem"))
+      val summary = st.agg(sum(col("occ")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        countDistinct(col("stem")).as("n_stems"))
+      st.groupBy("stem")
+        .agg(count(lit(1)).as("n_forms"), sum(col("occ")).as("n_occ"))
+        .crossJoin(broadcast(summary))
+        .select(col("stem"), col("n_forms"), col("n_occ"),
+          round(col("n_stems").cast("double") / col("n_types"), 6)
+            .as("type_compression"))
+        .orderBy(col("n_forms").desc, col("stem"))
+        .limit(15)
+    },
+    Some("""WITH tok AS (SELECT w, count(*) AS occ FROM (
+           |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           |  GROUP BY w),
+           |st AS (SELECT w, occ, CASE
+           |    WHEN length(w) > 5 AND ends_with(w, 'sses')
+           |      THEN substring(w, 1, length(w) - 2)
+           |    WHEN length(w) > 4 AND ends_with(w, 'ies')
+           |      THEN substring(w, 1, length(w) - 3) || 'y'
+           |    WHEN length(w) > 5 AND ends_with(w, 'ing')
+           |      THEN substring(w, 1, length(w) - 3)
+           |    WHEN length(w) > 4 AND ends_with(w, 'ed')
+           |      THEN substring(w, 1, length(w) - 2)
+           |    WHEN length(w) > 3 AND ends_with(w, 's') AND NOT ends_with(w, 'ss')
+           |      THEN substring(w, 1, length(w) - 1)
+           |    ELSE w END AS stem FROM tok),
+           |summary AS (SELECT CAST(sum(occ) AS BIGINT) AS n_tokens,
+           |    count(*) AS n_types, count(DISTINCT stem) AS n_stems FROM st)
+           |SELECT stem, count(*) AS n_forms, CAST(sum(occ) AS BIGINT) AS n_occ,
+           |  round(CAST(n_stems AS DOUBLE) / n_types, 6) AS type_compression
+           |FROM st CROSS JOIN summary
+           |GROUP BY stem, n_stems, n_types
+           |ORDER BY n_forms DESC, stem LIMIT 15""".stripMargin))
+
   val queries: Seq[Q] = Seq(
     textTokens, textTokenFreq, textTfidf, textQuality, textQualityGate,
     textNovelty, textMixtureReport, textLangid,
@@ -1625,7 +1693,7 @@ object TextAnalysis {
     textBpe, textBpeEncode, textLmScore, textKnScore, textZipfHead,
     textEntropy, textCmsCounts, textPhraseMine, mlFeatureHash, mlNaiveBayes,
     mlMutualInfo, textHllDistinct, textJsdSources, textNgramCoverage,
-    textKmvSetops, textRakeKeywords)
+    textKmvSetops, textRakeKeywords, textStemIndex)
 
   /** Mutual-information feature selection: I(token-presence; source) over
     * the 2×2 contingency of each (token, source) pair — the supervised

@@ -550,7 +550,58 @@ object TimeSeries {
            |  3.0 * s1 - 2.0 * s2 AS forecast_next
            |FROM sm LEFT JOIN daily ON sm.w = daily.d ORDER BY d""".stripMargin))
 
+  /** Local-peak detection on the hourly volume curve — the load-spike
+    * readout (capacity planning, incident retro, bot-burst triage): an
+    * hour is a peak iff its count STRICTLY exceeds both neighbors (plateau
+    * hours deliberately excluded — strict comparison is tie-stable across
+    * engines) and its prominence clears 1.5× the global hourly mean,
+    * tested in EXACT integers as 2·n·H ≥ 3·total (H = hour count) — no
+    * float mean ever compared. Raw events reduce to the hour-cardinality
+    * frame by one two-phase aggregate; the lag/lead window and the top-20
+    * order run over that bounded frame (the [[daily]] stance, one rung
+    * finer).
+    */
+  private val eventsPeakHours = Q(
+    "events_peak_hours",
+    (s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val hourly = Tables.load(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.orderBy("h")
+      val tot = hourly.agg(sum(col("n")).as("total"),
+        count(lit(1)).as("n_hours"))
+      hourly
+        .withColumn("prev_n", lag(col("n"), 1).over(w))
+        .withColumn("next_n", lead(col("n"), 1).over(w))
+        .crossJoin(broadcast(tot))
+        .filter(col("prev_n").isNotNull && col("next_n").isNotNull &&
+          col("n") > col("prev_n") && col("n") > col("next_n") &&
+          col("n").cast(dec) * col("n_hours") * 2 >= col("total").cast(dec) * 3)
+        .select(col("h"), col("n"), col("prev_n"), col("next_n"),
+          round(col("n").cast("double") * col("n_hours").cast("double") /
+            col("total").cast("double"), 6).as("ratio_to_mean"))
+        .orderBy(col("n").desc, col("h"))
+        .limit(20)
+    },
+    Some("""WITH hourly AS (SELECT date_trunc('hour', ts) AS h, count(*) AS n
+           |  FROM events GROUP BY 1),
+           |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+           |    count(*) AS n_hours FROM hourly),
+           |x AS (SELECT h, n,
+           |    lag(n) OVER (ORDER BY h) AS prev_n,
+           |    lead(n) OVER (ORDER BY h) AS next_n FROM hourly)
+           |SELECT h, n, prev_n, next_n,
+           |  round(CAST(n AS DOUBLE) * CAST(n_hours AS DOUBLE)
+           |    / CAST(total AS DOUBLE), 6) AS ratio_to_mean
+           |FROM x CROSS JOIN tot
+           |WHERE prev_n IS NOT NULL AND next_n IS NOT NULL
+           |  AND n > prev_n AND n > next_n
+           |  AND CAST(n AS DECIMAL(38,0)) * n_hours * 2 >=
+           |      CAST(total AS DECIMAL(38,0)) * 3
+           |ORDER BY n DESC, h LIMIT 20""".stripMargin))
+
   val queries: Seq[Q] = Seq(eventsSeasonal, eventsChangepoint, eventsAutocorr,
     eventsSurvival, eventsHllRolling, eventsForecast, eventsDauWauMau,
-    eventsFunnelTime, eventsBrownSmooth)
+    eventsFunnelTime, eventsBrownSmooth, eventsPeakHours)
 }

@@ -725,8 +725,153 @@ object Wrangling {
            |      CAST(CAST(n1 AS DECIMAL(38,0)) * n2 AS DOUBLE)) AS reject_05
            |FROM dn CROSS JOIN meta""".stripMargin))
 
+  /** DOUBLED average rank (2·below + cnt + 1 — doubled so tie-averaged
+    * ranks stay exactly integral) of each distinct value, computed with the
+    * same distributed two-level prefix-sum idiom as [[ksTwoSample]]: in-
+    * bucket cumulative counts partition by a fixed value band, bucket
+    * offsets come from the one window over the band-count-sized total
+    * frame. Input df must carry a long `valueCol`; output (v, r2).
+    */
+  private def avgRank2(df: DataFrame, valueCol: String,
+                       bucketWidth: Long): DataFrame = {
+    val vals = df.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("bkt", (col("v") / bucketWidth).cast("long"))
+    val inb = Window.partitionBy("bkt").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val within = vals
+      .withColumn("wb", coalesce(sum(col("cnt")).over(inb), lit(0L)))
+    val bw = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val off = vals.groupBy("bkt").agg(sum(col("cnt")).as("t"))
+      .select(col("bkt"), coalesce(sum(col("t")).over(bw), lit(0L)).as("ob"))
+    within.join(broadcast(off), "bkt")
+      .select(col("v"),
+        (lit(2L) * (col("wb") + col("ob")) + col("cnt") + lit(1L)).as("r2"))
+  }
+
+  /** Pearson AND Spearman correlation of line-item quantity vs extended
+    * price — the monotone-association audit (Spearman is the robust one: a
+    * nonlinear but monotone pricing curve scores 1.0 where Pearson
+    * dilutes). Spearman = Pearson on tie-averaged ranks; ranks come from
+    * [[avgRank2]]'s distributed prefix sum (no global sort window — rank of
+    * a value is a FUNCTION of the per-value count frame), doubled to stay
+    * integral under tie averaging.
+    *
+    * Determinism + scale: all five moments of both passes are exact —
+    * values are integer quantities/cents, doubled ranks ≤ 2n, squares
+    * ≤ 4n², sums ≤ 4n³ ~ 10³⁸ at n = 10¹² — carried in DECIMAL(38,0); each
+    * correlation is then numerator/(√·√) — four IEEE ops on exactly-derived
+    * doubles, mirrored operation-for-operation in the oracle. Linear: two
+    * value-keyed aggregations, two rank joins, one global moment reduce.
+    */
+  /** Pearson + Spearman of an integer-pair frame — see [[qualitySpearman]]
+    * for the statistic and determinism argument. `df` carries long `x`,
+    * `y`; bucket widths feed [[avgRank2]]'s distributed prefix sums.
+    * Returns one row: (n_rows, pearson_r, spearman_rho).
+    */
+  def pearsonSpearman(df: DataFrame, bwX: Long, bwY: Long): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val rx = avgRank2(df, "x", bwX)
+      .select(col("v").as("x"), col("r2").as("rx"))
+    val ry = avgRank2(df, "y", bwY)
+      .select(col("v").as("y"), col("r2").as("ry"))
+    val j = df.join(broadcast(rx), "x").join(ry, "y")
+      .select(col("x").cast(dec).as("xd"), col("y").cast(dec).as("yd"),
+        col("rx").cast(dec).as("rx"), col("ry").cast(dec).as("ry"))
+    val mo = j.agg(count(lit(1)).cast(dec).as("n"),
+      sum(col("xd")).as("px"), sum(col("yd")).as("py"),
+      sum(col("xd") * col("xd")).as("pxx"),
+      sum(col("yd") * col("yd")).as("pyy"),
+      sum(col("xd") * col("yd")).as("pxy"),
+      sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+      sum(col("rx") * col("rx")).as("sxx"),
+      sum(col("ry") * col("ry")).as("syy"),
+      sum(col("rx") * col("ry")).as("sxy"))
+    // a zero-variance column makes the denominator 0 — the correlation is
+    // undefined; report NULL (NULLIF in the oracle), never divide by zero
+    // (ANSI mode throws)
+    val pden = sqrt((col("n") * col("pxx") - col("px") * col("px")).cast("double")) *
+      sqrt((col("n") * col("pyy") - col("py") * col("py")).cast("double"))
+    val sden = sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+      sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))
+    mo.select(col("n").cast("long").as("n_rows"),
+      round((col("n") * col("pxy") - col("px") * col("py")).cast("double") /
+        when(pden =!= 0.0, pden), 6).as("pearson_r"),
+      round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        when(sden =!= 0.0, sden), 6).as("spearman_rho"))
+  }
+
+  private val qualitySpearman = Q(
+    "quality_spearman",
+    (s, dir) => pearsonSpearman(
+      t(s, dir, "lineitem").select(
+        round(col("l_quantity")).cast("long").as("x"),
+        round(col("l_extendedprice") * 100).cast("long").as("y")),
+      bwX = 8L, bwY = 500000L),
+    Some("""WITH d AS (SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+           |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y FROM lineitem),
+           |vx AS (SELECT x AS v, count(*) AS cnt FROM d GROUP BY 1),
+           |rx AS (SELECT v AS x, 2 * COALESCE(SUM(cnt) OVER (ORDER BY v
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |    + cnt + 1 AS rx FROM vx),
+           |vy AS (SELECT y AS v, count(*) AS cnt FROM d GROUP BY 1),
+           |ry AS (SELECT v AS y, 2 * COALESCE(SUM(cnt) OVER (ORDER BY v
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |    + cnt + 1 AS ry FROM vy),
+           |j AS (SELECT CAST(x AS DECIMAL(38,0)) AS xd,
+           |    CAST(y AS DECIMAL(38,0)) AS yd,
+           |    CAST(rx AS DECIMAL(38,0)) AS rx,
+           |    CAST(ry AS DECIMAL(38,0)) AS ry
+           |  FROM d JOIN rx USING (x) JOIN ry USING (y)),
+           |mo AS (SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+           |    SUM(xd) AS px, SUM(yd) AS py, SUM(xd * xd) AS pxx,
+           |    SUM(yd * yd) AS pyy, SUM(xd * yd) AS pxy,
+           |    SUM(rx) AS sx, SUM(ry) AS sy, SUM(rx * rx) AS sxx,
+           |    SUM(ry * ry) AS syy, SUM(rx * ry) AS sxy FROM j)
+           |SELECT CAST(n AS BIGINT) AS n_rows,
+           |  round(CAST(n * pxy - px * py AS DOUBLE) /
+           |    NULLIF(sqrt(CAST(n * pxx - px * px AS DOUBLE)) *
+           |     sqrt(CAST(n * pyy - py * py AS DOUBLE)), 0.0), 6) AS pearson_r,
+           |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+           |    NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+           |     sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0.0), 6) AS spearman_rho
+           |FROM mo""".stripMargin))
+
+  /** Distinct l-diversity audit over the (nation, market-segment) quasi-
+    * identifier with order priority as the sensitive attribute — the
+    * release gate [[privacyKAnon]] misses: a group can be k-anonymous and
+    * still leak if every member shares one sensitive value (homogeneity
+    * attack, Machanavajjhala et al. 2007). Reports each QI group's size k,
+    * its sensitive diversity l, and the l ≥ 3 release flag — the 25 most
+    * at-risk groups first. One join plus one two-phase aggregate with a
+    * distinct count; the QI group frame is bounded by the QI domain, not
+    * the row count. All-integer outputs.
+    */
+  private val privacyLDiversity = Q(
+    "privacy_l_diversity",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderpriority"))
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nation"),
+          col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("k_size"),
+          countDistinct(col("o_orderpriority")).as("l_div"))
+        .withColumn("safe_l3", col("l_div") >= 3)
+        .orderBy(col("l_div"), col("k_size").desc, col("nation"),
+          col("segment"))
+        .limit(25)
+    },
+    Some("""SELECT c_nationkey AS nation, c_mktsegment AS segment,
+           |  count(*) AS k_size, count(DISTINCT o_orderpriority) AS l_div,
+           |  count(DISTINCT o_orderpriority) >= 3 AS safe_l3
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |GROUP BY 1, 2
+           |ORDER BY l_div, k_size DESC, nation, segment LIMIT 25""".stripMargin))
+
   val queries: Seq[Q] = Seq(reshapeUnpivot, qualityBenford, qualityMadOutliers,
     eventsGapFill, sampleWeighted, eventsInterpolate, qualityPsiDrift,
     qualityWinsorize, ordersItemCf, privacyKAnon, privacyDpCounts,
-    qualityChi2, qualityKsTest)
+    qualityChi2, qualityKsTest, qualitySpearman, privacyLDiversity)
 }

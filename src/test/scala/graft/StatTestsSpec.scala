@@ -153,4 +153,47 @@ class StatTestsSpec extends SparkSuite {
       .collect().map(_.toString).toSeq
     assert(dup == ref)
   }
+
+  test("pearsonSpearman: nonlinear monotone map has rho = 1, r < 1") {
+    // y = x³ is strictly monotone (Spearman exactly 1 on tie-free ranks)
+    // but convex (Pearson strictly below 1)
+    val d = (1L to 40L).map(x => (x, x * x * x)).toDF("x", "y")
+    val r = Wrangling.pearsonSpearman(d, 8L, 5000L).collect().head
+    assert(r.getAs[Long]("n_rows") == 40L)
+    assert(r.getAs[Double]("spearman_rho") == 1.0)
+    assert(r.getAs[Double]("pearson_r") < 1.0 &&
+      r.getAs[Double]("pearson_r") > 0.8)
+  }
+
+  test("pearsonSpearman: reversal gives rho = -1; ties average exactly") {
+    val rev = (1L to 30L).map(x => (x, 31L - x)).toDF("x", "y")
+    assert(Wrangling.pearsonSpearman(rev, 8L, 8L)
+      .collect().head.getAs[Double]("spearman_rho") == -1.0)
+    // all-y-tied: rank variance 0 ⇒ rho undefined ⇒ NULL, not a crash
+    val tied = (1L to 10L).map(x => (x, 7L)).toDF("x", "y")
+    assert(Wrangling.pearsonSpearman(tied, 8L, 8L)
+      .collect().head.isNullAt(2))
+  }
+
+  test("modularity: two disjoint triangles split by component score 0.5") {
+    // m = 6; each community: e_c = 3, d_c = 6 ⇒
+    // Q = 2·(3/6 − (6/12)²) = 0.5, the textbook value
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L)).toDF("a", "b")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 4L), (5L, 4L), (6L, 4L)).toDF("node", "label")
+    val r = Graph.modularity(edges, labels).collect().head
+    assert(r.getAs[Long]("n_nodes") == 6L)
+    assert(r.getAs[Long]("n_edges") == 6L)
+    assert(r.getAs[Long]("n_communities") == 2L)
+    assert(r.getAs[Double]("modularity") == 0.5)
+  }
+
+  test("modularity: everything in one community scores 0") {
+    // single community: e_c = m and d_c = 2m ⇒ Q = 1 − 1 = 0
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("node", "label")
+    assert(Graph.modularity(edges, labels)
+      .collect().head.getAs[Double]("modularity") == 0.0)
+  }
 }
