@@ -794,7 +794,68 @@ object Analytics {
            |      CAST(CAST(n AS DECIMAL(38,0)) * sx AS DOUBLE), 6) AS gini
            |FROM agg ORDER BY segment""".stripMargin))
 
+  /** Per-brand demand-curve regression — OLS of per-part total quantity
+    * sold on the part's retail price (cents), one slope/intercept per
+    * brand: the price-sensitivity readout of classic merchandising
+    * analytics (a negative slope ≈ elastic demand; near-zero ≈ price-
+    * insensitive assortment). Two two-phase aggregates (part totals, then
+    * brand moments) — the regression itself never sees line items.
+    *
+    * Determinism: x (cents) and y (quantity) are exact longs, all five
+    * moments ride DECIMAL(38,0) (x² ~ 10¹⁴ per part, summed over any
+    * realistic brand size stays ≪ 10³⁸), slope = num/den is ONE IEEE
+    * divide (NULLIF-guarded for a degenerate single-price brand), and the
+    * intercept reuses the slope double with expression-order mirrored in
+    * the oracle.
+    */
+  private val ordersPriceElasticity = Q(
+    "orders_price_elasticity",
+    (s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val li = t(s, dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(sum(round(col("l_quantity")).cast("long")).as("qty"))
+      val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"),
+        round(col("p_retailprice") * 100).cast("long").as("cents"))
+      val mo = p.join(li, col("p_partkey") === col("l_partkey"))
+        .select(col("p_brand"), col("cents").cast(dec).as("x"),
+          col("qty").cast(dec).as("y"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).cast(dec).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+      val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+      val slope = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        when(den =!= 0.0, den)
+      mo.select(col("p_brand").as("brand"), col("n").cast("long").as("n_parts"),
+          round(slope, 9).as("slope"),
+          round((col("sy").cast("double") - slope * col("sx").cast("double")) /
+            col("n").cast("double"), 6).as("intercept"))
+        .orderBy("brand")
+    },
+    Some("""WITH li AS (SELECT l_partkey,
+           |    CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+           |  FROM lineitem GROUP BY 1),
+           |p AS (SELECT p_partkey, p_brand,
+           |    CAST(round(p_retailprice * 100) AS BIGINT) AS cents FROM part),
+           |mo AS (SELECT p_brand,
+           |    CAST(count(*) AS DECIMAL(38,0)) AS n,
+           |    SUM(CAST(cents AS DECIMAL(38,0))) AS sx,
+           |    SUM(CAST(qty AS DECIMAL(38,0))) AS sy,
+           |    SUM(CAST(cents AS DECIMAL(38,0)) * qty) AS sxy,
+           |    SUM(CAST(cents AS DECIMAL(38,0)) * cents) AS sxx
+           |  FROM p JOIN li ON p_partkey = l_partkey GROUP BY p_brand)
+           |SELECT p_brand AS brand, CAST(n AS BIGINT) AS n_parts,
+           |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+           |    NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0.0), 9) AS slope,
+           |  round((CAST(sy AS DOUBLE) -
+           |    (CAST(n * sxy - sx * sy AS DOUBLE) /
+           |     NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0.0))
+           |      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
+           |FROM mo ORDER BY brand""".stripMargin))
+
   val queries: Seq[Q] = Seq(
+    ordersPriceElasticity,
     q2MinCostSupplier, q4OrderPriority, q8MarketShare, q11ImportantParts,
     q12LateShipments, q15TopSupplier, q16PartsSuppliers, q17SmallQtyRevenue,
     q19DisjunctivePushdown, q20ExcessShare, q21WaitingSupplier,

@@ -633,7 +633,57 @@ object Multimodal {
            |FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id
            |ORDER BY d.doc_id""".stripMargin))
 
+  /** Blank / near-uniform payload detection over the binary column — the
+    * corrupt-media triage gate (an all-one-color frame, a zeroed buffer, a
+    * stuck sensor all show as LOW byte-value dispersion): per-payload byte
+    * mean and population variance, reporting the 15 most uniform payloads.
+    * Variance stays exact until presentation: with n bytes, Σb and Σb² are
+    * exact longs and var = (n·Σb² − (Σb)²)/n² is one DECIMAL(38,0)
+    * numerator over one IEEE divide — no float accumulation over samples.
+    * Same linear byte-explode shape (and the same documented substr-
+    * quadratic caveat + mapPartitions swap for multi-MB payloads) as
+    * [[multimodalWaveform]].
+    */
+  private val multimodalBlankDetect = Q(
+    "multimodal_blank_detect",
+    (s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("n", length(col("text")).cast("long"))
+        .filter(col("n") >= 1)
+      val by = Tables.spread(d)
+        .select(col("doc_id"), col("n"), col("text"),
+          explode(sequence(lit(1L), col("n"))).as("i"))
+        .select(col("doc_id"), col("n"),
+          ascii(col("text").substr(col("i").cast("int"), lit(1))).cast("long").as("b"))
+      by.groupBy("doc_id", "n")
+        .agg(sum(col("b")).as("s1"), sum(col("b") * col("b")).as("s2"))
+        .select(col("doc_id"), col("n").as("n_bytes"),
+          round(col("s1").cast("double") / col("n").cast("double"), 6)
+            .as("mean_byte"),
+          round((col("n").cast(dec) * col("s2") - col("s1").cast(dec) * col("s1"))
+            .cast("double") /
+            (col("n").cast(dec) * col("n")).cast("double"), 6).as("byte_var"))
+        .orderBy(col("byte_var"), col("doc_id"))
+        .limit(15)
+    },
+    Some("""WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+           |  FROM documents WHERE length(text) >= 1),
+           |by AS (SELECT doc_id, n,
+           |    CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT) AS b
+           |  FROM d, unnest(range(1, n + 1)) AS t(i)),
+           |agg AS (SELECT doc_id, n, CAST(sum(b) AS BIGINT) AS s1,
+           |    CAST(sum(b * b) AS BIGINT) AS s2
+           |  FROM by GROUP BY doc_id, n)
+           |SELECT doc_id, n AS n_bytes,
+           |  round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_byte,
+           |  round(CAST(CAST(n AS DECIMAL(38,0)) * s2
+           |      - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE) /
+           |    CAST(CAST(n AS DECIMAL(38,0)) * n AS DOUBLE), 6) AS byte_var
+           |FROM agg ORDER BY byte_var, doc_id LIMIT 15""".stripMargin))
+
   val queries: Seq[Q] = Seq(
     multimodalMeta, multimodalDecode, multimodalResize, multimodalFrames,
-    multimodalPhash, multimodalWaveform, multimodalHadamard, multimodalRle)
+    multimodalPhash, multimodalWaveform, multimodalHadamard, multimodalRle,
+    multimodalBlankDetect)
 }

@@ -1988,11 +1988,84 @@ object Similarity {
            |  n_id, round(rel, 6) AS cos_orig, round(cos2, 6) AS cos_expanded
            |FROM f ORDER BY round(cos2, 9) DESC, n_id LIMIT 5""".stripMargin))
 
+  /** Cumulative gains / lift table for the trained classifier by score
+    * bucket from the top — the CAMPAIGN-targeting readout completing the
+    * eval family ([[mlF1Sweep]] picks an operating threshold; this
+    * answers "if I can only act on the top-scoring x%, what share of all
+    * positives do I capture (gain) and how much better than random is
+    * that slice (lift)?"). Same bounded-frame discipline as the PR curve:
+    * exact GD-chain scores → ≤10 score buckets → cumulative-from-top
+    * window over the bucket frame; gain and lift are single mirrored IEEE
+    * divisions of exact longs.
+    */
+  private val mlLiftGains = Q(
+    "ml_lift_gains",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val w = trainedLogreg(s, dir)
+      val xy = e.select(col("vec_id"), (col("label") % 2).cast("double").as("y"),
+        posexplode(col("embedding")).as(Seq("i", "xf")))
+        .select(col("vec_id"), col("y"), col("i"), col("xf").cast("double").as("x"))
+      val scores = xy
+        .join(broadcast(w.select(col("dim").as("i"), col("weight"))), "i")
+        .groupBy("vec_id", "y")
+        .agg(graft.functions.Deterministic.dsumFine(col("x") * col("weight")).as("z"))
+        .select(col("y"),
+          round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6).as("p"))
+      val bkt = scores
+        .withColumn("b", least(floor(col("p") * 10), lit(9.0)).cast("int"))
+        .groupBy("b")
+        .agg(count(lit(1)).as("cnt"),
+          sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("np"))
+      val wTop = Window.orderBy(col("b").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val tot = bkt.agg(sum(col("cnt")).as("n_all"), sum(col("np")).as("n_pos"))
+      bkt.select(col("b"), sum(col("cnt")).over(wTop).as("cum_n"),
+          sum(col("np")).over(wTop).as("cum_pos"))
+        .crossJoin(broadcast(tot))
+        .select((col("b").cast("double") / 10).as("threshold"),
+          col("cum_n"), col("cum_pos"),
+          round(col("cum_n").cast("double") / col("n_all").cast("double"), 6)
+            .as("depth"),
+          round(col("cum_pos").cast("double") / col("n_pos").cast("double"), 6)
+            .as("gain"),
+          round((col("cum_pos").cast("double") / col("cum_n").cast("double")) /
+            (col("n_pos").cast("double") / col("n_all").cast("double")), 6)
+            .as("lift"))
+        .orderBy(col("threshold").desc)
+    },
+    Some("""WITH cnt AS (SELECT count(*) AS n FROM embeddings),
+           |x AS (SELECT vec_id, CAST(label % 2 AS DOUBLE) AS y,
+           |        CAST(i - 1 AS INT) AS i, CAST(embedding[i] AS DOUBLE) AS x
+           |      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+           |w0 AS (SELECT DISTINCT i, CAST(0.0 AS DOUBLE) AS w FROM x),
+           |""".stripMargin +
+      (1 to 2).map(logregIterSql).mkString(",\n") + ",\n" +
+      """scores AS (SELECT x.y,
+        |    round(1.0 / (1.0 + exp(-(CAST(SUM(CAST(x.x * w2.w AS DECIMAL(38,20))) AS DOUBLE)))), 6) AS p
+        |  FROM x JOIN w2 ON x.i = w2.i GROUP BY x.vec_id, x.y),
+        |bkt AS (SELECT CAST(least(floor(p * 10), 9.0) AS INT) AS b,
+        |    count(*) AS cnt,
+        |    SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS np
+        |  FROM scores GROUP BY 1),
+        |c AS (SELECT b,
+        |    CAST(SUM(cnt) OVER (ORDER BY b DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+        |    CAST(SUM(np) OVER (ORDER BY b DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos
+        |  FROM bkt),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_all,
+        |               CAST(SUM(np) AS BIGINT) AS n_pos FROM bkt)
+        |SELECT CAST(b AS DOUBLE) / 10 AS threshold, cum_n, cum_pos,
+        |  round(CAST(cum_n AS DOUBLE) / CAST(n_all AS DOUBLE), 6) AS depth,
+        |  round(CAST(cum_pos AS DOUBLE) / CAST(n_pos AS DOUBLE), 6) AS gain,
+        |  round((CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE)) /
+        |    (CAST(n_pos AS DOUBLE) / CAST(n_all AS DOUBLE)), 6) AS lift
+        |FROM c CROSS JOIN tot ORDER BY threshold DESC""".stripMargin))
+
   val queries: Seq[Q] = Seq(
     simBruteTopk, simLshAnn, dedupEmbeddingCosine, simIvfAnn,
     dedupSemanticClusters, simQuantizedTopk, simPqTopk, simKmeans,
     simDimStats, simMutualKnn, simPcaPower, mlLogregStep, mlAuc,
     mlCalibration, simRandProj, mlQuantileNorm, mlKnnClassify, mlPrCurve,
     mlDecisionStump, simRangeQuery, simSilhouette, simRrfFusion,
-    mlF1Sweep, mlNdcg, simMmrRerank, simRocchioExpand)
+    mlF1Sweep, mlNdcg, simMmrRerank, simRocchioExpand, mlLiftGains)
 }

@@ -1685,6 +1685,55 @@ object TextAnalysis {
            |GROUP BY stem, n_stems, n_types
            |ORDER BY n_forms DESC, stem LIMIT 15""".stripMargin))
 
+  /** Token burstiness (Fano factor of per-document counts, zero-count
+    * documents included) for the corpus's 20 most frequent tokens — the
+    * dispersion diagnostic behind content-word vs function-word
+    * separation: a token whose occurrences CLUMP into few documents
+    * (topical) has variance ≫ mean (Fano > 1); a token sprinkled evenly
+    * (grammatical glue) sits near the Poisson baseline Fano ≈ 1. Directly
+    * actionable for stopword induction and tf-idf sanity at corpus scale.
+    *
+    * Exactness: with N docs, Σc and Σc² over the (word, doc) count frame
+    * are exact longs, and Fano = (N·Σc² − (Σc)²) / (N·Σc) — the
+    * population-variance-over-mean identity that never materializes the
+    * zero rows — is one DECIMAL(38,0) numerator/denominator pair and ONE
+    * final IEEE divide. Two two-phase aggregates, linear.
+    */
+  private val textBurstiness = Q(
+    "text_burstiness",
+    (s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val d = docs(s, dir)
+      val nd = d.agg(count(lit(1)).as("nd"))
+      val wc = d.select(col("doc_id"),
+        explode(graft.functions.TextFunctions.words(col("text"))).as("w"))
+        .groupBy("w", "doc_id").agg(count(lit(1)).as("c"))
+      wc.groupBy("w")
+        .agg(sum(col("c")).as("s1"), sum(col("c") * col("c")).as("s2"),
+          count(lit(1)).as("ndocs"))
+        .crossJoin(broadcast(nd))
+        .select(col("w").as("word"), col("s1").as("n_occ"),
+          col("ndocs").as("n_docs_with"),
+          round((col("nd").cast(dec) * col("s2") - col("s1").cast(dec) * col("s1"))
+            .cast("double") /
+            (col("nd").cast(dec) * col("s1")).cast("double"), 6).as("fano"))
+        .orderBy(col("n_occ").desc, col("word"))
+        .limit(20)
+    },
+    Some("""WITH nd AS (SELECT count(*) AS nd FROM documents),
+           |wc AS (SELECT w, doc_id, count(*) AS c FROM (
+           |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           |    FROM documents) GROUP BY w, doc_id),
+           |agg AS (SELECT w, CAST(sum(c) AS BIGINT) AS s1,
+           |    CAST(sum(c * c) AS BIGINT) AS s2, count(*) AS ndocs
+           |  FROM wc GROUP BY w)
+           |SELECT w AS word, s1 AS n_occ, ndocs AS n_docs_with,
+           |  round(CAST(CAST(nd AS DECIMAL(38,0)) * s2
+           |      - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE) /
+           |    CAST(CAST(nd AS DECIMAL(38,0)) * s1 AS DOUBLE), 6) AS fano
+           |FROM agg CROSS JOIN nd
+           |ORDER BY n_occ DESC, word LIMIT 20""".stripMargin))
+
   val queries: Seq[Q] = Seq(
     textTokens, textTokenFreq, textTfidf, textQuality, textQualityGate,
     textNovelty, textMixtureReport, textLangid,
@@ -1693,7 +1742,7 @@ object TextAnalysis {
     textBpe, textBpeEncode, textLmScore, textKnScore, textZipfHead,
     textEntropy, textCmsCounts, textPhraseMine, mlFeatureHash, mlNaiveBayes,
     mlMutualInfo, textHllDistinct, textJsdSources, textNgramCoverage,
-    textKmvSetops, textRakeKeywords, textStemIndex)
+    textKmvSetops, textRakeKeywords, textStemIndex, textBurstiness)
 
   /** Mutual-information feature selection: I(token-presence; source) over
     * the 2×2 contingency of each (token, source) pair — the supervised

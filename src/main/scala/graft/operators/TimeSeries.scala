@@ -601,7 +601,73 @@ object TimeSeries {
            |      CAST(total AS DECIMAL(38,0)) * 3
            |ORDER BY n DESC, h LIMIT 20""".stripMargin))
 
+  /** Two-level Haar wavelet energy decomposition of the daily volume
+    * curve — the multi-resolution variability readout between
+    * [[eventsSeasonal]] (one fixed period) and [[eventsChangepoint]] (one
+    * break): how much of the signal's energy lives at day-to-day scale
+    * (level-1 details), at 2-day scale (level-2), and in the residual
+    * coarse approximation. Unnormalized integer Haar — a₁ = c₂ₖ + c₂ₖ₊₁,
+    * d₁ = c₂ₖ − c₂ₖ₊₁, level 2 likewise on a₁; an unpaired trailing
+    * element at either level is dropped (documented truncation, stable on
+    * both engines). Every coefficient and energy is an EXACT integer in
+    * DECIMAL(38,0); the reported fractions apply the 1/2 and 1/4
+    * orthonormalization at presentation time as single mirrored IEEE
+    * divides. Day indices come from a row_number over the day-cardinality
+    * frame (the [[daily]] bounded-window stance); pairing is one
+    * (idx ÷ 2) aggregate per level.
+    */
+  private val eventsWaveletEnergy = Q(
+    "events_wavelet_energy",
+    (s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val d0 = daily(s, dir)
+        .withColumn("i", row_number().over(Window.orderBy("day")) - 1)
+        .select(col("i"), col("n").cast(dec).as("c"))
+      def level(in: DataFrame): DataFrame = in
+        .groupBy((col("i") / 2).cast("long").as("k"))
+        .agg(count(lit(1)).as("m"),
+          sum(col("c")).as("a"),
+          sum(when(col("i") % 2 === 0, col("c")).otherwise(-col("c"))).as("d"))
+        .filter(col("m") === 2)
+        .select(col("k").as("i"), col("a"), col("d"))
+      val l1 = level(d0)
+      val l2 = level(l1.select(col("i"), col("a").as("c")))
+      val e0 = d0.agg(count(lit(1)).as("n_days"),
+        sum(col("c") * col("c")).as("e_total"))
+      val e1 = l1.agg(sum(col("d") * col("d")).as("e_d1"))
+      val e2 = l2.agg(sum(col("d") * col("d")).as("e_d2"))
+      e0.crossJoin(broadcast(e1)).crossJoin(broadcast(e2))
+        .select(col("n_days"),
+          col("e_total").cast("long").as("e_total"),
+          col("e_d1").cast("long").as("e_d1"),
+          col("e_d2").cast("long").as("e_d2"),
+          round(col("e_d1").cast("double") / 2.0 /
+            col("e_total").cast("double"), 6).as("frac_d1"),
+          round(col("e_d2").cast("double") / 4.0 /
+            col("e_total").cast("double"), 6).as("frac_d2"))
+    },
+    Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+           |  FROM events GROUP BY 1),
+           |d0 AS (SELECT row_number() OVER (ORDER BY day) - 1 AS i,
+           |    CAST(n AS DECIMAL(38,0)) AS c FROM daily),
+           |l1 AS (SELECT k AS i, a, d FROM (
+           |    SELECT i // 2 AS k, count(*) AS m, SUM(c) AS a,
+           |      SUM(CASE WHEN i % 2 = 0 THEN c ELSE -c END) AS d
+           |    FROM d0 GROUP BY 1) WHERE m = 2),
+           |l2 AS (SELECT k AS i, a, d FROM (
+           |    SELECT i // 2 AS k, count(*) AS m, SUM(a) AS a,
+           |      SUM(CASE WHEN i % 2 = 0 THEN a ELSE -a END) AS d
+           |    FROM l1 GROUP BY 1) WHERE m = 2),
+           |e0 AS (SELECT count(*) AS n_days,
+           |    CAST(SUM(c * c) AS BIGINT) AS e_total FROM d0),
+           |e1 AS (SELECT CAST(SUM(d * d) AS BIGINT) AS e_d1 FROM l1),
+           |e2 AS (SELECT CAST(SUM(d * d) AS BIGINT) AS e_d2 FROM l2)
+           |SELECT n_days, e_total, e_d1, e_d2,
+           |  round(CAST(e_d1 AS DOUBLE) / 2.0 / CAST(e_total AS DOUBLE), 6) AS frac_d1,
+           |  round(CAST(e_d2 AS DOUBLE) / 4.0 / CAST(e_total AS DOUBLE), 6) AS frac_d2
+           |FROM e0 CROSS JOIN e1 CROSS JOIN e2""".stripMargin))
+
   val queries: Seq[Q] = Seq(eventsSeasonal, eventsChangepoint, eventsAutocorr,
     eventsSurvival, eventsHllRolling, eventsForecast, eventsDauWauMau,
-    eventsFunnelTime, eventsBrownSmooth, eventsPeakHours)
+    eventsFunnelTime, eventsBrownSmooth, eventsPeakHours, eventsWaveletEnergy)
 }
