@@ -96,12 +96,17 @@ object Bench {
       kept
     }
     val canary = results.toMap.getOrElse(canaryQuery, -1.0)
+    // n_queries + the full-map pointer make bench_full.json the single
+    // source of truth: the stdout line is the compact view (the driver
+    // keeps only a short stdout tail), and the committed bench_full.json
+    // carries every per-query time for round-over-round comparison
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-      s""""canary":${fmt(canary)},"queries":${jsonOf(headlined)},"sf":$sf}"""
-    // full per-query map → file (the stdout line must fit the driver's tail)
+      s""""canary":${fmt(canary)},"n_queries":${results.size},""" +
+      s""""full":"bench_full.json","queries":${jsonOf(headlined)},"sf":$sf}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"),
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-        s""""canary":${fmt(canary)},"queries":${jsonOf(results)},"sf":$sf}""")
+        s""""canary":${fmt(canary)},"n_queries":${results.size},""" +
+        s""""queries":${jsonOf(results)},"sf":$sf}""")
     spark.stop()
     // last line of output, after Spark's shutdown noise
     println(line)

@@ -66,9 +66,10 @@ object Caches {
   private val memos =
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
 
-  /** Memoize a SMALL deterministic frame (model weights, centroids — think
-    * tens of KB, never a fact table) across the operation boundaries of one
-    * session: the first call materializes `build` eagerly via
+  /** Memoize a SMALL deterministic frame (model weights, centroids, a
+    * distinct-edge graph substrate — orders of magnitude below the fact
+    * tables it derives from; never a fact table itself) across the
+    * operation boundaries of one session: the first call materializes `build` eagerly via
     * `localCheckpoint` (lineage truncated, partitions pinned in block
     * storage) and every later call for the same (session, key) reuses the
     * pinned frame. Unlike [[track]]ed frames, memos deliberately SURVIVE

@@ -48,6 +48,32 @@ object Cms {
     tables.reduce(_ unionByName _)
       .groupBy("g", "r", "bucket").agg(sum(col("cnt")).as("cnt"))
 
+  /** The runnable exactly-once wiring for streaming CMS maintenance — the
+    * IDEMPOTENT-SINK half of the contract documented above. Use as the
+    * `foreachBatch` handler body (`StreamingIngest.startForeachBatch`
+    * precedent): each micro-batch's cell DELTA lands under
+    * `dir/batch=<batchId>` with `mode("overwrite")`, so an at-least-once
+    * re-delivery of a micro-batch OVERWRITES its own partition instead of
+    * double-adding into shared cells — batchId is Structured Streaming's
+    * stable replay key. The live sketch is then [[readCells]] (cell-wise
+    * SUM over batch deltas), identical to one batch pass over the union of
+    * exactly-once inputs. Per-batch deltas are constant-size (≤ groups ×
+    * depth × width cells), so the store grows with batch COUNT, not data
+    * volume; compact by folding old partitions through [[merge]].
+    */
+  def upsertBatchCells(batch: DataFrame, batchId: Long, dir: String,
+                       group: Column, key: Column,
+                       depth: Int = 4, width: Int = 512): Unit =
+    cells(batch, group, key, depth, width)
+      .write.mode("overwrite").parquet(s"$dir/batch=$batchId")
+
+  /** Read the live cell table maintained by [[upsertBatchCells]]: partition
+    * discovery over the per-batch deltas, then one cell-wise SUM.
+    */
+  def readCells(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy("g", "r", "bucket").agg(sum(col("cnt")).as("cnt"))
+
   /** Point estimate for `keys` (a frame with a `k` column) against a cell
     * table: min over the key's depth cells — the CMS read path, a
     * broadcast-sized join when the sketch is the usual constant table.

@@ -53,22 +53,36 @@ object Graph {
   private val Damping = 0.85
   private val Iters = 3
 
-  /** Directed edges: who bought from whom — customer → supplier, distinct.
+  /** Directed edges: who bought from whom — customer → supplier, DISTINCT.
     * Suppliers have no out-edges, so the dangling-mass path is genuinely
     * exercised. Node keys are integer-coded (customer 2k, supplier 2k+1) —
     * at 100 TB the edge aggregation and every per-round shuffle move 8-byte
     * longs, not formatted strings; [[nodeLabel]] decodes only the final
     * top-k.
+    *
+    * Memoized per (session, dir) like [[coPurchaseEdges]]: the
+    * pagerank/ppr/hits/bfs family all start from the same orders⋈lineitem
+    * build (the family's dominant shared cost — ~10 % of a full bench pass
+    * rebuilt it four times before this), and the distinct edge set is the
+    * small projection of that join (two longs per edge), safe to pin via
+    * the memo's eager localCheckpoint. Deduplicating HERE is
+    * value-identical for every consumer — [[pageRank]]/[[personalizedPageRank]]
+    * dedup via `collect_set`, [[bfsDepths]] and [[hits]] call
+    * `.distinct()` on it (idempotent on a distinct frame) — so each
+    * declared query stays self-contained for Verify while a batch session
+    * pays the join once.
     */
-  private def purchaseEdges(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val o = Tables.load(s, dir, "orders")
-      .select(col("o_orderkey"), col("o_custkey"))
-    val l = Tables.load(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_suppkey"))
-    o.join(l, col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("src"),
-        (col("l_suppkey") * 2 + 1).as("dst"))
-  }
+  private def purchaseEdges(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graft.Caches.memo(s, s"graph:purchase:$dir") {
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+    }
 
   /** supp ≥ 2 co-purchase part–part edges (a < b) — the shared substrate of
     * the triangle / label-prop / k-core / link-predict / assortativity /
@@ -108,14 +122,34 @@ object Graph {
     * rank'(v) = (1−d)/N + d·(Σ_{u→v} rank(u)/outdeg(u) + dangling/N).
     * `edges` may contain duplicate (src, dst) rows; they count once.
     */
-  def pageRank(edges: DataFrame, iters: Int = Iters,
-               damping: Double = Damping): DataFrame = {
-    val edgesDeg = edges.groupBy("src")
+  /** Degree-annotated adjacency: ONE aggregation fuses pair-dedup and
+    * out-degree (`groupBy(src) → collect_set → explode`) — the one-shuffle
+    * shape both PageRank variants iterate over (PlanSpec pins it window-
+    * free; the distinct+count-over fallback for unbounded degree costs a
+    * second full-edge exchange plus a sort).
+    */
+  private[graft] def degreeAdjacency(edges: DataFrame): DataFrame =
+    edges.groupBy("src")
       .agg(collect_set(col("dst")).as("dsts"))
       .select(col("src"), size(col("dsts")).as("cnt"), explode(col("dsts")).as("dst"))
+
+  def pageRank(edges: DataFrame, iters: Int = Iters,
+               damping: Double = Damping): DataFrame = {
+    // localCheckpoint (eager, small: one row per distinct edge + degree):
+    // every iteration re-joins this adjacency, and without lineage
+    // truncation round i's plan embeds i copies of the aggregation —
+    // compounding optimizer/codegen cost per round (the graphLabelProp
+    // precedent at :368)
+    val edgesDeg = degreeAdjacency(edges).localCheckpoint()
+    // nodes and the 1-row meta are read by EVERY iteration (ranks init, the
+    // per-round scalars, the left-join spine) — without truncation the
+    // union+distinct shuffle is re-embedded ~3× per round and the iter-3
+    // plan carries ~8 copies (measured 4.4 s vs 2.0 s for the structurally
+    // identical PPR, whose per-round scalars touch only edgesDeg)
     val nodes = edgesDeg.select(col("src").as("id"))
       .union(edgesDeg.select(col("dst").as("id"))).distinct()
-    val meta = nodes.agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val meta = nodes.agg(count(lit(1)).as("n")).localCheckpoint()
     var ranks = nodes.crossJoin(broadcast(meta))
       .select(col("id"), (lit(1.0) / col("n")).as("pr"))
     for (i <- 1 to iters) {
@@ -124,9 +158,15 @@ object Graph {
       val dp = math.pow(damping, i - 1)
       val totalPrev = lit(1.0) -
         lit(dp) * (lit(1.0) - col("n") * (lit(1.0) / col("n")))
+      // contrib is read TWICE per round (the csum scalar and the rank-update
+      // left join): checkpointing it truncates the otherwise 2^i-fanout
+      // lineage — round i's plan would embed two copies of round i-1's,
+      // each embedding two of i-2's. The frame is tiny (one row per node
+      // with in-edges).
       val contrib = ranks.join(edgesDeg, col("id") === col("src"))
         .groupBy(col("dst").as("cid"))
         .agg(dsumFine(col("pr") / col("cnt")).as("contrib"))
+        .localCheckpoint()
       // SUM over zero rows is NULL — a rank vector whose every node is
       // dangling (no in-edge destinations) must yield 0, not null-poison
       // every rank
@@ -462,9 +502,8 @@ object Graph {
     */
   def personalizedPageRank(edges: DataFrame, iters: Int = Iters,
                            damping: Double = Damping): DataFrame = {
-    val edgesDeg = edges.groupBy("src")
-      .agg(collect_set(col("dst")).as("dsts"))
-      .select(col("src"), size(col("dsts")).as("cnt"), explode(col("dsts")).as("dst"))
+    // same lineage-truncation rationale as pageRank's edgesDeg
+    val edgesDeg = degreeAdjacency(edges).localCheckpoint()
     val nodes = edgesDeg.select(col("src").as("id"))
       .union(edgesDeg.select(col("dst").as("id"))).distinct()
     val seed = edgesDeg.agg(min(col("src")).as("sid"))
@@ -805,22 +844,6 @@ object Graph {
            |SELECT * FROM auth UNION ALL SELECT * FROM hub
            |ORDER BY kind, score DESC, node""".stripMargin))
 
-  /** Newman modularity of the 3-round label-propagation partition over the
-    * supp ≥ 2 co-purchase graph — the standard "are these communities
-    * real?" score (Newman & Girvan 2004): Q = Σ_c (e_c/m − (d_c/2m)²),
-    * e_c = intra-community edges, d_c = community degree sum. The quality
-    * gate a pipeline runs AFTER community detection before acting on the
-    * clusters (e.g. curriculum bucketing by product family) — LPA always
-    * returns *some* partition; modularity says whether it beats the random-
-    * graph null.
-    *
-    * Scale shape: LPA rounds as in [[graphLabelProp]] (linear in |E|), then
-    * two label joins on the tiny memoized edge frame plus per-community
-    * two-phase aggregates. Determinism: Q reduces to the exact integer
-    * numerator Σ_c (4·m·e_c − d_c²) carried in DECIMAL(38,0) (at lake scale
-    * m ~ 10¹², d_c² ~ 10²⁴ — far past long range, within decimal), with ONE
-    * final IEEE divide by 4m² mirrored literally in the oracle.
-    */
   /** Newman modularity of a node→label partition over an (a < b) edge
     * list — see [[graphModularity]] for the statistic and determinism
     * argument. Returns one row:
@@ -853,6 +876,22 @@ object Graph {
           6).as("modularity"))
   }
 
+  /** Newman modularity of the 3-round label-propagation partition over the
+    * supp ≥ 2 co-purchase graph — the standard "are these communities
+    * real?" score (Newman & Girvan 2004): Q = Σ_c (e_c/m − (d_c/2m)²),
+    * e_c = intra-community edges, d_c = community degree sum. The quality
+    * gate a pipeline runs AFTER community detection before acting on the
+    * clusters (e.g. curriculum bucketing by product family) — LPA always
+    * returns *some* partition; modularity says whether it beats the random-
+    * graph null.
+    *
+    * Scale shape: LPA rounds as in [[graphLabelProp]] (linear in |E|), then
+    * two label joins on the tiny memoized edge frame plus per-community
+    * two-phase aggregates. Determinism: Q reduces to the exact integer
+    * numerator Σ_c (4·m·e_c − d_c²) carried in DECIMAL(38,0) (at lake scale
+    * m ~ 10¹², d_c² ~ 10²⁴ — far past long range, within decimal), with ONE
+    * final IEEE divide by 4m² mirrored literally in the oracle.
+    */
   private val graphModularity = Q(
     "graph_modularity",
     (s, dir) => {

@@ -635,10 +635,14 @@ object Multimodal {
 
   /** Blank / near-uniform payload detection over the binary column — the
     * corrupt-media triage gate (an all-one-color frame, a zeroed buffer, a
-    * stuck sensor all show as LOW byte-value dispersion): per-payload byte
-    * mean and population variance, reporting the 15 most uniform payloads.
-    * Variance stays exact until presentation: with n bytes, Σb and Σb² are
-    * exact longs and var = (n·Σb² − (Σb)²)/n² is one DECIMAL(38,0)
+    * stuck sensor all show as LOW value dispersion): per-payload CHARACTER-
+    * CODEPOINT mean and population variance (`ascii(substr(...))` reads
+    * codepoints, not raw bytes — identical on the ASCII payload fixture it
+    * shares with [[multimodalWaveform]]; a true byte-level variant would
+    * decode the binary column first), reporting the 15 most uniform
+    * payloads. Variance stays exact until presentation: with n values,
+    * Σb and Σb² are exact longs and var = (n·Σb² − (Σb)²)/n² is one
+    * DECIMAL(38,0)
     * numerator over one IEEE divide — no float accumulation over samples.
     * Same linear byte-explode shape (and the same documented substr-
     * quadratic caveat + mapPartitions swap for multi-MB payloads) as

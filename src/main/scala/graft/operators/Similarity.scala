@@ -1762,7 +1762,13 @@ object Similarity {
         .agg(graft.functions.Deterministic.dsumFine(col("g")).as("dcg"))
       val npos = scores.agg(
         sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("n_pos"))
-      val idcg = element_at(cum, least(col("n_pos"), lit(20L)).cast("int"))
+      // n_pos = 0 guard: element_at(_, 0) THROWS on Spark (1-based array
+      // indexing) while DuckDB's [0] returns NULL — clamp the index to ≥ 1
+      // and NULL the readout explicitly so a positive-free corpus yields
+      // NULL ndcg on both engines instead of an engine-divergent crash
+      val idcgIdx = greatest(least(col("n_pos"), lit(20L)), lit(1L)).cast("int")
+      val idcg = when(col("n_pos") === 0L, lit(null).cast("double"))
+        .otherwise(element_at(cum, idcgIdx))
       dcg.crossJoin(broadcast(npos))
         .select(col("n_pos"), round(col("dcg"), 6).as("dcg_at20"),
           round(idcg, 6).as("idcg_at20"),
@@ -1785,8 +1791,10 @@ object Similarity {
          |npos AS (SELECT CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END)
          |    AS BIGINT) AS n_pos FROM scores)
          |SELECT n_pos, round(dcg, 6) AS dcg_at20,
-         |  round(CAST(([${NdcgDiscCum.mkString(", ")}])[CAST(least(n_pos, 20) AS INT)] AS DOUBLE), 6) AS idcg_at20,
-         |  round(dcg / CAST(([${NdcgDiscCum.mkString(", ")}])[CAST(least(n_pos, 20) AS INT)] AS DOUBLE), 6) AS ndcg_at20
+         |  round(CASE WHEN n_pos = 0 THEN NULL ELSE
+         |    CAST(([${NdcgDiscCum.mkString(", ")}])[CAST(greatest(least(n_pos, 20), 1) AS INT)] AS DOUBLE) END, 6) AS idcg_at20,
+         |  round(CASE WHEN n_pos = 0 THEN NULL ELSE
+         |    dcg / CAST(([${NdcgDiscCum.mkString(", ")}])[CAST(greatest(least(n_pos, 20), 1) AS INT)] AS DOUBLE) END, 6) AS ndcg_at20
          |FROM dcg CROSS JOIN npos""".stripMargin))
 
   /** One unrolled MMR greedy step as oracle SQL: from the not-yet-selected

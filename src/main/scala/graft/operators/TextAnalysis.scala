@@ -852,6 +852,23 @@ object TextAnalysis {
       col("b").as("right_piece"), col("pair_freq")), vocab)
   }
 
+  /** Memoized [[bpeTrain]] per (session, dir, rounds) — the GD-eval-family
+    * convention ([[graft.Caches.memo]]): training is deterministic, so
+    * reuse is value-identical to retraining and each declared query stays
+    * self-contained for Verify, while a batch session (text_bpe +
+    * text_bpe_encode in one Bench pass) pays the 6-round training loop
+    * once. Both outputs are vocabulary-sized or smaller (merges = `rounds`
+    * rows; vocab = one row per distinct word), safe for the memo's eager
+    * localCheckpoint. `lazy val` ties the two memo entries to ONE training
+    * run on a cold start; on a warm start neither builder is forced.
+    */
+  private def bpeTrainShared(s: org.apache.spark.sql.SparkSession, dir: String,
+                             rounds: Int = 6): (DataFrame, DataFrame) = {
+    lazy val trained = bpeTrain(docs(s, dir), rounds)
+    (graft.Caches.memo(s, s"bpe:merges:$dir:$rounds")(trained._1),
+      graft.Caches.memo(s, s"bpe:vocab:$dir:$rounds")(trained._2))
+  }
+
   private def bpeRoundSql(r: Int): String = {
     val prev = s"w${r - 1}"
     s"""p$r AS (SELECT p[i] AS a, p[i+1] AS b, CAST(sum(freq) AS BIGINT) AS f
@@ -929,8 +946,14 @@ object TextAnalysis {
     * the same corpus); a production split would fall back to character
     * pieces via the same double-space representation.
     */
-  def bpeEncode(d: DataFrame, rounds: Int = 6): DataFrame = {
-    val (_, vocab) = bpeTrain(d, rounds)
+  def bpeEncode(d: DataFrame, rounds: Int = 6): DataFrame =
+    bpeEncodeWith(d, bpeTrain(d, rounds)._2)
+
+  /** Apply side of BPE with an already-trained `vocab` (from [[bpeTrain]]
+    * or [[bpeTrainShared]]) — lets a batch session encode against shared
+    * merges without retraining.
+    */
+  def bpeEncodeWith(d: DataFrame, vocab: DataFrame): DataFrame = {
     val seg = vocab.select(col("word"), trim(col("s")).as("t"))
     d.select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "word")))
       .join(broadcast(seg), "word")
@@ -944,7 +967,7 @@ object TextAnalysis {
 
   private val textBpeEncode = Q(
     "text_bpe_encode",
-    (s, dir) => bpeEncode(docs(s, dir)),
+    (s, dir) => bpeEncodeWith(docs(s, dir), bpeTrainShared(s, dir)._2),
     Some(("""WITH w0 AS (SELECT word, count(*) AS freq,
             |    '  ' || array_to_string(string_split(word, ''), '  ') || '  ' AS s
             |  FROM (SELECT unnest(string_split(text,' ')) AS word FROM documents)
@@ -962,7 +985,7 @@ object TextAnalysis {
 
   private val textBpe = Q(
     "text_bpe",
-    (s, dir) => bpeMerges(docs(s, dir)).orderBy("merge_rank"),
+    (s, dir) => bpeTrainShared(s, dir)._1.orderBy("merge_rank"),
     Some(("""WITH w0 AS (SELECT word, count(*) AS freq,
             |    '  ' || array_to_string(string_split(word, ''), '  ') || '  ' AS s
             |  FROM (SELECT unnest(string_split(text,' ')) AS word FROM documents)
@@ -1435,7 +1458,15 @@ object TextAnalysis {
     * the `lang` column); returns 4 rows (a, b, intersection, union) of
     * (set_name, exact_distinct, kmv_est, within_band).
     */
-  def kmvPanel(h: DataFrame, a: String, b: String, k: Int = 128): DataFrame = {
+  def kmvPanel(hIn: DataFrame, a: String, b: String, k: Int = 128): DataFrame = {
+    // localCheckpoint the (lang, h) input ONCE: the panel reads it ~6× —
+    // per-set signatures, exact counts, the union signature, the union
+    // scalar counts and two semi-join probes — and without lineage
+    // truncation each branch replays the upstream shingle explode + md5
+    // (the query's true cost, ~6 corpus scans). The distinct-hash frame is
+    // two columns and vocabulary-sized, safe to pin; the branches
+    // themselves are estimator arithmetic on exact integers.
+    val h = hIn.localCheckpoint()
     // (k−1)·2³² as one literal so both engines divide the same constant
     val scale = lit((k - 1).toDouble * 4294967296.0)
     val band = lit(3.0) / sqrt(lit((k - 2).toDouble))

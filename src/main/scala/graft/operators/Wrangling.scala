@@ -767,14 +767,23 @@ object Wrangling {
     * for the statistic and determinism argument. `df` carries long `x`,
     * `y`; bucket widths feed [[avgRank2]]'s distributed prefix sums.
     * Returns one row: (n_rows, pearson_r, spearman_rho).
+    *
+    * `broadcastXRanks`: hint the x-rank frame broadcast-joinable — set it
+    * ONLY when x is known low-cardinality (the rank frame is one row per
+    * DISTINCT x; quality_spearman's x = quantity has ~50). Default false:
+    * for a high-cardinality x the rank frame is order-of-the-input and a
+    * forced broadcast would drag it through the driver — the default lets
+    * AQE pick the join side from measured sizes.
     */
-  def pearsonSpearman(df: DataFrame, bwX: Long, bwY: Long): DataFrame = {
+  def pearsonSpearman(df: DataFrame, bwX: Long, bwY: Long,
+                      broadcastXRanks: Boolean = false): DataFrame = {
     val dec = DecimalType(38, 0)
-    val rx = avgRank2(df, "x", bwX)
+    val rx0 = avgRank2(df, "x", bwX)
       .select(col("v").as("x"), col("r2").as("rx"))
+    val rx = if (broadcastXRanks) broadcast(rx0) else rx0
     val ry = avgRank2(df, "y", bwY)
       .select(col("v").as("y"), col("r2").as("ry"))
-    val j = df.join(broadcast(rx), "x").join(ry, "y")
+    val j = df.join(rx, "x").join(ry, "y")
       .select(col("x").cast(dec).as("xd"), col("y").cast(dec).as("yd"),
         col("rx").cast(dec).as("rx"), col("ry").cast(dec).as("ry"))
     val mo = j.agg(count(lit(1)).cast(dec).as("n"),
@@ -806,7 +815,7 @@ object Wrangling {
       t(s, dir, "lineitem").select(
         round(col("l_quantity")).cast("long").as("x"),
         round(col("l_extendedprice") * 100).cast("long").as("y")),
-      bwX = 8L, bwY = 500000L),
+      bwX = 8L, bwY = 500000L, broadcastXRanks = true),
     Some("""WITH d AS (SELECT CAST(round(l_quantity) AS BIGINT) AS x,
            |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y FROM lineitem),
            |vx AS (SELECT x AS v, count(*) AS cnt FROM d GROUP BY 1),

@@ -139,23 +139,36 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("graph_ppr keeps the pagerank plan discipline: one-agg adjacency, no window") {
+  test("graph_ppr keeps the pagerank plan discipline: checkpointed adjacency, no window") {
     val p = plan("graph_ppr")
-    assert(p.contains("collect_set"), p)
+    // the degree-annotated adjacency is localCheckpoint'd (round-10 lineage
+    // truncation), so the declared query's plan reads it as a pinned RDD
+    // scan — the collect_set aggregation shape itself is pinned by the
+    // pageRank unit spec
+    assert(p.contains("ExistingRDD"), p)
     assert(!p.contains("Window"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
   test("graph_pagerank builds the adjacency in one aggregation, no window pass") {
-    val p = plan("graph_pagerank")
     // degree rides the collect_set aggregation; a Window operator here means
     // the two-shuffle distinct+count-over formulation crept back. This pin
     // deliberately blocks the documented unbounded-degree fallback
     // (distinct + count over partition, Graph.scala) — adopting that swap is
     // a conscious perf decision and must relax the Window assertion with it.
+    // The declared query checkpoints the adjacency, so the assertion runs on
+    // the un-truncated adjacency builder over a raw edge frame.
+    import org.apache.spark.sql.functions.col
+    val edges = spark.range(10).select((col("id") % 5).as("src"), (col("id") % 3).as("dst"))
+    val p = operators.Graph.degreeAdjacency(edges)
+      .queryExecution.explainString(FormattedMode)
     assert(p.contains("collect_set"), p)
     assert(!p.contains("Window"), p)
     assert(!p.contains("CartesianProduct"), p)
+    // and the declared query keeps the no-window / no-cartesian discipline
+    val pq = plan("graph_pagerank")
+    assert(!pq.contains("Window"), pq)
+    assert(!pq.contains("CartesianProduct"), pq)
   }
 
   test("graph_triangles closes wedges with key joins, never a cartesian") {
@@ -256,7 +269,12 @@ class PlanSpec extends SparkSuite {
     }
     spark.sparkContext.addSparkListener(listener)
     try {
-      val df = Queries.byName("text_bpe").run(spark, sfDir)
+      // run the raw trainer, not the declared query: text_bpe is memoized
+      // per (session, dir) since round 10, so its declared plan is a pinned
+      // checkpoint scan — the quadratic-lineage pin must hold on the
+      // training loop itself
+      val df = operators.TextAnalysis
+        .bpeMerges(Tables.load(spark, sfDir, "documents"))
       assert(df.queryExecution.explainString(FormattedMode)
         .contains("InMemoryTableScan"), "per-round winner cache missing")
       df.write.format("noop").mode("overwrite").save()
@@ -274,16 +292,21 @@ class PlanSpec extends SparkSuite {
     }
   }
 
-  test("graph_pagerank's final adaptive plan reuses per-iteration exchanges") {
+  test("graph_pagerank's final plan is shallow — checkpoints truncate iteration lineage") {
     val df = Queries.byName("graph_pagerank").run(spark, sfDir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("isFinalPlan=true"), p.take(500))
-    // AQE dedupes the repeated contrib/adjacency subtrees (measured 14
-    // Reused* nodes over 3 iterations); losing reuse means each iteration
-    // re-shuffles identical data
-    assert("Reused".r.findAllIn(p).size >= 3,
-      s"expected exchange/stage reuse in the final plan\n${p.take(3000)}")
+    // round-10 discipline: the adjacency, nodes and each round's contrib are
+    // localCheckpoint'd, so the FINAL action's plan reads pinned RDDs and
+    // carries only the last readout's exchanges — a deep plan here means a
+    // checkpoint was dropped and iteration lineage is compounding again
+    // (the readout itself carries ~11 Exchange/BroadcastExchange nodes —
+    // rank spine, contrib join, scalar broadcasts; re-embedded iterations
+    // would multiply that)
+    assert(p.contains("ExistingRDD"), p.take(3000))
+    assert("Exchange".r.findAllIn(p).size <= 13,
+      s"final pagerank plan re-embeds iteration shuffles\n${p.take(3000)}")
   }
 
   test("graph_label_prop takes each round's arg-min as an aggregate, no window") {
