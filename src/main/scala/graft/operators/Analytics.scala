@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Q, Tables}
 import graft.functions.Deterministic._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The remaining canonical decision-support plan shapes (SURVEY.md §2 [EXT]
@@ -854,7 +855,70 @@ object Analytics {
            |      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
            |FROM mo ORDER BY brand""".stripMargin))
 
+  /** Inter-purchase interval profile — per-customer days between
+    * consecutive orders, rolled up to the repeat-behavior summary
+    * (repeat-customer share, mean/median/p90 gap) that calibrates churn
+    * windows and cohort retention horizons: "a customer is churned after X
+    * days" should come from THIS distribution, not a default.
+    *
+    * Scale shape: the lag runs in a window PARTITIONED by o_custkey — each
+    * customer's short order history sorts locally, nothing global; the
+    * rollup is one aggregate over the gap stream plus exact interpolated
+    * percentiles on the bounded day-valued domain (the
+    * agg_percentile_exact stance). Determinism: gaps are exact integer
+    * days; percentile interpolation on integers is dyadic-exact across
+    * engines; the mean divides two exact longs.
+    */
+  private val ordersInterpurchase = Q(
+    "orders_interpurchase",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+      val gaps = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("d"))
+        .withColumn("gap", datediff(col("d"), lag(col("d"), 1).over(w)))
+      val custs = gaps.groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"))
+      val cs = custs.agg(count(lit(1)).as("n_customers"),
+        sum(when(col("n_orders") >= 2, 1L).otherwise(0L)).as("repeat_customers"))
+      val gs = gaps.filter(col("gap").isNotNull)
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(col("gap").cast("long")).as("gap_sum"),
+          percentile(col("gap"), lit(0.5)).as("p50"),
+          percentile(col("gap"), lit(0.9)).as("p90"),
+          max(col("gap")).cast("long").as("max_gap"))
+      cs.crossJoin(gs)
+        .select(col("n_customers"), col("repeat_customers"),
+          round(col("repeat_customers").cast("double") /
+            col("n_customers").cast("double"), 6).as("repeat_share"),
+          col("n_gaps"),
+          round(col("gap_sum").cast("double") / col("n_gaps").cast("double"), 6)
+            .as("mean_gap_days"),
+          col("p50").as("median_gap_days"), col("p90").as("p90_gap_days"),
+          col("max_gap").as("max_gap_days"))
+    },
+    Some("""WITH o AS (SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d
+           |  FROM orders),
+           |g AS (SELECT o_custkey,
+           |    d - lag(d, 1) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey) AS gap
+           |  FROM o),
+           |custs AS (SELECT o_custkey, count(*) AS n_orders FROM o GROUP BY 1),
+           |cs AS (SELECT count(*) AS n_customers,
+           |    CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS repeat_customers FROM custs),
+           |gs AS (SELECT count(*) AS n_gaps,
+           |    CAST(SUM(CAST(gap AS BIGINT)) AS BIGINT) AS gap_sum,
+           |    quantile_cont(gap, 0.5) AS p50, quantile_cont(gap, 0.9) AS p90,
+           |    CAST(MAX(gap) AS BIGINT) AS max_gap
+           |  FROM g WHERE gap IS NOT NULL)
+           |SELECT n_customers, repeat_customers,
+           |  round(CAST(repeat_customers AS DOUBLE) / n_customers, 6) AS repeat_share,
+           |  n_gaps, round(CAST(gap_sum AS DOUBLE) / n_gaps, 6) AS mean_gap_days,
+           |  p50 AS median_gap_days, p90 AS p90_gap_days, max_gap AS max_gap_days
+           |FROM cs CROSS JOIN gs""".stripMargin))
+
   val queries: Seq[Q] = Seq(
+    ordersInterpurchase,
     ordersPriceElasticity,
     q2MinCostSupplier, q4OrderPriority, q8MarketShare, q11ImportantParts,
     q12LateShipments, q15TopSupplier, q16PartsSuppliers, q17SmallQtyRevenue,

@@ -338,6 +338,80 @@ object Graph {
       .crossJoin(broadcast(nTri))
   }
 
+  /** Per-node local clustering coefficient over the supp ≥ 2 co-purchase
+    * graph: cc(n) = 2·tri(n)/(d(n)·(d(n)−1)) — "how clique-like is this
+    * node's neighborhood", the node-level refinement of the global
+    * triangle census (same graph, same orientation machinery): a product
+    * whose co-purchase neighbors also co-purchase each other anchors a
+    * genuine basket community; a high-degree node with cc ≈ 0 is a hub
+    * stitching unrelated baskets.
+    *
+    * Scale shape: identical to [[triangleCensus]] — degree-ordered
+    * orientation caps wedge enumeration at O(m^1.5); the only additions
+    * are keeping the wedge apex through the closing semi-join and ONE
+    * 3-corner explode + two-phase count over the CLOSED wedges (≤
+    * triangle count rows, far below the wedge stream). Determinism:
+    * all-integer until the final cc divide, round-9 + id tiebreaks.
+    */
+  private val graphClusteringCoeff = Q(
+    "graph_clustering_coeff",
+    (s, dir) => {
+      val edges = coPurchaseEdges(s, dir)
+      val deg = edges.select(col("a").as("n"))
+        .unionAll(edges.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val fwd = col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b"))
+      val oriented = edges
+        .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+        .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+        .select(when(fwd, col("a")).otherwise(col("b")).as("u"),
+          when(fwd, col("b")).otherwise(col("a")).as("v"),
+          when(fwd, col("db")).otherwise(col("da")).as("dv"))
+        .localCheckpoint()
+      val e2 = oriented.select(col("u").as("u2"), col("v").as("v2"), col("dv").as("dv2"))
+      val wedges = oriented.join(e2, col("u") === col("u2") &&
+          (col("dv") < col("dv2") || (col("dv") === col("dv2") && col("v") < col("v2"))))
+        .select(col("u"), col("v").as("w1"), col("v2").as("w2"))
+      val closing = oriented.select(col("u").as("w1"), col("v").as("w2"))
+      val closed = wedges.join(closing, Seq("w1", "w2"), "left_semi")
+      val tric = closed
+        .select(explode(array(col("u"), col("w1"), col("w2"))).as("n"))
+        .groupBy("n").agg(count(lit(1)).as("tri"))
+      val cc = round(lit(2.0) * col("tri").cast("double") /
+        (col("d") * (col("d") - 1)).cast("double"), 6)
+      deg.filter(col("d") >= 2)
+        .join(tric, Seq("n"), "left")
+        .select(col("n").as("node"), col("d").as("degree"),
+          coalesce(col("tri"), lit(0L)).as("triangles"), cc.as("local_cc"))
+        .orderBy(col("local_cc").desc, col("degree").desc, col("node")).limit(20)
+    },
+    Some("""WITH l AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+           |e AS (SELECT a, b FROM (SELECT x.p AS a, y.p AS b, count(*) AS supp
+           |        FROM l x JOIN l y ON x.ok = y.ok AND x.p < y.p
+           |        GROUP BY x.p, y.p) WHERE supp >= 2),
+           |deg AS (SELECT n, count(*) AS d FROM
+           |        (SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e) GROUP BY n),
+           |o AS (SELECT
+           |    CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) THEN e.a ELSE e.b END AS u,
+           |    CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) THEN e.b ELSE e.a END AS v,
+           |    CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) THEN db.d ELSE da.d END AS dv
+           |  FROM e JOIN deg da ON e.a = da.n JOIN deg db ON e.b = db.n),
+           |w AS (SELECT e1.u, e1.v AS w1, e2.v AS w2 FROM o e1 JOIN o e2 ON e1.u = e2.u
+           |      WHERE e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v)),
+           |closed AS (SELECT u, w1, w2 FROM w
+           |      WHERE EXISTS (SELECT 1 FROM o WHERE o.u = w.w1 AND o.v = w.w2)),
+           |tric AS (SELECT n, count(*) AS tri FROM (
+           |    SELECT u AS n FROM closed
+           |    UNION ALL SELECT w1 FROM closed
+           |    UNION ALL SELECT w2 FROM closed) GROUP BY n)
+           |SELECT deg.n AS node, deg.d AS degree,
+           |  CAST(COALESCE(tri, 0) AS BIGINT) AS triangles,
+           |  round(2.0 * CAST(COALESCE(tri, 0) AS DOUBLE) / (deg.d * (deg.d - 1)), 6) AS local_cc
+           |FROM deg LEFT JOIN tric ON deg.n = tric.n
+           |WHERE deg.d >= 2
+           |ORDER BY local_cc DESC, degree DESC, node LIMIT 20""".stripMargin))
+
   private val graphTriangles = Q(
     "graph_triangles",
     (s, dir) => triangleCensus(coPurchaseEdges(s, dir)),
@@ -971,5 +1045,6 @@ object Graph {
   val queries: Seq[Q] = Seq(graphPagerank, graphBfsReach, graphTriangles,
     graphLabelProp, graphKcore, graphLinkPredict, graphPpr,
     graphAssortativity, graphHarmonic, graphHits, graphModularity,
+    graphClusteringCoeff,
     graphDegreeDist)
 }

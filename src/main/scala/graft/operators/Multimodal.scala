@@ -686,8 +686,107 @@ object Multimodal {
            |    CAST(CAST(n AS DECIMAL(38,0)) * n AS DOUBLE), 6) AS byte_var
            |FROM agg ORDER BY byte_var, doc_id LIMIT 15""".stripMargin))
 
+  /** Per-source 16-bin value histogram over the payload stream — the
+    * content-type fingerprint of the triage family: different encodings /
+    * media classes occupy characteristically different value bands, so the
+    * per-source histogram (and its share vector) is the cheap "did source X
+    * start shipping a different format?" drift check, the multimodal
+    * sibling of quality_psi_drift. Same codepoint-as-byte convention (and
+    * ASCII-payload caveat) as [[multimodalWaveform]].
+    *
+    * Scale shape: one linear explode → two-phase (source, bin) count —
+    * 16 × sources output rows regardless of corpus size; the share divides
+    * by a broadcast per-source total. All counts exact.
+    */
+  private val multimodalHist16 = Q(
+    "multimodal_hist16",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("text"))
+        .withColumn("n", length(col("text")).cast("long"))
+        .filter(col("n") >= 1)
+      val by = Tables.spread(d)
+        .select(col("source"),
+          explode(sequence(lit(1L), col("n"))).as("i"),
+          col("text"))
+        .select(col("source"),
+          (ascii(col("text").substr(col("i").cast("int"), lit(1))) / 8)
+            .cast("int").as("bin"))
+      val h = by.groupBy("source", "bin").agg(count(lit(1)).as("cnt"))
+      val tot = h.groupBy("source").agg(sum(col("cnt")).as("t"))
+      h.join(broadcast(tot), "source")
+        .select(col("source"), col("bin"), col("cnt"),
+          round(col("cnt").cast("double") / col("t").cast("double"), 6).as("share"))
+        .orderBy("source", "bin")
+    },
+    Some("""WITH by AS (SELECT source,
+           |    CAST(ascii(substr(text, CAST(i AS INT), 1)) // 8 AS INT) AS bin
+           |  FROM (SELECT source, text, length(text) AS n FROM documents
+           |        WHERE length(text) >= 1),
+           |    unnest(range(1, n + 1)) AS t(i)),
+           |h AS (SELECT source, bin, count(*) AS cnt FROM by GROUP BY 1, 2),
+           |tot AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS t FROM h GROUP BY 1)
+           |SELECT h.source, bin, cnt,
+           |  round(CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share
+           |FROM h JOIN tot ON h.source = tot.source
+           |ORDER BY h.source, bin""".stripMargin))
+
+  /** Per-payload first-difference energy — mean |sᵢ − sᵢ₋₁| and peak jump
+    * over the sample stream: the 1-D gradient-energy triage (a blank or
+    * stuck payload has ~zero delta energy, white noise has high; a real
+    * signal sits between), complementing [[multimodalBlankDetect]]'s
+    * variance with ORDER-sensitive structure variance can't see (a sorted
+    * payload and a shuffled one share a variance but not delta energy).
+    *
+    * Scale shape: the adjacent sample rides the SAME explode row (the
+    * waveform smp/smp2 trick — position i projects both codepoints), so
+    * no self-join and no window over samples; one linear explode → one
+    * two-phase aggregate. Exact integer deltas; the mean is one IEEE
+    * divide.
+    */
+  private val multimodalDeltaEnergy = Q(
+    "multimodal_delta_energy",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("n", length(col("text")).cast("long"))
+      val by = Tables.spread(d.filter(col("n") >= 2))
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1L), col("n") - 1)).as("i"))
+      def cp(p: Column): Column = ascii(col("text").substr(p.cast("int"), lit(1)))
+      val dd = (cp(col("i") + 1) - cp(col("i"))).cast("long")
+      val a = by.select(col("doc_id"), dd.as("d"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_deltas"), sum(abs(col("d"))).as("sad"),
+          max(abs(col("d"))).as("peak_jump"))
+      d.select(col("doc_id"), col("n").as("n_chars"))
+        .join(a, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chars"),
+          coalesce(col("peak_jump"), lit(0L)).as("peak_jump"),
+          when(col("n_deltas").isNotNull,
+            round(col("sad").cast("double") / col("n_deltas").cast("double"), 6))
+            .otherwise(lit(0.0)).as("delta_energy"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+           |  FROM documents),
+           |by AS (SELECT doc_id,
+           |    CAST(ascii(substr(text, CAST(i + 1 AS INT), 1))
+           |      - ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT) AS dd
+           |  FROM d, unnest(range(1, n)) AS t(i) WHERE n >= 2),
+           |a AS (SELECT doc_id, count(*) AS n_deltas,
+           |    CAST(SUM(abs(dd)) AS BIGINT) AS sad,
+           |    CAST(MAX(abs(dd)) AS BIGINT) AS peak_jump
+           |  FROM by GROUP BY doc_id)
+           |SELECT d.doc_id, d.n AS n_chars,
+           |  COALESCE(peak_jump, 0) AS peak_jump,
+           |  CASE WHEN n_deltas IS NOT NULL
+           |    THEN round(CAST(sad AS DOUBLE) / n_deltas, 6) ELSE 0.0 END
+           |    AS delta_energy
+           |FROM d LEFT JOIN a ON d.doc_id = a.doc_id
+           |ORDER BY d.doc_id""".stripMargin))
+
   val queries: Seq[Q] = Seq(
     multimodalMeta, multimodalDecode, multimodalResize, multimodalFrames,
     multimodalPhash, multimodalWaveform, multimodalHadamard, multimodalRle,
-    multimodalBlankDetect)
+    multimodalBlankDetect, multimodalHist16, multimodalDeltaEnergy)
 }

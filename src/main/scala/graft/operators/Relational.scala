@@ -2313,6 +2313,39 @@ object Relational {
            |  FROM orders)
            |GROUP BY split ORDER BY split""".stripMargin))
 
+  /** Deterministic MERGEABLE k-reservoir — uniform k-sample without
+    * replacement as "the k smallest md5 key hashes": because the hash is a
+    * pure function of the key, the sample is stable under reruns AND
+    * mergeable across shards/days (k-min of a union = k-min of the
+    * per-shard k-mins — the KMV property applied to sampling), which a
+    * `rand()` reservoir is not. This is the bounded uniform sample a
+    * pipeline ships downstream for eyeballing/labeling; the weighted
+    * variant is `sample_weighted` (A-ES), the split variant
+    * `sample_hash_split`.
+    *
+    * Scale shape: global top-k by hash = `TakeOrderedAndProject`
+    * (per-partition bounded heaps, no global sort); the rank window runs
+    * over the selected 64-row frame only. Hash values are exact longs, so
+    * the sample set and its order are engine-identical by construction.
+    */
+  private val sampleReservoir = Q(
+    "sample_reservoir",
+    (s, dir) => {
+      val h = md5Hash32(concat(lit("rsv:"), col("o_orderkey").cast("string")))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), h.as("h"))
+        .orderBy(col("h"), col("o_orderkey")).limit(64)
+        .withColumn("sample_rank", row_number().over(
+          Window.orderBy(col("h"), col("o_orderkey"))))
+        .select(col("sample_rank"), col("o_orderkey"), col("o_totalprice"), col("h"))
+    },
+    Some("""SELECT row_number() OVER (ORDER BY h, o_orderkey) AS sample_rank,
+           |  o_orderkey, o_totalprice, h
+           |FROM (SELECT o_orderkey, o_totalprice,
+           |    CAST('0x' || substr(md5('rsv:' || CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT) AS h
+           |  FROM orders)
+           |ORDER BY h, o_orderkey LIMIT 64""".stripMargin))
+
   /** Exact interpolated percentiles per group (§2.4 extension — the
     * distribution-reporting twin of `agg_approx_quantiles`): Spark's
     * `percentile` aggregate and DuckDB's `quantile_cont` share the linear-
@@ -2887,7 +2920,8 @@ object Relational {
     aggDistinctGroup, aggRollup,
     aggCube, aggGroupingSets, aggApproxDistinct, aggApproxQuantiles,
     aggCollect, aggStats, aggPivot, aggPercentileExact, subqueryAboveAvg,
-    sampleHashSplit, sampleStratified, sampleEpochShuffle, scalarStringFuncs,
+    sampleHashSplit, sampleStratified, sampleEpochShuffle, sampleReservoir,
+    scalarStringFuncs,
     scalarDateFuncs, scalarMathFuncs, scalarJsonFuncs, scalarMapFuncs,
     scalarArrayFuncs)
 }

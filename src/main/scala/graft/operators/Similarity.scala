@@ -1797,6 +1797,239 @@ object Similarity {
          |    dcg / CAST(([${NdcgDiscCum.mkString(", ")}])[CAST(greatest(least(n_pos, 20), 1) AS INT)] AS DOUBLE) END, 6) AS ndcg_at20
          |FROM dcg CROSS JOIN npos""".stripMargin))
 
+  /** The eval family's shared scored frame: (vec_id, y, p) with p the
+    * 6-dp-rounded sigmoid of the [[trainedLogreg]] margin — the exact
+    * construction ml_auc/ml_pr_curve/ml_calibration inline, factored for
+    * the round-10 additions (rounding p BEFORE any downstream statistic is
+    * the determinism anchor: both engines read identical 6-dp doubles).
+    */
+  private def logregScores(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val w = trainedLogreg(s, dir)
+    e.select(col("vec_id"), (col("label") % 2).cast("double").as("y"),
+        posexplode(col("embedding")).as(Seq("i", "xf")))
+      .select(col("vec_id"), col("y"), col("i"), col("xf").cast("double").as("x"))
+      .join(broadcast(w.select(col("dim").as("i"), col("weight"))), "i")
+      .groupBy("vec_id", "y")
+      .agg(graft.functions.Deterministic.dsumFine(col("x") * col("weight")).as("z"))
+      .select(col("vec_id"), col("y"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6).as("p"))
+  }
+
+  /** The scores CTE prefix shared by the round-10 eval oracles: the GD
+    * chain replay + per-vector sigmoid, identical to [[logregScores]].
+    */
+  private val scoresSqlPrefix: String =
+    """WITH cnt AS (SELECT count(*) AS n FROM embeddings),
+      |x AS (SELECT vec_id, CAST(label % 2 AS DOUBLE) AS y,
+      |        CAST(i - 1 AS INT) AS i, CAST(embedding[i] AS DOUBLE) AS x
+      |      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+      |w0 AS (SELECT DISTINCT i, CAST(0.0 AS DOUBLE) AS w FROM x),
+      |""".stripMargin +
+      (1 to 2).map(logregIterSql).mkString(",\n") + ",\n" +
+      """scores AS (SELECT x.vec_id, x.y,
+        |    round(1.0 / (1.0 + exp(-(CAST(SUM(CAST(x.x * w2.w AS DECIMAL(38,20))) AS DOUBLE)))), 6) AS p
+        |  FROM x JOIN w2 ON x.i = w2.i GROUP BY x.vec_id, x.y),
+        |""".stripMargin
+
+  /** Brier score of the trained classifier's probabilities — the PROPER
+    * scoring rule the threshold metrics (F1 sweep, accuracy) can't give: it
+    * penalizes miscalibrated confidence, not just wrong argmax, and
+    * decomposes against the climatological reference forecast (always
+    * predict the base rate), whose Brier is exactly ȳ(1−ȳ). The skill
+    * score 1 − BS/BS_ref is the standard "is this model better than the
+    * prior?" readout a labeling pipeline gates on before trusting scores.
+    *
+    * Scale shape: one pass over the scored frame — (p−y)² per row, exact
+    * decimal sum, one divide; the scored frame itself is the memoized
+    * GD-eval substrate. Determinism: p is 6-dp-rounded before squaring, the
+    * sum rides [[graft.functions.Deterministic.dsumFine]], and the
+    * base-rate reference is a handful of IEEE ops on exact counts, mirrored
+    * expression-for-expression; the degenerate one-class corpus (BS_ref =
+    * 0) yields NULL skill via the NULLIF convention.
+    */
+  private val mlBrierScore = Q(
+    "ml_brier_score",
+    (s, dir) => {
+      val d = col("p") - col("y")
+      val mo = logregScores(s, dir).agg(
+        count(lit(1)).as("n_scored"),
+        sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("n_pos"),
+        graft.functions.Deterministic.dsumFine(d * d).as("se"))
+      val rate = col("n_pos").cast("double") / col("n_scored").cast("double")
+      val ref = rate * (lit(1.0) - rate)
+      mo.select(col("n_scored"),
+        round(rate, 6).as("base_rate"),
+        round(col("se") / col("n_scored"), 6).as("brier"),
+        round(ref, 6).as("brier_ref"),
+        round(lit(1.0) - (col("se") / col("n_scored")) /
+          when(ref =!= 0.0, ref), 6).as("brier_skill"))
+    },
+    Some(scoresSqlPrefix +
+      """mo AS (SELECT count(*) AS n_scored,
+        |    CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    CAST(SUM(CAST((p - y) * (p - y) AS DECIMAL(38,20))) AS DOUBLE) AS se
+        |  FROM scores)
+        |SELECT n_scored, round(CAST(n_pos AS DOUBLE) / n_scored, 6) AS base_rate,
+        |  round(se / n_scored, 6) AS brier,
+        |  round((CAST(n_pos AS DOUBLE) / n_scored) * (1.0 - CAST(n_pos AS DOUBLE) / n_scored), 6) AS brier_ref,
+        |  round(1.0 - (se / n_scored) /
+        |    NULLIF((CAST(n_pos AS DOUBLE) / n_scored) * (1.0 - CAST(n_pos AS DOUBLE) / n_scored), 0.0), 6) AS brier_skill
+        |FROM mo""".stripMargin))
+
+  /** Cohen's κ of the thresholded classifier (p ≥ 0.5) against the labels —
+    * chance-corrected agreement: accuracy rewards a majority-class guesser
+    * on imbalanced labels, κ subtracts exactly that (p_e, the agreement two
+    * independent raters with these marginals reach by chance). The standard
+    * inter-annotator / weak-labeler audit statistic for a labeling
+    * pipeline.
+    *
+    * Scale shape: ONE conditional aggregate over the scored frame yields
+    * the whole confusion matrix (no joins); κ is then a handful of IEEE
+    * ops on exact longs — marginal products carried in DECIMAL(38,0)
+    * (tp·n ≳ 2⁶³ at lake scale) and cast once. Degenerate marginals
+    * (p_e = 1: both raters constant) yield NULL κ via NULLIF.
+    */
+  private val mlCohensKappa = Q(
+    "ml_cohens_kappa",
+    (s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val yhat = (col("p") >= 0.5).cast("int")
+      val cm = logregScores(s, dir).agg(
+        count(lit(1)).as("n_scored"),
+        sum(when(col("y") === 1.0 && yhat === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("y") === 0.0 && yhat === 1, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("y") === 1.0 && yhat === 0, 1L).otherwise(0L)).as("fn"),
+        sum(when(col("y") === 0.0 && yhat === 0, 1L).otherwise(0L)).as("tn"))
+      val n2 = (col("n_scored").cast(dec) * col("n_scored")).cast("double")
+      val po = (col("tp") + col("tn")).cast("double") / col("n_scored").cast("double")
+      val pe = (((col("tp") + col("fp")).cast(dec) * (col("tp") + col("fn")) +
+        (col("fn") + col("tn")).cast(dec) * (col("fp") + col("tn"))).cast("double")) / n2
+      cm.select(col("n_scored"), col("tp"), col("fp"), col("fn"), col("tn"),
+        round(po, 6).as("po"), round(pe, 6).as("pe"),
+        round((po - pe) / when(lit(1.0) - pe =!= 0.0, lit(1.0) - pe), 6)
+          .as("kappa"))
+    },
+    Some(scoresSqlPrefix +
+      """cm AS (SELECT count(*) AS n_scored,
+        |    CAST(SUM(CASE WHEN y = 1.0 AND p >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN y = 0.0 AND p >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(SUM(CASE WHEN y = 1.0 AND p < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(SUM(CASE WHEN y = 0.0 AND p < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM scores),
+        |k AS (SELECT *,
+        |    CAST(tp + tn AS DOUBLE) / n_scored AS po,
+        |    CAST(CAST(tp + fp AS DECIMAL(38,0)) * (tp + fn)
+        |         + CAST(fn + tn AS DECIMAL(38,0)) * (fp + tn) AS DOUBLE)
+        |      / CAST(CAST(n_scored AS DECIMAL(38,0)) * n_scored AS DOUBLE) AS pe
+        |  FROM cm)
+        |SELECT n_scored, tp, fp, fn, tn, round(po, 6) AS po, round(pe, 6) AS pe,
+        |  round((po - pe) / NULLIF(1.0 - pe, 0.0), 6) AS kappa
+        |FROM k""".stripMargin))
+
+  /** k-th-NN distance outlier scores: each vector's 5th-nearest-neighbor
+    * cosine, lowest 15 reported — the density-based "this embedding sits in
+    * no neighborhood" triage (mislabeled points, encoder failures, format
+    * leaks all surface as isolated vectors). The kNN-distance score is the
+    * standard precursor to LOF, without LOF's second neighborhood pass.
+    *
+    * Scale honesty (the sim_silhouette stance): the DECLARED query scores
+    * the corpus by exact pairwise cosine so the oracle can replay it —
+    * corpus-quadratic, right for the bounded embedding panels it targets.
+    * The production path at 10⁹ vectors swaps the exact pair source for
+    * [[lshTopK]]/[[ivfTopK]] candidates (the sim_mutual_knn wiring) and
+    * keeps this ranking readout unchanged; an LSH 5th-NN cosine is a lower
+    * bound on the true one, so LSH-scored "outliers" are a superset to
+    * re-check exactly. Determinism: the rank window uses the round-9 + id
+    * tiebreak, scores round at 6 dp.
+    */
+  private val simKnnOutlier = Q(
+    "sim_knn_outlier",
+    (s, dir) => {
+      VectorKernels.register(s)
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"))
+      val a = e.toDF("q_id", "q_emb", "q_nrm")
+      val b = e.toDF("n_id", "n_emb", "n_nrm")
+      val w = Window.partitionBy("q_id")
+        .orderBy(round(col("cos"), 9).desc, col("n_id"))
+      a.join(b, col("q_id") =!= col("n_id"))
+        .withColumn("cos",
+          dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") === 5)
+        .select(col("q_id").as("vec_id"), round(col("cos"), 6).as("knn5_cos"))
+        .orderBy(round(col("cos"), 9).asc, col("vec_id")).limit(15)
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding,
+           |   sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+           | FROM embeddings),
+           |p AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+           |   list_sum(list_transform(range(1, 65),
+           |     i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)))
+           |     / (q.nrm * n.nrm) AS cos
+           | FROM e q JOIN e n ON n.vec_id != q.vec_id),
+           |r AS (SELECT q_id, cos,
+           |   CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+           |     ORDER BY round(cos, 9) DESC, n_id) AS INT) AS rank FROM p)
+           |SELECT q_id AS vec_id, round(cos, 6) AS knn5_cos
+           |FROM r WHERE rank = 5
+           |ORDER BY round(cos, 9) ASC, q_id LIMIT 15""".stripMargin))
+
+  /** Pairwise-cosine histogram of a deterministic corpus sample — the
+    * embedding-space HEALTH CHECK run before any similarity thresholding:
+    * a healthy encoder gives a roughly centered unimodal pair-sim
+    * distribution; collapse (all pairs ≈ 1), anisotropy (mass shifted
+    * high) or dead dimensions show up here first, and every threshold the
+    * dedup/ANN family uses (0.8 near-dup, 0.4 range query) should be read
+    * against this curve.
+    *
+    * Scale shape: the sample is a deterministic residue class (vec_id ≡ 0
+    * mod 8 — no rand(), stable under reruns), so the pair join is
+    * (n/8)² — the modulus is the knob that keeps the sampled pair count
+    * ~constant as the corpus grows. One self-join on the sample, one
+    * two-phase bin count; bins are closed-form from the cosine.
+    */
+  private val simPairHist = Q(
+    "sim_pair_hist",
+    (s, dir) => {
+      VectorKernels.register(s)
+      val e = emb(s, dir).filter(col("vec_id") % 8 === 0)
+        .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
+      val a = e.toDF("q_id", "q_emb", "q_nrm")
+      val b = e.toDF("n_id", "n_emb", "n_nrm")
+      val pairs = a.join(b, col("q_id") < col("n_id"))
+        .withColumn("cos",
+          dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
+      val h = pairs
+        .withColumn("bin", least(greatest(
+          floor((round(col("cos"), 9) + 1.0) * 10).cast("int"), lit(0)), lit(19)))
+        .groupBy("bin").agg(count(lit(1)).as("cnt"))
+      val tot = h.agg(sum(col("cnt")).as("t"))
+      h.crossJoin(broadcast(tot))
+        .select(col("bin"),
+          round(col("bin").cast("double") / 10 - 1.0, 1).as("lo"),
+          round(col("bin").cast("double") / 10 - 0.9, 1).as("hi"),
+          col("cnt"),
+          round(col("cnt").cast("double") / col("t").cast("double"), 6).as("share"))
+        .orderBy("bin")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding,
+           |   sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+           | FROM embeddings WHERE vec_id % 8 = 0),
+           |p AS (SELECT
+           |   list_sum(list_transform(range(1, 65),
+           |     i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)))
+           |     / (q.nrm * n.nrm) AS cos
+           | FROM e q JOIN e n ON q.vec_id < n.vec_id),
+           |h AS (SELECT least(greatest(CAST(floor((round(cos, 9) + 1.0) * 10) AS INT), 0), 19) AS bin,
+           |   count(*) AS cnt FROM p GROUP BY 1),
+           |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM h)
+           |SELECT bin, round(CAST(bin AS DOUBLE) / 10 - 1.0, 1) AS lo,
+           |  round(CAST(bin AS DOUBLE) / 10 - 0.9, 1) AS hi, cnt,
+           |  round(CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share
+           |FROM h CROSS JOIN tot ORDER BY bin""".stripMargin))
+
   /** One unrolled MMR greedy step as oracle SQL: from the not-yet-selected
     * candidates, pick the arg-max of λ·rel − (1−λ)·max-sim-to-selected with
     * the (round(score, 9) DESC, n_id) tiebreak.
@@ -2075,5 +2308,6 @@ object Similarity {
     simDimStats, simMutualKnn, simPcaPower, mlLogregStep, mlAuc,
     mlCalibration, simRandProj, mlQuantileNorm, mlKnnClassify, mlPrCurve,
     mlDecisionStump, simRangeQuery, simSilhouette, simRrfFusion,
-    mlF1Sweep, mlNdcg, simMmrRerank, simRocchioExpand, mlLiftGains)
+    mlF1Sweep, mlNdcg, simMmrRerank, simRocchioExpand, mlLiftGains,
+    mlBrierScore, mlCohensKappa, simKnnOutlier, simPairHist)
 }

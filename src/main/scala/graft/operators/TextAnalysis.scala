@@ -472,6 +472,50 @@ object TextAnalysis {
            |      GROUP BY token)
            |ORDER BY token_id""".stripMargin))
 
+  /** Hapax-legomena profile per language — the lexical-richness diagnostic
+    * of the vocab family: the hapax fraction (terms occurring once) is the
+    * canonical "how much of this corpus is long tail?" readout feeding a
+    * tokenizer's min-frequency cutoff and OOV budget, and the type/token
+    * ratio tracks vocabulary growth; a shift in either between crawls
+    * flags a register change (spam, boilerplate, new domain) before any
+    * model sees the data.
+    *
+    * Scale shape: one token explode → two-phase (lang, token) count → a
+    * per-language conditional aggregate over the vocabulary-sized frame —
+    * strictly lighter than text_vocab's global ranking. Determinism: all
+    * counts exact longs; the two ratios are one IEEE divide each, rounded
+    * at 6 dp.
+    */
+  private val textHapax = Q(
+    "text_hapax",
+    (s, dir) => docs(s, dir)
+      .select(col("lang"), explode(words(col("text"))).as("token"))
+      .groupBy("lang", "token").agg(count(lit(1)).as("freq"))
+      .groupBy("lang")
+      .agg(sum(col("freq")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("freq") === 1L, 1L).otherwise(0L)).as("hapax"),
+        sum(when(col("freq") === 2L, 1L).otherwise(0L)).as("dis"))
+      .select(col("lang"), col("n_tokens"), col("vocab"), col("hapax"), col("dis"),
+        round(col("hapax").cast("double") / col("vocab").cast("double"), 6)
+          .as("hapax_ratio"),
+        round(col("vocab").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("type_token_ratio"))
+      .orderBy("lang"),
+    Some("""WITH f AS (SELECT lang, token, count(*) AS freq
+           |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS token
+           |        FROM documents)
+           |  GROUP BY lang, token)
+           |SELECT lang, CAST(SUM(freq) AS BIGINT) AS n_tokens,
+           |  count(*) AS vocab,
+           |  CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           |  CAST(SUM(CASE WHEN freq = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis,
+           |  round(CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / count(*), 6) AS hapax_ratio,
+           |  round(CAST(count(*) AS DOUBLE) / CAST(SUM(freq) AS BIGINT), 6)
+           |    AS type_token_ratio
+           |FROM f GROUP BY lang ORDER BY lang""".stripMargin))
+
   /** Distributed dense ranking of a (token, freq) vocabulary by
     * (freq desc, token) — the textbook two-phase global row_number:
     * range-repartition on the sort key (distributed sample-based split, the
@@ -1773,7 +1817,8 @@ object TextAnalysis {
     textBpe, textBpeEncode, textLmScore, textKnScore, textZipfHead,
     textEntropy, textCmsCounts, textPhraseMine, mlFeatureHash, mlNaiveBayes,
     mlMutualInfo, textHllDistinct, textJsdSources, textNgramCoverage,
-    textKmvSetops, textRakeKeywords, textStemIndex, textBurstiness)
+    textKmvSetops, textRakeKeywords, textStemIndex, textBurstiness,
+    textHapax)
 
   /** Mutual-information feature selection: I(token-presence; source) over
     * the 2×2 contingency of each (token, source) pair — the supervised

@@ -879,8 +879,153 @@ object Wrangling {
            |GROUP BY 1, 2
            |ORDER BY l_div, k_size DESC, nation, segment LIMIT 25""".stripMargin))
 
+  /** One-way ANOVA F of line-item revenue (CENTS, exact) across return-flag
+    * groups — the "does the group mean differ more than within-group noise
+    * explains?" audit that completes the stat-test family (χ² = two
+    * categoricals, KS = two distributions, Spearman/Pearson = two
+    * numerics, ANOVA = numeric across k groups). A pipeline runs it before
+    * trusting a segmentation: if F ≈ 1 the segments are noise.
+    *
+    * Scale shape: ONE two-phase aggregate yields each group's exact
+    * (n, Σx, Σx²) in DECIMAL(38,0) (Σx² ≲ 10¹²·(10⁷)² = 10²⁶ at lake
+    * scale — past long range, within decimal); the k-row group frame then
+    * reduces to grand totals and the between/within sums of squares.
+    * Determinism: every moment is exact until the final casts; SS terms are
+    * single IEEE subtract/divide chains on identically-derived doubles,
+    * per-group terms summed via the order-independent [[dsumFine]]; the
+    * oracle mirrors the tree. Degenerate inputs (k = 1 or SSW = 0) yield
+    * NULL F via the NULLIF convention.
+    */
+  private val qualityAnova = Q(
+    "quality_anova",
+    (s, dir) => {
+      // row-level cents ride DECIMAL(18,0): the square then fits the
+      // (36,0) multiply result and only the SUM widens to (38,0) — a
+      // (38,0)×(38,0) multiply would overflow the decimal width itself
+      val v = round(col("l_extendedprice") * 100).cast(DecimalType(18, 0))
+      val g = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("grp"))
+        .agg(count(lit(1)).as("ng"), sum(v).as("s1"), sum(v * v).as("s2"))
+      // the between-group terms s1²/n_g reach ~10¹⁸ even at sf0.01 (and
+      // ~10²⁴ at lake scale) — past dsumFine's DECIMAL(38,20) integer
+      // headroom, so this one sum rides scale 12 (26 integer digits)
+      val gt = g.agg(count(lit(1)).as("k"),
+        sum(col("ng")).as("n"), sum(col("s1")).as("t1"), sum(col("s2")).as("t2"),
+        sum((col("s1").cast("double") * col("s1").cast("double") /
+          col("ng").cast("double")).cast(DecimalType(38, 12)))
+          .cast("double").as("bsum"))
+      val sst = col("t2").cast("double") -
+        col("t1").cast("double") * col("t1").cast("double") / col("n").cast("double")
+      val ssb = col("bsum") -
+        col("t1").cast("double") * col("t1").cast("double") / col("n").cast("double")
+      val ssw = sst - ssb
+      val f = (ssb / (col("k") - 1).cast("double")) /
+        when(ssw =!= 0.0 && col("n") > col("k"),
+          ssw / (col("n") - col("k")).cast("double"))
+      gt.select(col("k").as("n_groups"), col("n").as("n_rows"),
+        round(sst, 4).as("ss_total"), round(ssb, 4).as("ss_between"),
+        round(ssw, 4).as("ss_within"), round(f, 6).as("f_stat"))
+    },
+    Some("""WITH g AS (SELECT l_returnflag AS grp, count(*) AS ng,
+           |    CAST(SUM(CAST(round(l_extendedprice * 100) AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS s1,
+           |    CAST(SUM(CAST(round(l_extendedprice * 100) AS DECIMAL(18,0))
+           |           * CAST(round(l_extendedprice * 100) AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS s2
+           |  FROM lineitem GROUP BY 1),
+           |gt AS (SELECT count(*) AS k, CAST(SUM(ng) AS BIGINT) AS n,
+           |    CAST(SUM(s1) AS DECIMAL(38,0)) AS t1, CAST(SUM(s2) AS DECIMAL(38,0)) AS t2,
+           |    CAST(SUM(CAST(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+           |        / CAST(ng AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS bsum
+           |  FROM g),
+           |ss AS (SELECT k, n,
+           |    CAST(t2 AS DOUBLE) - CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE) / CAST(n AS DOUBLE) AS sst,
+           |    bsum - CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE) / CAST(n AS DOUBLE) AS ssb
+           |  FROM gt)
+           |SELECT k AS n_groups, n AS n_rows, round(sst, 4) AS ss_total,
+           |  round(ssb, 4) AS ss_between, round(sst - ssb, 4) AS ss_within,
+           |  round((ssb / CAST(k - 1 AS DOUBLE)) /
+           |    NULLIF(CASE WHEN n > k THEN (sst - ssb) / CAST(n - k AS DOUBLE)
+           |           ELSE 0.0 END, 0.0), 6) AS f_stat
+           |FROM ss""".stripMargin))
+
+  /** Kendall τ-b of quantity vs discount — the third monotone-association
+    * statistic, completing Pearson (linear) and Spearman (rank-linear):
+    * τ counts concordant vs discordant PAIRS, the most robust of the three
+    * to outliers and the one with a direct probabilistic reading
+    * (P(agree) − P(disagree)). τ-b corrects both tie margins.
+    *
+    * Scale shape — the pair count without the pair join: both variables
+    * are small-DOMAIN integers (quantity 1–50, discount 0–10 cents), so
+    * concordance reduces to the JOINT FREQUENCY GRID (≤ 550 cells): C and
+    * D are sums of nᵢ·nⱼ over strictly-ordered cell pairs — a self-join of
+    * the ≤ 550-row grid (broadcast, bounded by the DOMAIN² not the corpus,
+    * the quality_chi2 grid stance), after ONE two-phase count over the
+    * fact. Tie terms come from the grid margins. Determinism: cell counts
+    * are exact longs; C, D, and the tie sums are exact DECIMAL(38,0)
+    * (nᵢ·nⱼ ≲ 10²⁴ at lake scale); τ-b is 5 IEEE ops on exactly-derived
+    * doubles, mirrored literally; zero-variance margins yield NULL via
+    * NULLIF.
+    */
+  private val qualityKendallTau = Q(
+    "quality_kendall_tau",
+    (s, dir) => {
+      val dec = DecimalType(38, 0)
+      val grid = t(s, dir, "lineitem")
+        .select(round(col("l_quantity")).cast("long").as("x"),
+          round(col("l_discount") * 100).cast("long").as("y"))
+        .groupBy("x", "y").agg(count(lit(1)).cast(dec).as("c"))
+      val a = grid.select(col("x").as("xa"), col("y").as("ya"), col("c").as("ca"))
+      val b = grid.select(col("x").as("xb"), col("y").as("yb"), col("c").as("cb"))
+      val pairs = a.join(broadcast(b), col("xb") > col("xa"))
+        .agg(sum(when(col("yb") > col("ya"), col("ca") * col("cb"))
+            .otherwise(lit(0).cast(dec))).as("cc"),
+          sum(when(col("yb") < col("ya"), col("ca") * col("cb"))
+            .otherwise(lit(0).cast(dec))).as("dd"))
+      // DOUBLED pair counts (m = 2·"n choose 2" = t·(t−1)) keep everything
+      // in exact decimal PRODUCTS — no decimal division, whose result
+      // scale differs between engines; τ-b is algebraically identical:
+      // τ = 2(C−D)/√((m0−m1)(m0−m2))
+      val xm = grid.groupBy("x").agg(sum(col("c")).as("t"))
+        .agg(sum(col("t") * (col("t") - 1)).as("m1"))
+      val ym = grid.groupBy("y").agg(sum(col("c")).as("t"))
+        .agg(sum(col("t") * (col("t") - 1)).as("m2"))
+      val nn = grid.agg(sum(col("c")).as("n"))
+        .select(col("n"), (col("n") * (col("n") - 1)).as("m0"))
+      pairs.crossJoin(broadcast(xm)).crossJoin(broadcast(ym))
+        .crossJoin(broadcast(nn))
+        .select(col("n").cast("long").as("n_rows"),
+          col("cc").cast("long").as("concordant"),
+          col("dd").cast("long").as("discordant"),
+          round(lit(2.0) * (col("cc") - col("dd")).cast("double") /
+            when(col("m0") > col("m1") && col("m0") > col("m2"),
+              sqrt((col("m0") - col("m1")).cast("double")) *
+                sqrt((col("m0") - col("m2")).cast("double"))), 6).as("tau_b"))
+    },
+    Some("""WITH grid AS (SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+           |    CAST(round(l_discount * 100) AS BIGINT) AS y,
+           |    CAST(count(*) AS DECIMAL(38,0)) AS c
+           |  FROM lineitem GROUP BY 1, 2),
+           |pairs AS (SELECT
+           |    CAST(SUM(CASE WHEN b.y > a.y THEN a.c * b.c ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS cc,
+           |    CAST(SUM(CASE WHEN b.y < a.y THEN a.c * b.c ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS dd
+           |  FROM grid a JOIN grid b ON b.x > a.x),
+           |xm AS (SELECT CAST(SUM(t * (t - 1)) AS DECIMAL(38,0)) AS m1
+           |  FROM (SELECT CAST(SUM(c) AS DECIMAL(38,0)) AS t FROM grid GROUP BY x)),
+           |ym AS (SELECT CAST(SUM(t * (t - 1)) AS DECIMAL(38,0)) AS m2
+           |  FROM (SELECT CAST(SUM(c) AS DECIMAL(38,0)) AS t FROM grid GROUP BY y)),
+           |nn AS (SELECT CAST(SUM(c) AS DECIMAL(38,0)) AS n,
+           |    CAST(SUM(c) AS DECIMAL(38,0)) * (CAST(SUM(c) AS DECIMAL(38,0)) - 1) AS m0
+           |  FROM grid)
+           |SELECT CAST(n AS BIGINT) AS n_rows, CAST(cc AS BIGINT) AS concordant,
+           |  CAST(dd AS BIGINT) AS discordant,
+           |  round(2.0 * CAST(cc - dd AS DOUBLE) /
+           |    NULLIF(CASE WHEN m0 > m1 AND m0 > m2
+           |      THEN sqrt(CAST(m0 - m1 AS DOUBLE)) * sqrt(CAST(m0 - m2 AS DOUBLE))
+           |      ELSE 0.0 END, 0.0), 6) AS tau_b
+           |FROM pairs CROSS JOIN xm CROSS JOIN ym CROSS JOIN nn""".stripMargin))
+
   val queries: Seq[Q] = Seq(reshapeUnpivot, qualityBenford, qualityMadOutliers,
     eventsGapFill, sampleWeighted, eventsInterpolate, qualityPsiDrift,
     qualityWinsorize, ordersItemCf, privacyKAnon, privacyDpCounts,
-    qualityChi2, qualityKsTest, qualitySpearman, privacyLDiversity)
+    qualityChi2, qualityKsTest, qualitySpearman, privacyLDiversity,
+    qualityAnova, qualityKendallTau)
 }
