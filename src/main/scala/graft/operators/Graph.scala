@@ -580,14 +580,20 @@ object Graph {
     val edgesDeg = degreeAdjacency(edges).localCheckpoint()
     val nodes = edgesDeg.select(col("src").as("id"))
       .union(edgesDeg.select(col("dst").as("id"))).distinct()
+      .localCheckpoint()
     val seed = edgesDeg.agg(min(col("src")).as("sid"))
     def ind: Column =
       when(col("id") === col("sid"), lit(1.0)).otherwise(lit(0.0))
     var ranks = nodes.crossJoin(broadcast(seed)).select(col("id"), ind.as("pr"))
     for (_ <- 1 to iters) {
+      // same double-read checkpoint as pageRank's contrib — without it the
+      // csum scalar and the rank update each replay the full |E| join, and
+      // round i's plan embeds 2^i copies (measured 223 s vs 36 s at the
+      // 100× corpus)
       val contrib = ranks.join(edgesDeg, col("id") === col("src"))
         .groupBy(col("dst").as("cid"))
         .agg(dsumFine(col("pr") / col("cnt")).as("contrib"))
+        .localCheckpoint()
       val scalars = contrib
         .agg(coalesce(dsumFine(col("contrib")), lit(0.0)).as("csum"))
       ranks = nodes
