@@ -1179,7 +1179,46 @@ object Dedup {
            |FROM ch GROUP BY chunk HAVING count(*) >= 2
            |ORDER BY n_occ DESC, n_docs DESC, chunk LIMIT 20""".stripMargin))
 
+  /** Boilerplate OPENING clusters — group documents by the md5 key of
+    * their first 8 tokens: crawl/template boilerplate (cookie banners,
+    * license headers, scraper preambles) shares exact openings long before
+    * full-document near-dup fires, and the opening key is the cheapest
+    * possible blocking signal (one hash per doc, no shingling). The
+    * pipeline reads this as "which templates dominate my corpus" and
+    * feeds the cluster members to [[segmentDedup]]/span scrub for the
+    * actual cleanup. Reports clusters with ≥ 2 docs: size, the smallest
+    * member id, and the opening itself.
+    *
+    * Scale shape: per-row slice + hash (no explode), ONE two-phase count
+    * on the 64-bit key, global top-k by (size, key) — TakeOrdered, no
+    * sort. Deterministic: md5 over the exact token join; min(doc_id)
+    * anchors each cluster.
+    */
+  private val dedupPrefixCluster = Q(
+    "dedup_prefix_cluster",
+    (s, dir) => {
+      val opening = concat_ws(" ", slice(split(col("text"), " "), 1, 8))
+      docs(s, dir)
+        .select(col("doc_id"), opening.as("opening"))
+        .filter(length(col("opening")) > 0)
+        .groupBy(md5Hash32(col("opening")).as("opening_key"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"),
+          min(col("opening")).as("opening"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("opening_key")).limit(20)
+    },
+    Some("""WITH o AS (SELECT doc_id,
+           |    array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ') AS opening
+           |  FROM documents WHERE length(text) > 0),
+           |g AS (SELECT CAST('0x' || substr(md5(opening), 1, 8) AS BIGINT) AS opening_key,
+           |    count(*) AS n_docs, min(doc_id) AS first_doc, min(opening) AS opening
+           |  FROM o GROUP BY 1)
+           |SELECT opening_key, n_docs, first_doc, opening
+           |FROM g WHERE n_docs >= 2
+           |ORDER BY n_docs DESC, opening_key LIMIT 20""".stripMargin))
+
   val queries: Seq[Q] = Seq(
+    dedupPrefixCluster,
     dedupExact, dedupKeepfirst, dedupNgramJaccard, dedupMinhashLsh,
     dedupSimhash, dedupClusters, dedupPipelineSurvivors, dedupDecontaminate,
     dedupDecontaminateBloom, dedupIncremental, dedupLines, pipelineCurate,

@@ -667,7 +667,95 @@ object TimeSeries {
            |  round(CAST(e_d2 AS DOUBLE) / 4.0 / CAST(e_total AS DOUBLE), 6) AS frac_d2
            |FROM e0 CROSS JOIN e1 CROSS JOIN e2""".stripMargin))
 
+  /** Power-law (Pareto) tail fit of the per-user activity distribution —
+    * the Hill/MLE exponent α̂ = 1 + n_tail / Σ ln(x/x_min) over users with
+    * x ≥ x_min events: the heavy-tail diagnostic behind every capacity and
+    * abuse decision on this stream (α ≤ 2 means the top users dominate
+    * total volume and mean-based provisioning is wrong; a falling α round
+    * over round means concentration is increasing). Reported with the
+    * top-1 %-user volume share as the model-free cross-check.
+    *
+    * Scale shape: one two-phase per-user count, one conditional aggregate
+    * over the user frame (ln only on the ≥ x_min tail), plus an exact
+    * top-share via the global top-k count. Determinism: counts exact; each
+    * ln runs on an exact integer ratio and the sum rides [[dsumFine]]
+    * (the text-entropy ln convention); α̂ is two IEEE ops, rounded 6 dp.
+    */
+  private val eventsPowerLaw = Q(
+    "events_power_law",
+    (s, dir) => {
+      val xmin = 5L
+      val u = Tables.load(s, dir, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("x"))
+      val tail = u.filter(col("x") >= xmin)
+        .agg(count(lit(1)).as("n_tail"),
+          dsumFine(log(col("x").cast("double") / xmin.toDouble)).as("lsum"))
+      val tot = u.agg(count(lit(1)).as("n_users"), sum(col("x")).as("n_events"))
+      val k = u.orderBy(col("x").desc, col("user_id"))
+        .limit(50)
+        .agg(sum(col("x")).as("top_events"))
+      tot.crossJoin(broadcast(tail)).crossJoin(broadcast(k))
+        .select(col("n_users"), col("n_events"), col("n_tail"),
+          round(lit(1.0) + col("n_tail").cast("double") /
+            when(col("lsum") =!= 0.0, col("lsum")), 6).as("alpha_hat"),
+          round(col("top_events").cast("double") / col("n_events").cast("double"),
+            6).as("top50_share"))
+    },
+    Some("""WITH u AS (SELECT user_id, count(*) AS x FROM events GROUP BY 1),
+           |tail AS (SELECT count(*) AS n_tail,
+           |    CAST(SUM(CAST(ln(CAST(x AS DOUBLE) / 5.0) AS DECIMAL(38,20))) AS DOUBLE) AS lsum
+           |  FROM u WHERE x >= 5),
+           |tot AS (SELECT count(*) AS n_users, CAST(SUM(x) AS BIGINT) AS n_events FROM u),
+           |k AS (SELECT CAST(SUM(x) AS BIGINT) AS top_events FROM
+           |  (SELECT x FROM u ORDER BY x DESC, user_id LIMIT 50))
+           |SELECT n_users, n_events, n_tail,
+           |  round(1.0 + CAST(n_tail AS DOUBLE) / NULLIF(lsum, 0.0), 6) AS alpha_hat,
+           |  round(CAST(top_events AS DOUBLE) / n_events, 6) AS top50_share
+           |FROM tot CROSS JOIN tail CROSS JOIN k""".stripMargin))
+
+  /** Per-user behavioral entropy — Shannon entropy of each user's
+    * event-type distribution, flagging the distribution extremes: near-zero
+    * entropy at high volume is single-action automation (the complement of
+    * events_bot_detect's timing regularity — a bot can randomize timing
+    * but still do one thing), maximal entropy is uniform scripted sweeps.
+    * Reports the 15 lowest-entropy high-volume users.
+    *
+    * Scale shape: two nested two-phase aggregates — (user, type) counts,
+    * then per-user entropy from Σ c·ln c and the user total (the unigram-
+    * entropy identity H = ln n − Σc·ln c / n, one pass, no per-user
+    * normalize-then-sum). Windows: none. Determinism: ln on exact integer
+    * counts, per-user sums via [[dsumFine]], round-6 output, total order.
+    */
+  private val eventsUserEntropy = Q(
+    "events_user_entropy",
+    (s, dir) => {
+      val ut = Tables.load(s, dir, "events")
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+      ut.groupBy("user_id")
+        .agg(sum(col("c")).as("n_events"),
+          count(lit(1)).as("n_types"),
+          dsumFine(col("c").cast("double") * log(col("c").cast("double")))
+            .as("clc"))
+        .filter(col("n_events") >= 20)
+        .select(col("user_id"), col("n_events"), col("n_types"),
+          round(log(col("n_events").cast("double")) -
+            col("clc") / col("n_events").cast("double"), 6).as("entropy"))
+        .orderBy(col("entropy").asc, col("n_events").desc, col("user_id"))
+        .limit(15)
+    },
+    Some("""WITH ut AS (SELECT user_id, event_type, count(*) AS c
+           |  FROM events GROUP BY 1, 2),
+           |u AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+           |    count(*) AS n_types,
+           |    CAST(SUM(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) AS DECIMAL(38,20))) AS DOUBLE) AS clc
+           |  FROM ut GROUP BY 1)
+           |SELECT user_id, n_events, n_types,
+           |  round(ln(CAST(n_events AS DOUBLE)) - clc / n_events, 6) AS entropy
+           |FROM u WHERE n_events >= 20
+           |ORDER BY entropy ASC, n_events DESC, user_id LIMIT 15""".stripMargin))
+
   val queries: Seq[Q] = Seq(eventsSeasonal, eventsChangepoint, eventsAutocorr,
+    eventsPowerLaw, eventsUserEntropy,
     eventsSurvival, eventsHllRolling, eventsForecast, eventsDauWauMau,
     eventsFunnelTime, eventsBrownSmooth, eventsPeakHours, eventsWaveletEnergy)
 }

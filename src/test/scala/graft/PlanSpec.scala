@@ -309,6 +309,48 @@ class PlanSpec extends SparkSuite {
       s"final pagerank plan re-embeds iteration shuffles\n${p.take(3000)}")
   }
 
+  test("sample_reservoir takes its k-min sample as TakeOrderedAndProject") {
+    val p = plan("sample_reservoir")
+    // k smallest hashes = global top-k: per-partition bounded heaps, never
+    // a global sort of the fact
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("quality_kendall_tau joins the domain grid, never the fact") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, Aggregate => LAgg}
+    val opt = Queries.byName("quality_kendall_tau").run(spark, sfDir)
+      .queryExecution.optimizedPlan
+    // the inequality pair join is allowed ONLY over the aggregated
+    // (x, y, count) grid — both join children must sit above an Aggregate;
+    // a raw lineitem leaf under the join means the domain-grid reduction
+    // was lost and the pair count went corpus-quadratic
+    val pairJoins = opt.collect { case j: LJoin => j }
+      .filter(j => j.condition.exists(_.toString.contains(">")))
+    assert(pairJoins.nonEmpty, s"expected the grid inequality join\n$opt")
+    pairJoins.foreach { j =>
+      assert(j.children.forall(c =>
+        c.collectFirst { case a: LAgg => a }.nonEmpty),
+        s"pair join reads a non-aggregated child\n$j")
+    }
+    // and the scan reads only the two grid columns
+    val p = plan("quality_kendall_tau")
+    assert(!p.contains("l_extendedprice"), "kendall scan should prune to qty+discount")
+  }
+
+  test("multimodal_hist16 rebalances the payload scan before the explode") {
+    val p = plan("multimodal_hist16")
+    // the per-codepoint explode is map-side; without the round-robin
+    // exchange all of it runs on the single scan partition (the
+    // text-family spread stance)
+    assert(p.toLowerCase.contains("roundrobinpartitioning"), p)
+  }
+
+  test("events_power_law takes its top-50 via bounded heaps and scans events once per branch") {
+    val p = plan("events_power_law")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
   test("graph_label_prop takes each round's arg-min as an aggregate, no window") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val opt = Queries.byName("graph_label_prop").run(spark, sfDir)
