@@ -1217,8 +1217,82 @@ object Dedup {
            |FROM g WHERE n_docs >= 2
            |ORDER BY n_docs DESC, opening_key LIMIT 20""".stripMargin))
 
+  /** TF-IDF-weighted cosine near-dup pairs — the WEIGHTED rung of the
+    * near-dup ladder between set Jaccard (every shingle equal) and dense
+    * embedding cosine (needs an encoder): two documents sharing rare
+    * vocabulary score high even when their boilerplate differs, which is
+    * exactly the paraphrase/translation-template case Jaccard under-scores
+    * and the case where no embedding model is in the loop yet. Pairs
+    * ride the TERM posting lists with a df cap (df ≤ 100, the
+    * [[jaccardPairs]] stance): a term in half the corpus contributes
+    * ~nothing to tf-idf weight AND would quadratically dominate the pair
+    * join, so capping is both the scale lever and nearly score-neutral;
+    * weights, norms and dots all live in the SAME capped term space so
+    * the reported cosine is internally consistent (documented estimator,
+    * not an approximation of an uncomputed exact).
+    *
+    * Scale shape: tf table (two-phase count), df join + cap filter, one
+    * term-keyed pair join producing (a, b, wa·wb) rows, pair-keyed
+    * dsumFine dot, broadcast norm joins. Linear in posting-list mass,
+    * bounded by the cap. Determinism: tf/df exact; idf = ln(N/df) on
+    * exact ints (the established ln convention); dots/norms ride
+    * [[graft.functions.Deterministic.dsumFine]]; round-6, (a, b) order.
+    */
+  private val dedupTfidfCosine = Q(
+    "dedup_tfidf_cosine",
+    (s, dir) => {
+      val tf = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      val n = docs(s, dir).agg(count(lit(1)).as("n"))
+      val w = graft.Caches.track(tf
+        .join(df.filter(col("df") <= 100), "t")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("t"),
+          (col("tf").cast("double") *
+            log(col("n").cast("double") / col("df").cast("double"))).as("w")))
+      val norms = w.groupBy("doc_id")
+        .agg(sqrt(graft.functions.Deterministic.dsumFine(col("w") * col("w")))
+          .as("nrm"))
+      val dots = w.select(col("doc_id").as("a"), col("t"), col("w").as("wa"))
+        .join(w.select(col("doc_id").as("b"), col("t"), col("w").as("wb")), "t")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b")
+        .agg(graft.functions.Deterministic.dsumFine(col("wa") * col("wb")).as("dot"))
+      dots
+        .join(norms.select(col("doc_id").as("a"), col("nrm").as("na")), "a")
+        .join(norms.select(col("doc_id").as("b"), col("nrm").as("nb")), "b")
+        .withColumn("cos", col("dot") / (col("na") * col("nb")))
+        .filter(col("cos") >= 0.5)
+        .select(col("a").as("doc_a"), col("b").as("doc_b"),
+          round(col("cos"), 6).as("cosine"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some("""WITH tf AS (SELECT doc_id, t, count(*) AS tf
+           |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+           |        FROM documents) GROUP BY 1, 2),
+           |df AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+           |n AS (SELECT count(*) AS n FROM documents),
+           |w AS (SELECT doc_id, tf.t,
+           |    CAST(tf AS DOUBLE) * ln(CAST(n AS DOUBLE) / df) AS w
+           |  FROM tf JOIN df ON tf.t = df.t CROSS JOIN n WHERE df <= 100),
+           |norms AS (SELECT doc_id,
+           |    sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,20))) AS DOUBLE)) AS nrm
+           |  FROM w GROUP BY 1),
+           |dots AS (SELECT a.doc_id AS a, b.doc_id AS b,
+           |    CAST(SUM(CAST(a.w * b.w AS DECIMAL(38,20))) AS DOUBLE) AS dot
+           |  FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT a AS doc_a, b AS doc_b,
+           |  round(dot / (na.nrm * nb.nrm), 6) AS cosine
+           |FROM dots JOIN norms na ON dots.a = na.doc_id
+           |JOIN norms nb ON dots.b = nb.doc_id
+           |WHERE dot / (na.nrm * nb.nrm) >= 0.5
+           |ORDER BY doc_a, doc_b""".stripMargin))
+
   val queries: Seq[Q] = Seq(
-    dedupPrefixCluster,
+    dedupPrefixCluster, dedupTfidfCosine,
     dedupExact, dedupKeepfirst, dedupNgramJaccard, dedupMinhashLsh,
     dedupSimhash, dedupClusters, dedupPipelineSurvivors, dedupDecontaminate,
     dedupDecontaminateBloom, dedupIncremental, dedupLines, pipelineCurate,

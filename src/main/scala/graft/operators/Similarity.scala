@@ -2030,6 +2030,113 @@ object Similarity {
            |  round(CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share
            |FROM h CROSS JOIN tot ORDER BY bin""".stripMargin))
 
+  /** LSH recall@5 against exact ground truth as a DECLARED query — the
+    * ANN-quality readout promoted from spec-land to the oracle-checked
+    * surface (the r9 verdict asked the scaled-geometry story to have a
+    * green row, not just a probe): both paths are deterministic (literal
+    * seed-42 planes, round-9 + id tiebreaks), so DuckDB replays LSH
+    * candidates AND the exact ranking and the recall is hash-checked, not
+    * just asserted. A pipeline runs this after every re-tune of
+    * (bands, bits) — recall is THE acceptance metric for the geometry.
+    *
+    * Scale honesty: the exact side is corpus-quadratic (the
+    * sim_knn_outlier stance) — at 10⁹ vectors ground truth comes from a
+    * query SAMPLE (the SimilaritySpec sf0.1 methodology); the LSH side and
+    * the recall join stay linear-in-candidates.
+    */
+  private val simLshRecall = Q(
+    "sim_lsh_recall",
+    (s, dir) => {
+      VectorKernels.register(s)
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"))
+      val a = e.toDF("q_id", "q_emb", "q_nrm")
+      val b = e.toDF("n_id", "n_emb", "n_nrm")
+      val w = Window.partitionBy("q_id")
+        .orderBy(round(col("cos"), 9).desc, col("n_id"))
+      val exact = a.join(b, col("q_id") =!= col("n_id"))
+        .withColumn("cos",
+          dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("q_id", "n_id")
+      val got = lshTopK(emb(s, dir), 5).select("q_id", "n_id")
+      val hits = exact.join(got, Seq("q_id", "n_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      exact.agg(countDistinct(col("q_id")).as("n_queries"),
+          count(lit(1)).as("n_exact_pairs"))
+        .crossJoin(broadcast(hits))
+        .select(col("n_queries"), col("n_exact_pairs"), col("n_hits"),
+          round(col("n_hits").cast("double") /
+            col("n_exact_pairs").cast("double"), 6).as("recall_at5"))
+    },
+    Some(lshOracleCtes +
+      """, exp AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |      / (a.nrm * b.nrm) AS cos
+        |  FROM e a JOIN e b ON b.vec_id != a.vec_id),
+        |exr AS (SELECT q_id, n_id, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |    ORDER BY round(cos, 9) DESC, n_id) AS INT) AS xr FROM exp),
+        |ex AS (SELECT q_id, n_id FROM exr WHERE xr <= 5),
+        |got AS (SELECT q_id, n_id FROM r WHERE rank <= 5),
+        |h AS (SELECT count(*) AS n_hits FROM ex
+        |      WHERE EXISTS (SELECT 1 FROM got
+        |                    WHERE got.q_id = ex.q_id AND got.n_id = ex.n_id))
+        |SELECT (SELECT count(DISTINCT q_id) FROM ex) AS n_queries,
+        |  (SELECT count(*) FROM ex) AS n_exact_pairs, n_hits,
+        |  round(CAST(n_hits AS DOUBLE) / (SELECT count(*) FROM ex), 6) AS recall_at5
+        |FROM h""".stripMargin))
+
+  /** Cost-sensitive threshold selection — the deployment half the F1 sweep
+    * leaves open: with asymmetric error costs (a missed positive = 5× a
+    * false alarm here — the curation default, where a leaked bad document
+    * outweighs an over-filtered good one), the operating threshold is the
+    * arg-min of expected cost, not max-F1. Same 0.1-wide threshold grid and
+    * confusion algebra as [[mlF1Sweep]], one extra linear combine per row.
+    */
+  private val mlThresholdCost = Q(
+    "ml_threshold_cost",
+    (s, dir) => {
+      val bkt = logregScores(s, dir)
+        .withColumn("b", least(floor(col("p") * 10), lit(9.0)).cast("int"))
+        .groupBy("b")
+        .agg(sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("np"),
+          sum(when(col("y") === 1.0, 0L).otherwise(1L)).as("nn"))
+      val tot = bkt.agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"))
+      val wTop = Window.orderBy(col("b").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val conf = bkt.select(col("b"),
+          sum(col("np")).over(wTop).as("tp"), sum(col("nn")).over(wTop).as("fp"))
+        .crossJoin(broadcast(tot))
+        .select(col("b"), col("tp"), col("fp"),
+          (col("n_pos") - col("tp")).as("fn"))
+        .withColumn("cost", col("fp") + lit(5L) * col("fn"))
+      val best = conf.agg(min(col("cost")).as("bc"))
+      conf.crossJoin(broadcast(best))
+        .select((col("b").cast("double") / 10).as("threshold"),
+          col("tp"), col("fp"), col("fn"), col("cost"),
+          (col("cost") === col("bc")).as("is_best"))
+        .orderBy("threshold")
+    },
+    Some(scoresSqlPrefix +
+      """bkt AS (SELECT CAST(least(floor(p * 10), 9.0) AS INT) AS b,
+        |    SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS np,
+        |    SUM(CASE WHEN y = 1.0 THEN 0 ELSE 1 END) AS nn
+        |  FROM scores GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(np) AS BIGINT) AS n_pos FROM bkt),
+        |conf AS (SELECT b,
+        |    CAST(SUM(np) OVER (ORDER BY b DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+        |    CAST(SUM(nn) OVER (ORDER BY b DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp
+        |  FROM bkt),
+        |c AS (SELECT b, tp, fp, n_pos - tp AS fn,
+        |    fp + 5 * (n_pos - tp) AS cost FROM conf CROSS JOIN tot),
+        |best AS (SELECT min(cost) AS bc FROM c)
+        |SELECT CAST(b AS DOUBLE) / 10 AS threshold, tp, fp,
+        |  CAST(fn AS BIGINT) AS fn, CAST(cost AS BIGINT) AS cost,
+        |  cost = bc AS is_best
+        |FROM c CROSS JOIN best ORDER BY threshold""".stripMargin))
+
   /** One unrolled MMR greedy step as oracle SQL: from the not-yet-selected
     * candidates, pick the arg-max of λ·rel − (1−λ)·max-sim-to-selected with
     * the (round(score, 9) DESC, n_id) tiebreak.
@@ -2309,5 +2416,6 @@ object Similarity {
     mlCalibration, simRandProj, mlQuantileNorm, mlKnnClassify, mlPrCurve,
     mlDecisionStump, simRangeQuery, simSilhouette, simRrfFusion,
     mlF1Sweep, mlNdcg, simMmrRerank, simRocchioExpand, mlLiftGains,
-    mlBrierScore, mlCohensKappa, simKnnOutlier, simPairHist)
+    mlBrierScore, mlCohensKappa, simKnnOutlier, simPairHist,
+    simLshRecall, mlThresholdCost)
 }
