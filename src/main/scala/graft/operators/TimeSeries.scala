@@ -754,8 +754,70 @@ object TimeSeries {
            |FROM u WHERE n_events >= 20
            |ORDER BY entropy ASC, n_events DESC, user_id LIMIT 15""".stripMargin))
 
+  /** Mergeable quantile-histogram sketch over per-type event values,
+    * checked against exact percentiles — the QUANTILE member of the
+    * mergeable-sketch family ([[graft.functions.QuantileHist]]: constant
+    * 256 cells per group, shard/day/micro-batch merge = cell-wise add,
+    * streaming-maintainable under the CMS exactly-once contract). The
+    * monitoring shape: exact percentiles buffer a value→count map per
+    * group and need the full pass; the sketch answers p50/p90/p99 from a
+    * constant-size frame any shard can pre-aggregate. The declared query
+    * reports sketch vs exact with the 2·binWidth acceptance band (rank
+    * guarantee exact; value band tight on this dense metric — see the
+    * module doc for the precise contract).
+    *
+    * Scale shape: ONE two-phase (type, bin) count; the cumulative walk is
+    * a window over the ≤ 256-row per-group cell frame (bounded by
+    * construction); exact percentiles ride the bounded-domain
+    * agg_percentile_exact stance. Estimates are closed-form IEEE on exact
+    * counts, mirrored literally.
+    */
+  private val eventsQuantileSketch = Q(
+    "events_quantile_sketch",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "events").select(col("event_type"), col("value"))
+      val cells = graft.functions.QuantileHist.cells(
+        e, col("event_type"), col("value"))
+      val est = graft.functions.QuantileHist.quantiles(cells, Seq(0.5, 0.9, 0.99))
+      val exact = e.groupBy(col("event_type").as("g"))
+        .agg(percentile(col("value"), lit(0.5)).as("e50"),
+          percentile(col("value"), lit(0.9)).as("e90"),
+          percentile(col("value"), lit(0.99)).as("e99"))
+        .selectExpr("g", "stack(3, 0.5D, e50, 0.9D, e90, 0.99D, e99) as (q, exact)")
+      est.join(exact, Seq("g", "q"))
+        .select(col("g").as("event_type"), col("q"), col("n"),
+          round(col("est"), 6).as("sketch_est"), col("exact"),
+          (abs(col("est") - col("exact")) <= 4.0).as("within_band"))
+        .orderBy("event_type", "q")
+    },
+    Some("""WITH v AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v FROM events),
+           |cells AS (SELECT g,
+           |    least(greatest(CAST(floor(v / 2.0) AS INT), 0), 255) AS bin,
+           |    count(*) AS cnt FROM v GROUP BY 1, 2),
+           |cum AS (SELECT g, bin, cnt,
+           |    CAST(COALESCE(SUM(cnt) OVER (PARTITION BY g ORDER BY bin
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+           |  FROM cells),
+           |tot AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n FROM cells GROUP BY 1),
+           |qs(q) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+           |          (CAST(0.99 AS DOUBLE))),
+           |est AS (SELECT cum.g, q, n,
+           |    2.0 * (CAST(bin AS DOUBLE)
+           |      + CAST(greatest(least(ceil(q * n), n), 1) - cb AS DOUBLE) / cnt) AS est
+           |  FROM cum JOIN tot ON cum.g = tot.g CROSS JOIN qs
+           |  WHERE cb < greatest(least(ceil(q * n), n), 1)
+           |    AND cb + cnt >= greatest(least(ceil(q * n), n), 1)),
+           |ex AS (SELECT g, CAST(0.5 AS DOUBLE) AS q, quantile_cont(v, 0.5) AS exact
+           |       FROM v GROUP BY g
+           |  UNION ALL SELECT g, 0.9, quantile_cont(v, 0.9) FROM v GROUP BY g
+           |  UNION ALL SELECT g, 0.99, quantile_cont(v, 0.99) FROM v GROUP BY g)
+           |SELECT est.g AS event_type, est.q AS q, n, round(est, 6) AS sketch_est,
+           |  exact, abs(est - exact) <= 4.0 AS within_band
+           |FROM est JOIN ex ON est.g = ex.g AND est.q = ex.q
+           |ORDER BY event_type, est.q""".stripMargin))
+
   val queries: Seq[Q] = Seq(eventsSeasonal, eventsChangepoint, eventsAutocorr,
-    eventsPowerLaw, eventsUserEntropy,
+    eventsPowerLaw, eventsUserEntropy, eventsQuantileSketch,
     eventsSurvival, eventsHllRolling, eventsForecast, eventsDauWauMau,
     eventsFunnelTime, eventsBrownSmooth, eventsPeakHours, eventsWaveletEnergy)
 }
