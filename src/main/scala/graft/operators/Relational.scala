@@ -2346,6 +2346,47 @@ object Relational {
            |  FROM orders)
            |ORDER BY h, o_orderkey LIMIT 64""".stripMargin))
 
+  /** Class-balanced downsampling — equalize label classes to the minority
+    * count by DETERMINISTIC hash rank (never `rand()`): the training-set
+    * rebalance step before fitting on skewed labels, stable under reruns
+    * and engine swaps, and per-class uniform (the hash order is
+    * independent of any feature). Reports per-label before/after counts
+    * plus the kept-id checksum so the SELECTION (not just the size) is
+    * oracle-pinned.
+    *
+    * Scale shape: one per-label count → broadcast min → a rank window
+    * PARTITIONED BY LABEL (each class sorts independently — nothing
+    * global) → filter ≤ min → per-label aggregate.
+    */
+  private val sampleBalanced = Q(
+    "sample_balanced",
+    (s, dir) => {
+      val h = md5Hash32(concat(lit("bal:"), col("vec_id").cast("string")))
+      val e = t(s, dir, "embeddings").select(col("label"), col("vec_id"), h.as("h"))
+      val minc = e.groupBy("label").agg(count(lit(1)).as("nb"))
+        .agg(min(col("nb")).as("minc"))
+      val w = Window.partitionBy("label").orderBy(col("h"), col("vec_id"))
+      e.withColumn("rn", row_number().over(w))
+        .crossJoin(broadcast(minc))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_before"),
+          sum(when(col("rn") <= col("minc"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("rn") <= col("minc"), col("vec_id"))).as("kept_id_sum"))
+        .orderBy("label")
+    },
+    Some("""WITH e AS (SELECT label, vec_id,
+           |    CAST('0x' || substr(md5('bal:' || CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+           |  FROM embeddings),
+           |minc AS (SELECT min(nb) AS minc FROM
+           |  (SELECT label, count(*) AS nb FROM e GROUP BY 1)),
+           |r AS (SELECT label, vec_id,
+           |    row_number() OVER (PARTITION BY label ORDER BY h, vec_id) AS rn
+           |  FROM e)
+           |SELECT label, count(*) AS n_before,
+           |  CAST(SUM(CASE WHEN rn <= minc THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           |  CAST(SUM(CASE WHEN rn <= minc THEN vec_id END) AS BIGINT) AS kept_id_sum
+           |FROM r CROSS JOIN minc GROUP BY label ORDER BY label""".stripMargin))
+
   /** Exact interpolated percentiles per group (§2.4 extension — the
     * distribution-reporting twin of `agg_approx_quantiles`): Spark's
     * `percentile` aggregate and DuckDB's `quantile_cont` share the linear-
@@ -2921,6 +2962,7 @@ object Relational {
     aggCube, aggGroupingSets, aggApproxDistinct, aggApproxQuantiles,
     aggCollect, aggStats, aggPivot, aggPercentileExact, subqueryAboveAvg,
     sampleHashSplit, sampleStratified, sampleEpochShuffle, sampleReservoir,
+    sampleBalanced,
     scalarStringFuncs,
     scalarDateFuncs, scalarMathFuncs, scalarJsonFuncs, scalarMapFuncs,
     scalarArrayFuncs)

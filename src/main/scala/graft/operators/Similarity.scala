@@ -2137,6 +2137,67 @@ object Similarity {
         |  cost = bc AS is_best
         |FROM c CROSS JOIN best ORDER BY threshold""".stripMargin))
 
+  /** Hubness profile of the embedding space — the k-occurrence
+    * distribution (how many top-5 lists each vector appears in) plus its
+    * top hubs: in high dimensions a few points become near-neighbors of
+    * EVERYTHING (Radovanović et al. 2010), silently dominating kNN votes,
+    * retrieval results and mutual-kNN graphs; the max k-occurrence and
+    * the share of never-retrieved "antihubs" are the two numbers that say
+    * whether hub mitigation (mutual-kNN's symmetrization, local scaling)
+    * is needed. Completes the embedding-health panel with
+    * [[simPairHist]] (pair-sim shape) and [[simKnnOutlier]] (isolation).
+    *
+    * Scale honesty: exact top-5 lists for the oracle (corpus-quadratic,
+    * the sim_knn_outlier stance); production reads the SAME k-occurrence
+    * count off the ANN candidate lists (sim_mutual_knn wiring) unchanged.
+    */
+  private val simHubness = Q(
+    "sim_hubness",
+    (s, dir) => {
+      VectorKernels.register(s)
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"))
+      val a = e.toDF("q_id", "q_emb", "q_nrm")
+      val b = e.toDF("n_id", "n_emb", "n_nrm")
+      val w = Window.partitionBy("q_id")
+        .orderBy(round(col("cos"), 9).desc, col("n_id"))
+      val top5 = a.join(b, col("q_id") =!= col("n_id"))
+        .withColumn("cos",
+          dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+      val kocc = top5.groupBy("n_id").agg(count(lit(1)).as("k_occ"))
+      val hubs = kocc.orderBy(col("k_occ").desc, col("n_id")).limit(10)
+        .withColumn("hub_rank", row_number().over(
+          Window.orderBy(col("k_occ").desc, col("n_id"))))
+      val anti = e.select(col("vec_id"))
+        .join(kocc.select(col("n_id").as("vec_id")), Seq("vec_id"), "left_anti")
+        .agg(count(lit(1)).as("n_antihubs"))
+      hubs.crossJoin(broadcast(anti))
+        .select(col("hub_rank"), col("n_id").as("vec_id"), col("k_occ"),
+          col("n_antihubs"))
+        .orderBy("hub_rank")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding,
+           |   sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+           | FROM embeddings),
+           |p AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+           |   list_sum(list_transform(range(1, 65),
+           |     i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)))
+           |     / (q.nrm * n.nrm) AS cos
+           | FROM e q JOIN e n ON n.vec_id != q.vec_id),
+           |r AS (SELECT q_id, n_id,
+           |   CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+           |     ORDER BY round(cos, 9) DESC, n_id) AS INT) AS rank FROM p),
+           |kocc AS (SELECT n_id, count(*) AS k_occ FROM r WHERE rank <= 5 GROUP BY 1),
+           |ah AS (SELECT count(*) AS n_antihubs FROM e
+           |  WHERE vec_id NOT IN (SELECT n_id FROM kocc)),
+           |hubs AS (SELECT CAST(row_number() OVER (ORDER BY k_occ DESC, n_id) AS INT)
+           |    AS hub_rank, n_id AS vec_id, k_occ
+           |  FROM kocc ORDER BY k_occ DESC, n_id LIMIT 10)
+           |SELECT hub_rank, vec_id, k_occ, n_antihubs
+           |FROM hubs CROSS JOIN ah ORDER BY hub_rank""".stripMargin))
+
   /** One unrolled MMR greedy step as oracle SQL: from the not-yet-selected
     * candidates, pick the arg-max of λ·rel − (1−λ)·max-sim-to-selected with
     * the (round(score, 9) DESC, n_id) tiebreak.
@@ -2417,5 +2478,5 @@ object Similarity {
     mlDecisionStump, simRangeQuery, simSilhouette, simRrfFusion,
     mlF1Sweep, mlNdcg, simMmrRerank, simRocchioExpand, mlLiftGains,
     mlBrierScore, mlCohensKappa, simKnnOutlier, simPairHist,
-    simLshRecall, mlThresholdCost)
+    simLshRecall, mlThresholdCost, simHubness)
 }

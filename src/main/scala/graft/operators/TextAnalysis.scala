@@ -516,6 +516,72 @@ object TextAnalysis {
            |    AS type_token_ratio
            |FROM f GROUP BY lang ORDER BY lang""".stripMargin))
 
+  /** Dunning log-likelihood-ratio collocations — the statistically
+    * calibrated bigram-association test that replaces raw-frequency
+    * ([[textPhraseMine]]) and PMI when counts are sparse: PMI explodes on
+    * rare pairs (two hapaxes co-occurring once score maximal), LLR scores
+    * evidence, so one co-occurrence of rare words ranks far below a
+    * consistently attached pair. The standard phrase-table / tokenizer-
+    * merge prioritization statistic (Dunning 1993). LLR via the xlogx
+    * identity 2·(ΣS(kᵢⱼ) − ΣS(rowᵢ) − ΣS(colⱼ) + S(N)), S(x) = x·ln x,
+    * S(0) = 0 — one closed-form expression per bigram row.
+    *
+    * Scale shape: one adjacent-pair explode → two-phase bigram count →
+    * two marginal aggregates joined back on the bigram's words (both
+    * vocabulary-sized) → per-row arithmetic + distributed top-k.
+    * Determinism: all counts exact longs; ln on exact integers (the
+    * established convention); one 6-dp round; (llr desc, bigram) order.
+    */
+  private val textLlrCollocations = Q(
+    "text_llr_collocations",
+    (s, dir) => {
+      val w = words(col("text"))
+      val bg = docs(s, dir).filter(size(w) >= 2)
+        .select(explode(transform(sequence(lit(1), size(w) - 1),
+          i => struct(element_at(w, i).as("a"), element_at(w, i + 1).as("b"))))
+          .as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+      val k = bg.groupBy("a", "b").agg(count(lit(1)).as("k11"))
+      val ra = bg.groupBy("a").agg(count(lit(1)).as("ca"))
+      val cb = bg.groupBy("b").agg(count(lit(1)).as("cb"))
+      val n = bg.agg(count(lit(1)).as("n"))
+      def sx(c: Column): Column =
+        when(c > 0, c.cast("double") * log(c.cast("double"))).otherwise(lit(0.0))
+      val j = k.join(ra, "a").join(cb, "b").crossJoin(broadcast(n))
+        .withColumn("k12", col("ca") - col("k11"))
+        .withColumn("k21", col("cb") - col("k11"))
+        .withColumn("k22", col("n") - col("ca") - col("cb") + col("k11"))
+      j.select(col("a"), col("b"), col("k11").as("n_cooccur"),
+          round(lit(2.0) * (sx(col("k11")) + sx(col("k12")) + sx(col("k21")) +
+            sx(col("k22")) - sx(col("ca")) - sx(col("n") - col("ca")) -
+            sx(col("cb")) - sx(col("n") - col("cb")) + sx(col("n"))), 6)
+            .as("llr"))
+        .orderBy(col("llr").desc, col("a"), col("b")).limit(20)
+    },
+    Some("""WITH d AS (SELECT string_split(text, ' ') AS w FROM documents
+           |           WHERE len(string_split(text, ' ')) >= 2),
+           |bg AS (SELECT w[i] AS a, w[i+1] AS b
+           |       FROM d, unnest(range(1, len(w))) AS t(i)),
+           |k AS (SELECT a, b, count(*) AS k11 FROM bg GROUP BY 1, 2),
+           |ra AS (SELECT a, count(*) AS ca FROM bg GROUP BY 1),
+           |cb AS (SELECT b, count(*) AS cb FROM bg GROUP BY 1),
+           |n AS (SELECT count(*) AS n FROM bg),
+           |j AS (SELECT k.a, k.b, k11, ca, cb.cb AS cb, n,
+           |    ca - k11 AS k12, cb.cb - k11 AS k21, n - ca - cb.cb + k11 AS k22
+           |  FROM k JOIN ra ON k.a = ra.a JOIN cb ON k.b = cb.b CROSS JOIN n)
+           |SELECT a, b, CAST(k11 AS BIGINT) AS n_cooccur,
+           |  round(2.0 * (
+           |    (CASE WHEN k11 > 0 THEN k11 * ln(CAST(k11 AS DOUBLE)) ELSE 0.0 END)
+           |  + (CASE WHEN k12 > 0 THEN k12 * ln(CAST(k12 AS DOUBLE)) ELSE 0.0 END)
+           |  + (CASE WHEN k21 > 0 THEN k21 * ln(CAST(k21 AS DOUBLE)) ELSE 0.0 END)
+           |  + (CASE WHEN k22 > 0 THEN k22 * ln(CAST(k22 AS DOUBLE)) ELSE 0.0 END)
+           |  - (CASE WHEN ca > 0 THEN ca * ln(CAST(ca AS DOUBLE)) ELSE 0.0 END)
+           |  - (CASE WHEN n - ca > 0 THEN (n - ca) * ln(CAST(n - ca AS DOUBLE)) ELSE 0.0 END)
+           |  - (CASE WHEN cb > 0 THEN cb * ln(CAST(cb AS DOUBLE)) ELSE 0.0 END)
+           |  - (CASE WHEN n - cb > 0 THEN (n - cb) * ln(CAST(n - cb AS DOUBLE)) ELSE 0.0 END)
+           |  + n * ln(CAST(n AS DOUBLE))), 6) AS llr
+           |FROM j ORDER BY llr DESC, a, b LIMIT 20""".stripMargin))
+
   /** Distributed dense ranking of a (token, freq) vocabulary by
     * (freq desc, token) — the textbook two-phase global row_number:
     * range-repartition on the sort key (distributed sample-based split, the
@@ -1818,7 +1884,7 @@ object TextAnalysis {
     textEntropy, textCmsCounts, textPhraseMine, mlFeatureHash, mlNaiveBayes,
     mlMutualInfo, textHllDistinct, textJsdSources, textNgramCoverage,
     textKmvSetops, textRakeKeywords, textStemIndex, textBurstiness,
-    textHapax)
+    textHapax, textLlrCollocations)
 
   /** Mutual-information feature selection: I(token-presence; source) over
     * the 2×2 contingency of each (token, source) pair — the supervised
