@@ -25,6 +25,41 @@ object Similarity {
     Tables.spread(Tables.load(s, dir, "embeddings"))
   }
 
+  /** The default-geometry LSH top-5 ranked lists, memoized per
+    * (session, dir) — the candidate substrate FOUR declared queries build
+    * identically (sim_lsh_ann, sim_mutual_knn, ml_knn_classify,
+    * sim_lsh_recall; ~1.8 s each at sf0.1 before sharing): the
+    * [[graft.Caches.memo]] convention — deterministic build (literal
+    * planes, round-9 + id tiebreaks) ⇒ reuse is value-identical and each
+    * query stays self-contained for Verify; the n×5 ranked list is tiny
+    * and safe to pin eagerly.
+    */
+  private def lshTop5(s: SparkSession, dir: String): DataFrame =
+    graft.Caches.memo(s, s"lsh:top5:$dir")(lshTopK(emb(s, dir), 5))
+
+  /** Exact cosine top-5 lists over the full corpus, memoized per
+    * (session, dir) — the ground-truth substrate sim_knn_outlier,
+    * sim_hubness and sim_lsh_recall each derive (corpus-quadratic to
+    * build, n×5 rows to keep): built once per batch session, with the
+    * full pairwise replayed only in the oracles. Carries (q_id, n_id,
+    * cos, rank), rank ≤ 5 by (round(cos, 9) desc, n_id).
+    */
+  private def exactTop5(s: SparkSession, dir: String): DataFrame =
+    graft.Caches.memo(s, s"exact:top5:$dir") {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"))
+      val a = e.toDF("q_id", "q_emb", "q_nrm")
+      val b = e.toDF("n_id", "n_emb", "n_nrm")
+      val w = Window.partitionBy("q_id")
+        .orderBy(round(col("cos"), 9).desc, col("n_id"))
+      a.join(b, col("q_id") =!= col("n_id"))
+        .withColumn("cos",
+          dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+    }
+
   /** Σ aᵢ·bᵢ in double (codegen kernel; session must be registered). */
   def dot(a: Column, b: Column): Column = VectorKernels.fdot(a, b)
 
@@ -158,7 +193,7 @@ object Similarity {
   // initializer reading a later val silently interpolates zeros
   private val simLshAnn = Q(
     "sim_lsh_ann",
-    (s, dir) => lshTopK(emb(s, dir)).orderBy("q_id", "rank"),
+    (s, dir) => lshTop5(s, dir).orderBy("q_id", "rank"),
     Some(lshOracle))
 
   /** Mutual-kNN graph over the LSH top-5 lists — the symmetrized edge set
@@ -171,7 +206,7 @@ object Similarity {
   private val simMutualKnn = Q(
     "sim_mutual_knn",
     (s, dir) => {
-      val knn = graft.Caches.track(lshTopK(emb(s, dir), 5))
+      val knn = lshTop5(s, dir)
       val rev = knn.select(col("n_id").as("rva"), col("q_id").as("rvb"),
         col("rank").as("rank_ba"))
       knn.join(rev, col("q_id") === col("rva") && col("n_id") === col("rvb"))
@@ -206,7 +241,7 @@ object Similarity {
     (s, dir) => {
       val e = emb(s, dir)
       val labels = e.select(col("vec_id"), col("label"))
-      val votes = lshTopK(e, 5)
+      val votes = lshTop5(s, dir)
         .join(labels.select(col("vec_id").as("n_id"), col("label").as("nlab")), "n_id")
         .groupBy(col("q_id"), col("nlab"))
         .agg(count(lit(1)).as("cnt"))
@@ -1945,22 +1980,12 @@ object Similarity {
     */
   private val simKnnOutlier = Q(
     "sim_knn_outlier",
-    (s, dir) => {
-      VectorKernels.register(s)
-      val e = emb(s, dir).select(col("vec_id"), col("embedding"),
-        l2norm(col("embedding")).as("nrm"))
-      val a = e.toDF("q_id", "q_emb", "q_nrm")
-      val b = e.toDF("n_id", "n_emb", "n_nrm")
-      val w = Window.partitionBy("q_id")
-        .orderBy(round(col("cos"), 9).desc, col("n_id"))
-      a.join(b, col("q_id") =!= col("n_id"))
-        .withColumn("cos",
-          dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") === 5)
-        .select(col("q_id").as("vec_id"), round(col("cos"), 6).as("knn5_cos"))
-        .orderBy(round(col("cos"), 9).asc, col("vec_id")).limit(15)
-    },
+    (s, dir) => exactTop5(s, dir)
+      .filter(col("rank") === 5)
+      .select(col("q_id").as("vec_id"), round(col("cos"), 6).as("knn5_cos"),
+        col("cos"))
+      .orderBy(round(col("cos"), 9).asc, col("vec_id")).limit(15)
+      .select("vec_id", "knn5_cos"),
     Some("""WITH e AS (SELECT vec_id, embedding,
            |   sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
            | FROM embeddings),
@@ -2047,20 +2072,8 @@ object Similarity {
   private val simLshRecall = Q(
     "sim_lsh_recall",
     (s, dir) => {
-      VectorKernels.register(s)
-      val e = emb(s, dir).select(col("vec_id"), col("embedding"),
-        l2norm(col("embedding")).as("nrm"))
-      val a = e.toDF("q_id", "q_emb", "q_nrm")
-      val b = e.toDF("n_id", "n_emb", "n_nrm")
-      val w = Window.partitionBy("q_id")
-        .orderBy(round(col("cos"), 9).desc, col("n_id"))
-      val exact = a.join(b, col("q_id") =!= col("n_id"))
-        .withColumn("cos",
-          dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select("q_id", "n_id")
-      val got = lshTopK(emb(s, dir), 5).select("q_id", "n_id")
+      val exact = exactTop5(s, dir).select("q_id", "n_id")
+      val got = lshTop5(s, dir).select("q_id", "n_id")
       val hits = exact.join(got, Seq("q_id", "n_id"), "left_semi")
         .agg(count(lit(1)).as("n_hits"))
       exact.agg(countDistinct(col("q_id")).as("n_queries"),
@@ -2154,19 +2167,8 @@ object Similarity {
   private val simHubness = Q(
     "sim_hubness",
     (s, dir) => {
-      VectorKernels.register(s)
-      val e = emb(s, dir).select(col("vec_id"), col("embedding"),
-        l2norm(col("embedding")).as("nrm"))
-      val a = e.toDF("q_id", "q_emb", "q_nrm")
-      val b = e.toDF("n_id", "n_emb", "n_nrm")
-      val w = Window.partitionBy("q_id")
-        .orderBy(round(col("cos"), 9).desc, col("n_id"))
-      val top5 = a.join(b, col("q_id") =!= col("n_id"))
-        .withColumn("cos",
-          dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-      val kocc = top5.groupBy("n_id").agg(count(lit(1)).as("k_occ"))
+      val e = emb(s, dir)
+      val kocc = exactTop5(s, dir).groupBy("n_id").agg(count(lit(1)).as("k_occ"))
       val hubs = kocc.orderBy(col("k_occ").desc, col("n_id")).limit(10)
         .withColumn("hub_rank", row_number().over(
           Window.orderBy(col("k_occ").desc, col("n_id"))))
