@@ -98,7 +98,15 @@ object Dedup {
     */
   def jaccardPairs(d: DataFrame, minJ: Double = 0.8,
                    dfCap: Int = DefaultShingleDfCap): DataFrame =
-    shinglePairCommons(d, dfCap)
+    jaccardFrom(shinglePairCommons(d, dfCap), minJ)
+
+  /** The Jaccard readout over an already-built commons frame — split out so
+    * the declared default-arg queries can share ONE memoized commons build
+    * ([[commonsShared]]) while the public [[jaccardPairs]] stays
+    * self-contained for arbitrary inputs.
+    */
+  private def jaccardFrom(commons: DataFrame, minJ: Double): DataFrame =
+    commons
       // valid (unique-keyed) input always has denom >= max(n_a, n_b) >= 1
       // and a score <= 1; both clamps only guard duplicated-doc_id input,
       // where over-counted commons could otherwise hit an ANSI
@@ -107,6 +115,19 @@ object Dedup {
         greatest(col("n_a") + col("n_b") - col("common"), lit(1)), lit(1.0)))
       .filter(col("jaccard") >= minJ)
       .select("doc_a", "doc_b", "jaccard")
+
+  /** The shingle-pair commons frame for `dir`'s documents at the default
+    * df cap, memoized per (session, dir) — the shared substrate of FOUR
+    * declared queries (ngram_jaccard, clusters, source_overlap,
+    * containment; each paid the full posting-list build before this). The
+    * build is deterministic, so reuse is value-identical and every query
+    * stays self-contained for Verify; the (doc_a, doc_b, n_a, n_b, common)
+    * candidate frame is orders of magnitude below the posting-list stream
+    * it reduces, safe for the memo's eager localCheckpoint.
+    */
+  private def commonsShared(s: SparkSession, dir: String): DataFrame =
+    graft.Caches.memo(s, s"dedup:commons:$dir")(
+      shinglePairCommons(docs(s, dir), DefaultShingleDfCap))
 
   /** The shared candidate machinery under [[jaccardPairs]] and
     * [[containmentPairs]]: exact shingle-intersection sizes for every
@@ -163,7 +184,12 @@ object Dedup {
     */
   def containmentPairs(d: DataFrame, minC: Double = 0.9,
                        dfCap: Int = DefaultShingleDfCap): DataFrame =
-    shinglePairCommons(d, dfCap)
+    containmentFrom(shinglePairCommons(d, dfCap), minC)
+
+  /** Containment readout over a prebuilt commons frame — the
+    * [[jaccardFrom]] convention. */
+  private def containmentFrom(commons: DataFrame, minC: Double): DataFrame =
+    commons
       .withColumn("containment", least(col("common").cast("double") /
         greatest(least(col("n_a"), col("n_b")), lit(1)), lit(1.0)))
       .withColumn("jaccard", least(col("common").cast("double") /
@@ -182,7 +208,7 @@ object Dedup {
     */
   private val dedupNgramJaccard = Q(
     "dedup_ngram_jaccard",
-    (s, dir) => jaccardPairs(docs(s, dir))
+    (s, dir) => jaccardFrom(commonsShared(s, dir), 0.8)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b"),
     Some("""WITH w AS (SELECT doc_id, lang, string_split(text,' ') AS w FROM documents),
@@ -425,7 +451,8 @@ object Dedup {
   private val dedupClusters = Q(
     "dedup_clusters",
     (s, dir) => connectedComponents(
-      jaccardPairs(docs(s, dir)).select("doc_a", "doc_b")).orderBy("doc_id"),
+      jaccardFrom(commonsShared(s, dir), 0.8)
+        .select("doc_a", "doc_b")).orderBy("doc_id"),
     Some("""WITH RECURSIVE
            |w AS (SELECT doc_id, lang, string_split(text,' ') AS w FROM documents),
            |s AS (SELECT doc_id, lang, CASE WHEN len(w) < 3 THEN [array_to_string(w,' ')]
@@ -970,7 +997,7 @@ object Dedup {
     (s, dir) => {
       val d = docs(s, dir)
       val src = d.select(col("doc_id"), col("source"))
-      jaccardPairs(d)
+      jaccardFrom(commonsShared(s, dir), 0.8)
         .join(src.toDF("doc_a", "src_a"), "doc_a")
         .join(src.toDF("doc_b", "src_b"), "doc_b")
         .select(least(col("src_a"), col("src_b")).as("source_a"),
@@ -1077,7 +1104,7 @@ object Dedup {
     */
   private val dedupContainment = Q(
     "dedup_containment",
-    (s, dir) => containmentPairs(docs(s, dir), minC = 0.0)
+    (s, dir) => containmentFrom(commonsShared(s, dir), minC = 0.0)
       .filter(col("common") >= 2)
       .select(col("inner_doc"), col("outer_doc"),
         round(col("containment"), 6).as("containment"),
