@@ -97,6 +97,18 @@ object Graph {
     */
   private def coPurchaseEdges(s: org.apache.spark.sql.SparkSession,
                               dir: String): DataFrame =
+    coPurchaseSupport(s, dir).select("a", "b")
+
+  /** The SUPPORT-ANNOTATED co-purchase pair frame (a < b, supp ≥ 2) — one
+    * memo serving the graph family (via [[coPurchaseEdges]]) AND the
+    * market-basket analytics (orders_basket_rules' pair support,
+    * orders_item_cf's co-occurrence counts are the SAME frame under
+    * different column names; each paid the 1.2 M-pair build separately
+    * before round 10). Deterministic two-phase count ⇒ reuse is
+    * value-identical; the supp ≥ 2 output is tiny.
+    */
+  private[operators] def coPurchaseSupport(s: org.apache.spark.sql.SparkSession,
+                                           dir: String): DataFrame =
     graft.Caches.memo(s, s"graph:copurchase:$dir") {
       val l = Tables.load(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
@@ -105,7 +117,18 @@ object Graph {
         .filter(col("a") < col("b"))
         .groupBy("a", "b").agg(count(lit(1)).as("supp"))
         .filter(col("supp") >= 2)
-        .select("a", "b")
+    }
+
+  /** Per-part distinct-order support (the basket-family item popularity),
+    * memoized beside [[coPurchaseSupport]] — shared by basket_rules (s_a,
+    * s_c denominators) and item_cf (popularity normalizer).
+    */
+  private[operators] def partSupport(s: org.apache.spark.sql.SparkSession,
+                                     dir: String): DataFrame =
+    graft.Caches.memo(s, s"graph:partsupp:$dir") {
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+        .groupBy(col("p")).agg(count(lit(1)).as("s"))
     }
 
   /** Decode an integer-coded purchase-graph node key to its public label.

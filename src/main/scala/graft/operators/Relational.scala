@@ -1475,15 +1475,13 @@ object Relational {
   private val ordersBasketRules = Q(
     "orders_basket_rules",
     (s, dir) => {
-      val l = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
-      val nOrders = l.select(col("ok")).distinct().agg(count(lit(1)).as("n"))
-      val itemSupp = l.groupBy(col("p")).agg(count(lit(1)).as("s"))
-      val pairSupp = l.select(col("ok"), col("p").as("a"))
-        .join(l.select(col("ok"), col("p").as("b")), "ok")
-        .filter(col("a") < col("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("sab"))
-        .filter(col("sab") >= 2)
+      // pair/item support ride the memoized co-purchase substrate shared
+      // with the graph family and orders_item_cf (Graph.coPurchaseSupport)
+      val nOrders = t(s, dir, "lineitem")
+        .select(col("l_orderkey")).distinct().agg(count(lit(1)).as("n"))
+      val itemSupp = Graph.partSupport(s, dir)
+      val pairSupp = Graph.coPurchaseSupport(s, dir)
+        .withColumnRenamed("supp", "sab")
       val directed = pairSupp.select(col("a").as("ant"), col("b").as("cons"), col("sab"))
         .unionByName(pairSupp.select(col("b").as("ant"), col("a").as("cons"), col("sab")))
       directed

@@ -421,14 +421,11 @@ object Wrangling {
   private val ordersItemCf = Q(
     "orders_item_cf",
     (s, dir) => {
-      val l = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
-      val pop = l.groupBy(col("p")).agg(count(lit(1)).as("pop"))
-      val pairs = l.select(col("ok"), col("p").as("a"))
-        .join(l.select(col("ok"), col("p").as("b")), "ok")
-        .filter(col("a") < col("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("cooc"))
-        .filter(col("cooc") >= 2)
+      // popularity + co-occurrence ride the memoized co-purchase substrate
+      // shared with the graph family and orders_basket_rules
+      val pop = Graph.partSupport(s, dir).withColumnRenamed("s", "pop")
+      val pairs = Graph.coPurchaseSupport(s, dir)
+        .withColumnRenamed("supp", "cooc")
       // score both directions so every part ranks its own neighbors
       val sym = pairs.select(col("a").as("part"), col("b").as("nbr"), col("cooc"))
         .unionByName(pairs.select(col("b").as("part"), col("a").as("nbr"), col("cooc")))
