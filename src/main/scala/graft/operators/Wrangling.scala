@@ -1020,9 +1020,173 @@ object Wrangling {
            |      ELSE 0.0 END, 0.0), 6) AS tau_b
            |FROM pairs CROSS JOIN xm CROSS JOIN ym CROSS JOIN nn""".stripMargin))
 
+  /** t-closeness audit — the third rung of the re-identification ladder
+    * (k-anonymity = class size, l-diversity = distinct sensitive values,
+    * t-closeness = the sensitive DISTRIBUTION itself): a class can be
+    * large AND diverse yet still leak ("everyone in this class is in the
+    * top balance bands"). t is the Earth Mover's Distance between the
+    * class's banded-balance distribution and the global one — for an
+    * ordered attribute the closed form Σ|cumQ − cumP| / (m−1) (Li et al.
+    * 2007). Reports the 15 farthest classes; at_risk = t > 0.3.
+    *
+    * Scale shape: one two-phase (class, band) count; the EMD cumulative
+    * runs in a window PARTITIONED BY CLASS over the ≤ m-band frame, with
+    * the m-row global distribution broadcast — nothing unpartitioned,
+    * nothing fact-sized downstream of the first aggregate. ZERO class
+    * bands contribute |0 − cumP| spans, handled by crossing the class list
+    * with the band domain so cum gaps are exact. Counts exact; cum
+    * fractions are integer ratios; one 6-dp round.
+    */
+  private val privacyTCloseness = Q(
+    "privacy_t_closeness",
+    (s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_mktsegment").as("segment"),
+          col("c_nationkey").as("nation"),
+          floor(col("c_acctbal") / 1000).cast("long").as("band"))
+      val cls = c.groupBy("segment", "nation", "band")
+        .agg(count(lit(1)).as("cnt"))
+      val classes = cls.groupBy("segment", "nation").agg(sum(col("cnt")).as("k"))
+      val bands = c.groupBy("band").agg(count(lit(1)).as("gcnt"))
+      val n = c.agg(count(lit(1)).as("n"))
+      val m = bands.agg(count(lit(1)).as("m"))
+      // dense class × band grid so zero cells carry their cum gap
+      val grid = classes.crossJoin(broadcast(bands.select("band")))
+        .join(cls, Seq("segment", "nation", "band"), "left")
+        .select(col("segment"), col("nation"), col("band"), col("k"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"))
+      val w = Window.partitionBy("segment", "nation").orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val gw = Window.orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val gcum = bands.select(col("band"),
+        sum(col("gcnt")).over(gw).as("gcum"))
+      grid
+        .withColumn("ccum", sum(col("cnt")).over(w))
+        .join(broadcast(gcum), "band")
+        .crossJoin(broadcast(n)).crossJoin(broadcast(m))
+        .groupBy("segment", "nation", "k", "m")
+        .agg(dsumFine(abs(col("ccum").cast("double") / col("k") -
+          col("gcum").cast("double") / col("n"))).as("gapsum"))
+        .select(col("segment"), col("nation"), col("k").as("class_size"),
+          round((col("gapsum") / (col("m") - 1).cast("double")), 6).as("t_dist"),
+          ((col("gapsum") / (col("m") - 1).cast("double")) > 0.3).as("at_risk"))
+        .orderBy(col("t_dist").desc, col("segment"), col("nation")).limit(15)
+    },
+    Some("""WITH c AS (SELECT c_mktsegment AS segment, c_nationkey AS nation,
+           |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS band FROM customer),
+           |cls AS (SELECT segment, nation, band, count(*) AS cnt
+           |        FROM c GROUP BY 1, 2, 3),
+           |classes AS (SELECT segment, nation, CAST(SUM(cnt) AS BIGINT) AS k
+           |            FROM cls GROUP BY 1, 2),
+           |bands AS (SELECT band, count(*) AS gcnt FROM c GROUP BY 1),
+           |n AS (SELECT count(*) AS n FROM c),
+           |m AS (SELECT count(*) AS m FROM bands),
+           |grid AS (SELECT classes.segment, classes.nation, bands.band, k,
+           |    COALESCE(cnt, 0) AS cnt
+           |  FROM classes CROSS JOIN bands
+           |  LEFT JOIN cls ON cls.segment = classes.segment
+           |    AND cls.nation = classes.nation AND cls.band = bands.band),
+           |gcum AS (SELECT band, CAST(SUM(gcnt) OVER (ORDER BY band
+           |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS gcum FROM bands),
+           |cc AS (SELECT segment, nation, grid.band, k, gcum,
+           |    CAST(SUM(cnt) OVER (PARTITION BY segment, nation ORDER BY grid.band
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ccum
+           |  FROM grid JOIN gcum ON grid.band = gcum.band),
+           |t AS (SELECT segment, nation, k,
+           |    CAST(SUM(CAST(abs(CAST(ccum AS DOUBLE) / k
+           |        - CAST(gcum AS DOUBLE) / n.n) AS DECIMAL(38,20))) AS DOUBLE)
+           |      / (m.m - 1) AS t_dist
+           |  FROM cc CROSS JOIN n CROSS JOIN m GROUP BY segment, nation, k, m.m)
+           |SELECT segment, nation, k AS class_size, round(t_dist, 6) AS t_dist,
+           |  t_dist > 0.3 AS at_risk
+           |FROM t ORDER BY t_dist DESC, segment, nation LIMIT 15""".stripMargin))
+
+  /** Two-feature closed-form OLS — revenue on (quantity, discount) via the
+    * centered 2×2 normal equations: the multivariate step past
+    * ml_ols_trend's single regressor, answering "holding quantity fixed,
+    * what does a discount point do to revenue?" — the partial-effect
+    * question a simple trend conflates. Slopes from the scaled covariance
+    * system (S11·S22 − S12²), intercept from the means, R² by the
+    * explained-share identity (b1·S1y + b2·S2y)/Syy — all from ONE pass.
+    *
+    * Scale shape: ONE two-phase aggregate of 9 sufficient statistics
+    * (mergeable partials — shards compose by addition, the ml_ols_trend /
+    * ml_kfold_cv property). Determinism: x's are small exact ints, y is
+    * cents; every Σ is exact in DECIMAL(38,0) (cross-moments ≲ 10³² at
+    * lake scale); the scaled S-terms and the 2×2 solve are IEEE ops on
+    * exactly-derived doubles, identical expression trees both engines
+    * (S-products would exceed decimal width — documented, deliberate).
+    * A singular system (det = 0: a constant or collinear feature) yields
+    * NULL slopes via the NULLIF convention.
+    */
+  private val mlOlsMulti = Q(
+    "ml_ols_multi",
+    (s, dir) => {
+      val dec = DecimalType(18, 0)
+      val d = t(s, dir, "lineitem").select(
+        round(col("l_quantity")).cast(dec).as("x1"),
+        round(col("l_discount") * 100).cast(dec).as("x2"),
+        round(col("l_extendedprice") * 100).cast(dec).as("y"))
+      val mo = d.agg(count(lit(1)).as("n"),
+        sum(col("x1")).as("s1"), sum(col("x2")).as("s2"), sum(col("y")).as("sy"),
+        sum(col("x1") * col("x1")).as("s11"), sum(col("x2") * col("x2")).as("s22"),
+        sum(col("x1") * col("x2")).as("s12"), sum(col("x1") * col("y")).as("s1y"),
+        sum(col("x2") * col("y")).as("s2y"), sum(col("y") * col("y")).as("syy"))
+      def dd(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        c.cast("double")
+      val n = dd(col("n"))
+      val (cs11, cs22, cs12) = (n * dd(col("s11")) - dd(col("s1")) * dd(col("s1")),
+        n * dd(col("s22")) - dd(col("s2")) * dd(col("s2")),
+        n * dd(col("s12")) - dd(col("s1")) * dd(col("s2")))
+      val cs1y = n * dd(col("s1y")) - dd(col("s1")) * dd(col("sy"))
+      val cs2y = n * dd(col("s2y")) - dd(col("s2")) * dd(col("sy"))
+      val csyy = n * dd(col("syy")) - dd(col("sy")) * dd(col("sy"))
+      val det = cs11 * cs22 - cs12 * cs12
+      val b1 = (cs22 * cs1y - cs12 * cs2y) / when(det =!= 0.0, det)
+      val b2 = (cs11 * cs2y - cs12 * cs1y) / when(det =!= 0.0, det)
+      mo.select(col("n").as("n_rows"),
+        round(b1, 6).as("b_quantity"),
+        round(b2, 6).as("b_discount"),
+        round((dd(col("sy")) - b1 * dd(col("s1")) - b2 * dd(col("s2"))) / n, 6)
+          .as("intercept"),
+        round((b1 * cs1y + b2 * cs2y) / when(csyy =!= 0.0, csyy), 6).as("r2"))
+    },
+    Some("""WITH d AS (SELECT CAST(round(l_quantity) AS DECIMAL(18,0)) AS x1,
+           |    CAST(round(l_discount * 100) AS DECIMAL(18,0)) AS x2,
+           |    CAST(round(l_extendedprice * 100) AS DECIMAL(18,0)) AS y
+           |  FROM lineitem),
+           |mo AS (SELECT count(*) AS n,
+           |    CAST(SUM(x1) AS DECIMAL(38,0)) AS s1, CAST(SUM(x2) AS DECIMAL(38,0)) AS s2,
+           |    CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+           |    CAST(SUM(x1 * x1) AS DECIMAL(38,0)) AS s11,
+           |    CAST(SUM(x2 * x2) AS DECIMAL(38,0)) AS s22,
+           |    CAST(SUM(x1 * x2) AS DECIMAL(38,0)) AS s12,
+           |    CAST(SUM(x1 * y) AS DECIMAL(38,0)) AS s1y,
+           |    CAST(SUM(x2 * y) AS DECIMAL(38,0)) AS s2y,
+           |    CAST(SUM(y * y) AS DECIMAL(38,0)) AS syy
+           |  FROM d),
+           |c AS (SELECT n,
+           |    CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2, CAST(sy AS DOUBLE) AS sy,
+           |    CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) AS cs11,
+           |    CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) AS cs22,
+           |    CAST(n AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) AS cs12,
+           |    CAST(n AS DOUBLE) * CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE) AS cs1y,
+           |    CAST(n AS DOUBLE) * CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(sy AS DOUBLE) AS cs2y,
+           |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS csyy
+           |  FROM mo),
+           |b AS (SELECT n, s1, s2, sy, cs1y, cs2y, csyy,
+           |    (cs22 * cs1y - cs12 * cs2y) / NULLIF(cs11 * cs22 - cs12 * cs12, 0.0) AS b1,
+           |    (cs11 * cs2y - cs12 * cs1y) / NULLIF(cs11 * cs22 - cs12 * cs12, 0.0) AS b2
+           |  FROM c)
+           |SELECT n AS n_rows, round(b1, 6) AS b_quantity, round(b2, 6) AS b_discount,
+           |  round((sy - b1 * s1 - b2 * s2) / CAST(n AS DOUBLE), 6) AS intercept,
+           |  round((b1 * cs1y + b2 * cs2y) / NULLIF(csyy, 0.0), 6) AS r2
+           |FROM b""".stripMargin))
+
   val queries: Seq[Q] = Seq(reshapeUnpivot, qualityBenford, qualityMadOutliers,
     eventsGapFill, sampleWeighted, eventsInterpolate, qualityPsiDrift,
     qualityWinsorize, ordersItemCf, privacyKAnon, privacyDpCounts,
     qualityChi2, qualityKsTest, qualitySpearman, privacyLDiversity,
-    qualityAnova, qualityKendallTau)
+    qualityAnova, qualityKendallTau, privacyTCloseness, mlOlsMulti)
 }
