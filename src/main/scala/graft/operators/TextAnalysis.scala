@@ -311,6 +311,57 @@ object TextAnalysis {
            |       ELSE 'de' END AS lang_guess
            |FROM s ORDER BY doc_id""".stripMargin))
 
+  /** Confusion matrix of the [[langId]] heuristic against the labeled
+    * language — the eval row for the language-ID gate itself (the r10
+    * sim_lsh_recall convention: a classifier the pipeline RELIES on gets a
+    * green oracle-checked accuracy row, not just a demo): per
+    * (labeled, guessed) cell count with its share of the labeled class,
+    * so both the recall diagonal and the specific confusion directions
+    * (which language leaks into which) are pinned. One scan + two-phase
+    * count over ≤ langs² cells.
+    */
+  private val textLangidConfusion = Q(
+    "text_langid_confusion",
+    (s, dir) => {
+      val g = docsSpread(s, dir)
+        .select(col("lang").as("labeled_lang"), langId(col("text")).as("lang_guess"))
+        .groupBy("labeled_lang", "lang_guess").agg(count(lit(1)).as("n_docs"))
+      val tot = g.groupBy("labeled_lang").agg(sum(col("n_docs")).as("t"))
+      g.join(broadcast(tot), "labeled_lang")
+        .select(col("labeled_lang"), col("lang_guess"), col("n_docs"),
+          (col("labeled_lang") === col("lang_guess")).as("is_correct"),
+          round(col("n_docs").cast("double") / col("t").cast("double"), 6)
+            .as("share_of_labeled"))
+        .orderBy("labeled_lang", "lang_guess")
+    },
+    Some("""WITH s AS (SELECT doc_id, lang, text,
+           |  len(list_filter(string_split(lower(text),' '),
+           |    t -> list_contains(['the','and','of','to','is','that','with'], t))) AS s_en,
+           |  len(list_filter(string_split(lower(text),' '),
+           |    t -> list_contains(['der','die','das','und','ist','nicht','ein'], t))) AS s_de,
+           |  len(list_filter(string_split(lower(text),' '),
+           |    t -> list_contains(['le','la','les','et','est','que','une'], t))) AS s_fr,
+           |  len(list_filter(string_split(lower(text),' '),
+           |    t -> list_contains(['el','los','las','es','que','una','para'], t))) AS s_es
+           | FROM documents),
+           |p AS (SELECT lang AS labeled_lang,
+           |  CASE WHEN length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) > 0 THEN 'zh'
+           |       WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+           |       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+           |       WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+           |       WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+           |       ELSE 'de' END AS lang_guess
+           | FROM s),
+           |g AS (SELECT labeled_lang, lang_guess, count(*) AS n_docs
+           |      FROM p GROUP BY 1, 2),
+           |tot AS (SELECT labeled_lang, CAST(SUM(n_docs) AS BIGINT) AS t
+           |        FROM g GROUP BY 1)
+           |SELECT g.labeled_lang, lang_guess, n_docs,
+           |  g.labeled_lang = lang_guess AS is_correct,
+           |  round(CAST(n_docs AS DOUBLE) / t, 6) AS share_of_labeled
+           |FROM g JOIN tot ON g.labeled_lang = tot.labeled_lang
+           |ORDER BY g.labeled_lang, lang_guess""".stripMargin))
+
   /** Marker-token language scores; returns the best-scoring language code. */
   def langId(text: Column): Column = {
     val markers: Seq[(String, Seq[String])] = Seq(
@@ -1884,7 +1935,7 @@ object TextAnalysis {
     textEntropy, textCmsCounts, textPhraseMine, mlFeatureHash, mlNaiveBayes,
     mlMutualInfo, textHllDistinct, textJsdSources, textNgramCoverage,
     textKmvSetops, textRakeKeywords, textStemIndex, textBurstiness,
-    textHapax, textLlrCollocations)
+    textHapax, textLlrCollocations, textLangidConfusion)
 
   /** Mutual-information feature selection: I(token-presence; source) over
     * the 2×2 contingency of each (token, source) pair — the supervised
