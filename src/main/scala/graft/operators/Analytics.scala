@@ -917,8 +917,44 @@ object Analytics {
            |  p50 AS median_gap_days, p90 AS p90_gap_days, max_gap AS max_gap_days
            |FROM cs CROSS JOIN gs""".stripMargin))
 
+  /** Calendar-month revenue seasonality — the monthly index (revenue vs
+    * the mean month) on the ORDER stream: events_seasonal profiles weekday
+    * volume on events; demand planning wants the month-of-year revenue
+    * curve, money-exact. Index > 1 months are the capacity/inventory
+    * peaks; the spread (max/min index) is the one-number seasonality
+    * strength.
+    *
+    * Scale shape: one two-phase aggregate to the ≤ 12-row month frame +
+    * a broadcast 1-row mean. Determinism: revenue rides exact decimals
+    * ([[dsum]]); month = month(date) (locale-free); the index is one IEEE
+    * divide, rounded 6 dp.
+    */
+  private val ordersMonthlySeasonality = Q(
+    "orders_monthly_seasonality",
+    (s, dir) => {
+      val m = t(s, dir, "orders")
+        .groupBy(month(to_date(col("o_orderdate"))).as("month"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      // the 12-row mean still rides the order-independent decimal sum —
+      // 12 doubles summed in arbitrary order can differ in the last ulp
+      val avg = m.agg((dsumFine(col("revenue")) / count(lit(1))).as("mean_rev"))
+      m.crossJoin(broadcast(avg))
+        .select(col("month"), col("n_orders"), col("revenue"),
+          round(col("revenue") / col("mean_rev"), 6).as("seasonal_index"))
+        .orderBy("month")
+    },
+    Some("""WITH m AS (SELECT month(CAST(o_orderdate AS DATE)) AS month,
+           |    count(*) AS n_orders,
+           |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+           |  FROM orders GROUP BY 1),
+           |a AS (SELECT CAST(SUM(CAST(revenue AS DECIMAL(38,20))) AS DOUBLE)
+           |       / count(*) AS mean_rev FROM m)
+           |SELECT month, n_orders, revenue,
+           |  round(revenue / mean_rev, 6) AS seasonal_index
+           |FROM m CROSS JOIN a ORDER BY month""".stripMargin))
+
   val queries: Seq[Q] = Seq(
-    ordersInterpurchase,
+    ordersInterpurchase, ordersMonthlySeasonality,
     ordersPriceElasticity,
     q2MinCostSupplier, q4OrderPriority, q8MarketShare, q11ImportantParts,
     q12LateShipments, q15TopSupplier, q16PartsSuppliers, q17SmallQtyRevenue,

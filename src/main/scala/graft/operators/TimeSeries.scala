@@ -816,8 +816,73 @@ object TimeSeries {
            |FROM est JOIN ex ON est.g = ex.g AND est.q = ex.q
            |ORDER BY event_type, est.q""".stripMargin))
 
+  /** Two-proportion A/B z-test — the experimentation primitive: users
+    * split into arms by DETERMINISTIC hash parity (the sample_hash_split
+    * stance — stable under reruns, no rand()), conversion = the user
+    * produced ≥ 1 purchase event; the pooled two-proportion z-statistic
+    * against the |z| > 1.96 two-sided α = 0.05 bar. On a hash split of
+    * one population the test should NOT reject — the declared query
+    * doubles as the A/A sanity check every experimentation stack runs
+    * before trusting its pipeline.
+    *
+    * Scale shape: one per-user conditional aggregate (linear, two-phase),
+    * then a 2-row arm frame reduced to one row of exact counts; z is a
+    * handful of IEEE ops, mirrored literally. Degenerate pooled rates
+    * (p̂ ∈ {0, 1}) yield NULL z via NULLIF.
+    */
+  private val eventsAbTest = Q(
+    "events_ab_test",
+    (s, dir) => {
+      val u = Tables.load(s, dir, "events")
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).as("conv"))
+        .withColumn("arm",
+          when(pmod(graft.functions.Deterministic.md5Hash32(
+            concat(lit("ab:"), col("user_id").cast("string"))), lit(2)) === 0,
+            "A").otherwise("B"))
+      val arms = u.groupBy("arm").agg(count(lit(1)).as("n"),
+        sum(col("conv").cast("long")).as("c"))
+      val one = arms.agg(
+        sum(when(col("arm") === "A", col("n"))).as("n1"),
+        sum(when(col("arm") === "A", col("c"))).as("c1"),
+        sum(when(col("arm") === "B", col("n"))).as("n2"),
+        sum(when(col("arm") === "B", col("c"))).as("c2"))
+      val p1 = col("c1").cast("double") / col("n1").cast("double")
+      val p2 = col("c2").cast("double") / col("n2").cast("double")
+      val pp = (col("c1") + col("c2")).cast("double") /
+        (col("n1") + col("n2")).cast("double")
+      val se = sqrt(pp * (lit(1.0) - pp) *
+        (lit(1.0) / col("n1") + lit(1.0) / col("n2")))
+      val z = (p1 - p2) / when(se =!= 0.0, se)
+      one.select(col("n1"), col("c1"), col("n2"), col("c2"),
+        round(p1, 6).as("rate_a"), round(p2, 6).as("rate_b"),
+        round(z, 6).as("z_stat"),
+        (abs(z) > 1.96).as("reject_05"))
+    },
+    Some("""WITH u AS (SELECT user_id,
+           |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+           |    CASE WHEN CAST('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8)
+           |              AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+           |  FROM events GROUP BY user_id),
+           |one AS (SELECT
+           |    CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           |    CAST(SUM(CASE WHEN arm = 'A' THEN conv ELSE 0 END) AS BIGINT) AS c1,
+           |    CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+           |    CAST(SUM(CASE WHEN arm = 'B' THEN conv ELSE 0 END) AS BIGINT) AS c2
+           |  FROM u),
+           |t AS (SELECT n1, c1, n2, c2,
+           |    CAST(c1 AS DOUBLE) / n1 AS p1, CAST(c2 AS DOUBLE) / n2 AS p2,
+           |    CAST(c1 + c2 AS DOUBLE) / (n1 + n2) AS pp
+           |  FROM one),
+           |z AS (SELECT *,
+           |    (p1 - p2) / NULLIF(sqrt(pp * (1.0 - pp) * (1.0 / n1 + 1.0 / n2)), 0.0) AS z
+           |  FROM t)
+           |SELECT n1, c1, n2, c2, round(p1, 6) AS rate_a, round(p2, 6) AS rate_b,
+           |  round(z, 6) AS z_stat, abs(z) > 1.96 AS reject_05
+           |FROM z""".stripMargin))
+
   val queries: Seq[Q] = Seq(eventsSeasonal, eventsChangepoint, eventsAutocorr,
-    eventsPowerLaw, eventsUserEntropy, eventsQuantileSketch,
+    eventsPowerLaw, eventsUserEntropy, eventsQuantileSketch, eventsAbTest,
     eventsSurvival, eventsHllRolling, eventsForecast, eventsDauWauMau,
     eventsFunnelTime, eventsBrownSmooth, eventsPeakHours, eventsWaveletEnergy)
 }
