@@ -27,7 +27,10 @@ object Bench {
     "graph_ppr", "graph_link_predict", "dedup_spans", "ml_knn_classify",
     "text_hll_distinct", "events_survival", "multimodal_waveform",
     "privacy_k_anon", "join_interval", "events_hll_rolling", "ml_pr_curve",
-    "events_bot_detect", "events_forecast")
+    "events_bot_detect", "events_forecast",
+    // round 10
+    "sim_lsh_recall", "dedup_tfidf_cosine", "events_quantile_sketch",
+    "graph_clustering_coeff", "quality_kendall_tau", "events_ab_test")
 
   /** Noise canary: a cheap, code-stable query whose implementation has not
     * changed since round 1. Its best-of-N time moves only with host
