@@ -1318,8 +1318,58 @@ object Dedup {
            |WHERE dot / (na.nrm * nb.nrm) >= 0.5
            |ORDER BY doc_a, doc_b""".stripMargin))
 
+  /** Shingle document-frequency profile — the CAP-TUNING readout for the
+    * whole posting-list family: how shingle dfs distribute across bands
+    * (unique / 2–5 / 6–20 / 21–50 / over-cap) and how much posting-list
+    * MASS (Σdf — the actual pair-join cost driver) each band carries. The
+    * over-cap row is exactly what [[jaccardPairs]]' df cap discards into
+    * the hot-membership path; a growing over-cap mass share between crawls
+    * says the cap (or the shingling) needs retuning BEFORE the pair join
+    * degrades. One shingle explode → df count → 5-band rollup.
+    */
+  private val dedupShingleProfile = Q(
+    "dedup_shingle_profile",
+    (s, dir) => {
+      graft.functions.TextKernels.register(s)
+      val df = Tables.spread(docs(s, dir))
+        .select(col("doc_id"),
+          explode(graft.functions.TextKernels.shingleHash64(col("text"))).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("df"))
+      val band = when(col("df") === 1, "1_unique")
+        .when(col("df") <= 5, "2_df2_5")
+        .when(col("df") <= 20, "3_df6_20")
+        .when(col("df") <= lit(DefaultShingleDfCap), "4_df21_cap")
+        .otherwise("5_over_cap")
+      val b = df.groupBy(band.as("df_band"))
+        .agg(count(lit(1)).as("n_shingles"), sum(col("df")).as("posting_mass"))
+      val tot = b.agg(sum(col("n_shingles")).as("ts"), sum(col("posting_mass")).as("tm"))
+      b.crossJoin(broadcast(tot))
+        .select(col("df_band"), col("n_shingles"), col("posting_mass"),
+          round(col("posting_mass").cast("double") / col("tm").cast("double"), 6)
+            .as("mass_share"))
+        .orderBy("df_band")
+    },
+    Some(s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+            |sh AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w,' ')]
+            |        ELSE list_distinct(list_transform(range(1, len(w)-1),
+            |               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS s
+            |      FROM w),
+            |df AS (SELECT g, count(*) AS df FROM
+            |  (SELECT doc_id, unnest(s) AS g FROM sh) GROUP BY g),
+            |b AS (SELECT CASE WHEN df = 1 THEN '1_unique'
+            |        WHEN df <= 5 THEN '2_df2_5'
+            |        WHEN df <= 20 THEN '3_df6_20'
+            |        WHEN df <= $DefaultShingleDfCap THEN '4_df21_cap'
+            |        ELSE '5_over_cap' END AS df_band,
+            |      count(*) AS n_shingles, CAST(SUM(df) AS BIGINT) AS posting_mass
+            |  FROM df GROUP BY 1),
+            |tot AS (SELECT CAST(SUM(posting_mass) AS BIGINT) AS tm FROM b)
+            |SELECT df_band, n_shingles, posting_mass,
+            |  round(CAST(posting_mass AS DOUBLE) / tm, 6) AS mass_share
+            |FROM b CROSS JOIN tot ORDER BY df_band""".stripMargin))
+
   val queries: Seq[Q] = Seq(
-    dedupPrefixCluster, dedupTfidfCosine,
+    dedupPrefixCluster, dedupTfidfCosine, dedupShingleProfile,
     dedupExact, dedupKeepfirst, dedupNgramJaccard, dedupMinhashLsh,
     dedupSimhash, dedupClusters, dedupPipelineSurvivors, dedupDecontaminate,
     dedupDecontaminateBloom, dedupIncremental, dedupLines, pipelineCurate,

@@ -785,8 +785,68 @@ object Multimodal {
            |FROM d LEFT JOIN a ON d.doc_id = a.doc_id
            |ORDER BY d.doc_id""".stripMargin))
 
+  /** Per-payload value entropy — the scalar summary of
+    * [[multimodalHist16]]'s distribution (an encoded/compressed payload
+    * approaches the value-alphabet ceiling, flat/synthetic payloads sit
+    * near zero), ranked from BOTH ends: the 8 lowest (blank/stuck — the
+    * [[multimodalBlankDetect]] complement seen through information rather
+    * than variance) and the 8 highest (already-compressed content that
+    * should skip recompression budgets). One-pass identity H = ln n −
+    * Σc·ln c/n per payload over the (doc, value) counts; same codepoint
+    * convention and caveat as the rest of the family.
+    *
+    * Scale: one linear explode → two-phase (doc, value) count → per-doc
+    * aggregate → two bounded top-ks. ln on exact counts, dsumFine, 6 dp.
+    */
+  private val multimodalEntropy = Q(
+    "multimodal_entropy",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("n", length(col("text")).cast("long"))
+        .filter(col("n") >= 1)
+      val h = Tables.spread(d)
+        .select(col("doc_id"), explode(sequence(lit(1L), col("n"))).as("i"),
+          col("text"))
+        .select(col("doc_id"),
+          ascii(col("text").substr(col("i").cast("int"), lit(1))).as("b"))
+        .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_chars"), count(lit(1)).as("alphabet"),
+          graft.functions.Deterministic.dsumFine(
+            col("c").cast("double") * log(col("c").cast("double"))).as("clc"))
+        .select(col("doc_id"), col("n_chars"), col("alphabet"),
+          round(log(col("n_chars").cast("double")) -
+            col("clc") / col("n_chars").cast("double"), 6).as("entropy"))
+      val lo = h.orderBy(col("entropy").asc, col("doc_id")).limit(8)
+        .withColumn("end", lit("low"))
+      val hi = h.orderBy(col("entropy").desc, col("doc_id")).limit(8)
+        .withColumn("end", lit("high"))
+      lo.unionByName(hi)
+        .select(col("end"), col("doc_id"), col("n_chars"), col("alphabet"),
+          col("entropy"))
+        .orderBy(col("end"), col("entropy"), col("doc_id"))
+    },
+    Some("""WITH by AS (SELECT doc_id, ascii(substr(text, CAST(i AS INT), 1)) AS b
+           |  FROM (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+           |        FROM documents WHERE length(text) >= 1),
+           |    unnest(range(1, n + 1)) AS t(i)),
+           |c AS (SELECT doc_id, b, count(*) AS c FROM by GROUP BY 1, 2),
+           |h AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars,
+           |    count(*) AS alphabet,
+           |    round(ln(CAST(SUM(c) AS DOUBLE))
+           |      - CAST(SUM(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) AS DECIMAL(38,20))) AS DOUBLE)
+           |        / CAST(SUM(c) AS BIGINT), 6) AS entropy
+           |  FROM c GROUP BY doc_id),
+           |lo AS (SELECT 'low' AS "end", doc_id, n_chars, alphabet, entropy
+           |       FROM h ORDER BY entropy ASC, doc_id LIMIT 8),
+           |hi AS (SELECT 'high', doc_id, n_chars, alphabet, entropy
+           |       FROM h ORDER BY entropy DESC, doc_id LIMIT 8)
+           |SELECT * FROM (SELECT * FROM lo UNION ALL SELECT * FROM hi)
+           |ORDER BY "end", entropy, doc_id""".stripMargin))
+
   val queries: Seq[Q] = Seq(
     multimodalMeta, multimodalDecode, multimodalResize, multimodalFrames,
     multimodalPhash, multimodalWaveform, multimodalHadamard, multimodalRle,
-    multimodalBlankDetect, multimodalHist16, multimodalDeltaEnergy)
+    multimodalBlankDetect, multimodalHist16, multimodalDeltaEnergy,
+    multimodalEntropy)
 }

@@ -633,6 +633,68 @@ object TextAnalysis {
            |  + n * ln(CAST(n AS DOUBLE))), 6) AS llr
            |FROM j ORDER BY llr DESC, a, b LIMIT 20""".stripMargin))
 
+  /** Bigram conditional-entropy rate H(w₂|w₁) = H(bigrams) − H(unigrams) —
+    * the corpus "predictability" number underneath the LM scores: natural
+    * prose sits in a characteristic band, template/boilerplate text is far
+    * more predictable (low rate) and shuffled/gibberish text approaches
+    * the unigram ceiling. Reported per language with both entropies, so a
+    * drifting crawl shows WHERE it drifted (vocabulary vs sequencing).
+    * Uses the one-pass identity H = ln n − Σc·ln c / n on both count
+    * tables (the events_user_entropy convention).
+    *
+    * Scale shape: two two-phase n-gram counts (the text_lm_score tables)
+    * reduced per language — no joins beyond the final 5-row assembly.
+    * Determinism: ln on exact counts, [[dsumFine]] sums, round 6.
+    */
+  private val textEntropyRate = Q(
+    "text_entropy_rate",
+    (s, dir) => {
+      val w = col("w")
+      val bigrams = transform(sequence(lit(1), size(w) - 1),
+        i => concat_ws("\u0001", element_at(w, i), element_at(w, i + 1)))
+      def hOf(counts: DataFrame): DataFrame =
+        counts.groupBy("lang")
+          .agg(sum(col("c")).as("n"),
+            dsumFine(col("c").cast("double") * log(col("c").cast("double")))
+              .as("clc"))
+          .select(col("lang"),
+            (log(col("n").cast("double")) - col("clc") / col("n").cast("double"))
+              .as("h"), col("n"))
+      val d = docs(s, dir).select(col("lang"), split(col("text"), " ").as("w"))
+      val uni = hOf(d.select(col("lang"), explode(w).as("g"))
+        .groupBy("lang", "g").agg(count(lit(1)).as("c")))
+        .select(col("lang"), col("h").as("h1"), col("n").as("n_tokens"))
+      val bi = hOf(d.filter(size(w) >= 2)
+        .select(col("lang"), explode(bigrams).as("g"))
+        .groupBy("lang", "g").agg(count(lit(1)).as("c")))
+        .select(col("lang"), col("h").as("h2"), col("n").as("n_bigrams"))
+      uni.join(bi, "lang")
+        .select(col("lang"), col("n_tokens"), col("n_bigrams"),
+          round(col("h1"), 6).as("h_unigram"), round(col("h2"), 6).as("h_bigram"),
+          round(col("h2") - col("h1"), 6).as("cond_entropy_rate"))
+        .orderBy("lang")
+    },
+    Some("""WITH d AS (SELECT lang, string_split(text, ' ') AS w FROM documents),
+           |uc AS (SELECT lang, g, count(*) AS c FROM
+           |  (SELECT lang, unnest(w) AS g FROM d) GROUP BY 1, 2),
+           |u AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
+           |    ln(CAST(SUM(c) AS DOUBLE))
+           |      - CAST(SUM(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) AS DECIMAL(38,20))) AS DOUBLE)
+           |        / CAST(SUM(c) AS BIGINT) AS h1
+           |  FROM uc GROUP BY lang),
+           |bc AS (SELECT lang, g, count(*) AS c FROM
+           |  (SELECT lang, w[i] || chr(1) || w[i+1] AS g
+           |   FROM d, unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2)
+           |  GROUP BY 1, 2),
+           |b AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           |    ln(CAST(SUM(c) AS DOUBLE))
+           |      - CAST(SUM(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) AS DECIMAL(38,20))) AS DOUBLE)
+           |        / CAST(SUM(c) AS BIGINT) AS h2
+           |  FROM bc GROUP BY lang)
+           |SELECT u.lang, n_tokens, n_bigrams, round(h1, 6) AS h_unigram,
+           |  round(h2, 6) AS h_bigram, round(h2 - h1, 6) AS cond_entropy_rate
+           |FROM u JOIN b ON u.lang = b.lang ORDER BY u.lang""".stripMargin))
+
   /** Distributed dense ranking of a (token, freq) vocabulary by
     * (freq desc, token) — the textbook two-phase global row_number:
     * range-repartition on the sort key (distributed sample-based split, the
@@ -1935,7 +1997,7 @@ object TextAnalysis {
     textEntropy, textCmsCounts, textPhraseMine, mlFeatureHash, mlNaiveBayes,
     mlMutualInfo, textHllDistinct, textJsdSources, textNgramCoverage,
     textKmvSetops, textRakeKeywords, textStemIndex, textBurstiness,
-    textHapax, textLlrCollocations, textLangidConfusion)
+    textHapax, textLlrCollocations, textLangidConfusion, textEntropyRate)
 
   /** Mutual-information feature selection: I(token-presence; source) over
     * the 2×2 contingency of each (token, source) pair — the supervised
