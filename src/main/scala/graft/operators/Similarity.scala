@@ -1285,6 +1285,70 @@ object Similarity {
         |  round(CAST(SUM(CAST(y AS BIGINT)) AS DOUBLE) / count(*), 6) AS pos_rate
         |FROM scores GROUP BY 1 ORDER BY bucket""".stripMargin))
 
+  /** Expected Calibration Error + calibration slope — the one-number and
+    * one-line summaries of the [[mlCalibration]] reliability table: ECE =
+    * Σ (n_b/n)·|pos_rate_b − mean_p_b| (the standard miscalibration
+    * magnitude a gate thresholds), and the OLS slope/intercept of observed
+    * rate on predicted probability over the occupied deciles (slope < 1 =
+    * overconfident, > 1 = underconfident — which DIRECTION to recalibrate,
+    * which ECE alone can't say). Everything reduces the same rounded
+    * decile frame the reliability table publishes, so the two readouts are
+    * consistent with what the operator already shows.
+    *
+    * Scale shape: the decile frame is ≤ 10 rows by construction; ECE and
+    * the slope moments are one aggregate over it (weighted sums via
+    * [[graft.functions.Deterministic.dsumFine]]); the scored frame rides
+    * the memoized GD-eval substrate. NULLIF guards a degenerate
+    * single-point fit.
+    */
+  private val mlCalibrationSlope = Q(
+    "ml_calibration_slope",
+    (s, dir) => {
+      val bkt = logregScores(s, dir)
+        .withColumn("bucket", least(floor(col("p") * 10), lit(9.0)).cast("int"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          round(graft.functions.Deterministic.dsumFine(col("p")) /
+            count(lit(1)), 6).as("mp"),
+          round(sum(col("y").cast("long")).cast("double") /
+            count(lit(1)), 6).as("pr"))
+      val mo = bkt.agg(sum(col("n")).as("nt"), count(lit(1)).as("k"),
+        graft.functions.Deterministic.dsumFine(
+          col("n").cast("double") * abs(col("pr") - col("mp"))).as("wgap"),
+        graft.functions.Deterministic.dsumFine(col("mp")).as("sx"),
+        graft.functions.Deterministic.dsumFine(col("pr")).as("sy"),
+        graft.functions.Deterministic.dsumFine(col("mp") * col("mp")).as("sxx"),
+        graft.functions.Deterministic.dsumFine(col("mp") * col("pr")).as("sxy"))
+      val k = col("k").cast("double")
+      val den = k * col("sxx") - col("sx") * col("sx")
+      val slope = (k * col("sxy") - col("sx") * col("sy")) /
+        when(den =!= 0.0, den)
+      mo.select(col("nt").as("n_scored"), col("k").as("n_buckets"),
+        round(col("wgap") / col("nt").cast("double"), 6).as("ece"),
+        round(slope, 6).as("cal_slope"),
+        round((col("sy") - slope * col("sx")) / k, 6).as("cal_intercept"))
+    },
+    Some(scoresSqlPrefix +
+      """bkt AS (SELECT CAST(least(floor(p * 10), 9.0) AS INT) AS bucket,
+        |    count(*) AS n,
+        |    round(CAST(SUM(CAST(p AS DECIMAL(38,20))) AS DOUBLE) / count(*), 6) AS mp,
+        |    round(CAST(SUM(CAST(y AS BIGINT)) AS DOUBLE) / count(*), 6) AS pr
+        |  FROM scores GROUP BY 1),
+        |mo AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, count(*) AS k,
+        |    CAST(SUM(CAST(CAST(n AS DOUBLE) * abs(pr - mp) AS DECIMAL(38,20))) AS DOUBLE) AS wgap,
+        |    CAST(SUM(CAST(mp AS DECIMAL(38,20))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(pr AS DECIMAL(38,20))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(mp * mp AS DECIMAL(38,20))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(mp * pr AS DECIMAL(38,20))) AS DOUBLE) AS sxy
+        |  FROM bkt),
+        |sl AS (SELECT *,
+        |    (k * sxy - sx * sy) / NULLIF(k * sxx - sx * sx, 0.0) AS slope
+        |  FROM mo)
+        |SELECT nt AS n_scored, k AS n_buckets,
+        |  round(wgap / nt, 6) AS ece, round(slope, 6) AS cal_slope,
+        |  round((sy - slope * sx) / k, 6) AS cal_intercept
+        |FROM sl""".stripMargin))
+
   /** Deterministic ±1 Rademacher projection matrix (seed 7), 16 rows of 64 —
     * the same seeded-literal convention as the LSH [[planes]].
     */
@@ -1854,7 +1918,7 @@ object Similarity {
   /** The scores CTE prefix shared by the round-10 eval oracles: the GD
     * chain replay + per-vector sigmoid, identical to [[logregScores]].
     */
-  private val scoresSqlPrefix: String =
+  private def scoresSqlPrefix: String =
     """WITH cnt AS (SELECT count(*) AS n FROM embeddings),
       |x AS (SELECT vec_id, CAST(label % 2 AS DOUBLE) AS y,
       |        CAST(i - 1 AS INT) AS i, CAST(embedding[i] AS DOUBLE) AS x
@@ -2480,5 +2544,5 @@ object Similarity {
     mlDecisionStump, simRangeQuery, simSilhouette, simRrfFusion,
     mlF1Sweep, mlNdcg, simMmrRerank, simRocchioExpand, mlLiftGains,
     mlBrierScore, mlCohensKappa, simKnnOutlier, simPairHist,
-    simLshRecall, mlThresholdCost, simHubness)
+    simLshRecall, mlThresholdCost, simHubness, mlCalibrationSlope)
 }
