@@ -247,7 +247,15 @@ object Dedup {
     * exact Jaccard verification. SQL is generated (like the BPE oracle)
     * so the constants are written once. ~5 s in DuckDB at sf0.01.
     */
-  private def minhashOracle: String = {
+  private def minhashOracle: String = minhashOracleCtes +
+    """SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM j
+      |WHERE jac >= 0.8 ORDER BY doc_a, doc_b""".stripMargin
+
+  /** The MinHash+LSH replay up to the verified-pair frame `j` — split from
+    * [[minhashOracle]] so [[dedupMinhashRecall]] can extend the same CTEs
+    * with a ground-truth comparison (the sim_lsh_recall convention).
+    */
+  private def minhashOracleCtes: String = {
     val M = "18446744073709551616" // 2^64
     val OFF = "14695981039346656037" // FNV-1a offset basis
     val C = "11400714819323198485" // splitmix64 golden-gamma constant
@@ -298,8 +306,7 @@ object Dedup {
        |j AS (SELECT doc_a, doc_b,
        |    CAST(c AS DOUBLE) / (na.n + nb.n - c) AS jac
        |  FROM common JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b)
-       |SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM j
-       |WHERE jac >= 0.8 ORDER BY doc_a, doc_b""".stripMargin
+       |""".stripMargin
   }
 
   /** Shared MinHash+LSH pipeline (32 permutations, 8 bands × 4 rows — fixed
@@ -1368,8 +1375,57 @@ object Dedup {
             |  round(CAST(posting_mass AS DOUBLE) / tm, 6) AS mass_share
             |FROM b CROSS JOIN tot ORDER BY df_band""".stripMargin))
 
+  /** MinHash+LSH recall against the exact-Jaccard ground truth as a
+    * DECLARED query — the near-dup twin of sim_lsh_recall (the r9 verdict
+    * convention: a probabilistic path the pipeline relies on gets a green
+    * oracle-checked accuracy row): both the full MinHash replay AND the
+    * exact within-language ≥ 0.8 pair set are deterministic, so DuckDB
+    * replays both and the recall number itself is hash-checked. The
+    * banding theory says a J = 0.8 pair survives 8 bands × 4 rows with
+    * p = 1 − (1 − 0.8⁴)⁸ ≈ 0.996 — this row is where that claim meets the
+    * corpus. Ground truth is the within-language exact pass (cross-lang
+    * near-dups don't arise — languages carry disjoint marker vocabulary);
+    * the Spark side reads both memoized substrates, the cost is two
+    * semi-join counts.
+    */
+  private val dedupMinhashRecall = Q(
+    "dedup_minhash_recall",
+    (s, dir) => {
+      val exact = jaccardFrom(commonsShared(s, dir), 0.8).select("doc_a", "doc_b")
+      val got = minhashPairs(docs(s, dir)).select("doc_a", "doc_b")
+      val hits = exact.join(got, Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      exact.agg(count(lit(1)).as("n_exact_pairs"))
+        .crossJoin(broadcast(got.agg(count(lit(1)).as("n_detected"))))
+        .crossJoin(broadcast(hits))
+        .select(col("n_exact_pairs"), col("n_detected"), col("n_hits"),
+          round(col("n_hits").cast("double") /
+            when(col("n_exact_pairs") > 0, col("n_exact_pairs").cast("double")),
+            6).as("recall"))
+    },
+    Some(minhashOracleCtes +
+      """, w2 AS (SELECT doc_id, lang, string_split(text,' ') AS w FROM documents),
+        |s2 AS (SELECT doc_id, lang, CASE WHEN len(w) < 3 THEN [array_to_string(w,' ')]
+        |        ELSE list_distinct(list_transform(range(1, len(w)-1),
+        |               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS sh
+        |      FROM w2),
+        |ex AS (SELECT doc_a, doc_b FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        len(list_intersect(a.sh, b.sh)) AS c,
+        |        len(a.sh) AS na2, len(b.sh) AS nb2
+        |      FROM s2 a JOIN s2 b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |      WHERE CAST(c AS DOUBLE) / (na2 + nb2 - c) >= 0.8),
+        |got AS (SELECT doc_a, doc_b FROM j WHERE jac >= 0.8),
+        |h AS (SELECT count(*) AS n_hits FROM ex
+        |      WHERE EXISTS (SELECT 1 FROM got
+        |                    WHERE got.doc_a = ex.doc_a AND got.doc_b = ex.doc_b))
+        |SELECT (SELECT count(*) FROM ex) AS n_exact_pairs,
+        |  (SELECT count(*) FROM got) AS n_detected, n_hits,
+        |  round(CAST(n_hits AS DOUBLE) / NULLIF((SELECT count(*) FROM ex), 0), 6) AS recall
+        |FROM h""".stripMargin))
+
   val queries: Seq[Q] = Seq(
     dedupPrefixCluster, dedupTfidfCosine, dedupShingleProfile,
+    dedupMinhashRecall,
     dedupExact, dedupKeepfirst, dedupNgramJaccard, dedupMinhashLsh,
     dedupSimhash, dedupClusters, dedupPipelineSurvivors, dedupDecontaminate,
     dedupDecontaminateBloom, dedupIncremental, dedupLines, pipelineCurate,
