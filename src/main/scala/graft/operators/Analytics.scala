@@ -953,8 +953,48 @@ object Analytics {
            |  round(revenue / mean_rev, 6) AS seasonal_index
            |FROM m CROSS JOIN a ORDER BY month""".stripMargin))
 
+  /** Basket-size distribution — lines per order histogramed with revenue
+    * per size: the order-shape profile behind picking/packing capacity and
+    * the denominator sanity check for every per-order rate the basket
+    * family publishes (a drifting basket-size mix silently moves support
+    * counts and attach rates before any individual metric alarms).
+    *
+    * Scale shape: one two-phase count per order (the fact's natural key —
+    * no extra shuffle beyond it), then a second tiny aggregate over the
+    * bounded size domain. Money rides [[dsum]]; shares are one divide.
+    */
+  private val ordersBasketSize = Q(
+    "orders_basket_size",
+    (s, dir) => {
+      val per = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_lines"), dsum(col("l_extendedprice")).as("rev"))
+      val h = per.groupBy("n_lines")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("rev").cast(
+            org.apache.spark.sql.types.DecimalType(38, 20))).cast("double")
+            .as("revenue"))
+      val tot = h.agg(sum(col("n_orders")).as("t"))
+      h.crossJoin(broadcast(tot))
+        .select(col("n_lines"), col("n_orders"),
+          round(col("revenue"), 2).as("revenue"),
+          round(col("n_orders").cast("double") / col("t").cast("double"), 6)
+            .as("order_share"))
+        .orderBy("n_lines")
+    },
+    Some("""WITH per AS (SELECT l_orderkey, count(*) AS n_lines,
+           |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+           |  FROM lineitem GROUP BY 1),
+           |h AS (SELECT n_lines, count(*) AS n_orders,
+           |    CAST(SUM(CAST(rev AS DECIMAL(38,20))) AS DOUBLE) AS revenue
+           |  FROM per GROUP BY 1),
+           |tot AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS t FROM h)
+           |SELECT n_lines, n_orders, round(revenue, 2) AS revenue,
+           |  round(CAST(n_orders AS DOUBLE) / t, 6) AS order_share
+           |FROM h CROSS JOIN tot ORDER BY n_lines""".stripMargin))
+
   val queries: Seq[Q] = Seq(
-    ordersInterpurchase, ordersMonthlySeasonality,
+    ordersInterpurchase, ordersMonthlySeasonality, ordersBasketSize,
     ordersPriceElasticity,
     q2MinCostSupplier, q4OrderPriority, q8MarketShare, q11ImportantParts,
     q12LateShipments, q15TopSupplier, q16PartsSuppliers, q17SmallQtyRevenue,
