@@ -351,6 +351,26 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_count") || p.contains("partial_sum"), p)
   }
 
+  test("dedup_tfidf_cosine joins on the term key, never a cartesian") {
+    val p = plan("dedup_tfidf_cosine")
+    // the pair join must ride the df-capped term posting lists (an
+    // equi-join on t) — a cartesian or nested loop means the cap filter
+    // stopped reaching the join
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("orders_basket_size aggregates on the fact's natural key, one pass") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val opt = Queries.byName("orders_basket_size").run(spark, sfDir)
+      .queryExecution.optimizedPlan
+    // per-order rollup + size histogram + 1-row total: the only join is
+    // the broadcast scalar cross — anything else means a second fact scan
+    // crept in through the share computation
+    val joins = opt.collect { case j: LJoin => j }
+    assert(joins.size == 1, s"expected only the scalar cross, got ${joins.size}")
+  }
+
   test("graph_label_prop takes each round's arg-min as an aggregate, no window") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val opt = Queries.byName("graph_label_prop").run(spark, sfDir)
