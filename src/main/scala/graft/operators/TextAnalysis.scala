@@ -592,10 +592,19 @@ object TextAnalysis {
           i => struct(element_at(w, i).as("a"), element_at(w, i + 1).as("b"))))
           .as("p"))
         .select(col("p.a").as("a"), col("p.b").as("b"))
+      // ONE corpus pass: marginals and the total reduce the bigram-TYPE
+      // table (vocabulary-sized), not the exploded stream — identical
+      // exact counts with the pair explode declared once instead of four
+      // times. At sf0.1 the wall time is unchanged (AQE already reused
+      // the explode's exchange within the single action); the checkpoint
+      // makes the single-pass guarantee structural rather than
+      // optimizer-dependent, which is what survives plan changes at the
+      // 100× scale where this query's cost concentrates (SURVEY §6).
       val k = bg.groupBy("a", "b").agg(count(lit(1)).as("k11"))
-      val ra = bg.groupBy("a").agg(count(lit(1)).as("ca"))
-      val cb = bg.groupBy("b").agg(count(lit(1)).as("cb"))
-      val n = bg.agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val ra = k.groupBy("a").agg(sum(col("k11")).as("ca"))
+      val cb = k.groupBy("b").agg(sum(col("k11")).as("cb"))
+      val n = k.agg(sum(col("k11")).as("n"))
       def sx(c: Column): Column =
         when(c > 0, c.cast("double") * log(c.cast("double"))).otherwise(lit(0.0))
       val j = k.join(ra, "a").join(cb, "b").crossJoin(broadcast(n))
@@ -613,10 +622,10 @@ object TextAnalysis {
            |           WHERE len(string_split(text, ' ')) >= 2),
            |bg AS (SELECT w[i] AS a, w[i+1] AS b
            |       FROM d, unnest(range(1, len(w))) AS t(i)),
-           |k AS (SELECT a, b, count(*) AS k11 FROM bg GROUP BY 1, 2),
-           |ra AS (SELECT a, count(*) AS ca FROM bg GROUP BY 1),
-           |cb AS (SELECT b, count(*) AS cb FROM bg GROUP BY 1),
-           |n AS (SELECT count(*) AS n FROM bg),
+           |k AS MATERIALIZED (SELECT a, b, count(*) AS k11 FROM bg GROUP BY 1, 2),
+           |ra AS (SELECT a, CAST(SUM(k11) AS BIGINT) AS ca FROM k GROUP BY 1),
+           |cb AS (SELECT b, CAST(SUM(k11) AS BIGINT) AS cb FROM k GROUP BY 1),
+           |n AS (SELECT CAST(SUM(k11) AS BIGINT) AS n FROM k),
            |j AS (SELECT k.a, k.b, k11, ca, cb.cb AS cb, n,
            |    ca - k11 AS k12, cb.cb - k11 AS k21, n - ca - cb.cb + k11 AS k22
            |  FROM k JOIN ra ON k.a = ra.a JOIN cb ON k.b = cb.b CROSS JOIN n)
