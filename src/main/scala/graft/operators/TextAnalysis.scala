@@ -362,6 +362,73 @@ object TextAnalysis {
            |FROM g JOIN tot ON g.labeled_lang = tot.labeled_lang
            |ORDER BY g.labeled_lang, lang_guess""".stripMargin))
 
+  /** Character-trigram PROFILE language classifier — the trained,
+    * marker-free second method beside [[langId]]'s fixed word lists (the
+    * textcat/Cavnar–Trenkle shape every production langid stack uses):
+    * per-language profiles are the top-30 char trigrams BY FREQUENCY from
+    * the labeled corpus, each document scores Σ c_doc(g)·c_lang(g) over
+    * profile trigrams, argmax with the (score desc, lang) tiebreak, and
+    * the readout is the confusion matrix vs labels — so the train → apply
+    * → evaluate loop is one oracle-checked query. Scores are EXACT
+    * integers (products of counts), so the whole classifier has zero FP
+    * anywhere — stronger determinism than the marker heuristic.
+    *
+    * Scale shape: trigram explode (linear, ~1 row/char), two-phase counts,
+    * profile top-30 per language via the custom grouped-top-k physical
+    * operator (map-side bounded heaps — never a vocabulary sort), scoring
+    * as one trigram-keyed equi-join against the ≤ 30·langs broadcast
+    * profile, per-doc argmax as min(struct(-score, lang)) — no window over
+    * the doc stream. Unmatched docs (no profile trigram) predict 'und'.
+    */
+  private val textLangidTrigram = Q(
+    "text_langid_trigram",
+    (s, dir) => {
+      val tg = transform(sequence(lit(1), length(col("text")) - 2),
+        i => col("text").substr(i, lit(3)))
+      val d = docsSpread(s, dir).filter(length(col("text")) >= 3)
+        .select(col("doc_id"), col("lang"), explode(tg).as("g"))
+      val cg = d.groupBy("lang", "g").agg(count(lit(1)).as("cp"))
+      val prof = broadcast(graft.plans.TopK.perGroup(
+        cg, Seq("lang"), Seq(col("cp").desc, col("g").asc), 30)
+        .select(col("lang").as("plang"), col("g"), col("cp")))
+      val dt = d.groupBy("doc_id", "lang", "g").agg(count(lit(1)).as("cd"))
+      val pred = dt.join(prof, "g")
+        .groupBy(col("doc_id"), col("lang"), col("plang"))
+        .agg(sum(col("cd") * col("cp")).as("score"))
+        .groupBy("doc_id", "lang")
+        .agg(min(struct((-col("score")).as("ns"), col("plang").as("l"))).as("t"))
+        .select(col("doc_id"), col("lang"), col("t").getField("l").as("pred"))
+      val all = docs(s, dir).select(col("doc_id"), col("lang"))
+        .join(pred.select(col("doc_id"), col("pred")), Seq("doc_id"), "left")
+        .select(col("lang").as("labeled_lang"),
+          coalesce(col("pred"), lit("und")).as("pred_lang"))
+      all.groupBy("labeled_lang", "pred_lang").agg(count(lit(1)).as("n_docs"))
+        .withColumn("is_correct", col("labeled_lang") === col("pred_lang"))
+        .orderBy("labeled_lang", "pred_lang")
+    },
+    Some("""WITH d AS (SELECT doc_id, lang, unnest(list_transform(
+           |      range(1, length(text) - 1), i -> substr(text, CAST(i AS INT), 3))) AS g
+           |  FROM documents WHERE length(text) >= 3),
+           |cg AS (SELECT lang, g, count(*) AS cp FROM d GROUP BY 1, 2),
+           |prof AS (SELECT lang AS plang, g, cp FROM (
+           |    SELECT lang, g, cp, row_number() OVER (PARTITION BY lang
+           |      ORDER BY cp DESC, g ASC) AS rn FROM cg) WHERE rn <= 30),
+           |dt AS (SELECT doc_id, lang, g, count(*) AS cd FROM d GROUP BY 1, 2, 3),
+           |sc AS (SELECT doc_id, lang, plang,
+           |    CAST(SUM(cd * cp) AS BIGINT) AS score
+           |  FROM dt JOIN prof USING (g) GROUP BY 1, 2, 3),
+           |pred AS (SELECT doc_id, lang, plang AS pred FROM (
+           |    SELECT doc_id, lang, plang, row_number() OVER (
+           |      PARTITION BY doc_id ORDER BY score DESC, plang ASC) AS rn
+           |    FROM sc) WHERE rn = 1),
+           |allp AS (SELECT documents.lang AS labeled_lang,
+           |    COALESCE(pred.pred, 'und') AS pred_lang
+           |  FROM documents LEFT JOIN pred ON documents.doc_id = pred.doc_id)
+           |SELECT labeled_lang, pred_lang, count(*) AS n_docs,
+           |  labeled_lang = pred_lang AS is_correct
+           |FROM allp GROUP BY 1, 2
+           |ORDER BY labeled_lang, pred_lang""".stripMargin))
+
   /** Marker-token language scores; returns the best-scoring language code. */
   def langId(text: Column): Column = {
     val markers: Seq[(String, Seq[String])] = Seq(
@@ -2006,7 +2073,8 @@ object TextAnalysis {
     textEntropy, textCmsCounts, textPhraseMine, mlFeatureHash, mlNaiveBayes,
     mlMutualInfo, textHllDistinct, textJsdSources, textNgramCoverage,
     textKmvSetops, textRakeKeywords, textStemIndex, textBurstiness,
-    textHapax, textLlrCollocations, textLangidConfusion, textEntropyRate)
+    textHapax, textLlrCollocations, textLangidConfusion, textEntropyRate,
+    textLangidTrigram)
 
   /** Mutual-information feature selection: I(token-presence; source) over
     * the 2×2 contingency of each (token, source) pair — the supervised
