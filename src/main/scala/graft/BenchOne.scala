@@ -13,7 +13,10 @@ object BenchOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
-    args.foreach { name =>
+    // contention canary first (the Bench convention): a code-stable cheap
+    // query whose time moves only with host load, so every BENCHONE block
+    // carries its own noise floor
+    ("ref_partition_count" +: args.toSeq).foreach { name =>
       val fn = SparkEntry.queries(name)
       val ts = (1 to 2).map { _ =>
         val t0 = System.nanoTime()

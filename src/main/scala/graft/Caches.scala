@@ -63,8 +63,13 @@ object Caches {
     tracked.remove(spark).foreach(_.foreach(_.unpersist(false)))
   }
 
-  private val memos =
-    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  // thunk-valued so the (possibly multi-second) eager localCheckpoint job
+  // never runs under a map lock: computeIfAbsent installs a lazy cell in
+  // O(1), and the Spark job runs on first force, serialized per KEY by the
+  // lazy val's own monitor — a concurrent session's track/release/memo on
+  // other keys proceeds instead of blocking for the whole build
+  private val memos = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), () => DataFrame]()
 
   /** Memoize a SMALL deterministic frame (model weights, centroids, a
     * distinct-edge graph substrate — orders of magnitude below the fact
@@ -84,10 +89,13 @@ object Caches {
     * loss the worst case is rebuilding a tiny frame, which is exactly the
     * no-memo baseline.
     */
-  def memo(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    synchronized {
-      memos.getOrElseUpdate((spark, key), build.localCheckpoint(true))
-    }
+  def memo(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val cell = memos.computeIfAbsent((spark, key), _ => {
+      lazy val df = build.localCheckpoint(true)
+      () => df
+    })
+    cell()
+  }
 
   /** Unpersist everything tracked under EVERY session — the escape hatch
     * for a driver hosting many short-lived sessions whose per-session

@@ -894,7 +894,11 @@ object Analytics {
           col("n_gaps"),
           round(col("gap_sum").cast("double") / col("n_gaps").cast("double"), 6)
             .as("mean_gap_days"),
-          col("p50").as("median_gap_days"), col("p90").as("p90_gap_days"),
+          // rounded: percentile interpolation at non-dyadic positions is
+          // independently-implemented IEEE on each engine (the
+          // events_quantile_sketch round-before-compare convention)
+          round(col("p50"), 6).as("median_gap_days"),
+          round(col("p90"), 6).as("p90_gap_days"),
           col("max_gap").as("max_gap_days"))
     },
     Some("""WITH o AS (SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d
@@ -914,7 +918,8 @@ object Analytics {
            |SELECT n_customers, repeat_customers,
            |  round(CAST(repeat_customers AS DOUBLE) / n_customers, 6) AS repeat_share,
            |  n_gaps, round(CAST(gap_sum AS DOUBLE) / n_gaps, 6) AS mean_gap_days,
-           |  p50 AS median_gap_days, p90 AS p90_gap_days, max_gap AS max_gap_days
+           |  round(p50, 6) AS median_gap_days, round(p90, 6) AS p90_gap_days,
+           |  max_gap AS max_gap_days
            |FROM cs CROSS JOIN gs""".stripMargin))
 
   /** Calendar-month revenue seasonality — the monthly index (revenue vs

@@ -1384,7 +1384,12 @@ object Dedup {
     * banding theory says a J = 0.8 pair survives 8 bands × 4 rows with
     * p = 1 − (1 − 0.8⁴)⁸ ≈ 0.996 — this row is where that claim meets the
     * corpus. Ground truth is the within-language exact pass (cross-lang
-    * near-dups don't arise — languages carry disjoint marker vocabulary);
+    * near-dups don't arise — languages carry disjoint marker vocabulary),
+    * restricted on BOTH engines to pairs sharing at least one sub-cap
+    * (per-lang df ≤ [[DefaultShingleDfCap]]) shingle — the same candidate
+    * universe [[shinglePairCommons]] can see, so a hot-only-pair corpus
+    * cannot make the declared query and its oracle disagree (the cap is
+    * the documented hot-only-pair trade, not a recall loss to hide);
     * the Spark side reads both memoized substrates, the cost is two
     * semi-join counts.
     */
@@ -1404,15 +1409,24 @@ object Dedup {
             6).as("recall"))
     },
     Some(minhashOracleCtes +
-      """, w2 AS (SELECT doc_id, lang, string_split(text,' ') AS w FROM documents),
+      s""", w2 AS (SELECT doc_id, lang, string_split(text,' ') AS w FROM documents),
         |s2 AS (SELECT doc_id, lang, CASE WHEN len(w) < 3 THEN [array_to_string(w,' ')]
         |        ELSE list_distinct(list_transform(range(1, len(w)-1),
         |               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS sh
         |      FROM w2),
-        |ex AS (SELECT doc_a, doc_b FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |g2 AS (SELECT doc_id, lang, unnest(sh) AS g FROM s2),
+        |df2 AS (SELECT lang, g FROM g2 GROUP BY lang, g
+        |        HAVING count(*) <= $DefaultShingleDfCap),
+        |cand2 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |      FROM g2 a JOIN g2 b ON a.lang = b.lang AND a.g = b.g
+        |                         AND a.doc_id < b.doc_id
+        |      JOIN df2 d ON d.lang = a.lang AND d.g = a.g),
+        |ex AS (SELECT e0.doc_a, e0.doc_b
+        |      FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |        len(list_intersect(a.sh, b.sh)) AS c,
         |        len(a.sh) AS na2, len(b.sh) AS nb2
-        |      FROM s2 a JOIN s2 b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |      FROM s2 a JOIN s2 b ON a.lang = b.lang AND a.doc_id < b.doc_id) e0
+        |      JOIN cand2 ON cand2.doc_a = e0.doc_a AND cand2.doc_b = e0.doc_b
         |      WHERE CAST(c AS DOUBLE) / (na2 + nb2 - c) >= 0.8),
         |got AS (SELECT doc_a, doc_b FROM j WHERE jac >= 0.8),
         |h AS (SELECT count(*) AS n_hits FROM ex

@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Q, Tables}
 import graft.functions.Deterministic.dsumFine
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics (SURVEY.md §2.12 [EXT]): PageRank power
@@ -145,16 +146,41 @@ object Graph {
     * rank'(v) = (1−d)/N + d·(Σ_{u→v} rank(u)/outdeg(u) + dangling/N).
     * `edges` may contain duplicate (src, dst) rows; they count once.
     */
+  /** Above this many input edges the fused `collect_set` adjacency is
+    * swapped for the distinct+count-over form: the set-aggregation buffers
+    * hold every in-flight src's neighbor set per task, and at 32
+    * concurrent tasks × a 100×-scale corpus that transient crossed the
+    * default 8 GiB single-JVM heap (SURVEY §6 finding 2 —
+    * `AGGREGATE_OUT_OF_MEMORY` at sf10, previously "set
+    * SPARK_DRIVER_MEM=48g" in prose). 10 M edges ≈ ≲1 GiB of set-buffer
+    * transient — comfortably inside any per-executor budget, so small/
+    * medium graphs keep the one-shuffle plan and only genuinely wide
+    * inputs pay the second exchange.
+    */
+  private val AdjacencySetEdgeCap = 10L * 1000 * 1000
+
   /** Degree-annotated adjacency: ONE aggregation fuses pair-dedup and
     * out-degree (`groupBy(src) → collect_set → explode`) — the one-shuffle
     * shape both PageRank variants iterate over (PlanSpec pins it window-
-    * free; the distinct+count-over fallback for unbounded degree costs a
-    * second full-edge exchange plus a sort).
+    * free). Inputs past [[AdjacencySetEdgeCap]] auto-switch to the
+    * distinct + count-over fallback (a second full-edge exchange plus a
+    * sort, but O(1) aggregation state per row — no per-task set buffers),
+    * value-identical by construction: collect_set IS distinct per src, and
+    * `size` IS the partition count. The gate reads `edges.count()` — the
+    * callers pass memoized/checkpointed frames, so the extra pass is a
+    * cheap scan, and the count is exact, not a sampled estimate.
     */
   private[graft] def degreeAdjacency(edges: DataFrame): DataFrame =
-    edges.groupBy("src")
-      .agg(collect_set(col("dst")).as("dsts"))
-      .select(col("src"), size(col("dsts")).as("cnt"), explode(col("dsts")).as("dst"))
+    if (edges.count() <= AdjacencySetEdgeCap)
+      edges.groupBy("src")
+        .agg(collect_set(col("dst")).as("dsts"))
+        .select(col("src"), size(col("dsts")).as("cnt"), explode(col("dsts")).as("dst"))
+    else {
+      val d = edges.select("src", "dst").distinct()
+      d.select(col("src"),
+        count(lit(1)).over(Window.partitionBy("src")).cast("int").as("cnt"),
+        col("dst"))
+    }
 
   def pageRank(edges: DataFrame, iters: Int = Iters,
                damping: Double = Damping): DataFrame = {

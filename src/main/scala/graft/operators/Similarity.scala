@@ -37,18 +37,53 @@ object Similarity {
   private def lshTop5(s: SparkSession, dir: String): DataFrame =
     graft.Caches.memo(s, s"lsh:top5:$dir")(lshTopK(emb(s, dir), 5))
 
-  /** Exact cosine top-5 lists over the full corpus, memoized per
-    * (session, dir) — the ground-truth substrate sim_knn_outlier,
-    * sim_hubness and sim_lsh_recall each derive (corpus-quadratic to
-    * build, n×5 rows to keep): built once per batch session, with the
-    * full pairwise replayed only in the oracles. Carries (q_id, n_id,
-    * cos, rank), rank ≤ 5 by (round(cos, 9) desc, n_id).
+  /** The ground-truth query-sample modulus: m = max(8, 2^⌈log₂(n/256)⌉)
+    * computed IN-PLAN from the corpus count, so the residue-class sample
+    * `vec_id % m = 3` holds ~256–512 query vectors at ANY corpus size —
+    * the knob that turns the exact ground-truth build from corpus-
+    * quadratic into (bounded queries) × (linear candidates). Closed-form
+    * power-of-two arithmetic on an exact integer count ⇒ both engines
+    * derive the identical m (the only inexact step, log₂, sits strictly
+    * inside a ceil whose argument is never ulp-close to an integer except
+    * at exact powers of two, where it is exact).
+    */
+  private def sampleModulus(e: DataFrame): DataFrame =
+    e.agg(count(lit(1)).as("nc"))
+      .select(greatest(lit(8L),
+        pow(lit(2.0), ceil(log2(col("nc").cast("double") / 256.0)))
+          .cast("long")).as("m"))
+
+  /** Fragment mirroring [[sampleModulus]] in the oracle: one scalar CTE
+    * `mm(m)` off the already-defined `e`.
+    */
+  private val mmSql: String =
+    """mm AS (SELECT greatest(8, CAST(power(2,
+      |   ceil(log2(CAST(count(*) AS DOUBLE) / 256.0))) AS BIGINT)) AS m
+      | FROM e)""".stripMargin
+
+  /** Exact cosine top-5 lists for the DETERMINISTIC QUERY SAMPLE
+    * (vec_id ≡ 3 mod [[sampleModulus]] — the sim_pair_hist residue-class
+    * convention), memoized per (session, dir) — the ground-truth substrate
+    * sim_knn_outlier, sim_hubness and sim_lsh_recall derive. The round-10
+    * form ranked EVERY vector's neighbors (a full all-pairs self-join —
+    * 72 s at sf1, 203× per decade, the board's worst scaler); eval metrics
+    * (recall@5, k-occurrence, isolation ranks) are statistically valid on
+    * a fixed-size query panel, and the dynamic modulus keeps the panel
+    * ~256–512 queries at any corpus, so the build is linear-in-corpus with
+    * a bounded constant. Candidates remain the FULL corpus — each sampled
+    * query's top-5 list is its true exact list, not a sample-vs-sample
+    * approximation. Carries (q_id, n_id, cos, rank), rank ≤ 5 by
+    * (round(cos, 9) desc, n_id); the oracles replay the same residue
+    * filter, so the frame stays hash-checkable.
     */
   private def exactTop5(s: SparkSession, dir: String): DataFrame =
     graft.Caches.memo(s, s"exact:top5:$dir") {
       val e = emb(s, dir).select(col("vec_id"), col("embedding"),
         l2norm(col("embedding")).as("nrm"))
-      val a = e.toDF("q_id", "q_emb", "q_nrm")
+      val a = e.crossJoin(broadcast(sampleModulus(e)))
+        .filter(col("vec_id") % col("m") === 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"))
       val b = e.toDF("n_id", "n_emb", "n_nrm")
       val w = Window.partitionBy("q_id")
         .orderBy(round(col("cos"), 9).desc, col("n_id"))
@@ -130,8 +165,16 @@ object Similarity {
     * .FloatVecDot]] multiplies float→double and accumulates sequentially —
     * the same order `list_sum(list_transform(...))` evaluates in.
     */
-  private def lshOracleCtes: String = {
-    val vals = planes.zipWithIndex.map { case (p, i) =>
+  private def lshOracleCtes: String = lshOracleCtesFor(Bands, BitsPerBand)
+
+  /** Same replay for ANY (bands, bitsPerBand) geometry — `planesFor` draws
+    * the seed-42 sequence, so the first `Bands × BitsPerBand` planes of a
+    * larger geometry are identical to the default's and the literals stay
+    * pure constants of the operator.
+    */
+  private def lshOracleCtesFor(bands: Int, bitsPerBand: Int): String = {
+    val pl = planesFor(bands * bitsPerBand)
+    val vals = pl.zipWithIndex.map { case (p, i) =>
       s"($i, [${p.map(c => if (c > 0) "1.0" else "-1.0").mkString(",")}]::DOUBLE[])"
     }.mkString(",\n")
     s"""WITH e AS (SELECT vec_id, embedding,
@@ -141,10 +184,10 @@ object Similarity {
        |bits AS (SELECT e.vec_id, pl.plane,
        |    CASE WHEN list_sum(list_transform(range(1,65),
        |           i -> CAST(e.embedding[i] AS DOUBLE) * coef[i])) >= 0
-       |         THEN CAST(power(2, plane % $BitsPerBand) AS BIGINT) ELSE 0 END AS bit
+       |         THEN CAST(power(2, plane % $bitsPerBand) AS BIGINT) ELSE 0 END AS bit
        |  FROM e CROSS JOIN pl),
-       |bk AS (SELECT vec_id, CAST(plane // $BitsPerBand AS INT) AS band, sum(bit) AS bucket
-       |       FROM bits GROUP BY vec_id, plane // $BitsPerBand),
+       |bk AS (SELECT vec_id, CAST(plane // $bitsPerBand AS INT) AS band, sum(bit) AS bucket
+       |       FROM bits GROUP BY vec_id, plane // $bitsPerBand),
        |cand AS (SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS n_id
        |  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
        |                     AND a.vec_id != b.vec_id),
@@ -195,6 +238,27 @@ object Similarity {
     "sim_lsh_ann",
     (s, dir) => lshTop5(s, dir).orderBy("q_id", "rank"),
     Some(lshOracle))
+
+  /** The PRODUCTION LSH geometry as a declared, oracle-checked query —
+    * 4 bands × 7 bits (the `bitsPerBand ∝ log₂ corpus` knob [[lshTopK]]
+    * documents and LshScaleProbe measured, promoted from spec-land per the
+    * r10 verdict): 2⁷ = 128 buckets per band holds per-bucket occupancy —
+    * and therefore candidate-pair cost — roughly constant where the
+    * oracle-pinned 4×4 default densifies quadratically with corpus growth
+    * (ml_knn_classify 26.6 s at 10× rows on the 4×4 lists). The 28
+    * seed-42 planes interpolate into the oracle as literals exactly like
+    * the default's 16 (the first 16 ARE the default's — `planesFor` draws
+    * sequentially), so the scaled geometry is hash-checked end-to-end,
+    * not just probed. Sparser buckets admit fewer candidates, so lists
+    * may run short of 5 — that is the recall-vs-cost trade the
+    * sim_lsh_recall row prices.
+    */
+  private val simLshAnnScaled = Q(
+    "sim_lsh_ann_scaled",
+    (s, dir) => lshTopK(emb(s, dir), 5, Bands, 7).orderBy("q_id", "rank"),
+    Some(lshOracleCtesFor(Bands, 7) +
+      """SELECT q_id, n_id, round(cos, 6) AS cosine, rank
+        |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin))
 
   /** Mutual-kNN graph over the LSH top-5 lists — the symmetrized edge set
     * semantic clustering consumes (an edge survives only if each endpoint
@@ -2032,15 +2096,18 @@ object Similarity {
     * leaks all surface as isolated vectors). The kNN-distance score is the
     * standard precursor to LOF, without LOF's second neighborhood pass.
     *
-    * Scale honesty (the sim_silhouette stance): the DECLARED query scores
-    * the corpus by exact pairwise cosine so the oracle can replay it —
-    * corpus-quadratic, right for the bounded embedding panels it targets.
-    * The production path at 10⁹ vectors swaps the exact pair source for
-    * [[lshTopK]]/[[ivfTopK]] candidates (the sim_mutual_knn wiring) and
-    * keeps this ranking readout unchanged; an LSH 5th-NN cosine is a lower
-    * bound on the true one, so LSH-scored "outliers" are a superset to
-    * re-check exactly. Determinism: the rank window uses the round-9 + id
-    * tiebreak, scores round at 6 dp.
+    * Scale honesty: scores come off the [[exactTop5]] SAMPLED ground
+    * truth (a ~256–512-vector deterministic residue-class query panel
+    * against the full candidate corpus — linear-in-corpus, the r10
+    * verdict's fix for the all-pairs build), so the triage reads "the 15
+    * most isolated vectors OF THE PANEL" — the estimator a 10⁹-vector
+    * deployment runs anyway. The production path additionally swaps the
+    * exact panel scoring for [[lshTopK]]/[[ivfTopK]] candidates (the
+    * sim_mutual_knn wiring) and keeps this ranking readout unchanged; an
+    * LSH 5th-NN cosine is a lower bound on the true one, so LSH-scored
+    * "outliers" are a superset to re-check exactly. Determinism: the
+    * sample is a residue class (no rand()), the rank window uses the
+    * round-9 + id tiebreak, scores round at 6 dp.
     */
   private val simKnnOutlier = Q(
     "sim_knn_outlier",
@@ -2050,14 +2117,16 @@ object Similarity {
         col("cos"))
       .orderBy(round(col("cos"), 9).asc, col("vec_id")).limit(15)
       .select("vec_id", "knn5_cos"),
-    Some("""WITH e AS (SELECT vec_id, embedding,
+    Some(s"""WITH e AS (SELECT vec_id, embedding,
            |   sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
            | FROM embeddings),
+           |$mmSql,
            |p AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
            |   list_sum(list_transform(range(1, 65),
            |     i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)))
            |     / (q.nrm * n.nrm) AS cos
-           | FROM e q JOIN e n ON n.vec_id != q.vec_id),
+           | FROM e q JOIN e n ON n.vec_id != q.vec_id
+           | WHERE q.vec_id % (SELECT m FROM mm) = 3),
            |r AS (SELECT q_id, cos,
            |   CAST(ROW_NUMBER() OVER (PARTITION BY q_id
            |     ORDER BY round(cos, 9) DESC, n_id) AS INT) AS rank FROM p)
@@ -2128,10 +2197,13 @@ object Similarity {
     * just asserted. A pipeline runs this after every re-tune of
     * (bands, bits) — recall is THE acceptance metric for the geometry.
     *
-    * Scale honesty: the exact side is corpus-quadratic (the
-    * sim_knn_outlier stance) — at 10⁹ vectors ground truth comes from a
-    * query SAMPLE (the SimilaritySpec sf0.1 methodology); the LSH side and
-    * the recall join stay linear-in-candidates.
+    * Scale honesty: ground truth IS a query sample — [[exactTop5]]'s
+    * deterministic residue-class panel (~256–512 queries at any corpus)
+    * against full-corpus candidates, so the exact side is linear-in-corpus
+    * with a bounded constant; recall@5 on a fixed panel is the estimator a
+    * 10⁹-vector deployment runs, and the LSH side plus the recall
+    * semi-join stay linear-in-candidates. The oracle replays the same
+    * residue filter, so the sampled recall is still hash-checked.
     */
   private val simLshRecall = Q(
     "sim_lsh_recall",
@@ -2148,11 +2220,13 @@ object Similarity {
             col("n_exact_pairs").cast("double"), 6).as("recall_at5"))
     },
     Some(lshOracleCtes +
-      """, exp AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+      s""", $mmSql,
+        |exp AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
         |    list_sum(list_transform(range(1, 65),
         |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
         |      / (a.nrm * b.nrm) AS cos
-        |  FROM e a JOIN e b ON b.vec_id != a.vec_id),
+        |  FROM e a JOIN e b ON b.vec_id != a.vec_id
+        |  WHERE a.vec_id % (SELECT m FROM mm) = 3),
         |exr AS (SELECT q_id, n_id, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
         |    ORDER BY round(cos, 9) DESC, n_id) AS INT) AS xr FROM exp),
         |ex AS (SELECT q_id, n_id FROM exr WHERE xr <= 5),
@@ -2224,9 +2298,15 @@ object Similarity {
     * is needed. Completes the embedding-health panel with
     * [[simPairHist]] (pair-sim shape) and [[simKnnOutlier]] (isolation).
     *
-    * Scale honesty: exact top-5 lists for the oracle (corpus-quadratic,
-    * the sim_knn_outlier stance); production reads the SAME k-occurrence
-    * count off the ANN candidate lists (sim_mutual_knn wiring) unchanged.
+    * Scale honesty: k-occurrence is counted over the [[exactTop5]]
+    * SAMPLED query panel (hubs emerge in any sufficiently large query
+    * sample — the estimator a 10⁹-vector deployment runs; the build is
+    * linear-in-corpus), and the antihub count is likewise read WITHIN the
+    * sampled residue class (class members never retrieved by any panel
+    * query — a density comparable across corpus sizes, where "full-corpus
+    * vectors never retrieved by ~256 queries" would degenerate to ≈ n);
+    * production reads the SAME k-occurrence count off the ANN candidate
+    * lists (sim_mutual_knn wiring) unchanged.
     */
   private val simHubness = Q(
     "sim_hubness",
@@ -2236,7 +2316,9 @@ object Similarity {
       val hubs = kocc.orderBy(col("k_occ").desc, col("n_id")).limit(10)
         .withColumn("hub_rank", row_number().over(
           Window.orderBy(col("k_occ").desc, col("n_id"))))
-      val anti = e.select(col("vec_id"))
+      val anti = e.crossJoin(broadcast(sampleModulus(e)))
+        .filter(col("vec_id") % col("m") === 3)
+        .select(col("vec_id"))
         .join(kocc.select(col("n_id").as("vec_id")), Seq("vec_id"), "left_anti")
         .agg(count(lit(1)).as("n_antihubs"))
       hubs.crossJoin(broadcast(anti))
@@ -2244,20 +2326,23 @@ object Similarity {
           col("n_antihubs"))
         .orderBy("hub_rank")
     },
-    Some("""WITH e AS (SELECT vec_id, embedding,
+    Some(s"""WITH e AS (SELECT vec_id, embedding,
            |   sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
            | FROM embeddings),
+           |$mmSql,
            |p AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
            |   list_sum(list_transform(range(1, 65),
            |     i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)))
            |     / (q.nrm * n.nrm) AS cos
-           | FROM e q JOIN e n ON n.vec_id != q.vec_id),
+           | FROM e q JOIN e n ON n.vec_id != q.vec_id
+           | WHERE q.vec_id % (SELECT m FROM mm) = 3),
            |r AS (SELECT q_id, n_id,
            |   CAST(ROW_NUMBER() OVER (PARTITION BY q_id
            |     ORDER BY round(cos, 9) DESC, n_id) AS INT) AS rank FROM p),
            |kocc AS (SELECT n_id, count(*) AS k_occ FROM r WHERE rank <= 5 GROUP BY 1),
            |ah AS (SELECT count(*) AS n_antihubs FROM e
-           |  WHERE vec_id NOT IN (SELECT n_id FROM kocc)),
+           |  WHERE vec_id % (SELECT m FROM mm) = 3
+           |    AND vec_id NOT IN (SELECT n_id FROM kocc)),
            |hubs AS (SELECT CAST(row_number() OVER (ORDER BY k_occ DESC, n_id) AS INT)
            |    AS hub_rank, n_id AS vec_id, k_occ
            |  FROM kocc ORDER BY k_occ DESC, n_id LIMIT 10)
@@ -2544,5 +2629,6 @@ object Similarity {
     mlDecisionStump, simRangeQuery, simSilhouette, simRrfFusion,
     mlF1Sweep, mlNdcg, simMmrRerank, simRocchioExpand, mlLiftGains,
     mlBrierScore, mlCohensKappa, simKnnOutlier, simPairHist,
-    simLshRecall, mlThresholdCost, simHubness, mlCalibrationSlope)
+    simLshRecall, mlThresholdCost, simHubness, mlCalibrationSlope,
+    simLshAnnScaled)
 }

@@ -673,7 +673,8 @@ object TimeSeries {
     * abuse decision on this stream (α ≤ 2 means the top users dominate
     * total volume and mean-based provisioning is wrong; a falling α round
     * over round means concentration is increasing). Reported with the
-    * top-1 %-user volume share as the model-free cross-check.
+    * top-50-user volume share as the model-free cross-check (a fixed-k
+    * head, not a percentile — k stays a global top-k count at any corpus).
     *
     * Scale shape: one two-phase per-user count, one conditional aggregate
     * over the user frame (ln only on the ≥ x_min tail), plus an exact
@@ -784,10 +785,18 @@ object TimeSeries {
           percentile(col("value"), lit(0.9)).as("e90"),
           percentile(col("value"), lit(0.99)).as("e99"))
         .selectExpr("g", "stack(3, 0.5D, e50, 0.9D, e90, 0.99D, e99) as (q, exact)")
+      // round-before-compare on BOTH columns: Spark `percentile` and the
+      // oracle's quantile_cont interpolate with independently-implemented
+      // IEEE expressions, so the raw `exact` (and the band boolean derived
+      // from raw doubles) could flip on a last-ulp divergence at a
+      // non-dyadic interpolation position; rounding first makes the
+      // band arithmetic identical-on-identical-inputs cross-engine
       est.join(exact, Seq("g", "q"))
         .select(col("g").as("event_type"), col("q"), col("n"),
-          round(col("est"), 6).as("sketch_est"), col("exact"),
-          (abs(col("est") - col("exact")) <= 4.0).as("within_band"))
+          round(col("est"), 6).as("sketch_est"),
+          round(col("exact"), 6).as("exact"),
+          (abs(round(col("est"), 6) - round(col("exact"), 6)) <= 4.0)
+            .as("within_band"))
         .orderBy("event_type", "q")
     },
     Some("""WITH v AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v FROM events),
@@ -812,7 +821,8 @@ object TimeSeries {
            |  UNION ALL SELECT g, 0.9, quantile_cont(v, 0.9) FROM v GROUP BY g
            |  UNION ALL SELECT g, 0.99, quantile_cont(v, 0.99) FROM v GROUP BY g)
            |SELECT est.g AS event_type, est.q AS q, n, round(est, 6) AS sketch_est,
-           |  exact, abs(est - exact) <= 4.0 AS within_band
+           |  round(exact, 6) AS exact,
+           |  abs(round(est, 6) - round(exact, 6)) <= 4.0 AS within_band
            |FROM est JOIN ex ON est.g = ex.g AND est.q = ex.q
            |ORDER BY event_type, est.q""".stripMargin))
 

@@ -990,8 +990,10 @@ object Wrangling {
       pairs.crossJoin(broadcast(xm)).crossJoin(broadcast(ym))
         .crossJoin(broadcast(nn))
         .select(col("n").cast("long").as("n_rows"),
-          col("cc").cast("long").as("concordant"),
-          col("dd").cast("long").as("discordant"),
+          // decimal readout, NOT long: C/D are Σ nᵢ·nⱼ products that pass
+          // 2⁶³ around 10¹⁰ rows — a long cast would silently corrupt at
+          // exactly the lake scale the formulation is built for
+          col("cc").as("concordant"), col("dd").as("discordant"),
           round(lit(2.0) * (col("cc") - col("dd")).cast("double") /
             when(col("m0") > col("m1") && col("m0") > col("m2"),
               sqrt((col("m0") - col("m1")).cast("double")) *
@@ -1012,8 +1014,8 @@ object Wrangling {
            |nn AS (SELECT CAST(SUM(c) AS DECIMAL(38,0)) AS n,
            |    CAST(SUM(c) AS DECIMAL(38,0)) * (CAST(SUM(c) AS DECIMAL(38,0)) - 1) AS m0
            |  FROM grid)
-           |SELECT CAST(n AS BIGINT) AS n_rows, CAST(cc AS BIGINT) AS concordant,
-           |  CAST(dd AS BIGINT) AS discordant,
+           |SELECT CAST(n AS BIGINT) AS n_rows, cc AS concordant,
+           |  dd AS discordant,
            |  round(2.0 * CAST(cc - dd AS DOUBLE) /
            |    NULLIF(CASE WHEN m0 > m1 AND m0 > m2
            |      THEN sqrt(CAST(m0 - m1 AS DOUBLE)) * sqrt(CAST(m0 - m2 AS DOUBLE))
