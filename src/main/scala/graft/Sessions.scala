@@ -36,6 +36,14 @@ object Sessions {
     // unfiltered MIN/MAX/COUNT answer from parquet footer statistics alone —
     // a table-wide stats query reads metadata, not 100 TB of pages
     "spark.sql.parquet.aggregatePushdown" -> "true",
+    // iterative operators pin checkpointed substrates in storage memory; at
+    // the default 0.5 the protected storage pool starves the 16–32
+    // concurrent per-executor aggregation tasks of execution pages exactly
+    // when a fact-scale frame is cached (AGGREGATE_OUT_OF_MEMORY at the
+    // 100× corpus on an 8 GiB JVM). 0.2 keeps hot blocks cached until
+    // pressure but lets execution evict them to disk — iteration re-reads
+    // then pay a disk read instead of the whole job failing
+    "spark.memory.storageFraction" -> "0.2",
     "spark.sql.session.timeZone" -> "UTC")
 
   /** A builder with the scale defaults applied; `shufflePartitions` is the

@@ -165,10 +165,22 @@ object Graph {
     * free). Inputs past [[AdjacencySetEdgeCap]] auto-switch to the
     * distinct + count-over fallback (a second full-edge exchange plus a
     * sort, but O(1) aggregation state per row — no per-task set buffers),
-    * value-identical by construction: collect_set IS distinct per src, and
-    * `size` IS the partition count. The gate reads `edges.count()` — the
+    * value-identical by construction: lag-dedup on a per-src dst sort IS
+    * distinct per src (graph node ids are never null, so no
+    * collect_set-drops-nulls divergence), and the unbounded count over the
+    * deduped frame IS the set size. The gate reads `edges.count()` — the
     * callers pass memoized/checkpointed frames, so the extra pass is a
     * cheap scan, and the count is exact, not a sampled estimate.
+    *
+    * The fallback is deliberately SORT-shaped, not `distinct()`: a
+    * distinct over ~corpus-many already-unique pairs builds a per-task
+    * hash map as wide as its input (hash-aggregate maps cannot spill —
+    * they fall back by re-sorting, and under 16–32 concurrent tasks the
+    * re-sort's first page allocation is exactly what fails), while
+    * ExternalSort spills incrementally by design. One exchange on src
+    * serves both windows (the lag-dedup sorts (src, dst); the count
+    * window reuses the partitioning and buffers only one src group —
+    * degree-bounded, not corpus-bounded).
     */
   private[graft] def degreeAdjacency(edges: DataFrame): DataFrame =
     if (edges.count() <= AdjacencySetEdgeCap)
@@ -176,11 +188,40 @@ object Graph {
         .agg(collect_set(col("dst")).as("dsts"))
         .select(col("src"), size(col("dsts")).as("cnt"), explode(col("dsts")).as("dst"))
     else {
-      val d = edges.select("src", "dst").distinct()
-      d.select(col("src"),
+      val wS = Window.partitionBy("src").orderBy("dst")
+      val deduped = edges.select("src", "dst")
+        .withColumn("prev", lag(col("dst"), 1).over(wS))
+        .filter(col("prev").isNull || col("prev") =!= col("dst"))
+        .drop("prev")
+      deduped.select(col("src"),
         count(lit(1)).over(Window.partitionBy("src")).cast("int").as("cnt"),
         col("dst"))
     }
+
+  /** The node-id universe of a degree-annotated adjacency. Past the same
+    * [[AdjacencySetEdgeCap]] the union is REPARTITIONED BY ID before the
+    * distinct: a plain distinct's map-side partial aggregate holds every
+    * node id in every task's hash map (tasks × |V| entries — the same
+    * width-not-depth transient that OOMed the set adjacency at the 100×
+    * corpus), while on id-partitioned input each task's map holds only
+    * |V|/tasks local keys and the planner elides the aggregation's own
+    * exchange, so the total stays one shuffle. Small graphs keep the
+    * partial-agg-first plan, which shrinks 2|E| rows to tasks × |V| before
+    * the wire — cheaper whenever the maps fit.
+    */
+  private def nodeIds(edgesDeg: DataFrame, wide: Boolean): DataFrame =
+    distinctBy(edgesDeg.select(col("src").as("id"))
+      .union(edgesDeg.select(col("dst").as("id"))), wide, "id")
+
+  /** Distinct with the wide-graph plan shape: on `wide` inputs the frame
+    * is repartitioned on the key columns FIRST, so the aggregation's
+    * map-side partial holds only each task's local keys (the planner then
+    * elides the aggregation's own exchange — still one shuffle total);
+    * small frames keep the partial-agg-first plan, which shrinks rows
+    * before the wire — cheaper whenever the maps fit (see [[nodeIds]]).
+    */
+  private def distinctBy(df: DataFrame, wide: Boolean, cols: String*): DataFrame =
+    (if (wide) df.repartition(cols.map(col): _*) else df).distinct()
 
   def pageRank(edges: DataFrame, iters: Int = Iters,
                damping: Double = Damping): DataFrame = {
@@ -189,15 +230,14 @@ object Graph {
     // truncation round i's plan embeds i copies of the aggregation —
     // compounding optimizer/codegen cost per round (the graphLabelProp
     // precedent at :368)
+    val wide = edges.count() > AdjacencySetEdgeCap
     val edgesDeg = degreeAdjacency(edges).localCheckpoint()
     // nodes and the 1-row meta are read by EVERY iteration (ranks init, the
     // per-round scalars, the left-join spine) — without truncation the
     // union+distinct shuffle is re-embedded ~3× per round and the iter-3
     // plan carries ~8 copies (measured 4.4 s vs 2.0 s for the structurally
     // identical PPR, whose per-round scalars touch only edgesDeg)
-    val nodes = edgesDeg.select(col("src").as("id"))
-      .union(edgesDeg.select(col("dst").as("id"))).distinct()
-      .localCheckpoint()
+    val nodes = nodeIds(edgesDeg, wide).localCheckpoint()
     val meta = nodes.agg(count(lit(1)).as("n")).localCheckpoint()
     var ranks = nodes.crossJoin(broadcast(meta))
       .select(col("id"), (lit(1.0) / col("n")).as("pr"))
@@ -287,19 +327,28 @@ object Graph {
     * size). Rounds are bounded (`hops`), the Pregel-unrolled shape.
     */
   def bfsDepths(edges: DataFrame, srcNode: Long, hops: Int = 3): DataFrame = {
+    // wide graphs take the key-partitioned distinct/agg shapes (the
+    // degreeAdjacency gate) and pin the per-hop shared frames
+    val wide = edges.count() > AdjacencySetEdgeCap
     // undirected: each edge contributes both directions; dedup once
-    val und = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+    val und0 = distinctBy(edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst"))),
+      wide, "src", "dst")
+    // columnar SQL cache, not localCheckpoint: an edge-scale frame of raw
+    // deserialized rows is heap-sized at the 100× corpus, while the
+    // compressed columnar batches are ~10× smaller and spill to disk
+    val und = if (wide) graft.Caches.track(und0) else und0
     var frontier = und.sparkSession.range(1)
       .select(lit(srcNode).as("id"))
     var reached: DataFrame = frontier.select(col("id"), lit(0).as("k"))
     for (k <- 1 to hops) {
-      frontier = frontier.join(und, col("id") === col("src"))
-        .select(col("dst").as("id")).distinct()
+      frontier = distinctBy(frontier.join(und, col("id") === col("src"))
+        .select(col("dst").as("id")), wide, "id")
+      if (wide) frontier = frontier.localCheckpoint()
       reached = reached.unionByName(frontier.select(col("id"), lit(k).as("k")))
     }
-    reached.groupBy("id").agg(min(col("k")).as("depth"))
+    (if (wide) reached.repartition(col("id")) else reached)
+      .groupBy("id").agg(min(col("k")).as("depth"))
   }
 
   private val graphBfsReach = Q(
@@ -626,10 +675,9 @@ object Graph {
   def personalizedPageRank(edges: DataFrame, iters: Int = Iters,
                            damping: Double = Damping): DataFrame = {
     // same lineage-truncation rationale as pageRank's edgesDeg
+    val wide = edges.count() > AdjacencySetEdgeCap
     val edgesDeg = degreeAdjacency(edges).localCheckpoint()
-    val nodes = edgesDeg.select(col("src").as("id"))
-      .union(edgesDeg.select(col("dst").as("id"))).distinct()
-      .localCheckpoint()
+    val nodes = nodeIds(edgesDeg, wide).localCheckpoint()
     val seed = edgesDeg.agg(min(col("src")).as("sid"))
     def ind: Column =
       when(col("id") === col("sid"), lit(1.0)).otherwise(lit(0.0))
@@ -929,10 +977,17 @@ object Graph {
     * kind: (kind ∈ {authority, hub}, node label, score ∈ (0, 1]).
     */
   def hits(edges: DataFrame, k: Int = 10): DataFrame = {
-    val e = edges.distinct()
+    val wide = edges.count() > AdjacencySetEdgeCap
+    // no pinning even on wide graphs: the three consumers (a1, h1, a2)
+    // sit in ONE physical plan, so the dedup's exchange is read three
+    // times via ReusedExchange from shuffle files on disk — zero extra
+    // memory, where caching an edge-scale frame is heap-sized at the
+    // 100× corpus
+    val e = distinctBy(edges, wide, "src", "dst")
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val a1 = e.groupBy("dst").agg(count(lit(1)).cast(dec).as("a1"))
-    val h1 = e.join(a1, "dst")
+    val h1j = e.join(a1, "dst")
+    val h1 = (if (wide) h1j.repartition(col("src")) else h1j)
       .groupBy("src").agg(sum(col("a1")).as("h1"))
     val a2 = e.join(h1, "src")
       .groupBy("dst").agg(sum(col("h1")).as("a2"))
