@@ -1437,9 +1437,77 @@ object Dedup {
         |  round(CAST(n_hits AS DOUBLE) / NULLIF((SELECT count(*) FROM ex), 0), 6) AS recall
         |FROM h""".stripMargin))
 
+  /** MinHash banding EFFICIENCY — the exact-Jaccard histogram of the
+    * band-bucket CANDIDATE pairs (before the ≥ 0.8 verification):
+    * [[dedupMinhashRecall]] prices what the bands MISS; this row prices
+    * what they ADMIT. The banding theory's S-curve (p = 1 − (1 − J^r)^b)
+    * says 8 bands × 4 rows should admit J ≈ 0.8 pairs near-certainly and
+    * J ≤ 0.3 pairs rarely — the low-J bins are the wasted exact-verify
+    * work, and a growing low-J mass share between crawls says the bands
+    * are too coarse for the corpus (tighten r, or raise the shingle
+    * order) BEFORE verification cost degrades. Candidates sharing a band
+    * hash but zero shingles (possible only by 64-bit min-value collision)
+    * bin at J = 0 via the left join, not silently dropped.
+    *
+    * Scale shape: the candidate join is banding-bounded (the
+    * minhashPairs stance — pair work ∝ bucket occupancy², held flat by
+    * the signature geometry), the verify is per-candidate list intersect,
+    * the histogram is a ≤ 5-cell rollup.
+    */
+  private val dedupBandEfficiency = Q(
+    "dedup_band_efficiency",
+    (s, dir) => {
+      import graft.functions.TextKernels
+      TextKernels.register(s)
+      val withSh = graft.Caches.track(Tables.spread(docs(s, dir))
+        .select(col("doc_id"), TextKernels.shingleHash64(col("text")).as("sh")))
+      val banded = withSh.select(col("doc_id"),
+        posexplode(TextKernels.minhashBands(col("sh"))).as(Seq("band", "bh")))
+      val cand = banded.toDF("doc_a", "band", "bh")
+        .join(banded.toDF("doc_b", "band_b", "bh_b"),
+          col("band") === col("band_b") && col("bh") === col("bh_b") &&
+            col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      val shA = withSh.toDF("doc_a", "sh_a")
+      val shB = withSh.toDF("doc_b", "sh_b")
+      val j = cand.join(shA, "doc_a").join(shB, "doc_b")
+        .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("jac", col("common").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("common")))
+      val b = j
+        .withColumn("bin",
+          least(floor(round(col("jac"), 9) * 5).cast("int"), lit(4)))
+        .groupBy("bin").agg(count(lit(1)).as("n_pairs"))
+      val tot = b.agg(sum(col("n_pairs")).as("t"))
+      b.crossJoin(broadcast(tot))
+        .select(col("bin"),
+          round(col("bin").cast("double") / 5, 1).as("lo"),
+          round((col("bin") + 1).cast("double") / 5, 1).as("hi"),
+          col("n_pairs"),
+          round(col("n_pairs").cast("double") / col("t").cast("double"), 6)
+            .as("share"))
+        .orderBy("bin")
+    },
+    Some(minhashOracleCtes +
+      """, jall AS (SELECT cand.doc_a, cand.doc_b,
+        |    CAST(COALESCE(cm.c, 0) AS DOUBLE)
+        |      / (na.n + nb.n - COALESCE(cm.c, 0)) AS jac
+        |  FROM cand
+        |  LEFT JOIN common cm ON cm.doc_a = cand.doc_a AND cm.doc_b = cand.doc_b
+        |  JOIN n na ON na.doc_id = cand.doc_a
+        |  JOIN n nb ON nb.doc_id = cand.doc_b),
+        |bb AS (SELECT least(CAST(floor(round(jac, 9) * 5) AS INT), 4) AS bin,
+        |    count(*) AS n_pairs
+        |  FROM jall GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS t FROM bb)
+        |SELECT bin, round(CAST(bin AS DOUBLE) / 5, 1) AS lo,
+        |  round(CAST(bin + 1 AS DOUBLE) / 5, 1) AS hi, n_pairs,
+        |  round(CAST(n_pairs AS DOUBLE) / t, 6) AS share
+        |FROM bb CROSS JOIN tt ORDER BY bin""".stripMargin))
+
   val queries: Seq[Q] = Seq(
     dedupPrefixCluster, dedupTfidfCosine, dedupShingleProfile,
-    dedupMinhashRecall,
+    dedupMinhashRecall, dedupBandEfficiency,
     dedupExact, dedupKeepfirst, dedupNgramJaccard, dedupMinhashLsh,
     dedupSimhash, dedupClusters, dedupPipelineSurvivors, dedupDecontaminate,
     dedupDecontaminateBloom, dedupIncremental, dedupLines, pipelineCurate,

@@ -844,9 +844,99 @@ object Multimodal {
            |SELECT * FROM (SELECT * FROM lo UNION ALL SELECT * FROM hi)
            |ORDER BY "end", entropy, doc_id""".stripMargin))
 
+  /** Perceptual-hash NEAR-DUP banding over the media corpus — the image
+    * twin of the MinHash text pipeline: the 64-bit aHash splits into four
+    * 16-bit bands, candidates collide on any band (the pigeonhole bound:
+    * every pair within Hamming ≤ 3 keeps at least one band intact, so the
+    * ≤ 3 "duplicate" tier is EXACT, not probabilistic), and each
+    * candidate's full Hamming distance is one xor + popcount. Reported as
+    * the candidate Hamming histogram plus the duplicate count — the
+    * dedup-rate + banding-selectivity readout a 100 TB image corpus runs
+    * per crawl (the dedup_band_efficiency stance: the high-distance bins
+    * are the wasted verify work that says the bands need widening).
+    *
+    * Scale shape: banding replicates each hash 4× (linear), the candidate
+    * join is bucket-bounded (65 536 buckets per band — occupancy, and so
+    * pair cost, held down by the hash width), verification is O(1) per
+    * candidate, and the rollup is ≤ 5 cells. Band extraction uses
+    * ARITHMETIC shift on both engines (`shiftright` / `>>`) — NOT
+    * DuckDB's `//`, which truncates toward zero on negative
+    * two's-complement hashes and extracts off-by-one band values.
+    */
+  private val multimodalPhashDedup = Q(
+    "multimodal_phash_dedup",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      val hashes = imageHashes(s, d).toDF().select("doc_id", "ahash")
+      val bands = hashes.select(col("doc_id"), col("ahash"),
+          explode(array((0 until 4).map(lit): _*)).as("band"))
+        .withColumn("bv", expr("shiftright(ahash, band * 16) & 65535"))
+      val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("bv"))
+        .join(bands.select(col("doc_id").as("doc_b"), col("band").as("band_b"),
+          col("bv").as("bv_b")),
+          col("band") === col("band_b") && col("bv") === col("bv_b") &&
+            col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      val ham = cand
+        .join(hashes.toDF("doc_a", "ha"), "doc_a")
+        .join(hashes.toDF("doc_b", "hb"), "doc_b")
+        .select(bit_count(col("ha").bitwiseXOR(col("hb"))).as("hd"))
+      val tier = when(col("hd") <= 3, "0_dup_le3")
+        .when(col("hd") <= 8, "1_near_4_8")
+        .when(col("hd") <= 16, "2_far_9_16")
+        .when(col("hd") <= 32, "3_bg_17_32")
+        .otherwise("4_anti_33_64")
+      val b = ham.groupBy(tier.as("hd_band"))
+        .agg(count(lit(1)).as("n_pairs"), min(col("hd")).as("min_hd"))
+      val tot = b.agg(sum(col("n_pairs")).as("t"))
+      b.crossJoin(broadcast(tot))
+        .select(col("hd_band"), col("n_pairs"), col("min_hd"),
+          round(col("n_pairs").cast("double") / col("t").cast("double"), 6)
+            .as("share"))
+        .orderBy("hd_band")
+    },
+    Some("""WITH base AS (SELECT doc_id, text, length(text) AS clen FROM documents),
+           |b AS (SELECT doc_id,
+           |    list_transform(range(0, 64),
+           |      i -> ascii(substr(text,
+           |             CAST((i * clen) // 64 % clen AS INT) + 1, 1))) AS s
+           |  FROM base WHERE clen > 0),
+           |m AS (SELECT doc_id, s, CAST(list_sum(s) AS DOUBLE) / 64 AS mean FROM b),
+           |h AS (SELECT doc_id,
+           |    list_sum(list_transform(range(0, 64),
+           |      i -> CASE WHEN s[CAST(i AS INT) + 1] > mean
+           |                THEN CAST(power(2, CAST(i AS INT)) AS HUGEINT)
+           |                ELSE CAST(0 AS HUGEINT) END)) AS uh
+           |  FROM m),
+           |hh AS (SELECT doc_id, CAST(CASE WHEN uh >= 9223372036854775808
+           |           THEN uh - 18446744073709551616 ELSE uh END AS BIGINT) AS ahash
+           |       FROM h
+           |       UNION ALL SELECT doc_id, CAST(0 AS BIGINT) FROM base WHERE clen = 0),
+           |bands AS (SELECT doc_id, CAST(t.b AS INT) AS band,
+           |    (ahash >> CAST(t.b * 16 AS INT)) & 65535 AS bv
+           |  FROM hh, unnest(range(0, 4)) AS t(b)),
+           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+           |ham AS (SELECT bit_count(xor(x.ahash, y.ahash)) AS hd
+           |  FROM cand JOIN hh x ON x.doc_id = cand.doc_a
+           |            JOIN hh y ON y.doc_id = cand.doc_b),
+           |bb AS (SELECT CASE WHEN hd <= 3 THEN '0_dup_le3'
+           |        WHEN hd <= 8 THEN '1_near_4_8'
+           |        WHEN hd <= 16 THEN '2_far_9_16'
+           |        WHEN hd <= 32 THEN '3_bg_17_32'
+           |        ELSE '4_anti_33_64' END AS hd_band,
+           |      count(*) AS n_pairs, CAST(min(hd) AS INT) AS min_hd
+           |  FROM ham GROUP BY 1),
+           |tt AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS t FROM bb)
+           |SELECT hd_band, n_pairs, min_hd,
+           |  round(CAST(n_pairs AS DOUBLE) / t, 6) AS share
+           |FROM bb CROSS JOIN tt ORDER BY hd_band""".stripMargin))
+
   val queries: Seq[Q] = Seq(
     multimodalMeta, multimodalDecode, multimodalResize, multimodalFrames,
     multimodalPhash, multimodalWaveform, multimodalHadamard, multimodalRle,
     multimodalBlankDetect, multimodalHist16, multimodalDeltaEnergy,
-    multimodalEntropy)
+    multimodalEntropy, multimodalPhashDedup)
 }

@@ -2288,6 +2288,73 @@ object Similarity {
         |  cost = bc AS is_best
         |FROM c CROSS JOIN best ORDER BY threshold""".stripMargin))
 
+  /** Matthews-correlation sweep over the same 0.1-wide threshold grid as
+    * [[mlF1Sweep]]/[[mlThresholdCost]] — the BALANCED single-number
+    * threshold metric the pair completes: F1 ignores true negatives
+    * entirely and the cost curve needs the cost ratio as an input, while
+    * MCC = (TP·TN − FP·FN)/√((TP+FP)(TP+FN)(TN+FP)(TN+FN)) stays
+    * informative under class imbalance (the curation norm — "bad document"
+    * prevalence is a few percent) and is the metric of record for
+    * classifier comparisons on skewed data (Chicco & Jurman 2020).
+    *
+    * Scale shape: identical to the sibling sweeps — one linear bucket
+    * count, an 11-row cumulative window, closed-form algebra. Determinism:
+    * the TP·TN − FP·FN numerator runs in DECIMAL(38,0) (counts² pass 2⁶³
+    * near 10¹⁰ rows — the quality_kendall_tau stance); the four
+    * denominator factors are exact longs (< 2⁵³) so their double sqrts are
+    * identical-on-identical-inputs; degenerate factors yield NULL mcc.
+    */
+  private val mlMccSweep = Q(
+    "ml_mcc_sweep",
+    (s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val bkt = logregScores(s, dir)
+        .withColumn("b", least(floor(col("p") * 10), lit(9.0)).cast("int"))
+        .groupBy("b")
+        .agg(sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("np"),
+          sum(when(col("y") === 1.0, 0L).otherwise(1L)).as("nn"))
+      val tot = bkt.agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"))
+      val wTop = Window.orderBy(col("b").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val conf = bkt.select(col("b"),
+          sum(col("np")).over(wTop).as("tp"), sum(col("nn")).over(wTop).as("fp"))
+        .crossJoin(broadcast(tot))
+        .select(col("b"), col("tp"), col("fp"),
+          (col("n_pos") - col("tp")).as("fn"),
+          (col("n_neg") - col("fp")).as("tn"))
+      val num = (col("tp").cast(dec) * col("tn").cast(dec) -
+        col("fp").cast(dec) * col("fn").cast(dec)).cast("double")
+      val den = sqrt((col("tp") + col("fp")).cast("double")) *
+        sqrt((col("tp") + col("fn")).cast("double")) *
+        sqrt((col("tn") + col("fp")).cast("double")) *
+        sqrt((col("tn") + col("fn")).cast("double"))
+      conf
+        .select((col("b").cast("double") / 10).as("threshold"),
+          col("tp"), col("fp"), col("fn"), col("tn"),
+          round(num / when(den =!= 0.0, den), 6).as("mcc"))
+        .orderBy("threshold")
+    },
+    Some(scoresSqlPrefix +
+      """bkt AS (SELECT CAST(least(floor(p * 10), 9.0) AS INT) AS b,
+        |    SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS np,
+        |    SUM(CASE WHEN y = 1.0 THEN 0 ELSE 1 END) AS nn
+        |  FROM scores GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+        |    CAST(SUM(nn) AS BIGINT) AS n_neg FROM bkt),
+        |conf AS (SELECT b,
+        |    CAST(SUM(np) OVER (ORDER BY b DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+        |    CAST(SUM(nn) OVER (ORDER BY b DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp
+        |  FROM bkt),
+        |c AS (SELECT b, tp, fp, n_pos - tp AS fn, n_neg - fp AS tn
+        |  FROM conf CROSS JOIN tot)
+        |SELECT CAST(b AS DOUBLE) / 10 AS threshold, tp, fp,
+        |  CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+        |  round(CAST(CAST(tp AS DECIMAL(38,0)) * CAST(tn AS DECIMAL(38,0))
+        |      - CAST(fp AS DECIMAL(38,0)) * CAST(fn AS DECIMAL(38,0)) AS DOUBLE)
+        |    / NULLIF(sqrt(CAST(tp + fp AS DOUBLE)) * sqrt(CAST(tp + fn AS DOUBLE))
+        |      * sqrt(CAST(tn + fp AS DOUBLE)) * sqrt(CAST(tn + fn AS DOUBLE)), 0.0), 6) AS mcc
+        |FROM c ORDER BY threshold""".stripMargin))
+
   /** Hubness profile of the embedding space — the k-occurrence
     * distribution (how many top-5 lists each vector appears in) plus its
     * top hubs: in high dimensions a few points become near-neighbors of
@@ -2348,6 +2415,268 @@ object Similarity {
            |  FROM kocc ORDER BY k_occ DESC, n_id LIMIT 10)
            |SELECT hub_rank, vec_id, k_occ, n_antihubs
            |FROM hubs CROSS JOIN ah ORDER BY hub_rank""".stripMargin))
+
+  /** IVF recall@5 against the sampled exact ground truth — the
+    * [[simLshRecall]] readout for the SECOND ANN path: LSH and IVF trade
+    * recall differently (hash-bucket collisions vs probed-cell coverage),
+    * and a pipeline choosing between them — or tuning nprobe — needs both
+    * priced on the same panel by the same metric. Query side is the
+    * [[exactTop5]] residue-class panel, so the exact side is
+    * linear-in-corpus and both engines replay the full IVF pipeline
+    * (deterministic seed centroids, round-9 + id tiebreaks) — the recall
+    * number is hash-checked, not asserted.
+    *
+    * Scale shape: centroid assignment is one broadcast pass (K = 8 cells);
+    * the panel's probes are a broadcast ≤ 3·panel frame against the
+    * assigned corpus — linear in candidates; the recall semi-join is
+    * panel-sized.
+    */
+  private val simIvfRecall = Q(
+    "sim_ivf_recall",
+    (s, dir) => {
+      VectorKernels.register(s)
+      val raw = Tables.load(s, dir, "embeddings")
+      val e = emb(s, dir)
+      val cents = broadcast(raw.filter(col("vec_id") < IvfK)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
+          l2norm(col("embedding")).as("c_nrm")))
+      val withN = e.select(col("vec_id"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"))
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(round(col("cos_c"), 9).desc, col("cent_id"))
+      val assigned = withN.crossJoin(cents)
+        .withColumn("cos_c",
+          dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("cent_id"), col("vec_id").as("n_id"),
+          col("embedding").as("n_emb"), col("nrm").as("n_nrm"))
+      val panel = withN.crossJoin(broadcast(sampleModulus(e)))
+        .filter(col("vec_id") % col("m") === 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"))
+      val wProbe = Window.partitionBy("q_id")
+        .orderBy(round(col("cos_c"), 9).desc, col("cent_id"))
+      val probes = panel.crossJoin(cents)
+        .withColumn("cos_c",
+          dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") <= IvfNProbe)
+        .select(col("q_id"), col("q_emb"), col("q_nrm"), col("cent_id"))
+      val wRank = Window.partitionBy("q_id")
+        .orderBy(round(col("cos"), 9).desc, col("n_id"))
+      val got = broadcast(probes).join(assigned, "cent_id")
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("cos",
+          dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("n_id"))
+      val exact = exactTop5(s, dir).select("q_id", "n_id")
+      val hits = exact.join(got, Seq("q_id", "n_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      exact.agg(countDistinct(col("q_id")).as("n_queries"),
+          count(lit(1)).as("n_exact_pairs"))
+        .crossJoin(broadcast(hits))
+        .select(col("n_queries"), col("n_exact_pairs"), col("n_hits"),
+          round(col("n_hits").cast("double") /
+            col("n_exact_pairs").cast("double"), 6).as("recall_at5"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding,
+           |   sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+           | FROM embeddings),
+           |$mmSql,
+           |c AS (SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
+           |      FROM e WHERE vec_id < 8),
+           |asg AS (SELECT cent_id, vec_id AS n_id, embedding AS n_emb, nrm AS n_nrm FROM (
+           |   SELECT e.vec_id, e.embedding, e.nrm, c.cent_id,
+           |     ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY round(
+           |       list_sum(list_transform(range(1, 65),
+           |         i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)))
+           |       / (e.nrm * c.c_nrm), 9) DESC, c.cent_id) AS rn
+           |   FROM e CROSS JOIN c) WHERE rn = 1),
+           |pr AS (SELECT q_id, q_emb, q_nrm, cent_id FROM (
+           |   SELECT e.vec_id AS q_id, e.embedding AS q_emb, e.nrm AS q_nrm, c.cent_id,
+           |     ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY round(
+           |       list_sum(list_transform(range(1, 65),
+           |         i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)))
+           |       / (e.nrm * c.c_nrm), 9) DESC, c.cent_id) AS rn
+           |   FROM e CROSS JOIN c
+           |   WHERE e.vec_id % (SELECT m FROM mm) = 3) WHERE rn <= 3),
+           |sc AS (SELECT pr.q_id, a.n_id,
+           |    list_sum(list_transform(range(1, 65),
+           |      i -> CAST(pr.q_emb[i] AS DOUBLE) * CAST(a.n_emb[i] AS DOUBLE)))
+           |      / (pr.q_nrm * a.n_nrm) AS cos
+           |  FROM pr JOIN asg a USING (cent_id) WHERE pr.q_id != a.n_id),
+           |got AS (SELECT q_id, n_id FROM (
+           |    SELECT q_id, n_id, CAST(ROW_NUMBER() OVER (
+           |      PARTITION BY q_id ORDER BY round(cos, 9) DESC, n_id) AS INT) AS rank
+           |    FROM sc) WHERE rank <= 5),
+           |exp AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+           |    list_sum(list_transform(range(1, 65),
+           |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+           |      / (a.nrm * b.nrm) AS cos
+           |  FROM e a JOIN e b ON b.vec_id != a.vec_id
+           |  WHERE a.vec_id % (SELECT m FROM mm) = 3),
+           |ex AS (SELECT q_id, n_id FROM (
+           |    SELECT q_id, n_id, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+           |      ORDER BY round(cos, 9) DESC, n_id) AS INT) AS xr FROM exp)
+           |  WHERE xr <= 5),
+           |h AS (SELECT count(*) AS n_hits FROM ex
+           |      WHERE EXISTS (SELECT 1 FROM got
+           |                    WHERE got.q_id = ex.q_id AND got.n_id = ex.n_id))
+           |SELECT (SELECT count(DISTINCT q_id) FROM ex) AS n_queries,
+           |  (SELECT count(*) FROM ex) AS n_exact_pairs, n_hits,
+           |  round(CAST(n_hits AS DOUBLE) / (SELECT count(*) FROM ex), 6) AS recall_at5
+           |FROM h""".stripMargin))
+
+  /** Per-label embedding DRIFT between two deterministic corpus halves
+    * (vec_id parity — the sample_hash_split stance, no rand()): the cosine
+    * between each label's even-half and odd-half centroid. The
+    * encoder-regression monitor a feature store runs between ingestion
+    * batches or model versions — on one healthy corpus a label's two
+    * half-centroids should be nearly parallel (cos → 1), and a label whose
+    * drift_cos sags flags embedding-space movement (encoder change, data
+    * shift, silent preprocessing divergence) BEFORE downstream ANN/kNN
+    * quality decays. Centroid cosine is computed from per-dimension MEANS,
+    * so the statistic is magnitude-normalized and the decimal sums stay
+    * range-bounded at any corpus (a sum-of-components formulation would
+    * square corpus-scale magnitudes).
+    *
+    * Scale shape: ONE linear posexplode pass, a two-phase (label, dim)
+    * decimal aggregate (64 × labels cells), then closed-form algebra on
+    * the tiny cell frame. Determinism: per-cell sums ride [[graft
+    * .functions.Deterministic.dsumFine]]; the mean division and the final
+    * 64-term products run on identical doubles cross-engine; 6-dp round.
+    */
+  private val simEmbeddingDrift = Q(
+    "sim_embedding_drift",
+    (s, dir) => {
+      import graft.functions.Deterministic.dsumFine
+      val e = emb(s, dir)
+      val x = e.select(col("label"), (col("vec_id") % 2 === 0).as("even"),
+          posexplode(col("embedding")).as(Seq("i", "xf")))
+        .select(col("label"), col("even"), col("i"),
+          col("xf").cast("double").as("x"))
+      val sums = x.groupBy("label", "i")
+        .agg(dsumFine(when(col("even"), col("x")).otherwise(0.0)).as("sa"),
+          dsumFine(when(!col("even"), col("x")).otherwise(0.0)).as("sb"))
+      val cnts = e.groupBy("label")
+        .agg(sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_even"),
+          sum(when(col("vec_id") % 2 =!= 0, 1L).otherwise(0L)).as("n_odd"))
+      val means = sums.join(broadcast(cnts), "label")
+        .select(col("label"), col("n_even"), col("n_odd"),
+          (col("sa") / when(col("n_even") > 0, col("n_even"))).as("ma"),
+          (col("sb") / when(col("n_odd") > 0, col("n_odd"))).as("mb"))
+      means.groupBy("label", "n_even", "n_odd")
+        .agg(dsumFine(col("ma") * col("mb")).as("num"),
+          dsumFine(col("ma") * col("ma")).as("a2"),
+          dsumFine(col("mb") * col("mb")).as("b2"))
+        .select(col("label"), col("n_even"), col("n_odd"),
+          round(col("num") / when(sqrt(col("a2")) * sqrt(col("b2")) =!= 0.0,
+            sqrt(col("a2")) * sqrt(col("b2"))), 6).as("drift_cos"))
+        .orderBy("label")
+    },
+    Some("""WITH x AS (SELECT label, vec_id % 2 = 0 AS even,
+           |    CAST(i - 1 AS INT) AS i, CAST(embedding[i] AS DOUBLE) AS x
+           |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+           |s AS (SELECT label, i,
+           |    CAST(SUM(CAST(CASE WHEN even THEN x ELSE 0.0 END AS DECIMAL(38,20))) AS DOUBLE) AS sa,
+           |    CAST(SUM(CAST(CASE WHEN NOT even THEN x ELSE 0.0 END AS DECIMAL(38,20))) AS DOUBLE) AS sb
+           |  FROM x GROUP BY label, i),
+           |c AS (SELECT label,
+           |    CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even,
+           |    CAST(SUM(CASE WHEN vec_id % 2 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_odd
+           |  FROM embeddings GROUP BY label),
+           |m AS (SELECT s.label, n_even, n_odd,
+           |    sa / NULLIF(CASE WHEN n_even > 0 THEN CAST(n_even AS DOUBLE) ELSE 0.0 END, 0.0) AS ma,
+           |    sb / NULLIF(CASE WHEN n_odd > 0 THEN CAST(n_odd AS DOUBLE) ELSE 0.0 END, 0.0) AS mb
+           |  FROM s JOIN c ON s.label = c.label),
+           |d AS (SELECT label, n_even, n_odd,
+           |    CAST(SUM(CAST(ma * mb AS DECIMAL(38,20))) AS DOUBLE) AS num,
+           |    CAST(SUM(CAST(ma * ma AS DECIMAL(38,20))) AS DOUBLE) AS a2,
+           |    CAST(SUM(CAST(mb * mb AS DECIMAL(38,20))) AS DOUBLE) AS b2
+           |  FROM m GROUP BY label, n_even, n_odd)
+           |SELECT label, n_even, n_odd,
+           |  round(num / NULLIF(sqrt(a2) * sqrt(b2), 0.0), 6) AS drift_cos
+           |FROM d ORDER BY label""".stripMargin))
+
+  /** Greedy k-center (farthest-point) seed selection over the embedding
+    * corpus — the CORESET primitive behind diverse curation: pick k
+    * vectors such that every point is near some pick, by repeatedly taking
+    * the point FARTHEST (max-min cosine distance) from the current set
+    * (Gonzalez 1985, a 2-approximation to optimal k-center). Where
+    * [[simMmrRerank]] diversifies a RANKED candidate list, k-center seeds
+    * an unranked corpus: k-means initialization (k-means++'s deterministic
+    * cousin), annotation-batch selection, eval-set seeding. Seed = min
+    * vec_id (data-derived, no config literal), k = 5.
+    *
+    * Scale shape: each of the k−1 steps is one linear pass (corpus ×
+    * ≤ k−1 broadcast picks → per-candidate max-cos aggregate → global
+    * top-1), so total work is k linear scans — the MMR unrolled-greedy
+    * stance, but with corpus-sized candidate frames, which is why each
+    * step must stay a scan + aggregate, never a pairwise join.
+    * Determinism: picks tie-break (round(dist, 9) desc, vec_id); the seed
+    * row carries NULL min_dist (it has no distance to a prior set).
+    */
+  private val simKcenterSeeds = Q(
+    "sim_kcenter_seeds",
+    (s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"))
+      val seed = e.agg(min(col("vec_id")).as("sid"))
+      var picks = e.crossJoin(broadcast(seed))
+        .filter(col("vec_id") === col("sid"))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          lit(0).as("pick_order"),
+          lit(null).cast("double").as("min_dist"))
+      for (t <- 1 to 4) {
+        val sel = broadcast(picks.select(col("vec_id").as("s_id"),
+          col("embedding").as("s_emb"), col("nrm").as("s_nrm")))
+        val next = e.join(picks.select(col("vec_id")), Seq("vec_id"), "left_anti")
+          .crossJoin(sel)
+          .withColumn("cos",
+            dot(col("embedding"), col("s_emb")) / (col("nrm") * col("s_nrm")))
+          .groupBy("vec_id", "embedding", "nrm")
+          .agg(max(col("cos")).as("mx"))
+          .withColumn("min_dist", lit(1.0) - col("mx"))
+          .orderBy(round(col("min_dist"), 9).desc, col("vec_id")).limit(1)
+          .select(col("vec_id"), col("embedding"), col("nrm"),
+            lit(t).as("pick_order"), col("min_dist"))
+        picks = picks.unionByName(next)
+      }
+      picks.select(col("pick_order"), col("vec_id"),
+          round(col("min_dist"), 6).as("min_dist"))
+        .orderBy("pick_order")
+    },
+    Some {
+      def step(t: Int): String = {
+        val prev = s"sel${t - 1}"
+        s"""s$t AS (SELECT vid, $t AS pick_order, mx FROM (
+           |    SELECT a.vec_id AS vid, max(
+           |      list_sum(list_transform(range(1, 65),
+           |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+           |        / (a.nrm * b.nrm)) AS mx
+           |    FROM e a JOIN e b ON b.vec_id IN (SELECT vid FROM $prev)
+           |    WHERE a.vec_id NOT IN (SELECT vid FROM $prev)
+           |    GROUP BY a.vec_id)
+           |  ORDER BY round(1.0 - mx, 9) DESC, vid LIMIT 1),
+           |sel$t AS (SELECT vid FROM $prev UNION ALL SELECT vid FROM s$t)""".stripMargin
+      }
+      """WITH e AS (SELECT vec_id, embedding,
+        |   sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+        | FROM embeddings),
+        |sel0 AS (SELECT min(vec_id) AS vid FROM e),
+        |""".stripMargin +
+        (1 to 4).map(step).mkString(",\n") + "\n" +
+        """SELECT 0 AS pick_order, vid AS vec_id, CAST(NULL AS DOUBLE) AS min_dist
+          |FROM sel0
+          |""".stripMargin +
+        (1 to 4).map(t =>
+          s"UNION ALL SELECT pick_order, vid AS vec_id, round(1.0 - mx, 6) AS min_dist FROM s$t"
+        ).mkString("\n") +
+        "\nORDER BY pick_order"
+    })
 
   /** One unrolled MMR greedy step as oracle SQL: from the not-yet-selected
     * candidates, pick the arg-max of λ·rel − (1−λ)·max-sim-to-selected with
@@ -2630,5 +2959,6 @@ object Similarity {
     mlF1Sweep, mlNdcg, simMmrRerank, simRocchioExpand, mlLiftGains,
     mlBrierScore, mlCohensKappa, simKnnOutlier, simPairHist,
     simLshRecall, mlThresholdCost, simHubness, mlCalibrationSlope,
-    simLshAnnScaled)
+    simLshAnnScaled, mlMccSweep, simEmbeddingDrift, simKcenterSeeds,
+    simIvfRecall)
 }

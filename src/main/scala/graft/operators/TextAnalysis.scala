@@ -2064,7 +2064,70 @@ object TextAnalysis {
            |FROM agg CROSS JOIN nd
            |ORDER BY n_occ DESC, word LIMIT 20""".stripMargin))
 
+  /** Heaps'-law fit of per-document vocabulary growth — V = k·N^β in
+    * log-log OLS over (tokens, types) per document: the vocabulary-budget
+    * PREDICTOR behind tokenizer sizing ("how many new types does the next
+    * 10× of corpus bring?") and the companion to [[textHapax]]'s
+    * point-in-time richness: β near the English-corpus norm (~0.4–0.6)
+    * says normal lexical growth; β drifting up between crawls flags
+    * vocabulary explosion (spam, code, boilerplate churn), β collapsing
+    * flags template saturation. Fitting across DOCUMENTS (each doc one
+    * (log N, log V) point) keeps the statistic a two-phase aggregate —
+    * the cumulative-corpus formulation would need a sequential scan.
+    *
+    * Scale shape: one linear pass computing per-doc token/type counts
+    * (size + array_distinct on the split — no explode), then a 6-sum
+    * decimal aggregate and closed-form OLS algebra. Determinism: each ln
+    * runs on an exact integer count (identical libm inputs), sums ride
+    * [[graft.functions.Deterministic.dsumFine]], the slope/intercept/R²
+    * are mirrored IEEE expressions with NULLIF guards, 6-dp rounds;
+    * ln k is reported (not k — exp would add a second libm call).
+    */
+  private val textHeapsLaw = Q(
+    "text_heaps_law",
+    (s, dir) => {
+      import graft.functions.Deterministic.dsumFine
+      val pts = docs(s, dir)
+        .select(size(words(col("text"))).cast("double").as("nt"),
+          size(array_distinct(words(col("text")))).cast("double").as("nv"))
+        .select(log(col("nt")).as("x"), log(col("nv")).as("y"))
+      val sums = pts.agg(count(lit(1)).cast("double").as("n"),
+        dsumFine(col("x")).as("sx"), dsumFine(col("y")).as("sy"),
+        dsumFine(col("x") * col("x")).as("sxx"),
+        dsumFine(col("x") * col("y")).as("sxy"),
+        dsumFine(col("y") * col("y")).as("syy"))
+      val sxxc = col("n") * col("sxx") - col("sx") * col("sx")
+      val sxyc = col("n") * col("sxy") - col("sx") * col("sy")
+      val syyc = col("n") * col("syy") - col("sy") * col("sy")
+      val beta = sxyc / when(sxxc =!= 0.0, sxxc)
+      sums.select(col("n").cast("long").as("n_docs"),
+        round(beta, 6).as("beta"),
+        round((col("sy") - beta * col("sx")) / col("n"), 6).as("ln_k"),
+        round(sxyc * sxyc / when(sxxc * syyc =!= 0.0, sxxc * syyc), 6).as("r2"))
+    },
+    Some("""WITH p AS (SELECT ln(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS x,
+           |    ln(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)) AS y
+           |  FROM documents),
+           |s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |    CAST(SUM(CAST(x AS DECIMAL(38,20))) AS DOUBLE) AS sx,
+           |    CAST(SUM(CAST(y AS DECIMAL(38,20))) AS DOUBLE) AS sy,
+           |    CAST(SUM(CAST(x * x AS DECIMAL(38,20))) AS DOUBLE) AS sxx,
+           |    CAST(SUM(CAST(x * y AS DECIMAL(38,20))) AS DOUBLE) AS sxy,
+           |    CAST(SUM(CAST(y * y AS DECIMAL(38,20))) AS DOUBLE) AS syy
+           |  FROM p),
+           |d AS (SELECT n, sx, sy,
+           |    n * sxx - sx * sx AS sxxc,
+           |    n * sxy - sx * sy AS sxyc,
+           |    n * syy - sy * sy AS syyc
+           |  FROM s)
+           |SELECT CAST(n AS BIGINT) AS n_docs,
+           |  round(sxyc / NULLIF(sxxc, 0.0), 6) AS beta,
+           |  round((sy - (sxyc / NULLIF(sxxc, 0.0)) * sx) / n, 6) AS ln_k,
+           |  round(sxyc * sxyc / NULLIF(sxxc * syyc, 0.0), 6) AS r2
+           |FROM d""".stripMargin))
+
   val queries: Seq[Q] = Seq(
+    textHeapsLaw,
     textTokens, textTokenFreq, textTfidf, textQuality, textQualityGate,
     textNovelty, textMixtureReport, textLangid,
     textFingerprint, textNormalize, textPack, textPackSpans, textVocab,

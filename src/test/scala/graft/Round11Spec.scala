@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariant specs for the round-11 additions: the declared queries are
+  * oracle-hash-checked by Verify; these pin the semantic properties the
+  * hash can't express (bounds, conservation, monotone structure).
+  */
+class Round11Spec extends SparkSuite {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("ml_mcc_sweep: mcc bounded in [-1, 1], confusion rows conserve n") {
+    val rows = q("ml_mcc_sweep").collect()
+    assert(rows.nonEmpty)
+    val n = rows.head.getLong(1) + rows.head.getLong(2) +
+      rows.head.getLong(3) + rows.head.getLong(4)
+    rows.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) + r.getLong(3) + r.getLong(4) == n)
+      if (!r.isNullAt(5))
+        assert(math.abs(r.getDouble(5)) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("sim_embedding_drift: cosines bounded, halves partition each label") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val perLabel = e.groupBy("label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    q("sim_embedding_drift").collect().foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) == perLabel(r.getInt(0)))
+      if (!r.isNullAt(3))
+        assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("sim_kcenter_seeds: 5 distinct picks, seed first, min_dist positive") {
+    val rows = q("sim_kcenter_seeds").collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getLong(1)).distinct.length == 5)
+    // seed row: pick_order 0, NULL distance; later picks carry a real
+    // distance (cosine dist is > 0 unless the corpus has exact duplicates)
+    assert(rows.head.getInt(0) == 0 && rows.head.isNullAt(2))
+    rows.tail.foreach(r => assert(!r.isNullAt(2) && r.getDouble(2) >= 0.0))
+    // greedy max-min: each later pick's covering distance cannot increase
+    val ds = rows.tail.map(_.getDouble(2)).toSeq
+    ds.zip(ds.tail).foreach { case (a, b) => assert(b <= a + 1e-9) }
+  }
+
+  test("sim_ivf_recall / sim_lsh_recall: recall in [0, 1] on the same panel") {
+    val ivf = q("sim_ivf_recall").collect().head
+    val lsh = q("sim_lsh_recall").collect().head
+    // both ground truths are the identical sampled exactTop5 panel
+    assert(ivf.getLong(0) == lsh.getLong(0) && ivf.getLong(1) == lsh.getLong(1))
+    Seq(ivf, lsh).foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
+  test("text_heaps_law: sublinear vocabulary growth with decent fit") {
+    val r = q("text_heaps_law").collect().head
+    assert(r.getLong(0) > 0)
+    val beta = r.getDouble(1)
+    // types can't grow faster than tokens (beta <= 1) and must grow (>0)
+    assert(beta > 0.0 && beta <= 1.0)
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0 + 1e-9)
+  }
+
+  test("dedup_band_efficiency: shares sum to 1 over banding candidates") {
+    val rows = q("dedup_band_efficiency").collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getDouble(4)).sum
+    assert(math.abs(total - 1.0) < 1e-3)
+    rows.foreach(r => assert(r.getLong(3) > 0))
+    Caches.release(spark)
+  }
+
+  test("multimodal_phash_dedup: pigeonhole keeps every hamming<=3 pair") {
+    // brute-force ground truth over all pairs at sf0.001
+    val d = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val h = graft.operators.Multimodal.imageHashes(spark, d).toDF()
+      .select("doc_id", "ahash")
+    val dup = h.toDF("a", "ha").join(h.toDF("b", "hb"), col("a") < col("b"))
+      .select(bit_count(expr("ha ^ hb")).as("hd"))
+      .filter(col("hd") <= 3).count()
+    val reported = q("multimodal_phash_dedup").collect()
+      .filter(_.getString(0) == "0_dup_le3").map(_.getLong(2)).sum
+    assert(reported == dup)
+  }
+
+  test("graph pagerank mass conserved on the wide fallback shapes too") {
+    // the small-graph path is pinned elsewhere; here assert the fallback
+    // adjacency produces the same degree frame as collect_set on sf0.001
+    val o = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val edges = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+    val viaSet = edges.groupBy("src")
+      .agg(collect_set(col("dst")).as("ds"))
+      .select(col("src"), size(col("ds")).as("cnt"), explode(col("ds")).as("dst"))
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy("dst")
+    val viaSort = edges.select("src", "dst")
+      .withColumn("prev", lag(col("dst"), 1).over(wS))
+      .filter(col("prev").isNull || col("prev") =!= col("dst")).drop("prev")
+      .select(col("src"),
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("src")).cast("int").as("cnt"), col("dst"))
+    assert(viaSet.exceptAll(viaSort).count() == 0)
+    assert(viaSort.exceptAll(viaSet).count() == 0)
+  }
+}

@@ -66,13 +66,16 @@ class ScaleTechniquesSpec extends SparkSuite {
   }
 
   test("scale defaults are valid, typed SQL confs that land in a session") {
-    // the keys are all runtime-settable SQL confs: applying them to a live
-    // session validates key names AND value syntax (a typo'd key or a
-    // malformed size literal throws), and the session reads them back
-    val saved = Sessions.scaleDefaults.keys
-      .map(k => k -> spark.conf.getOption(k)).toMap
+    // the SQL keys are runtime-settable: applying them to a live session
+    // validates key names AND value syntax (a typo'd key or a malformed
+    // size literal throws), and the session reads them back. Core keys
+    // (spark.memory.*) are STATIC — only settable at builder time — so
+    // they are asserted on the map, not round-tripped through a session.
+    val (core, sql) = Sessions.scaleDefaults.partition(_._1.startsWith("spark.memory."))
+    assert(core.keySet == Set("spark.memory.storageFraction"))
+    val saved = sql.keys.map(k => k -> spark.conf.getOption(k)).toMap
     try {
-      Sessions.scaleDefaults.foreach { case (k, v) => spark.conf.set(k, v) }
+      sql.foreach { case (k, v) => spark.conf.set(k, v) }
       assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
       assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
       assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "64m")
@@ -80,6 +83,9 @@ class ScaleTechniquesSpec extends SparkSuite {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None)    => spark.conf.unset(k)
     }
+    // the static fraction must parse as a fraction in [0, 1]
+    val f = Sessions.scaleDefaults("spark.memory.storageFraction").toDouble
+    assert(f > 0.0 && f < 1.0)
     // and the builder carries every default (fresh-session path used by the
     // driver mains — same map, so no drift between builder and assertions)
     assert(Sessions.scaleDefaults.contains("spark.sql.adaptive.skewJoin.skewedPartitionFactor"))
