@@ -2530,6 +2530,199 @@ object Similarity {
            |  round(CAST(n_hits AS DOUBLE) / (SELECT count(*) FROM ex), 6) AS recall_at5
            |FROM h""".stripMargin))
 
+  /** Per-shard AUC with macro average — SLICE evaluation: one global AUC
+    * hides a shard that ranks badly (a bad source, a bad ingestion day, a
+    * language the model underserves), so eval stacks report the metric per
+    * deterministic slice plus the unweighted macro mean, whose divergence
+    * from the pooled number is itself the alarm. Shards here are the
+    * vec_id % 4 residue classes (the hash-split stance — at production the
+    * slice key is source/language/day; the plan is identical).
+    *
+    * Scale shape: the [[aucRankSum]] rank-sum construction with every
+    * window PARTITIONED BY SHARD — the per-shard level frames stay
+    * score-cardinality-bounded, the macro mean is a 4-row aggregate.
+    * Determinism: scores round 6 dp before leveling, sums ride dsumFine.
+    */
+  private val mlGroupAuc = Q(
+    "ml_group_auc",
+    (s, dir) => {
+      import graft.functions.Deterministic.dsumFine
+      val lvl = logregScores(s, dir)
+        .withColumn("shard", (col("vec_id") % 4).cast("int"))
+        .groupBy("shard", "p")
+        .agg(sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("np"),
+          sum(when(col("y") === 1.0, 0L).otherwise(1L)).as("nn"))
+      val below = coalesce(sum(col("nn")).over(
+        Window.partitionBy("shard").orderBy("p")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+      val tot = lvl.groupBy("shard")
+        .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"))
+      val a = lvl.select(col("shard"), col("np"), col("nn"), below.as("below"))
+        .join(broadcast(tot), "shard")
+        .groupBy("shard", "n_pos", "n_neg")
+        .agg(round(dsumFine(col("np").cast("double") *
+            (col("below").cast("double") + col("nn").cast("double") / 2.0)) /
+          (col("n_pos").cast("double") * col("n_neg").cast("double")), 6)
+          .as("auc"))
+      val macroAvg = a.agg(round(dsumFine(col("auc")) /
+        count(lit(1)).cast("double"), 6).as("macro_auc"))
+      a.crossJoin(broadcast(macroAvg))
+        .select(col("shard"), col("n_pos"), col("n_neg"), col("auc"),
+          col("macro_auc"))
+        .orderBy("shard")
+    },
+    Some(scoresSqlPrefix +
+      """lvl AS (SELECT CAST(vec_id % 4 AS INT) AS shard, p,
+        |    SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS np,
+        |    SUM(CASE WHEN y = 1.0 THEN 0 ELSE 1 END) AS nn
+        |  FROM scores GROUP BY 1, 2),
+        |cc AS (SELECT shard, np, nn,
+        |    COALESCE(SUM(nn) OVER (PARTITION BY shard ORDER BY p
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        |  FROM lvl),
+        |tt AS (SELECT shard, CAST(SUM(np) AS BIGINT) AS n_pos,
+        |    CAST(SUM(nn) AS BIGINT) AS n_neg FROM lvl GROUP BY 1),
+        |a AS (SELECT cc.shard, tt.n_pos, tt.n_neg,
+        |    round(CAST(SUM(CAST(CAST(np AS DOUBLE)
+        |        * (CAST(below AS DOUBLE) + CAST(nn AS DOUBLE) / 2.0)
+        |      AS DECIMAL(38,20))) AS DOUBLE)
+        |      / (CAST(tt.n_pos AS DOUBLE) * CAST(tt.n_neg AS DOUBLE)), 6) AS auc
+        |  FROM cc JOIN tt ON cc.shard = tt.shard
+        |  GROUP BY cc.shard, tt.n_pos, tt.n_neg),
+        |m AS (SELECT round(CAST(SUM(CAST(auc AS DECIMAL(38,20))) AS DOUBLE)
+        |    / count(*), 6) AS macro_auc FROM a)
+        |SELECT shard, n_pos, n_neg, auc, macro_auc
+        |FROM a CROSS JOIN m ORDER BY shard""".stripMargin))
+
+  // cumulative Poisson(1) CDF literals for the bootstrap weight draw —
+  // fixed constants of the operator, written to full double precision so
+  // both engines compare the identical thresholds
+  private val PoissonCdf1 = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119)
+
+  /** Poisson-bootstrap confidence interval for the Brier score — the
+    * UNCERTAINTY the point metrics lack: "model B beats A by 0.003" means
+    * nothing without an interval, and the classical bootstrap (resample n
+    * rows WITH replacement) is unimplementable on a distributed corpus
+    * without n shuffles. The Poisson trick (Chamandy et al. 2012): each
+    * row draws an independent Poisson(1) weight PER REPLICATE — for large
+    * n the replicate weight vector is indistinguishable from multinomial
+    * resampling — so all 32 replicates are computed in ONE linear pass
+    * with zero data movement, each row's weights derived locally from a
+    * deterministic hash (no rand(), replayable in SQL). The 90 % CI is
+    * the (2nd, 31st) order statistic of the 32 replicate Briers.
+    *
+    * Scale shape: a constant 32× replicate explode over the score frame,
+    * one two-phase (rep) aggregate, then order statistics on 32 rows.
+    * Determinism: hash-derived uniforms against full-precision CDF
+    * literals; weighted sums ride dsumFine; replicate Briers rank with
+    * the round-9 + rep tiebreak.
+    */
+  private val mlBrierCi = Q(
+    "ml_brier_ci",
+    (s, dir) => {
+      import graft.functions.Deterministic.{dsumFine, md5Hash32}
+      val reps = explode(array((0 until 32).map(lit): _*)).as("rep")
+      val u = md5Hash32(concat(lit("boot:"), col("rep").cast("string"),
+        lit(":"), col("vec_id").cast("string"))).cast("double") / 4294967296.0
+      val w = PoissonCdf1.zipWithIndex
+        .foldRight(lit(7): Column) { case ((c, k), acc) =>
+          when(u < c, k).otherwise(acc)
+        }
+      val rb = logregScores(s, dir)
+        .select(col("vec_id"), col("y"), col("p"), reps)
+        .withColumn("w", w.cast("long"))
+        .groupBy("rep")
+        .agg((dsumFine(col("w").cast("double") *
+            (col("p") - col("y")) * (col("p") - col("y"))) /
+          sum(col("w")).cast("double")).as("b"))
+      val rk = rb.withColumn("rk",
+        row_number().over(Window.orderBy(round(col("b"), 9), col("rep"))))
+      val mean = rb.agg(count(lit(1)).as("n_reps"),
+        round(dsumFine(col("b")) / count(lit(1)).cast("double"), 6)
+          .as("brier_mean"))
+      val lo = rk.filter(col("rk") === 2)
+        .select(round(col("b"), 6).as("ci_lo"))
+      val hi = rk.filter(col("rk") === 31)
+        .select(round(col("b"), 6).as("ci_hi"))
+      mean.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+        .select(col("n_reps"), col("brier_mean"), col("ci_lo"), col("ci_hi"))
+    },
+    Some(scoresSqlPrefix +
+      s"""reps AS (SELECT CAST(r AS INT) AS rep FROM unnest(range(0, 32)) AS t(r)),
+        |bu0 AS (SELECT s.vec_id, s.y, s.p, reps.rep,
+        |    CAST(CAST('0x' || substr(md5('boot:' || CAST(reps.rep AS VARCHAR)
+        |      || ':' || CAST(s.vec_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)
+        |      / 4294967296.0 AS u
+        |  FROM scores s CROSS JOIN reps),
+        |wt AS (SELECT vec_id, y, p, rep,
+        |    CAST(CASE ${PoissonCdf1.zipWithIndex
+             .map { case (c, k) => s"WHEN u < $c THEN $k" }.mkString(" ")}
+        |      ELSE 7 END AS BIGINT) AS w
+        |  FROM bu0),
+        |rb AS (SELECT rep,
+        |    CAST(SUM(CAST(CAST(w AS DOUBLE) * (p - y) * (p - y)
+        |      AS DECIMAL(38,20))) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS b
+        |  FROM wt GROUP BY rep),
+        |rk AS (SELECT rep, b, ROW_NUMBER() OVER (ORDER BY round(b, 9), rep) AS rk
+        |  FROM rb)
+        |SELECT (SELECT count(*) FROM rb) AS n_reps,
+        |  (SELECT round(CAST(SUM(CAST(b AS DECIMAL(38,20))) AS DOUBLE)
+        |     / count(*), 6) FROM rb) AS brier_mean,
+        |  (SELECT round(b, 6) FROM rk WHERE rk = 2) AS ci_lo,
+        |  (SELECT round(b, 6) FROM rk WHERE rk = 31) AS ci_hi""".stripMargin))
+
+  /** Recall@k curve (k = 1…5) of the LSH lists against the sampled exact
+    * panel — [[simLshRecall]] is the k = 5 point; retrieval quality is a
+    * CURVE, and the k = 1 point (does the single nearest neighbor
+    * survive?) is the one kNN-classification actually consumes. Both
+    * ranked lists are already memoized; the sweep is five bounded joins.
+    */
+  private val simRecallCurve = Q(
+    "sim_recall_curve",
+    (s, dir) => {
+      val exact = exactTop5(s, dir)
+        .select(col("q_id"), col("n_id"), col("rank").as("xr"))
+      val got = lshTop5(s, dir)
+        .select(col("q_id"), col("n_id"), col("rank").as("gr"))
+      val ks = explode(array((1 to 5).map(lit): _*)).as("k")
+      exact.select(col("q_id"), col("n_id"), col("xr"), ks)
+        .filter(col("xr") <= col("k"))
+        .join(got, Seq("q_id", "n_id"), "left")
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_exact_pairs"),
+          sum(when(col("gr").isNotNull && col("gr") <= col("k"), 1L)
+            .otherwise(0L)).as("n_hits"))
+        .select(col("k"), col("n_exact_pairs"), col("n_hits"),
+          round(col("n_hits").cast("double") /
+            col("n_exact_pairs").cast("double"), 6).as("recall_at_k"))
+        .orderBy("k")
+    },
+    Some(lshOracleCtes +
+      s""", $mmSql,
+        |exp AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |      / (a.nrm * b.nrm) AS cos
+        |  FROM e a JOIN e b ON b.vec_id != a.vec_id
+        |  WHERE a.vec_id % (SELECT m FROM mm) = 3),
+        |exr AS (SELECT q_id, n_id, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |    ORDER BY round(cos, 9) DESC, n_id) AS INT) AS xr FROM exp),
+        |ks AS (SELECT CAST(k AS INT) AS k FROM unnest(range(1, 6)) AS t(k)),
+        |cur AS (SELECT ks.k, count(*) AS n_exact_pairs,
+        |    CAST(SUM(CASE WHEN r.rank IS NOT NULL AND r.rank <= ks.k
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+        |  FROM exr CROSS JOIN ks
+        |  LEFT JOIN (SELECT q_id, n_id, rank FROM r WHERE rank <= 5) r
+        |    ON r.q_id = exr.q_id AND r.n_id = exr.n_id
+        |  WHERE exr.xr <= ks.k
+        |  GROUP BY ks.k)
+        |SELECT k, n_exact_pairs, n_hits,
+        |  round(CAST(n_hits AS DOUBLE) / n_exact_pairs, 6) AS recall_at_k
+        |FROM cur ORDER BY k""".stripMargin))
+
   /** Per-label embedding DRIFT between two deterministic corpus halves
     * (vec_id parity — the sample_hash_split stance, no rand()): the cosine
     * between each label's even-half and odd-half centroid. The
@@ -2960,5 +3153,5 @@ object Similarity {
     mlBrierScore, mlCohensKappa, simKnnOutlier, simPairHist,
     simLshRecall, mlThresholdCost, simHubness, mlCalibrationSlope,
     simLshAnnScaled, mlMccSweep, simEmbeddingDrift, simKcenterSeeds,
-    simIvfRecall)
+    simIvfRecall, mlGroupAuc, mlBrierCi, simRecallCurve)
 }

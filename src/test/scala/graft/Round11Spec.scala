@@ -89,6 +89,34 @@ class Round11Spec extends SparkSuite {
     assert(reported == dup)
   }
 
+  test("ml_group_auc: per-shard AUCs bounded, macro is their mean") {
+    val rows = q("ml_group_auc").collect()
+    assert(rows.length == 4)
+    rows.foreach(r => assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+    val macroExpected = rows.map(_.getDouble(3)).sum / rows.length
+    assert(math.abs(rows.head.getDouble(4) - macroExpected) < 1e-5)
+  }
+
+  test("ml_brier_ci: interval brackets the mean, all within [0, 1]") {
+    val r = q("ml_brier_ci").collect().head
+    assert(r.getLong(0) == 32)
+    val (mean, lo, hi) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(lo <= hi)
+    assert(mean >= lo - 0.05 && mean <= hi + 0.05)
+    Seq(mean, lo, hi).foreach(v => assert(v >= 0.0 && v <= 1.0))
+  }
+
+  test("sim_recall_curve: recall@5 equals the sim_lsh_recall point") {
+    val curve = q("sim_recall_curve").collect()
+    assert(curve.length == 5)
+    val at5 = curve.find(_.getInt(0) == 5).get
+    val point = q("sim_lsh_recall").collect().head
+    assert(at5.getLong(1) == point.getLong(1))
+    assert(at5.getLong(2) == point.getLong(2))
+    curve.foreach(r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+  }
+
   test("graph pagerank mass conserved on the wide fallback shapes too") {
     // the small-graph path is pinned elsewhere; here assert the fallback
     // adjacency produces the same degree frame as collect_set on sf0.001
