@@ -2530,6 +2530,87 @@ object Similarity {
            |  round(CAST(n_hits AS DOUBLE) / (SELECT count(*) FROM ex), 6) AS recall_at5
            |FROM h""".stripMargin))
 
+  /** Learning curve — AUC of the GD linear probe trained on 25/50/75/100 %
+    * deterministic residue subsets, each evaluated on the FULL corpus: the
+    * "does more data still help?" readout that decides whether the next
+    * collection/curation dollar buys model quality or the curve has
+    * flattened (and its inverted form — quality per subset — is the data
+    * ablation every mixture decision reads). Subsets nest (vec_id % 4 < f),
+    * so the curve is monotone in information, and everything is replayed
+    * chain-for-chain in the oracle: four independent 2-step GD trainings,
+    * four rank-sum AUC evaluations.
+    *
+    * Scale shape: 4× the [[logregSteps]] cost (each training two linear
+    * shuffles over its subset + broadcast weights), 4× the [[aucRankSum]]
+    * bounded-level-frame eval — a constant small multiple of the single
+    * train/eval pair, all linear. Determinism: the ml_auc stance
+    * end-to-end (fine-decimal sums, 6-dp score rounding).
+    */
+  private val mlLearningCurve = Q(
+    "ml_learning_curve",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val rows = (1 to 4).map { f =>
+        val sub = e.filter(col("vec_id") % 4 < f)
+        val w = logregSteps(sub)
+        val n = sub.agg(count(lit(1)).as("n_train"))
+        aucRankSum(e, w)
+          .crossJoin(broadcast(n))
+          .select(lit(f * 0.25).as("fraction"), col("n_train"),
+            col("n_pos"), col("n_neg"), col("auc"))
+      }
+      rows.reduce(_ unionByName _).orderBy("fraction")
+    },
+    Some {
+      def chain(f: Int): String = {
+        val m = s"f$f"
+        def iter(k: Int): String = {
+          val prev = s"w${k - 1}_$m"
+          s"""z${k}_$m AS (SELECT x.vec_id, x.y,
+             |    CAST(SUM(CAST(x.x * $prev.w AS DECIMAL(38,20))) AS DOUBLE) AS z
+             |  FROM x_$m x JOIN $prev ON x.i = $prev.i GROUP BY x.vec_id, x.y),
+             |r${k}_$m AS (SELECT vec_id, 1.0 / (1.0 + exp(-z)) - y AS r FROM z${k}_$m),
+             |w${k}_$m AS (SELECT $prev.i,
+             |    $prev.w - 0.1 * (CAST(SUM(CAST(x.x * r.r AS DECIMAL(38,20))) AS DOUBLE)
+             |                     / (SELECT n FROM cnt_$m)) AS w
+             |  FROM x_$m x JOIN r${k}_$m r ON x.vec_id = r.vec_id
+             |  JOIN $prev ON x.i = $prev.i
+             |  GROUP BY $prev.i, $prev.w)""".stripMargin
+        }
+        s"""x_$m AS (SELECT * FROM x WHERE vec_id % 4 < $f),
+           |cnt_$m AS (SELECT count(DISTINCT vec_id) AS n FROM x_$m),
+           |w0_$m AS (SELECT DISTINCT i, CAST(0.0 AS DOUBLE) AS w FROM x),
+           |${iter(1)},
+           |${iter(2)},
+           |sc_$m AS (SELECT x.y,
+           |    round(1.0 / (1.0 + exp(-(CAST(SUM(CAST(x.x * w.w AS DECIMAL(38,20)))
+           |      AS DOUBLE)))), 6) AS p
+           |  FROM x JOIN w2_$m w ON x.i = w.i GROUP BY x.vec_id, x.y),
+           |lvl_$m AS (SELECT p, SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS np,
+           |    SUM(CASE WHEN y = 1.0 THEN 0 ELSE 1 END) AS nn
+           |  FROM sc_$m GROUP BY p),
+           |cw_$m AS (SELECT np, nn, COALESCE(SUM(nn) OVER (ORDER BY p
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+           |  FROM lvl_$m),
+           |tot_$m AS (SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+           |    CAST(SUM(nn) AS BIGINT) AS n_neg FROM lvl_$m),
+           |a_$m AS (SELECT ${f * 0.25} AS fraction,
+           |    (SELECT n FROM cnt_$m) AS n_train, tot.n_pos, tot.n_neg,
+           |    round(CAST(SUM(CAST(CAST(np AS DOUBLE)
+           |        * (CAST(below AS DOUBLE) + CAST(nn AS DOUBLE) / 2.0)
+           |      AS DECIMAL(38,20))) AS DOUBLE)
+           |      / (CAST(tot.n_pos AS DOUBLE) * CAST(tot.n_neg AS DOUBLE)), 6) AS auc
+           |  FROM cw_$m, tot_$m tot GROUP BY tot.n_pos, tot.n_neg)""".stripMargin
+      }
+      """WITH x AS (SELECT vec_id, CAST(label % 2 AS DOUBLE) AS y,
+        |        CAST(i - 1 AS INT) AS i, CAST(embedding[i] AS DOUBLE) AS x
+        |      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+        |""".stripMargin +
+        (1 to 4).map(chain).mkString(",\n") + "\n" +
+        (1 to 4).map(f => s"SELECT * FROM a_f$f")
+          .mkString("", "\nUNION ALL ", "\nORDER BY fraction")
+    })
+
   /** Per-shard AUC with macro average — SLICE evaluation: one global AUC
     * hides a shard that ranks badly (a bad source, a bad ingestion day, a
     * language the model underserves), so eval stacks report the metric per
@@ -3153,5 +3234,5 @@ object Similarity {
     mlBrierScore, mlCohensKappa, simKnnOutlier, simPairHist,
     simLshRecall, mlThresholdCost, simHubness, mlCalibrationSlope,
     simLshAnnScaled, mlMccSweep, simEmbeddingDrift, simKcenterSeeds,
-    simIvfRecall, mlGroupAuc, mlBrierCi, simRecallCurve)
+    simIvfRecall, mlGroupAuc, mlBrierCi, simRecallCurve, mlLearningCurve)
 }

@@ -2126,8 +2126,59 @@ object TextAnalysis {
            |  round(sxyc * sxyc / NULLIF(sxxc * syyc, 0.0), 6) AS r2
            |FROM d""".stripMargin))
 
+  /** Per-source character-class composition — the cheapest content-type
+    * fingerprint: alpha/digit/space/other shares of the raw byte stream
+    * separate prose (high alpha, ~15 % space) from tables/logs (digit-
+    * heavy) from markup/code (symbol-heavy) BEFORE any tokenization, and
+    * a source whose profile moves between crawls changed its content
+    * pipeline, whatever its row counts say. Counts by subtractive
+    * `regexp_replace` length (no per-char explode — four scalar regex
+    * passes per row, all codegen), exact longs into one two-phase
+    * aggregate; identical ASCII class semantics on both engines.
+    */
+  private val textScriptMix = Q(
+    "text_script_mix",
+    (s, dir) => {
+      val t = col("text")
+      val total = length(t)
+      val alpha = total - length(regexp_replace(t, "[a-zA-Z]", ""))
+      val digit = total - length(regexp_replace(t, "[0-9]", ""))
+      val space = total - length(regexp_replace(t, " ", ""))
+      val d = docs(s, dir).select(col("source"),
+        total.cast("long").as("n"), alpha.cast("long").as("na"),
+        digit.cast("long").as("nd"), space.cast("long").as("ns"))
+      d.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_chars"),
+          sum(col("na")).as("a"), sum(col("nd")).as("dg"), sum(col("ns")).as("sp"))
+        .select(col("source"), col("n_docs"), col("n_chars"),
+          round(col("a").cast("double") / col("n_chars").cast("double"), 6)
+            .as("share_alpha"),
+          round(col("dg").cast("double") / col("n_chars").cast("double"), 6)
+            .as("share_digit"),
+          round(col("sp").cast("double") / col("n_chars").cast("double"), 6)
+            .as("share_space"),
+          round((col("n_chars") - col("a") - col("dg") - col("sp")).cast("double")
+            / col("n_chars").cast("double"), 6).as("share_other"))
+        .orderBy("source")
+    },
+    Some("""WITH d AS (SELECT source, CAST(length(text) AS BIGINT) AS n,
+           |    CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS BIGINT) AS na,
+           |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS nd,
+           |    CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS BIGINT) AS ns
+           |  FROM documents),
+           |g AS (SELECT source, count(*) AS n_docs,
+           |    CAST(SUM(n) AS BIGINT) AS n_chars, CAST(SUM(na) AS BIGINT) AS a,
+           |    CAST(SUM(nd) AS BIGINT) AS dg, CAST(SUM(ns) AS BIGINT) AS sp
+           |  FROM d GROUP BY source)
+           |SELECT source, n_docs, n_chars,
+           |  round(CAST(a AS DOUBLE) / n_chars, 6) AS share_alpha,
+           |  round(CAST(dg AS DOUBLE) / n_chars, 6) AS share_digit,
+           |  round(CAST(sp AS DOUBLE) / n_chars, 6) AS share_space,
+           |  round(CAST(n_chars - a - dg - sp AS DOUBLE) / n_chars, 6) AS share_other
+           |FROM g ORDER BY source""".stripMargin))
+
   val queries: Seq[Q] = Seq(
-    textHeapsLaw,
+    textHeapsLaw, textScriptMix,
     textTokens, textTokenFreq, textTfidf, textQuality, textQualityGate,
     textNovelty, textMixtureReport, textLangid,
     textFingerprint, textNormalize, textPack, textPackSpans, textVocab,

@@ -117,6 +117,28 @@ class Round11Spec extends SparkSuite {
       assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
   }
 
+  test("ml_learning_curve: nested subsets, full fraction matches ml_auc") {
+    val rows = q("ml_learning_curve").collect()
+    assert(rows.length == 4)
+    // n_train strictly increases with the nested residue subsets
+    val ns = rows.map(_.getLong(1)).toSeq
+    ns.zip(ns.tail).foreach { case (a, b) => assert(a < b) }
+    // the 100% point trains on everything — identical to ml_auc's number
+    val full = rows.find(_.getDouble(0) == 1.0).get
+    val auc = q("ml_auc").collect().head
+    assert(full.getDouble(4) == auc.getDouble(2))
+    rows.foreach(r =>
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0))
+  }
+
+  test("text_script_mix: shares partition the char mass per source") {
+    q("text_script_mix").collect().foreach { r =>
+      val s = r.getDouble(3) + r.getDouble(4) + r.getDouble(5) + r.getDouble(6)
+      assert(math.abs(s - 1.0) < 1e-4)
+      assert(r.getLong(2) > 0)
+    }
+  }
+
   test("graph pagerank mass conserved on the wide fallback shapes too") {
     // the small-graph path is pinned elsewhere; here assert the fallback
     // adjacency produces the same degree frame as collect_set on sf0.001
