@@ -2549,6 +2549,11 @@ object Similarity {
   private val mlLearningCurve = Q(
     "ml_learning_curve",
     (s, dir) => {
+      // per-fraction logregSteps/aucRankSum re-derive the n·d feature
+      // explode, but the four chains sit in ONE unioned plan, so AQE's
+      // ReusedExchange dedups the identical subtrees — an explicit
+      // Caches.track of the explode measured SLOWER (cache write + 12
+      // InMemoryScans vs free shuffle-file reuse)
       val e = emb(s, dir)
       val rows = (1 to 4).map { f =>
         val sub = e.filter(col("vec_id") % 4 < f)
@@ -2917,7 +2922,11 @@ object Similarity {
           .orderBy(round(col("min_dist"), 9).desc, col("vec_id")).limit(1)
           .select(col("vec_id"), col("embedding"), col("nrm"),
             lit(t).as("pick_order"), col("min_dist"))
-        picks = picks.unionByName(next)
+        // eager localCheckpoint per step (≤ 5 rows): each step reads
+        // `picks` twice (broadcast selected-set + anti-join exclusion), so
+        // without truncation step t's plan embeds 2^t copies of the
+        // scan+argmax chain — the pageRank contrib-checkpoint precedent
+        picks = picks.unionByName(next).localCheckpoint(true)
       }
       picks.select(col("pick_order"), col("vec_id"),
           round(col("min_dist"), 6).as("min_dist"))

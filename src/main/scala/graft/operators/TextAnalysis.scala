@@ -2177,8 +2177,48 @@ object TextAnalysis {
            |  round(CAST(n_chars - a - dg - sp AS DOUBLE) / n_chars, 6) AS share_other
            |FROM g ORDER BY source""".stripMargin))
 
+  /** Tokenizer FERTILITY per language — BPE pieces per word on the
+    * trained merges: THE per-language tokenizer-equity metric (a language
+    * with fertility 2× the corpus norm pays 2× the context budget and 2×
+    * the inference cost per word — the standard signal that the merge
+    * table under-serves it and the training mixture or vocab budget needs
+    * rebalancing). Rides the memoized [[bpeTrainShared]] vocabulary: per
+    * distinct word the piece count is one split-length on the trained
+    * segmentation, the corpus pass is one explode + broadcast dictionary
+    * join + two-phase (lang) aggregate; the oracle replays the full
+    * 6-round training then the same counts.
+    */
+  private val textBpeFertility = Q(
+    "text_bpe_fertility",
+    (s, dir) => {
+      val seg = bpeTrainShared(s, dir)._2
+        .select(col("word"),
+          size(split(trim(col("s")), "  ")).cast("long").as("np"))
+      docs(s, dir)
+        .select(col("lang"), explode(words(col("text"))).as("word"))
+        .join(broadcast(seg), "word")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_pieces"))
+        .select(col("lang"), col("n_words"), col("n_pieces"),
+          round(col("n_pieces").cast("double") / col("n_words").cast("double"),
+            6).as("fertility"))
+        .orderBy("lang")
+    },
+    Some(("""WITH w0 AS (SELECT word, count(*) AS freq,
+            |    '  ' || array_to_string(string_split(word, ''), '  ') || '  ' AS s
+            |  FROM (SELECT unnest(string_split(text,' ')) AS word FROM documents)
+            |  GROUP BY word),
+            |""".stripMargin +
+      (1 to 6).map(bpeRoundSql).mkString(",\n") + ",\n" +
+      """u AS (SELECT lang, unnest(string_split(text,' ')) AS word FROM documents),
+        |j AS (SELECT u.lang, len(string_split(trim(w6.s), '  ')) AS np
+        |      FROM u JOIN w6 USING (word))
+        |SELECT lang, count(*) AS n_words, CAST(SUM(np) AS BIGINT) AS n_pieces,
+        |  round(CAST(SUM(np) AS DOUBLE) / count(*), 6) AS fertility
+        |FROM j GROUP BY lang ORDER BY lang""".stripMargin)))
+
   val queries: Seq[Q] = Seq(
-    textHeapsLaw, textScriptMix,
+    textHeapsLaw, textScriptMix, textBpeFertility,
     textTokens, textTokenFreq, textTfidf, textQuality, textQualityGate,
     textNovelty, textMixtureReport, textLangid,
     textFingerprint, textNormalize, textPack, textPackSpans, textVocab,

@@ -139,6 +139,16 @@ class Round11Spec extends SparkSuite {
     }
   }
 
+  test("text_bpe_fertility: at least one piece per word, per-lang rows") {
+    val rows = q("text_bpe_fertility").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1)) // pieces >= words
+      assert(r.getDouble(3) >= 1.0)
+    }
+    Caches.release(spark)
+  }
+
   test("graph pagerank mass conserved on the wide fallback shapes too") {
     // the small-graph path is pinned elsewhere; here assert the fallback
     // adjacency produces the same degree frame as collect_set on sf0.001
