@@ -1116,7 +1116,12 @@ object Similarity {
         .agg(graft.functions.Deterministic.dsumFine(col("x") * col("w")).as("z"))
       val resid = z.select(col("vec_id"),
         (lit(1.0) / (lit(1.0) + exp(-col("z"))) - col("y")).as("r"))
-      val grad = xy.join(resid, "vec_id")
+      // shuffle_hash, never broadcast: resid is CORPUS-sized (one row per
+      // training vector) — AQE happily broadcasts it at bench scale, but
+      // at 10⁹ vectors that is a corpus broadcast, and even at the 100×
+      // test corpus four concurrent training chains' residual broadcasts
+      // exhausted the driver's build memory (ml_learning_curve OOM)
+      val grad = xy.join(resid.hint("shuffle_hash"), "vec_id")
         .groupBy("i")
         .agg(graft.functions.Deterministic.dsumFine(col("x") * col("r")).as("g"))
         .crossJoin(broadcast(cnt))
