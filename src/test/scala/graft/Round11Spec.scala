@@ -149,6 +149,24 @@ class Round11Spec extends SparkSuite {
     Caches.release(spark)
   }
 
+  test("ml_learning_curve: no gradient-join broadcast of the residual") {
+    import org.apache.spark.sql.execution.FormattedMode
+    val p = q("ml_learning_curve").queryExecution.explainString(FormattedMode)
+    // the hinted shuffle joins must survive planning — a per-vector frame
+    // is never broadcastable at production row counts
+    assert(p.contains("ShuffledHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("multimodal_phash_dedup and band_efficiency plan without cartesian") {
+    import org.apache.spark.sql.execution.FormattedMode
+    Seq("multimodal_phash_dedup", "dedup_band_efficiency").foreach { n =>
+      val p = q(n).queryExecution.explainString(FormattedMode)
+      assert(!p.contains("CartesianProduct"), s"$n plans a cartesian")
+    }
+    Caches.release(spark)
+  }
+
   test("graph pagerank mass conserved on the wide fallback shapes too") {
     // the small-graph path is pinned elsewhere; here assert the fallback
     // adjacency produces the same degree frame as collect_set on sf0.001
