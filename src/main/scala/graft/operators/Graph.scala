@@ -183,7 +183,14 @@ object Graph {
     * degree-bounded, not corpus-bounded).
     */
   private[graft] def degreeAdjacency(edges: DataFrame): DataFrame =
-    if (edges.count() <= AdjacencySetEdgeCap)
+    degreeAdjacency(edges, edges.count() > AdjacencySetEdgeCap)
+
+  /** Callers that already computed the width gate (pageRank / PPR count
+    * edges for [[nodeIds]] too) pass it through instead of paying a second
+    * scan of the edge frame.
+    */
+  private[graft] def degreeAdjacency(edges: DataFrame, wide: Boolean): DataFrame =
+    if (!wide)
       edges.groupBy("src")
         .agg(collect_set(col("dst")).as("dsts"))
         .select(col("src"), size(col("dsts")).as("cnt"), explode(col("dsts")).as("dst"))
@@ -231,7 +238,7 @@ object Graph {
     // compounding optimizer/codegen cost per round (the graphLabelProp
     // precedent at :368)
     val wide = edges.count() > AdjacencySetEdgeCap
-    val edgesDeg = degreeAdjacency(edges).localCheckpoint()
+    val edgesDeg = degreeAdjacency(edges, wide).localCheckpoint()
     // nodes and the 1-row meta are read by EVERY iteration (ranks init, the
     // per-round scalars, the left-join spine) — without truncation the
     // union+distinct shuffle is re-embedded ~3× per round and the iter-3
@@ -676,7 +683,7 @@ object Graph {
                            damping: Double = Damping): DataFrame = {
     // same lineage-truncation rationale as pageRank's edgesDeg
     val wide = edges.count() > AdjacencySetEdgeCap
-    val edgesDeg = degreeAdjacency(edges).localCheckpoint()
+    val edgesDeg = degreeAdjacency(edges, wide).localCheckpoint()
     val nodes = nodeIds(edgesDeg, wide).localCheckpoint()
     val seed = edgesDeg.agg(min(col("src")).as("sid"))
     def ind: Column =
