@@ -1505,9 +1505,95 @@ object Dedup {
         |  round(CAST(n_pairs AS DOUBLE) / t, 6) AS share
         |FROM bb CROSS JOIN tt ORDER BY bin""".stripMargin))
 
+  /** The EMPIRICAL MinHash S-curve — per exact-Jaccard decile, the
+    * fraction of pairs the 8×4 banding ADMITS as candidates, reported next
+    * to the theoretical survival p = 1 − (1 − J⁴)⁸ at the bin midpoint:
+    * [[dedupMinhashRecall]] gives one number at the 0.8 threshold and
+    * [[dedupBandEfficiency]] the admitted-mass histogram; this row is the
+    * full transfer function, the picture a banding re-tune is judged
+    * against (a curve sagging below theory at high J means the
+    * permutations or band hash are broken — a correctness alarm, not a
+    * tuning knob). Pair universe = the df-capped within-language commons
+    * (the documented candidate universe every Jaccard consumer shares).
+    *
+    * Scale shape: both substrates are the memoized/banding-bounded frames
+    * (pair work ∝ cap² / occupancy², never corpus²); the join of the two
+    * pair sets is pair-keyed; the rollup is ≤ 10 cells. The theory column
+    * is closed-form IEEE on bin-midpoint literals, rounded 6 dp.
+    */
+  private val dedupMinhashScurve = Q(
+    "dedup_minhash_scurve",
+    (s, dir) => {
+      import graft.functions.TextKernels
+      TextKernels.register(s)
+      val exact = commonsShared(s, dir)
+        .withColumn("jac", least(col("common").cast("double") /
+          greatest(col("n_a") + col("n_b") - col("common"), lit(1)), lit(1.0)))
+        .select("doc_a", "doc_b", "jac")
+      val withSh = graft.Caches.track(Tables.spread(docs(s, dir))
+        .select(col("doc_id"), TextKernels.shingleHash64(col("text")).as("sh")))
+      val banded = withSh.select(col("doc_id"),
+        posexplode(TextKernels.minhashBands(col("sh"))).as(Seq("band", "bh")))
+      val cand = banded.toDF("doc_a", "band", "bh")
+        .join(banded.toDF("doc_b", "band_b", "bh_b"),
+          col("band") === col("band_b") && col("bh") === col("bh_b") &&
+            col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      val tagged = exact
+        .join(cand.withColumn("hit", lit(1L)), Seq("doc_a", "doc_b"), "left")
+      val b = tagged
+        .withColumn("bin",
+          least(floor(round(col("jac"), 9) * 10).cast("int"), lit(9)))
+        .groupBy("bin").agg(count(lit(1)).as("n_pairs"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_banded"))
+      val mid = (col("bin").cast("double") + 0.5) / 10
+      b.select(col("bin"),
+          round(col("bin").cast("double") / 10, 1).as("lo"),
+          round((col("bin") + 1).cast("double") / 10, 1).as("hi"),
+          col("n_pairs"), col("n_banded"),
+          round(col("n_banded").cast("double") / col("n_pairs").cast("double"),
+            6).as("detect_rate"),
+          round(lit(1.0) - pow(lit(1.0) - pow(mid, 4.0), 8.0), 6)
+            .as("theory_mid"))
+        .orderBy("bin")
+    },
+    Some(minhashOracleCtes +
+      s""", w2 AS (SELECT doc_id, lang, string_split(text,' ') AS w FROM documents),
+        |s2 AS (SELECT doc_id, lang, CASE WHEN len(w) < 3 THEN [array_to_string(w,' ')]
+        |        ELSE list_distinct(list_transform(range(1, len(w)-1),
+        |               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS sh
+        |      FROM w2),
+        |g2 AS (SELECT doc_id, lang, unnest(sh) AS g FROM s2),
+        |df2 AS (SELECT lang, g FROM g2 GROUP BY lang, g
+        |        HAVING count(*) <= $DefaultShingleDfCap),
+        |cand2 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |      FROM g2 a JOIN g2 b ON a.lang = b.lang AND a.g = b.g
+        |                         AND a.doc_id < b.doc_id
+        |      JOIN df2 d ON d.lang = a.lang AND d.g = a.g),
+        |ej AS (SELECT e0.doc_a, e0.doc_b,
+        |      CAST(c AS DOUBLE) / (na2 + nb2 - c) AS jac
+        |      FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        len(list_intersect(a.sh, b.sh)) AS c,
+        |        len(a.sh) AS na2, len(b.sh) AS nb2
+        |      FROM s2 a JOIN s2 b ON a.lang = b.lang AND a.doc_id < b.doc_id) e0
+        |      JOIN cand2 ON cand2.doc_a = e0.doc_a AND cand2.doc_b = e0.doc_b),
+        |tg AS (SELECT ej.jac,
+        |      CASE WHEN cand.doc_a IS NULL THEN 0 ELSE 1 END AS hit
+        |  FROM ej LEFT JOIN cand
+        |    ON cand.doc_a = ej.doc_a AND cand.doc_b = ej.doc_b),
+        |bb AS (SELECT least(CAST(floor(round(jac, 9) * 10) AS INT), 9) AS bin,
+        |      count(*) AS n_pairs, CAST(SUM(hit) AS BIGINT) AS n_banded
+        |  FROM tg GROUP BY 1)
+        |SELECT bin, round(CAST(bin AS DOUBLE) / 10, 1) AS lo,
+        |  round(CAST(bin + 1 AS DOUBLE) / 10, 1) AS hi,
+        |  n_pairs, n_banded,
+        |  round(CAST(n_banded AS DOUBLE) / n_pairs, 6) AS detect_rate,
+        |  round(1.0 - power(1.0 - power((CAST(bin AS DOUBLE) + 0.5) / 10, 4.0), 8.0), 6) AS theory_mid
+        |FROM bb ORDER BY bin""".stripMargin))
+
   val queries: Seq[Q] = Seq(
     dedupPrefixCluster, dedupTfidfCosine, dedupShingleProfile,
-    dedupMinhashRecall, dedupBandEfficiency,
+    dedupMinhashRecall, dedupBandEfficiency, dedupMinhashScurve,
     dedupExact, dedupKeepfirst, dedupNgramJaccard, dedupMinhashLsh,
     dedupSimhash, dedupClusters, dedupPipelineSurvivors, dedupDecontaminate,
     dedupDecontaminateBloom, dedupIncremental, dedupLines, pipelineCurate,

@@ -167,6 +167,20 @@ class Round11Spec extends SparkSuite {
     Caches.release(spark)
   }
 
+  test("dedup_minhash_scurve: detection rate is monotone-consistent with theory") {
+    val rows = q("dedup_minhash_scurve").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(3)) // banded <= pairs per bin
+      val rate = r.getDouble(5)
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+    // the top bin (J in [0.9, 1.0]) must be near-fully admitted — theory
+    // says p > 0.999; a sag here means the banding machinery is broken
+    rows.find(_.getInt(0) == 9).foreach(r => assert(r.getDouble(5) >= 0.9))
+    Caches.release(spark)
+  }
+
   test("graph pagerank mass conserved on the wide fallback shapes too") {
     // the small-graph path is pinned elsewhere; here assert the fallback
     // adjacency produces the same degree frame as collect_set on sf0.001
