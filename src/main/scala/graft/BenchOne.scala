@@ -16,7 +16,7 @@ object BenchOne {
     // contention canary first (the Bench convention): a code-stable cheap
     // query whose time moves only with host load, so every BENCHONE block
     // carries its own noise floor
-    ("ref_partition_count" +: args.toSeq).foreach { name =>
+    ("ref_partition_count" +: args.toSeq).distinct.foreach { name =>
       val fn = SparkEntry.queries(name)
       val ts = (1 to 2).map { _ =>
         val t0 = System.nanoTime()

@@ -863,80 +863,145 @@ object Multimodal {
     * DuckDB's `//`, which truncates toward zero on negative
     * two's-complement hashes and extracts off-by-one band values.
     */
+  /** The banding pipeline parameterized by band COUNT — the width knob the
+    * LSH family already carries ([[graft.operators.Similarity.lshTopK]]'s
+    * `bitsPerBand`): `nBands` bands of `64 / nBands` bits each. Fewer,
+    * WIDER bands shrink per-band occupancy geometrically (2¹⁶ → 2³²
+    * buckets per band at 4 → 2) and with it the Σ bucket² candidate cost —
+    * the pigeonhole trade is the exact tier: b bands guarantee only
+    * Hamming ≤ b−1 pairs keep a band intact, so the guaranteed-exact dup
+    * tier narrows from ≤ 3 to ≤ 1 as the bands widen. Tier labels carry
+    * the cut so the two geometries stay distinguishable readouts.
+    */
+  private def phashDedupFrame(s: SparkSession, dir: String, nBands: Int,
+                              dense: Boolean = false): DataFrame = {
+    val bits = 64 / nBands
+    val mask = (1L << bits) - 1
+    val tierNames = Seq(s"0_dup_le${nBands - 1}", s"1_near_${nBands}_8",
+      "2_far_9_16", "3_bg_17_32", "4_anti_33_64")
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val hashes = imageHashes(s, d).toDF().select("doc_id", "ahash")
+    val bands = hashes.select(col("doc_id"), col("ahash"),
+        explode(array((0 until nBands).map(lit): _*)).as("band"))
+      .withColumn("bv", expr(s"shiftright(ahash, band * $bits) & $mask"))
+    val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("bv"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band").as("band_b"),
+        col("bv").as("bv_b")),
+        col("band") === col("band_b") && col("bv") === col("bv_b") &&
+          col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val ham = cand
+      .join(hashes.toDF("doc_a", "ha"), "doc_a")
+      .join(hashes.toDF("doc_b", "hb"), "doc_b")
+      .select(bit_count(col("ha").bitwiseXOR(col("hb"))).as("hd"))
+    val tier = when(col("hd") <= nBands - 1, s"0_dup_le${nBands - 1}")
+      .when(col("hd") <= 8, s"1_near_${nBands}_8")
+      .when(col("hd") <= 16, "2_far_9_16")
+      .when(col("hd") <= 32, "3_bg_17_32")
+      .otherwise("4_anti_33_64")
+    val b0 = ham.groupBy(tier.as("hd_band"))
+      .agg(count(lit(1)).as("n_pairs"), min(col("hd")).as("min_hd"))
+    // dense mode (the scaled geometry's readout): left-join the fixed tier
+    // domain so the wide banding's EMPTY tiers — its whole point — appear
+    // as explicit zero rows instead of vanishing (at tiny corpora the 2³²
+    // buckets admit nothing at all and the sparse form would be 0 rows)
+    val b = if (!dense) b0 else
+      b0.sparkSession.range(1)
+        .select(explode(array(tierNames.map(lit): _*)).as("hd_band"))
+        .join(b0, Seq("hd_band"), "left")
+        .select(col("hd_band"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"), col("min_hd"))
+    val tot = b.agg(sum(col("n_pairs")).as("t"))
+    b.crossJoin(broadcast(tot))
+      .select(col("hd_band"), col("n_pairs"), col("min_hd"),
+        round(col("n_pairs").cast("double") /
+          when(col("t") > 0, col("t").cast("double")), 6).as("share"))
+      .orderBy("hd_band")
+  }
+
   private val multimodalPhashDedup = Q(
     "multimodal_phash_dedup",
-    (s, dir) => {
-      val d = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      val hashes = imageHashes(s, d).toDF().select("doc_id", "ahash")
-      val bands = hashes.select(col("doc_id"), col("ahash"),
-          explode(array((0 until 4).map(lit): _*)).as("band"))
-        .withColumn("bv", expr("shiftright(ahash, band * 16) & 65535"))
-      val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("bv"))
-        .join(bands.select(col("doc_id").as("doc_b"), col("band").as("band_b"),
-          col("bv").as("bv_b")),
-          col("band") === col("band_b") && col("bv") === col("bv_b") &&
-            col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
-      val ham = cand
-        .join(hashes.toDF("doc_a", "ha"), "doc_a")
-        .join(hashes.toDF("doc_b", "hb"), "doc_b")
-        .select(bit_count(col("ha").bitwiseXOR(col("hb"))).as("hd"))
-      val tier = when(col("hd") <= 3, "0_dup_le3")
-        .when(col("hd") <= 8, "1_near_4_8")
-        .when(col("hd") <= 16, "2_far_9_16")
-        .when(col("hd") <= 32, "3_bg_17_32")
-        .otherwise("4_anti_33_64")
-      val b = ham.groupBy(tier.as("hd_band"))
-        .agg(count(lit(1)).as("n_pairs"), min(col("hd")).as("min_hd"))
-      val tot = b.agg(sum(col("n_pairs")).as("t"))
-      b.crossJoin(broadcast(tot))
-        .select(col("hd_band"), col("n_pairs"), col("min_hd"),
-          round(col("n_pairs").cast("double") / col("t").cast("double"), 6)
-            .as("share"))
-        .orderBy("hd_band")
-    },
-    Some("""WITH base AS (SELECT doc_id, text, length(text) AS clen FROM documents),
-           |b AS (SELECT doc_id,
-           |    list_transform(range(0, 64),
-           |      i -> ascii(substr(text,
-           |             CAST((i * clen) // 64 % clen AS INT) + 1, 1))) AS s
-           |  FROM base WHERE clen > 0),
-           |m AS (SELECT doc_id, s, CAST(list_sum(s) AS DOUBLE) / 64 AS mean FROM b),
-           |h AS (SELECT doc_id,
-           |    list_sum(list_transform(range(0, 64),
-           |      i -> CASE WHEN s[CAST(i AS INT) + 1] > mean
-           |                THEN CAST(power(2, CAST(i AS INT)) AS HUGEINT)
-           |                ELSE CAST(0 AS HUGEINT) END)) AS uh
-           |  FROM m),
-           |hh AS (SELECT doc_id, CAST(CASE WHEN uh >= 9223372036854775808
-           |           THEN uh - 18446744073709551616 ELSE uh END AS BIGINT) AS ahash
-           |       FROM h
-           |       UNION ALL SELECT doc_id, CAST(0 AS BIGINT) FROM base WHERE clen = 0),
-           |bands AS (SELECT doc_id, CAST(t.b AS INT) AS band,
-           |    (ahash >> CAST(t.b * 16 AS INT)) & 65535 AS bv
-           |  FROM hh, unnest(range(0, 4)) AS t(b)),
-           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM bands a JOIN bands b
-           |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
-           |ham AS (SELECT bit_count(xor(x.ahash, y.ahash)) AS hd
-           |  FROM cand JOIN hh x ON x.doc_id = cand.doc_a
-           |            JOIN hh y ON y.doc_id = cand.doc_b),
-           |bb AS (SELECT CASE WHEN hd <= 3 THEN '0_dup_le3'
-           |        WHEN hd <= 8 THEN '1_near_4_8'
-           |        WHEN hd <= 16 THEN '2_far_9_16'
-           |        WHEN hd <= 32 THEN '3_bg_17_32'
-           |        ELSE '4_anti_33_64' END AS hd_band,
-           |      count(*) AS n_pairs, CAST(min(hd) AS INT) AS min_hd
-           |  FROM ham GROUP BY 1),
-           |tt AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS t FROM bb)
-           |SELECT hd_band, n_pairs, min_hd,
-           |  round(CAST(n_pairs AS DOUBLE) / t, 6) AS share
-           |FROM bb CROSS JOIN tt ORDER BY hd_band""".stripMargin))
+    (s, dir) => phashDedupFrame(s, dir, 4),
+    Some(phashDedupOracleFor(4)))
+
+  /** The DuckDB replay of [[phashDedupFrame]] for any band count — hash
+    * build, banding, pigeonhole candidates, exact Hamming rollup. DuckDB's
+    * `>>` on BIGINT is the arithmetic shift matching Spark's `shiftright`.
+    */
+  private def phashDedupOracleFor(nBands: Int, dense: Boolean = false): String = {
+    val bits = 64 / nBands
+    val mask = (1L << bits) - 1
+    val bbRef = if (!dense) "bb" else "bbd"
+    val denseCte = if (!dense) "" else
+      s""",dom(hd_band) AS (VALUES ('0_dup_le${nBands - 1}'),
+         |  ('1_near_${nBands}_8'), ('2_far_9_16'), ('3_bg_17_32'),
+         |  ('4_anti_33_64')),
+         |bbd AS (SELECT dom.hd_band,
+         |    CAST(COALESCE(bb.n_pairs, 0) AS BIGINT) AS n_pairs, bb.min_hd
+         |  FROM dom LEFT JOIN bb ON bb.hd_band = dom.hd_band)""".stripMargin
+    s"""WITH base AS (SELECT doc_id, text, length(text) AS clen FROM documents),
+       |b AS (SELECT doc_id,
+       |    list_transform(range(0, 64),
+       |      i -> ascii(substr(text,
+       |             CAST((i * clen) // 64 % clen AS INT) + 1, 1))) AS s
+       |  FROM base WHERE clen > 0),
+       |m AS (SELECT doc_id, s, CAST(list_sum(s) AS DOUBLE) / 64 AS mean FROM b),
+       |h AS (SELECT doc_id,
+       |    list_sum(list_transform(range(0, 64),
+       |      i -> CASE WHEN s[CAST(i AS INT) + 1] > mean
+       |                THEN CAST(power(2, CAST(i AS INT)) AS HUGEINT)
+       |                ELSE CAST(0 AS HUGEINT) END)) AS uh
+       |  FROM m),
+       |hh AS (SELECT doc_id, CAST(CASE WHEN uh >= 9223372036854775808
+       |           THEN uh - 18446744073709551616 ELSE uh END AS BIGINT) AS ahash
+       |       FROM h
+       |       UNION ALL SELECT doc_id, CAST(0 AS BIGINT) FROM base WHERE clen = 0),
+       |bands AS (SELECT doc_id, CAST(t.b AS INT) AS band,
+       |    (ahash >> CAST(t.b * $bits AS INT)) & $mask AS bv
+       |  FROM hh, unnest(range(0, $nBands)) AS t(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+       |ham AS (SELECT bit_count(xor(x.ahash, y.ahash)) AS hd
+       |  FROM cand JOIN hh x ON x.doc_id = cand.doc_a
+       |            JOIN hh y ON y.doc_id = cand.doc_b),
+       |bb AS (SELECT CASE WHEN hd <= ${nBands - 1} THEN '0_dup_le${nBands - 1}'
+       |        WHEN hd <= 8 THEN '1_near_${nBands}_8'
+       |        WHEN hd <= 16 THEN '2_far_9_16'
+       |        WHEN hd <= 32 THEN '3_bg_17_32'
+       |        ELSE '4_anti_33_64' END AS hd_band,
+       |      count(*) AS n_pairs, CAST(min(hd) AS INT) AS min_hd
+       |  FROM ham GROUP BY 1)$denseCte,
+       |tt AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS t FROM $bbRef)
+       |SELECT hd_band, n_pairs, min_hd,
+       |  round(CAST(n_pairs AS DOUBLE) / NULLIF(t, 0), 6) AS share
+       |FROM $bbRef CROSS JOIN tt ORDER BY hd_band""".stripMargin
+  }
+
+  /** The SCALED pHash banding geometry as its own green row — 2 bands ×
+    * 32 bits (the [[phashDedupFrame]] width knob at its larger-corpus
+    * setting), declared the way `sim_lsh_ann_scaled` promoted the LSH
+    * production geometry: the fixed 4×16-bit default densifies with the
+    * corpus (0.93 → 4.9 → 82.6 s across the sf0.1→10 decades — 2¹⁶ buckets
+    * per band, occupancy and so Σ bucket² pair cost rising quadratically),
+    * while 2³² buckets per band hold occupancy ≈ 1 at any realistic corpus
+    * and admit only (near-)identical-half pairs. The trade, priced in the
+    * tier labels: the pigeonhole-exact dup tier narrows from Hamming ≤ 3
+    * to ≤ 1 — at 2 bands only single-bit-flip pairs are GUARANTEED
+    * candidates; the 2–3-bit tier becomes best-effort (it still surfaces
+    * when the flips concentrate in one half). A 100 TB image crawl runs
+    * the wide geometry for the dedup cut and keeps the 4-band default for
+    * periodic recall audits on samples.
+    */
+  private val multimodalPhashDedupScaled = Q(
+    "multimodal_phash_dedup_scaled",
+    (s, dir) => phashDedupFrame(s, dir, 2, dense = true),
+    Some(phashDedupOracleFor(2, dense = true)))
 
   val queries: Seq[Q] = Seq(
     multimodalMeta, multimodalDecode, multimodalResize, multimodalFrames,
     multimodalPhash, multimodalWaveform, multimodalHadamard, multimodalRle,
     multimodalBlankDetect, multimodalHist16, multimodalDeltaEnergy,
-    multimodalEntropy, multimodalPhashDedup)
+    multimodalEntropy, multimodalPhashDedup, multimodalPhashDedupScaled)
 }

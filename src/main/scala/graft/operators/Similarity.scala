@@ -37,20 +37,40 @@ object Similarity {
   private def lshTop5(s: SparkSession, dir: String): DataFrame =
     graft.Caches.memo(s, s"lsh:top5:$dir")(lshTopK(emb(s, dir), 5))
 
+  /** The PRODUCTION-geometry (4 bands × 7 bits) LSH top-5 lists, memoized
+    * like [[lshTop5]] — the substrate the downstream LSH consumers
+    * (sim_mutual_knn, ml_knn_classify) ride after the r12 migration:
+    * 2⁷ buckets per band holds per-bucket occupancy, and therefore
+    * candidate-pair cost, roughly constant where the 4×4 default densifies
+    * quadratically (18 s at sf1, unrunnable at sf10 — SURVEY §6). The 28
+    * seed-42 planes replay into each consumer's oracle as literals via
+    * [[lshOracleCtesFor]], so the migrated geometry stays hash-checked
+    * end-to-end. sim_lsh_ann keeps the 4×4 lists as the historical anchor.
+    */
+  private def lshTop5Scaled(s: SparkSession, dir: String): DataFrame =
+    graft.Caches.memo(s, s"lsh:top5s:$dir")(lshTopK(emb(s, dir), 5, Bands, 7))
+
   /** The ground-truth query-sample modulus: m = max(8, 2^⌈log₂(n/256)⌉)
     * computed IN-PLAN from the corpus count, so the residue-class sample
     * `vec_id % m = 3` holds ~256–512 query vectors at ANY corpus size —
     * the knob that turns the exact ground-truth build from corpus-
     * quadratic into (bounded queries) × (linear candidates). Closed-form
     * power-of-two arithmetic on an exact integer count ⇒ both engines
-    * derive the identical m (the only inexact step, log₂, sits strictly
-    * inside a ceil whose argument is never ulp-close to an integer except
-    * at exact powers of two, where it is exact).
+    * derive the identical m: the exponent is the BIT LENGTH of
+    * ⌈nc/256⌉ − 1 (integer division + `length(bin(·))`, exact on both
+    * engines) — NOT ceil(log2(·)), whose Spark log(x)/log(2)
+    * implementation diverges from DuckDB's exact log2 at some exact
+    * powers of two (e.g. 2²⁹) and would derive different moduli there.
+    * pow(2, k) on an exact integer k is an exact power-of-two double on
+    * both engines. Algebraically identical to the old closed form
+    * (smallest pow2 ≥ ⌈x⌉ = smallest pow2 ≥ x for x ≥ 1), so every
+    * existing panel hash is unchanged.
     */
   private def sampleModulus(e: DataFrame): DataFrame =
     e.agg(count(lit(1)).as("nc"))
       .select(greatest(lit(8L),
-        pow(lit(2.0), ceil(log2(col("nc").cast("double") / 256.0)))
+        pow(lit(2.0),
+          length(bin(expr("(nc + 255) DIV 256") - 1)).cast("double"))
           .cast("long")).as("m"))
 
   /** Fragment mirroring [[sampleModulus]] in the oracle: one scalar CTE
@@ -58,7 +78,7 @@ object Similarity {
     */
   private val mmSql: String =
     """mm AS (SELECT greatest(8, CAST(power(2,
-      |   ceil(log2(CAST(count(*) AS DOUBLE) / 256.0))) AS BIGINT)) AS m
+      |   length(bin((count(*) + 255) // 256 - 1))) AS BIGINT)) AS m
       | FROM e)""".stripMargin
 
   /** Exact cosine top-5 lists for the DETERMINISTIC QUERY SAMPLE
@@ -208,9 +228,11 @@ object Similarity {
       |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
   /** The mutual cut of the same replay: a pair survives iff each endpoint
-    * ranks inside the other's top-5.
+    * ranks inside the other's top-5. Replays the PRODUCTION 4×7 geometry
+    * (the r12 consumer migration) — the 28 plane literals come from
+    * [[lshOracleCtesFor]].
     */
-  private def mutualKnnOracle: String = lshOracleCtes +
+  private def mutualKnnOracle: String = lshOracleCtesFor(Bands, 7) +
     """SELECT a.q_id AS vec_a, a.n_id AS vec_b, round(a.cos, 6) AS cosine,
       |  a.rank AS rank_ab, b.rank AS rank_ba
       |FROM r a JOIN r b ON a.q_id = b.n_id AND a.n_id = b.q_id
@@ -263,14 +285,15 @@ object Similarity {
   /** Mutual-kNN graph over the LSH top-5 lists — the symmetrized edge set
     * semantic clustering consumes (an edge survives only if each endpoint
     * ranks in the other's top-k, which prunes hub-dominated one-way
-    * neighbors). The ranked lists are built once ([[lshTopK]], persisted —
-    * the standard prepared-frame reuse) and the mutual cut is a self-join
-    * on the k·n edge list, linear in candidates.
+    * neighbors). The ranked lists are built once ([[lshTop5Scaled]] — the
+    * production 4×7 geometry since r12; the 4×4 lists were 15.8 s at sf1
+    * and unrunnable at sf10) and the mutual cut is a self-join on the k·n
+    * edge list, linear in candidates.
     */
   private val simMutualKnn = Q(
     "sim_mutual_knn",
     (s, dir) => {
-      val knn = lshTop5(s, dir)
+      val knn = lshTop5Scaled(s, dir)
       val rev = knn.select(col("n_id").as("rva"), col("q_id").as("rvb"),
         col("rank").as("rank_ba"))
       knn.join(rev, col("q_id") === col("rva") && col("n_id") === col("rvb"))
@@ -289,8 +312,10 @@ object Similarity {
     * scored in resubstitution form so the output is the 2-D confusion
     * matrix of true vs kNN-predicted label.
     *
-    * Scale shape: candidates come from [[lshTopK]]'s band buckets (never
-    * all-pairs); the vote is one equi-join of the k·n neighbor list against
+    * Scale shape: candidates come from [[lshTop5Scaled]]'s band buckets
+    * (never all-pairs; the production 4×7 geometry since r12 — the 4×4
+    * lists cost 18.0 s at sf1 and densify quadratically beyond);
+    * the vote is one equi-join of the k·n neighbor list against
     * the label column plus two two-phase aggregates; the arg-max is
     * `min(struct(-cnt, label))` — no window over the vote frame (the only
     * window is lshTopK's per-query rank, already bounded per bucket).
@@ -305,7 +330,7 @@ object Similarity {
     (s, dir) => {
       val e = emb(s, dir)
       val labels = e.select(col("vec_id"), col("label"))
-      val votes = lshTop5(s, dir)
+      val votes = lshTop5Scaled(s, dir)
         .join(labels.select(col("vec_id").as("n_id"), col("label").as("nlab")), "n_id")
         .groupBy(col("q_id"), col("nlab"))
         .agg(count(lit(1)).as("cnt"))
@@ -317,7 +342,7 @@ object Similarity {
         .agg(count(lit(1)).as("n"))
         .orderBy("true_label", "pred_label")
     },
-    Some(lshOracleCtes +
+    Some(lshOracleCtesFor(Bands, 7) +
       """,v AS (SELECT r.q_id, l.label AS nlab, count(*) AS cnt
         |  FROM r JOIN embeddings l ON r.n_id = l.vec_id
         |  WHERE r.rank <= 5 GROUP BY r.q_id, l.label),
@@ -2604,7 +2629,7 @@ object Similarity {
            |  FROM lvl_$m),
            |tot_$m AS (SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
            |    CAST(SUM(nn) AS BIGINT) AS n_neg FROM lvl_$m),
-           |a_$m AS (SELECT ${f * 0.25} AS fraction,
+           |a_$m AS (SELECT CAST(${f * 0.25} AS DOUBLE) AS fraction,
            |    (SELECT n FROM cnt_$m) AS n_train, tot.n_pos, tot.n_neg,
            |    round(CAST(SUM(CAST(CAST(np AS DOUBLE)
            |        * (CAST(below AS DOUBLE) + CAST(nn AS DOUBLE) / 2.0)

@@ -2151,14 +2151,22 @@ object TextAnalysis {
         .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_chars"),
           sum(col("na")).as("a"), sum(col("nd")).as("dg"), sum(col("ns")).as("sp"))
         .select(col("source"), col("n_docs"), col("n_chars"),
-          round(col("a").cast("double") / col("n_chars").cast("double"), 6)
+          // zero guard: an all-empty source is 0/0 — NaN on Spark doubles
+          // but NULL-or-NaN on DuckDB depending on its IEEE setting; the
+          // when(>0) / NULLIF pair pins both engines to a clean NULL
+          // (the text_heaps_law / ml_mcc_sweep convention)
+          round(col("a").cast("double")
+            / when(col("n_chars") > 0, col("n_chars").cast("double")), 6)
             .as("share_alpha"),
-          round(col("dg").cast("double") / col("n_chars").cast("double"), 6)
+          round(col("dg").cast("double")
+            / when(col("n_chars") > 0, col("n_chars").cast("double")), 6)
             .as("share_digit"),
-          round(col("sp").cast("double") / col("n_chars").cast("double"), 6)
+          round(col("sp").cast("double")
+            / when(col("n_chars") > 0, col("n_chars").cast("double")), 6)
             .as("share_space"),
           round((col("n_chars") - col("a") - col("dg") - col("sp")).cast("double")
-            / col("n_chars").cast("double"), 6).as("share_other"))
+            / when(col("n_chars") > 0, col("n_chars").cast("double")), 6)
+            .as("share_other"))
         .orderBy("source")
     },
     Some("""WITH d AS (SELECT source, CAST(length(text) AS BIGINT) AS n,
@@ -2171,10 +2179,10 @@ object TextAnalysis {
            |    CAST(SUM(nd) AS BIGINT) AS dg, CAST(SUM(ns) AS BIGINT) AS sp
            |  FROM d GROUP BY source)
            |SELECT source, n_docs, n_chars,
-           |  round(CAST(a AS DOUBLE) / n_chars, 6) AS share_alpha,
-           |  round(CAST(dg AS DOUBLE) / n_chars, 6) AS share_digit,
-           |  round(CAST(sp AS DOUBLE) / n_chars, 6) AS share_space,
-           |  round(CAST(n_chars - a - dg - sp AS DOUBLE) / n_chars, 6) AS share_other
+           |  round(CAST(a AS DOUBLE) / NULLIF(n_chars, 0), 6) AS share_alpha,
+           |  round(CAST(dg AS DOUBLE) / NULLIF(n_chars, 0), 6) AS share_digit,
+           |  round(CAST(sp AS DOUBLE) / NULLIF(n_chars, 0), 6) AS share_space,
+           |  round(CAST(n_chars - a - dg - sp AS DOUBLE) / NULLIF(n_chars, 0), 6) AS share_other
            |FROM g ORDER BY source""".stripMargin))
 
   /** Tokenizer FERTILITY per language — BPE pieces per word on the

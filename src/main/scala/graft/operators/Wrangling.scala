@@ -990,10 +990,14 @@ object Wrangling {
       pairs.crossJoin(broadcast(xm)).crossJoin(broadcast(ym))
         .crossJoin(broadcast(nn))
         .select(col("n").cast("long").as("n_rows"),
-          // decimal readout, NOT long: C/D are Σ nᵢ·nⱼ products that pass
-          // 2⁶³ around 10¹⁰ rows — a long cast would silently corrupt at
-          // exactly the lake scale the formulation is built for
-          col("cc").as("concordant"), col("dd").as("discordant"),
+          // DOUBLE readout, NOT long and NOT raw decimal: C/D are Σ nᵢ·nⱼ
+          // products that pass 2⁶³ around 10¹⁰ rows (a long cast silently
+          // corrupts at lake scale), while a raw DECIMAL readout hashes
+          // differently across engines (the r11 regression). float64 is
+          // exact below 2⁵³ — every realistic fixture — and hash-stable.
+          // The arithmetic stays on exact decimals; only the readout casts.
+          col("cc").cast("double").as("concordant"),
+          col("dd").cast("double").as("discordant"),
           round(lit(2.0) * (col("cc") - col("dd")).cast("double") /
             when(col("m0") > col("m1") && col("m0") > col("m2"),
               sqrt((col("m0") - col("m1")).cast("double")) *
@@ -1014,8 +1018,9 @@ object Wrangling {
            |nn AS (SELECT CAST(SUM(c) AS DECIMAL(38,0)) AS n,
            |    CAST(SUM(c) AS DECIMAL(38,0)) * (CAST(SUM(c) AS DECIMAL(38,0)) - 1) AS m0
            |  FROM grid)
-           |SELECT CAST(n AS BIGINT) AS n_rows, cc AS concordant,
-           |  dd AS discordant,
+           |SELECT CAST(n AS BIGINT) AS n_rows,
+           |  CAST(cc AS DOUBLE) AS concordant,
+           |  CAST(dd AS DOUBLE) AS discordant,
            |  round(2.0 * CAST(cc - dd AS DOUBLE) /
            |    NULLIF(CASE WHEN m0 > m1 AND m0 > m2
            |      THEN sqrt(CAST(m0 - m1 AS DOUBLE)) * sqrt(CAST(m0 - m2 AS DOUBLE))

@@ -85,7 +85,16 @@ def main(sf_dir, out_dir, only=()):
                 d_t = duck_types[c].upper()
                 s_w = INT_ARROW.get(s_t)
                 d_w = INT_DUCK.get(d_t)
-                if s_w is not None and d_w is None:
+                if s_t.startswith("decimal") or d_t.startswith("DECIMAL"):
+                    # DECIMAL readouts are banned outright: the driver's
+                    # dtype-sensitive hash diverges on decimal columns even
+                    # when every value matches (the r11 quality_kendall_tau
+                    # regression sailed through this gate because fetchall()
+                    # folds decimals to equal Python values). Repo
+                    # convention: decimals are INTERNAL arithmetic only;
+                    # readouts are long/double.
+                    bad_t.append((c, s_t, d_t))
+                elif s_w is not None and d_w is None:
                     # int on the Spark side, non-int (HUGEINT/DOUBLE) on the
                     # DuckDB side — the r8 5-query failure class: the driver
                     # materializes HUGEINT as float64 and hash-diverges
