@@ -277,7 +277,11 @@ object Similarity {
     */
   private val simLshAnnScaled = Q(
     "sim_lsh_ann_scaled",
-    (s, dir) => lshTopK(emb(s, dir), 5, Bands, 7).orderBy("q_id", "rank"),
+    // rides the same memoized 4×7 lists as the r12-migrated consumers
+    // (identical lshTopK call — value-identical, hash unchanged): one
+    // list build per session instead of one per consumer (~4.7 s saved
+    // per extra toucher at sf1)
+    (s, dir) => lshTop5Scaled(s, dir).orderBy("q_id", "rank"),
     Some(lshOracleCtesFor(Bands, 7) +
       """SELECT q_id, n_id, round(cos, 6) AS cosine, rank
         |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin))

@@ -387,11 +387,16 @@ object TextAnalysis {
         i => col("text").substr(i, lit(3)))
       val d = docsSpread(s, dir).filter(length(col("text")) >= 3)
         .select(col("doc_id"), col("lang"), explode(tg).as("g"))
-      val cg = d.groupBy("lang", "g").agg(count(lit(1)).as("cp"))
+      // ONE trigram explode: the per-language profile counts derive from
+      // the per-doc frame (Σ cd ≡ the direct count — exact integers), so
+      // dt's exchange is built once and AQE's ReusedExchange serves both
+      // consumers; the previous two-branch form computed the ~1-row-per-
+      // char explode twice (measured 21.6 → 9.2 s standalone at sf1)
+      val dt = d.groupBy("doc_id", "lang", "g").agg(count(lit(1)).as("cd"))
+      val cg = dt.groupBy("lang", "g").agg(sum(col("cd")).as("cp"))
       val prof = broadcast(graft.plans.TopK.perGroup(
         cg, Seq("lang"), Seq(col("cp").desc, col("g").asc), 30)
         .select(col("lang").as("plang"), col("g"), col("cp")))
-      val dt = d.groupBy("doc_id", "lang", "g").agg(count(lit(1)).as("cd"))
       val pred = dt.join(prof, "g")
         .groupBy(col("doc_id"), col("lang"), col("plang"))
         .agg(sum(col("cd") * col("cp")).as("score"))
@@ -2328,7 +2333,13 @@ object TextAnalysis {
       val d = docs(s, dir)
       val tok = d.select(col("doc_id"), col("lang"),
         explode(words(col("text"))).as("w")).filter(length(col("w")) > 0)
-      val wc = tok.groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
+      // ONE token explode (the r12 langid-trigram stance): class counts
+      // derive from the per-doc multiplicity frame — Σ mult ≡ the direct
+      // count, exact integers — so dm's exchange serves both the training
+      // counts and the scoring join via AQE ReusedExchange instead of the
+      // explode running twice
+      val dm = tok.groupBy("doc_id", "lang", "w").agg(count(lit(1)).as("mult"))
+      val wc = dm.groupBy("lang", "w").agg(sum(col("mult")).as("cnt"))
       val ct = wc.groupBy("lang").agg(sum(col("cnt")).as("tot"))
       val vocab = wc.select("w").distinct()
       val vsize = vocab.agg(count(lit(1)).as("v"))
@@ -2340,7 +2351,6 @@ object TextAnalysis {
         .select(col("w"), col("lang").as("cls"),
           (log(coalesce(col("cnt"), lit(0L)) + 1) -
             log(col("tot") + col("v"))).as("lp"))
-      val dm = tok.groupBy("doc_id", "lang", "w").agg(count(lit(1)).as("mult"))
       val scored = dm.join(lps, "w")
         .groupBy("doc_id", "lang", "cls")
         .agg(dsumFine(col("mult") * col("lp")).as("ll"))

@@ -75,6 +75,17 @@ class Round12Spec extends SparkSuite {
     Caches.release(spark)
   }
 
+  test("phash scaled plans without cartesian; dense join broadcasts") {
+    import org.apache.spark.sql.execution.FormattedMode
+    val p = SparkEntry.queries("multimodal_phash_dedup_scaled")(spark, sfDir)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("CartesianProduct"))
+    // the 5-row tier domain must come in as a broadcast, never a shuffle
+    // of the aggregated side against a 5-row frame
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
+    Caches.release(spark)
+  }
+
   test("phash default hash-continuity: 4-band output keeps the r11 tiers") {
     val rows = q("multimodal_phash_dedup").collect()
     // the historical-anchor geometry must keep its sparse shape and labels
