@@ -842,6 +842,52 @@ object Similarity {
            |SELECT u AS vec_id, min(v) AS cluster_id FROM reach
            |GROUP BY u ORDER BY vec_id""".stripMargin))
 
+  /** SEMANTIC dedup clusters, the SCALE path: connected components over
+    * the 4×7 LSH top-5 kNN graph's θ ≥ 0.45 edges — the SemDeDup shape
+    * (cluster the ANN neighbor graph, keep one representative per
+    * component) that a 10⁹-vector corpus actually runs, where
+    * [[dedupSemanticClusters]]'s exact tiled all-pairs join is the
+    * small-corpus/audit tool (Θ(n²/p) — 16.5 s at sf1, measured). Edge
+    * generation is the memoized [[lshTop5Scaled]] candidate lists (linear
+    * in candidates, bucket-bounded, shared with the whole 4×7 family), the
+    * threshold cut runs on the list's 6-dp cosine, and components resolve
+    * by the same pointer-jumping CC loop.
+    *
+    * The trade vs the exact variant, priced: edges are restricted to each
+    * vector's top-5 bucket-colliding neighbors, so a pair below both
+    * endpoints' top-5 (or never bucket-colliding) joins a cluster only
+    * through a transitive chain — the kNN-graph-covers-near-dup-sets
+    * argument every production semantic dedup rests on. The oracle replays
+    * the 28 seed-42 plane literals, the lists, the cut, and the recursive
+    * closure, so the approximation itself is hash-checked end-to-end.
+    */
+  private val dedupSemanticClustersScaled = Q(
+    "dedup_semantic_clusters_scaled",
+    (s, dir) => {
+      val pairs = lshTop5Scaled(s, dir)
+        .filter(col("cosine") >= 0.45)
+        .select(least(col("q_id"), col("n_id")).as("doc_a"),
+          greatest(col("q_id"), col("n_id")).as("doc_b"))
+        .distinct()
+      Dedup.connectedComponents(pairs)
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+        .orderBy("vec_id")
+    },
+    // the closure CTE is recursive, so the shared LSH prefix's WITH needs
+    // the RECURSIVE keyword (DuckDB requires it up front; non-recursive
+    // CTEs mix freely under it)
+    Some(lshOracleCtesFor(Bands, 7).replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """,pairs AS (SELECT DISTINCT least(q_id, n_id) AS va,
+        |    greatest(q_id, n_id) AS vb
+        |  FROM r WHERE rank <= 5 AND round(cos, 6) >= 0.45),
+        |edges AS (SELECT va AS u, vb AS v FROM pairs
+        |          UNION ALL SELECT vb, va FROM pairs),
+        |reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        |                UNION
+        |                SELECT ed.u, re.v FROM edges ed JOIN reach re ON ed.v = re.u)
+        |SELECT u AS vec_id, min(v) AS cluster_id FROM reach
+        |GROUP BY u ORDER BY vec_id""".stripMargin))
+
   /** Σ aᵢ·bᵢ over double arrays — the [[graft.functions.DoubleVecDot]]
     * codegen kernel (the `zip_with`+`aggregate` formulation is
     * CodegenFallback and paid ~0.8 s of interpreted lambda dispatch at
@@ -3277,5 +3323,6 @@ object Similarity {
     mlBrierScore, mlCohensKappa, simKnnOutlier, simPairHist,
     simLshRecall, mlThresholdCost, simHubness, mlCalibrationSlope,
     simLshAnnScaled, mlMccSweep, simEmbeddingDrift, simKcenterSeeds,
-    simIvfRecall, mlGroupAuc, mlBrierCi, simRecallCurve, mlLearningCurve)
+    simIvfRecall, mlGroupAuc, mlBrierCi, simRecallCurve, mlLearningCurve,
+    dedupSemanticClustersScaled)
 }

@@ -86,6 +86,19 @@ class Round12Spec extends SparkSuite {
     Caches.release(spark)
   }
 
+  test("dedup_semantic_clusters_scaled: valid min-label CC over knn edges") {
+    val rows = SparkEntry.queries("dedup_semantic_clusters_scaled")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    val members = rows.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    rows.foreach { case (v, c) => assert(c <= v) } // label = min member
+    members.foreach { case (c, ms) =>
+      assert(ms.contains(c))    // the labeling vertex is in its own cluster
+      assert(ms.size >= 2)      // vectors appear only via >= 1 surviving edge
+    }
+    Caches.release(spark)
+  }
+
   test("phash default hash-continuity: 4-band output keeps the r11 tiers") {
     val rows = q("multimodal_phash_dedup").collect()
     // the historical-anchor geometry must keep its sparse shape and labels
