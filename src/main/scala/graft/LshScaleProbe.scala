@@ -5,7 +5,10 @@ import org.apache.spark.sql.functions._
 /** Dev probe behind SURVEY §6's LSH scale measurement: times
   * [[operators.Similarity.lshTopK]] at the oracle-pinned default geometry
   * (4 bands × 4 bits) vs the scale-adjusted one (bits raised by ~log₂ of
-  * the corpus growth) on the same directory. `args: sfDir [bands bits]`.
+  * the corpus growth) on the same directory.
+  * `args: sfDir [bands bits [only]]` — `only` skips the default pass
+  * (at the 100× corpus the 4×4 build spills ~77 GB and dies; probing the
+  * next decade's block must not have to pay that first).
   */
 object LshScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -29,7 +32,7 @@ object LshScaleProbe {
       println(f"[lshprobe] $label bands=$bands bits=$bits " +
         f"rows=${ts.head._2} best=${ts.map(_._1).min}%.2f s")
     }
-    time("default", 4, 4)
+    if (!args.contains("only")) time("default", 4, 4)
     time("scaled", bands, bits)
     spark.stop()
   }
