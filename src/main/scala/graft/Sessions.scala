@@ -56,4 +56,67 @@ object Sessions {
         .config("spark.sql.shuffle.partitions", shufflePartitions)) {
       case (b, (k, v)) => b.config(k, v)
     }
+
+  /** S3A readiness for an object-store lake (the reference's substrate is
+    * S3 — `health-etl/glue_job_script.py:37,46` reads and writes
+    * `s3://…`): the settings that make `s3a://` paths behave at 100 TB.
+    * The repo's operators are path-scheme-agnostic throughout (every read
+    * and write goes through a caller-supplied directory), so S3 support is
+    * purely a session-configuration concern — this block, applied to the
+    * builder or ported into an existing session, is the whole story.
+    *
+    * The load-bearing choice is the COMMITTER. The default
+    * `FileOutputCommitter` commits by RENAME, which on S3 is a full
+    * server-side COPY + DELETE of every object: an O(data) serial tail on
+    * each write (hours at terabyte scale) and non-atomic to boot — the
+    * classic object-store scale-killer. The S3A "magic" committer
+    * (Hadoop's S3A committer framework, public `hadoop-aws` machinery)
+    * commits via S3 multipart-upload completion instead: tasks upload
+    * parts as they run and the job commit is one metadata call per file —
+    * O(files), not O(bytes), and atomic per file. The two
+    * `spark.sql.*committer*` keys bind Spark's parquet path to the
+    * `PathOutputCommitProtocol` bridge (spark-hadoop-cloud, public) so
+    * the S3A committer factory is actually consulted for `s3a://`
+    * destinations; writes to `file://`/HDFS are untouched (the factory
+    * scheme binding is per-filesystem).
+    *
+    * The remaining keys are standard S3A throughput hygiene: connection /
+    * thread pools sized for 32-core executors fanning out multipart
+    * uploads and vectored reads, 128 MiB "block" (part) size to match the
+    * repo's parquet row-group convention, and directory-marker retention
+    * (`keep`) to avoid the per-write DELETE storm on ancestor markers —
+    * safe on any modern Hadoop client and one less mutation per object.
+    *
+    * Not live-testable in this sandbox (no S3 endpoint, and the cloud
+    * committer jars are deployment-provided); ScaleTechniquesSpec asserts
+    * the keys land verbatim in a real builder-produced configuration so a
+    * deployment inherits them by construction.
+    */
+  val s3aDefaults: Map[String, String] = Map(
+    // committer: multipart-completion commit, never rename
+    "spark.hadoop.fs.s3a.committer.name" -> "magic",
+    "spark.hadoop.fs.s3a.committer.magic.enabled" -> "true",
+    "spark.hadoop.mapreduce.outputcommitter.factory.scheme.s3a" ->
+      "org.apache.hadoop.fs.s3a.commit.S3ACommitterFactory",
+    "spark.sql.sources.commitProtocolClass" ->
+      "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol",
+    "spark.sql.parquet.output.committer.class" ->
+      "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter",
+    // throughput: pools sized for wide executors, parts matching the
+    // 128 MiB row-group layout the sinks produce
+    "spark.hadoop.fs.s3a.connection.maximum" -> "96",
+    "spark.hadoop.fs.s3a.threads.max" -> "64",
+    "spark.hadoop.fs.s3a.block.size" -> "134217728",
+    "spark.hadoop.fs.s3a.multipart.size" -> "134217728",
+    "spark.hadoop.fs.s3a.fast.upload.buffer" -> "disk",
+    // no DELETE storm on ancestor directory markers
+    "spark.hadoop.fs.s3a.directory.marker.retention" -> "keep")
+
+  /** [[builder]] plus [[s3aDefaults]] — the entry point for a deployment
+    * whose warehouse lives on S3/compatible object storage.
+    */
+  def s3aBuilder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    s3aDefaults.foldLeft(builder(master, shufflePartitions)) {
+      case (b, (k, v)) => b.config(k, v)
+    }
 }

@@ -875,6 +875,12 @@ object Multimodal {
     */
   private def phashDedupFrame(s: SparkSession, dir: String, nBands: Int,
                               dense: Boolean = false): DataFrame = {
+    // loud guard, not silent truncation: 64 % nBands != 0 would drop hash
+    // bits from the band extraction (64/12 = 5 covers only 60 bits), and
+    // at nBands > 9 the pigeonhole dup tier `hd <= nBands-1` would swallow
+    // the near tier's <= 8 cut, making its label unreachable
+    require(nBands >= 1 && 64 % nBands == 0 && nBands <= 9,
+      s"phashDedup: nBands must divide 64 and be <= 9, got $nBands")
     val bits = 64 / nBands
     val mask = (1L << bits) - 1
     val tierNames = Seq(s"0_dup_le${nBands - 1}", s"1_near_${nBands}_8",

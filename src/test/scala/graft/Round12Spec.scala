@@ -4,8 +4,9 @@ import org.apache.spark.sql.functions._
 
 /** Invariant specs for the round-12 changes: the kendall readout-type fix,
   * the pHash band-width knob, and the LSH consumer migration to the
-  * production 4×7 geometry. Oracle hashes pin the values; these pin the
-  * structural properties the hash can't express.
+  * production lists (4×7 in r12; corpus-adaptive since r13). Oracle hashes
+  * pin the values; these pin the structural properties the hash can't
+  * express.
   */
 class Round12Spec extends SparkSuite {
 
@@ -54,7 +55,7 @@ class Round12Spec extends SparkSuite {
     Caches.release(spark)
   }
 
-  test("sim_mutual_knn on 4x7 lists: edges unique, ordered, ranks bounded") {
+  test("sim_mutual_knn on adaptive lists: edges unique, ordered, ranks bounded") {
     val rows = q("sim_mutual_knn").collect()
     val pairs = rows.map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.distinct.length == pairs.length)
@@ -66,7 +67,7 @@ class Round12Spec extends SparkSuite {
     Caches.release(spark)
   }
 
-  test("ml_knn_classify on 4x7 lists: matrix mass bounded by the corpus") {
+  test("ml_knn_classify on adaptive lists: matrix mass bounded by the corpus") {
     val total = q("ml_knn_classify").agg(sum(col("n"))).collect().head.getLong(0)
     val corpus = Tables.load(spark, sfDir, "embeddings").count()
     // sparser production buckets may abstain (no neighbors -> no row), but
@@ -81,8 +82,12 @@ class Round12Spec extends SparkSuite {
       .queryExecution.explainString(FormattedMode)
     assert(!p.contains("CartesianProduct"))
     // the 5-row tier domain must come in as a broadcast, never a shuffle
-    // of the aggregated side against a 5-row frame
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
+    // of the aggregated side against a 5-row frame. The crossJoin of the
+    // grand-total scalar is ALWAYS a BroadcastNestedLoopJoin, so a single
+    // broadcast occurrence would pass even if the tier-domain left join
+    // regressed — require BOTH broadcast joins (r12 ADVICE)
+    val nBcast = "Broadcast(HashJoin|NestedLoopJoin)".r.findAllIn(p).size
+    assert(nBcast >= 2, s"expected >=2 broadcast joins, got $nBcast")
     Caches.release(spark)
   }
 

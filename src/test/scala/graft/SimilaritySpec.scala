@@ -135,7 +135,10 @@ class SimilaritySpec extends SparkSuite {
   }
 
   test("tiled cosine pairs: equi-join plan with no all-pairs operator") {
-    for (name <- Seq("dedup_embedding_cosine", "dedup_semantic_clusters")) {
+    // dedup_semantic_clusters left this family in r13: its exact audit now
+    // runs on the bounded residue panel, where a broadcast non-equi
+    // self-join is the CORRECT plan (panel² is a constant, never corpus²)
+    for (name <- Seq("dedup_embedding_cosine")) {
       val plan = Queries.byName(name).run(spark, sfDir)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name: $plan")
