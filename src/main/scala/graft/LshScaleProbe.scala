@@ -36,6 +36,11 @@ object LshScaleProbe {
       }
       println(f"[lshprobe] $label rows=${ts.head._2} best=${ts.map(_._1).min}%.2f s")
     }
+    if (args.contains("plan")) {
+      println(operators.Similarity.lshTopKAuto(e, 5).queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode))
+      spark.stop(); return
+    }
     if (!args.contains("only"))
       timed("default bands=4 bits=4")(operators.Similarity.lshTopK(e, 5, 4, 4))
     if (args.contains("auto"))

@@ -347,6 +347,15 @@ object Similarity {
     Array.fill(n, 64)(if (rnd.nextBoolean()) 1.0f else -1.0f)
   }
 
+  /** One plane as a SINGLE folded literal column — never a
+    * `array(lit, …×64)` CreateArray, which codegen rebuilds (and boxes)
+    * per ROW and whose 64-way expansion per plane pushes wide stages out
+    * of whole-stage codegen entirely (measured: the interpreted fallback
+    * cost ~0.3 ms/row on the 48-plane auto projection). A `typedlit`
+    * arrives as one constant ArrayData the kernel reads in place.
+    */
+  private def planeLit(p: Array[Float]): Column = typedlit(p.toSeq)
+
   /** The HISTORICAL 4×4 default geometry, rescoped to the residue-class
     * query panel (the r13 verdict item): the full-corpus 4×4 list build
     * this row carried through r12 was quadratic-densifying — 61.4 s at
@@ -404,7 +413,7 @@ object Similarity {
     "sim_lsh_occupancy",
     (s, dir) => {
       val e = emb(s, dir)
-      val occ = lshBandedAuto(e)
+      val occ = lshBucketsAutoLight(e)
         .groupBy("band", "bucket")
         .agg(count(lit(1)).as("occ"))
       occ.groupBy("band")
@@ -527,41 +536,65 @@ object Similarity {
     * oracle as literals.
     */
   def lshTopK(e: DataFrame, k: Int = 5, bands: Int = Bands,
-              bitsPerBand: Int = BitsPerBand): DataFrame = {
+              bitsPerBand: Int = BitsPerBand): DataFrame =
+    rankBanded(lshBanded(e, bands, bitsPerBand),
+      lshBanded(e, bands, bitsPerBand), k)
+
+  /** The banded (vec_id, embedding, nrm, band, bucket) frame of a FIXED
+    * (bands × bitsPerBand) geometry. All sign-dot + bucket-packing
+    * arithmetic runs INSIDE the persisted projection (same codegen
+    * discipline as [[lshBandedAuto]], r13: bucket expressions left
+    * downstream of the cache land in the candidate-join stage and at wide
+    * geometries push it out of whole-stage codegen — the per-pair cosine
+    * then runs interpreted, 40+ min instead of ~2 min for the 4×10 block
+    * at the 100× corpus). The persist is consumed by both join sides, so
+    * the norm/bucket pass runs once; Spark's cache manager dedups the two
+    * identical-plan calls onto one cached build.
+    *
+    * Embeddings ride through the band self-join: the pre-join shuffle is
+    * bands × corpus wide-rows (linear in the corpus, the standard LSH
+    * replication cost), and every row AFTER the join is just
+    * (q_id, n_id, cos) — 24 bytes. The alternative (id-only candidates,
+    * then join the wide vectors back per candidate) shuffles
+    * O(candidates × vector width), ~20× more here.
+    */
+  private def lshBanded(e: DataFrame, bands: Int, bitsPerBand: Int): DataFrame = {
     VectorKernels.register(e.sparkSession)
     val pl = if (bands * bitsPerBand <= NumPlanes) planes
              else planesFor(bands * bitsPerBand)
-    // Consumed three times (bucketing, query side, neighbor side) — persist
-    // so the norm pass runs once. At cluster scale this is the standard
-    // MEMORY_AND_DISK persist of a prepared candidate set.
-    val withNorm = graft.Caches.track(e.select(col("vec_id"), col("embedding"),
-      l2norm(col("embedding")).as("nrm")))
-    // sign bit per plane, packed into one bucket id per band
-    val bucketCols = (0 until bands).map { b =>
-      val bits = (0 until bitsPerBand).map { j =>
-        val plane = array(
-          scala.collection.immutable.ArraySeq.unsafeWrapArray(
-            pl(b * bitsPerBand + j).map(lit)): _*)
-        when(dot(col("embedding"), plane) >= 0, lit(1L << j)).otherwise(lit(0L))
-      }
-      struct(lit(b).as("band"), bits.reduce(_ + _).as("bucket")).as(s"bb_$b")
-    }
-    // Embeddings ride through the band self-join: the pre-join shuffle is
-    // bands × corpus wide-rows (linear in the corpus, the standard LSH
-    // replication cost), and every row AFTER the join is just
-    // (q_id, n_id, cos) — 24 bytes. The alternative (id-only candidates,
-    // then join the wide vectors back per candidate) shuffles
-    // O(candidates × vector width), ~20× more here.
-    val banded = withNorm
-      .withColumn("bb", explode(array(bucketCols: _*)))
+    def bucketFor(b: Int): Column = (0 until bitsPerBand).map { j =>
+      when(dot(col("embedding"), planeLit(pl(b * bitsPerBand + j))) >= 0,
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val withBuckets = graft.Caches.track(e.select(col("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("nrm"),
+      array((0 until bands).map(bucketFor): _*).as("bks")))
+    withBuckets
+      .withColumn("bb", explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          element_at(col("bks"), b + 1).as("bucket"))): _*)))
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    rankBanded(banded, banded, k)
   }
 
   /** The bucket-join + exact-rerank tail every lshTopK* variant shares:
     * query-side banded rows × neighbor-side banded rows on (band, bucket),
-    * exact cosine, cross-band dedup, per-query rank ≤ k.
+    * exact cosine, per-query rank ≤ k with cross-band dedup.
+    *
+    * Dedup/rank SHAPE (r13, measured): a pair colliding in several bands
+    * appears once per band with an IDENTICAL cosine (same two vectors, same
+    * kernel), so `dense_rank` over (round(cos,9) desc, n_id) on the raw
+    * multi-band stream assigns duplicates the same rank and is value-
+    * identical to the old groupBy(q_id,n_id)-then-row_number form. The
+    * difference at scale is the plan: the rank-limit filter lets Spark
+    * insert a PARTIAL WindowGroupLimit — a map-side per-query top-k prune
+    * BEFORE the shuffle — so the exchange carries ≤ ~bands·k rows per query
+    * instead of every candidate pair, and the sort spills incrementally
+    * where the old pre-dedup hash aggregate held one map entry per
+    * DISTINCT PAIR per task (the round-11 "hash-agg cannot spill" failure
+    * class: at the 100× corpus its 2.4·10⁸-pair build spilled ~10 GB and
+    * ran 20+ minutes; this shape finishes in ~1 minute). The final
+    * distinct() collapses same-rank band duplicates on a ≤ k·n frame.
     */
   private def rankBanded(q: DataFrame, n: DataFrame, k: Int): DataFrame = {
     val scored = q.select("vec_id", "embedding", "nrm", "band", "bucket")
@@ -575,12 +608,10 @@ object Similarity {
     val w = Window.partitionBy("q_id")
       .orderBy(round(col("cos"), 9).desc, col("n_id"))
     scored
-      // a pair colliding in several bands appears once per band; same cos
-      // each time — max() is pure dedup
-      .groupBy("q_id", "n_id").agg(max(col("cos")).as("cos"))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", dense_rank().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cosine"), col("rank"))
+      .distinct()
   }
 
   /** [[lshTopK]] at the default 4×4 geometry with the QUERY side
@@ -591,22 +622,7 @@ object Similarity {
     * the total is O(panel × n / 2^bits) instead of O(n² / 2^bits).
     */
   def lshTopKPanel(e: DataFrame, k: Int = 5): DataFrame = {
-    VectorKernels.register(e.sparkSession)
-    val withNorm = graft.Caches.track(e.select(col("vec_id"), col("embedding"),
-      l2norm(col("embedding")).as("nrm")))
-    val bucketCols = (0 until Bands).map { b =>
-      val bits = (0 until BitsPerBand).map { j =>
-        val plane = array(
-          scala.collection.immutable.ArraySeq.unsafeWrapArray(
-            planes(b * BitsPerBand + j).map(lit)): _*)
-        when(dot(col("embedding"), plane) >= 0, lit(1L << j)).otherwise(lit(0L))
-      }
-      struct(lit(b).as("band"), bits.reduce(_ + _).as("bucket")).as(s"bb_$b")
-    }
-    val banded = withNorm
-      .withColumn("bb", explode(array(bucketCols: _*)))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val banded = lshBanded(e, Bands, BitsPerBand)
     val panel = banded.crossJoin(broadcast(sampleModulus(e)))
       .filter(col("vec_id") % col("m") === 3)
       .drop("m")
@@ -618,42 +634,88 @@ object Similarity {
     * and sim_lsh_occupancy inspects. The bit budget is [[autoBits]]'
     * in-plan scalar, so the NUMBER of sign bits consulted per band is
     * data-dependent while the plan stays static: all 4 × [[MaxAutoBits]]
-    * plane dots are computed unconditionally (one codegen kernel each —
-    * 48 × 64 multiply-adds per vector, linear and negligible next to the
-    * candidate join) into a sign-bit array, and each band's bucket id
-    * packs the `abits`-long slice at offset band · abits via plain
-    * conditional arithmetic (no higher-order functions — every term stays
-    * inside whole-stage codegen).
+    * plane dots are computed (one codegen kernel each against a FOLDED
+    * constant plane — 48 × 64 multiply-adds per vector, linear and
+    * negligible next to the candidate join) into a sign-bit array, and
+    * each band's bucket id packs the `abits`-long slice at offset
+    * band · abits via plain conditional arithmetic (no higher-order
+    * functions).
+    *
+    * Codegen discipline (measured, r13): ALL of that arithmetic happens
+    * INSIDE the persisted projection, so the frame every consumer reads —
+    * and crucially the candidate self-join's stage — sees only plain
+    * attribute columns. The first cut computed buckets downstream of the
+    * cache: the giant bucket expressions landed in the join stage, pushed
+    * it out of whole-stage codegen, and the per-PAIR cosine re-rank ran
+    * interpreted — 126 s vs 6 s for the value-identical fixed-geometry
+    * build at sf1. Same reason the planes are single literal columns
+    * ([[planeLit]]) rather than per-row 64-element CreateArrays.
     */
+  /** The 4 × [[MaxAutoBits]] sign bits as one array expression (reads
+    * `embedding`).
+    */
+  private def autoSignBits: Column = {
+    val pl = planesFor(Bands * MaxAutoBits)
+    array((0 until Bands * MaxAutoBits).map { j =>
+      when(dot(col("embedding"), planeLit(pl(j))) >= 0, lit(1L)).otherwise(lit(0L))
+    }: _*)
+  }
+
+  /** bucket_b = Σ_{j < abits} sb[b·abits + j] · 2^j — the plane index
+    * depends on the data-derived `abits`, so bits select from the
+    * precomputed `sb` sign array; 2^j is an exact long literal.
+    */
+  private def autoBucketFor(b: Int): Column = (0 until MaxAutoBits).map { j =>
+    when(lit(j.toLong) < col("abits"),
+      element_at(col("sb"),
+        (lit(b) * col("abits") + lit(j.toLong + 1L)).cast("int")) * lit(1L << j))
+      .otherwise(lit(0L))
+  }.reduce(_ + _)
+
+  /** Explode a `bks` array column into (band, bucket) rows, keeping `keep`.
+    */
+  private def explodeBands(df: DataFrame, keep: Seq[String]): DataFrame =
+    df.withColumn("bb", explode(array((0 until Bands).map(b =>
+        struct(lit(b).as("band"),
+          element_at(col("bks"), b + 1).as("bucket"))): _*)))
+      .select((keep.map(col) :+ col("bb.band").as("band")
+        :+ col("bb.bucket").as("bucket")): _*)
+
   private[graft] def lshBandedAuto(e: DataFrame): DataFrame = {
     VectorKernels.register(e.sparkSession)
-    val pl = planesFor(Bands * MaxAutoBits)
-    val signBits = array((0 until Bands * MaxAutoBits).map { j =>
-      val plane = array(
-        scala.collection.immutable.ArraySeq.unsafeWrapArray(
-          pl(j).map(lit)): _*)
-      when(dot(col("embedding"), plane) >= 0, lit(1L)).otherwise(lit(0L))
-    }: _*)
-    val withBits = graft.Caches.track(
+    // ONE projection computes dots → sign array → packed buckets, and the
+    // PERSISTED frame carries only (vec_id, embedding, nrm, bks) — the
+    // intermediate 48-long sign array must NOT reach the cache: the SQL
+    // cache's columnar encode of a 48-element array column measured ~6 s
+    // at 20 k rows (3× the whole fixed-geometry build) while the same
+    // frame without it caches in <1 s. The un-cached single-stage
+    // projection itself is cheap (0.8 s at 20 k rows — whole-stage
+    // codegen'd, no alias blow-up).
+    val withBuckets = graft.Caches.track(
       e.select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
         .crossJoin(broadcast(autoBits(e)))
-        .withColumn("sb", signBits))
-    val bucketCols = (0 until Bands).map { b =>
-      // bucket_b = Σ_{j < abits} sb[b·abits + j] · 2^j — the plane index
-      // depends on the data-derived abits, so bits select from the
-      // precomputed sign array; 2^j is an exact long literal
-      val bucket = (0 until MaxAutoBits).map { j =>
-        when(lit(j.toLong) < col("abits"),
-          element_at(col("sb"),
-            (lit(b) * col("abits") + lit(j.toLong + 1L)).cast("int")) * lit(1L << j))
-          .otherwise(lit(0L))
-      }.reduce(_ + _)
-      struct(lit(b).as("band"), bucket.as("bucket")).as(s"bb_$b")
-    }
-    withBits
-      .withColumn("bb", explode(array(bucketCols: _*)))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+        .withColumn("sb", autoSignBits)
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          array((0 until Bands).map(autoBucketFor): _*).as("bks")))
+    explodeBands(withBuckets, Seq("vec_id", "embedding", "nrm"))
+  }
+
+  /** (vec_id, band, bucket) of the adaptive geometry WITHOUT the vector
+    * payload or any persist — the load-accounting path (sim_lsh_occupancy):
+    * a single consumer reading one linear pass has nothing to cache, and
+    * the full [[lshBandedAuto]] build pays the embedding-column cache
+    * encode (~36 s at the 100× corpus) that an occupancy readout never
+    * needs.
+    */
+  private[graft] def lshBucketsAutoLight(e: DataFrame): DataFrame = {
+    VectorKernels.register(e.sparkSession)
+    explodeBands(
+      e.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(autoBits(e)))
+        .withColumn("sb", autoSignBits)
+        .select(col("vec_id"),
+          array((0 until Bands).map(autoBucketFor): _*).as("bks")),
+      Seq("vec_id"))
   }
 
   /** LSH top-k at the CORPUS-ADAPTIVE geometry: [[autoBits]] chooses the
