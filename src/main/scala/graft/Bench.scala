@@ -105,15 +105,31 @@ object Bench {
     }
     val canary = results.toMap.getOrElse(canaryQuery, -1.0)
     // n_queries + the full-map pointer make bench_full.json the single
+    // CPU canary (r13): the count canary is I/O/metadata-shaped and sat
+    // flat (0.254 → 0.260) through a window whose CPU-bound rows all ran
+    // +10–15 % — a noisy-neighbor mode it cannot register. This one is a
+    // fixed pure-compute kernel (hash over an in-memory range, no scan,
+    // no shuffle width to speak of), so its best-of-2 moves only with the
+    // host's effective CPU throughput. Read boards against BOTH canaries.
+    val canaryCpu = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0, 30000000L, 1, cpus.toInt)
+        .select(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.xxhash64(
+            org.apache.spark.sql.functions.col("id")))).count()
+      (System.nanoTime() - t0) / 1e9
+    }.min
     // source of truth: the stdout line is the compact view (the driver
     // keeps only a short stdout tail), and the committed bench_full.json
     // carries every per-query time for round-over-round comparison
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-      s""""canary":${fmt(canary)},"n_queries":${results.size},""" +
+      s""""canary":${fmt(canary)},"canary_cpu":${fmt(canaryCpu)},""" +
+      s""""n_queries":${results.size},""" +
       s""""full":"bench_full.json","queries":${jsonOf(headlined)},"sf":$sf}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"),
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-        s""""canary":${fmt(canary)},"n_queries":${results.size},""" +
+        s""""canary":${fmt(canary)},"canary_cpu":${fmt(canaryCpu)},""" +
+        s""""n_queries":${results.size},""" +
         s""""queries":${jsonOf(results)},"sf":$sf}""")
     spark.stop()
     // last line of output, after Spark's shutdown noise
