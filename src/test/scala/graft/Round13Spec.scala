@@ -51,6 +51,22 @@ class Round13Spec extends SparkSuite {
     Caches.release(spark)
   }
 
+  test("lshTopK plans the map-side rank prune (WindowGroupLimit)") {
+    // the scale-critical optimization behind the r13 rework: the dense_rank
+    // <= k filter must plan a PARTIAL WindowGroupLimit so per-query top-k
+    // is pruned BEFORE the exchange — without it the shuffle carries every
+    // candidate pair (2.4e8 at the 100x corpus: ~10 GB spill, 20+ min).
+    // Two occurrences = Partial (map-side) + Final (post-exchange).
+    for ((label, df) <- Seq(
+        "fixed" -> Similarity.lshTopK(emb, 5, 4, 4),
+        "auto" -> Similarity.lshTopKAuto(emb, 5))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+        s"$label: rank prune not planned map-side:\n$p")
+    }
+    Caches.release(spark)
+  }
+
   test("sim_lsh_occupancy: per-band load accounting is consistent") {
     val n = emb.count()
     val rows = SparkEntry.queries("sim_lsh_occupancy")(spark, sfDir).collect()
