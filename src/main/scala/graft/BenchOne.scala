@@ -13,6 +13,20 @@ object BenchOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
+    // CPU canary (the Bench dual-canary convention, r13): a fixed
+    // pure-compute kernel whose best-of-2 moves only with the host's
+    // effective CPU throughput — the count canary below is I/O/metadata-
+    // shaped and misses noisy-neighbor CPU modes. Printed first so every
+    // BENCHONE block carries both noise floors.
+    val canaryCpu = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0, 30000000L, 1, cpus.toInt)
+        .select(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.xxhash64(
+            org.apache.spark.sql.functions.col("id")))).count()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    println(f"BENCHONE canary_cpu                   best=$canaryCpu%.3f")
     // contention canary first (the Bench convention): a code-stable cheap
     // query whose time moves only with host load, so every BENCHONE block
     // carries its own noise floor

@@ -6,17 +6,24 @@ import org.apache.spark.sql.functions._
   * [[operators.Similarity.lshTopK]] at the oracle-pinned default geometry
   * (4 bands × 4 bits) vs the scale-adjusted one (bits raised by ~log₂ of
   * the corpus growth) on the same directory.
-  * `args: sfDir [bands bits] [only] [auto]` — `only` skips the default
-  * pass (at the 100× corpus the 4×4 build spills ~77 GB and dies; probing
-  * the next decade's block must not have to pay that first); `auto` times
-  * [[operators.Similarity.lshTopKAuto]]'s in-plan chooser instead of a
-  * fixed (bands, bits) block.
+  * `args: sfDir [bands bits] [only] [auto] [plan]` — `only` skips the
+  * default pass (at the 100× corpus the 4×4 build spills ~77 GB and dies;
+  * probing the next decade's block must not have to pay that first);
+  * `auto` times [[operators.Similarity.lshTopKAuto]]'s in-plan chooser
+  * instead of a fixed (bands, bits) block; `plan` prints the chooser
+  * build's formatted physical plan and exits without timing anything.
   */
 object LshScaleProbe {
+  private val ModeFlags = Set("only", "auto", "plan")
+
   def main(args: Array[String]): Unit = {
     val dir = args(0)
-    // numeric operands are bands/bits; word operands are mode flags
-    // ("only" skips the 4×4 default pass, "auto" probes the in-plan chooser)
+    // numeric operands are bands/bits; word operands are mode flags —
+    // anything else (e.g. a typo'd "12x") is an error, not a silent no-op
+    val bad = args.drop(1).filterNot(a =>
+      a.nonEmpty && (a.forall(_.isDigit) || ModeFlags(a)))
+    require(bad.isEmpty,
+      s"unrecognized operand(s) ${bad.mkString(",")}: expected integers or ${ModeFlags.mkString("/")}")
     val nums = args.drop(1).filter(_.forall(_.isDigit)).map(_.toInt)
     val bands = nums.headOption.getOrElse(4)
     val bits = nums.drop(1).headOption.getOrElse(7)

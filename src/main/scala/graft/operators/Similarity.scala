@@ -224,16 +224,6 @@ object Similarity {
        |   length(bin(greatest(0, (count(*) + 255) // 256 - 1))))) AS abits
        | FROM e)""".stripMargin
 
-  /** The LSH pipeline replayed in DuckDB: the seed-42 ±1 hyperplanes are
-    * interpolated into the SQL as literals (they are fixed constants of the
-    * operator), sign bits pack into band buckets exactly as [[lshTopK]]
-    * does, and candidates from bucket collisions get the same exact cosine
-    * re-rank. The plane dots match bit-for-bit because [[graft.functions
-    * .FloatVecDot]] multiplies float→double and accumulates sequentially —
-    * the same order `list_sum(list_transform(...))` evaluates in.
-    */
-  private def lshOracleCtes: String = lshOracleCtesFor(Bands, BitsPerBand)
-
   /** The VALUES rows interpolating the first `n` seed-42 ±1 planes into
     * SQL (they are fixed constants of the operator).
     */
@@ -242,10 +232,16 @@ object Similarity {
       s"($i, [${p.map(c => if (c > 0) "1.0" else "-1.0").mkString(",")}]::DOUBLE[])"
     }.mkString(",\n")
 
-  /** Same replay for ANY (bands, bitsPerBand) geometry — `planesFor` draws
-    * the seed-42 sequence, so the first `Bands × BitsPerBand` planes of a
-    * larger geometry are identical to the default's and the literals stay
-    * pure constants of the operator. `panel = true` restricts the QUERY
+  /** The LSH pipeline replayed in DuckDB for ANY (bands, bitsPerBand)
+    * geometry: the seed-42 ±1 hyperplanes are interpolated into the SQL as
+    * literals (`planesFor` draws the seed-42 sequence, so the first
+    * `bands × bitsPerBand` planes of a larger geometry are identical to a
+    * smaller one's and the literals stay pure constants of the operator),
+    * sign bits pack into band buckets exactly as [[lshTopK]] does, and
+    * candidates from bucket collisions get the same exact cosine re-rank.
+    * The plane dots match bit-for-bit because [[graft.functions
+    * .FloatVecDot]] multiplies float→double and accumulates sequentially —
+    * the same order `list_sum(list_transform(...))` evaluates in. `panel = true` restricts the QUERY
     * side of the candidate join to the [[sampleModulus]] residue-class
     * panel (the sim_pair_hist convention), mirroring [[lshTopKPanel]].
     */

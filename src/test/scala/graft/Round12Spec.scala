@@ -85,9 +85,12 @@ class Round12Spec extends SparkSuite {
     // of the aggregated side against a 5-row frame. The crossJoin of the
     // grand-total scalar is ALWAYS a BroadcastNestedLoopJoin, so a single
     // broadcast occurrence would pass even if the tier-domain left join
-    // regressed — require BOTH broadcast joins (r12 ADVICE)
-    val nBcast = "Broadcast(HashJoin|NestedLoopJoin)".r.findAllIn(p).size
-    assert(nBcast >= 2, s"expected >=2 broadcast joins, got $nBcast")
+    // regressed — require BOTH broadcast joins (r12 ADVICE). FormattedMode
+    // prints every operator twice (tree + numbered details), so count only
+    // the numbered detail-section headers (r13 ADVICE): one distinct
+    // BroadcastNestedLoopJoin would otherwise already read as 2 matches.
+    val nBcast = "\\(\\d+\\) Broadcast(HashJoin|NestedLoopJoin)".r.findAllIn(p).size
+    assert(nBcast >= 2, s"expected >=2 broadcast join operators, got $nBcast")
     Caches.release(spark)
   }
 
