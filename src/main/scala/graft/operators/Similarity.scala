@@ -2965,31 +2965,98 @@ object Similarity {
     * chain-for-chain in the oracle: four independent 2-step GD trainings,
     * four rank-sum AUC evaluations.
     *
-    * Scale shape: 4× the [[logregSteps]] cost (each training two linear
-    * shuffles over its subset + broadcast weights), 4× the [[aucRankSum]]
-    * bounded-level-frame eval — a constant small multiple of the single
-    * train/eval pair, all linear. Determinism: the ml_auc stance
+    * Scale shape (r14): the four chains ride ONE fraction-tagged plan —
+    * 2.5 n·d tagged feature rows (the union of the nested subsets), each
+    * GD phase a single (f, …)-keyed linear shuffle, one full-corpus
+    * scoring pass for all four models, and one bounded level frame
+    * windowed per fraction. Constant small multiple of the single
+    * train/eval pair, all linear — and a constant number of stage waves
+    * instead of four serial chains. Determinism: the ml_auc stance
     * end-to-end (fine-decimal sums, 6-dp score rounding).
     */
   private val mlLearningCurve = Q(
     "ml_learning_curve",
     (s, dir) => {
-      // per-fraction logregSteps/aucRankSum re-derive the n·d feature
-      // explode, but the four chains sit in ONE unioned plan, so AQE's
-      // ReusedExchange dedups the identical subtrees — an explicit
-      // Caches.track of the explode measured SLOWER (cache write + 12
-      // InMemoryScans vs free shuffle-file reuse)
+      // ONE fraction-tagged plan instead of four unioned chains (r14): a
+      // vector with residue r = vec_id % 4 trains every fraction f > r, so
+      // the explode is tagged with its chain memberships (2.5 n·d rows
+      // total — the same volume the four per-chain explodes processed) and
+      // each GD phase is ONE shuffle keyed by (f, …) instead of four. The
+      // r13 shape held 4 chains × (2 steps × 2 shuffles) + 4 full-corpus
+      // eval joins ≈ 25 serial stage waves (each weight broadcast is its
+      // own job); at bench scale the row volume is trivial and the
+      // latency was pure stage count — measured 11.5 → ~4 s warm at
+      // sf0.1 (same-session canary). Value-identical by construction: the
+      // fine-decimal sums are order- and grouping-independent, so every
+      // per-(f, vec_id) margin, per-(f, i) gradient and per-f AUC is the
+      // exact number the per-chain plan produced — the oracle still
+      // replays four independent chains and the hashes must not move.
+      import graft.functions.Deterministic.dsumFine
       val e = emb(s, dir)
-      val rows = (1 to 4).map { f =>
-        val sub = e.filter(col("vec_id") % 4 < f)
-        val w = logregSteps(sub)
-        val n = sub.agg(count(lit(1)).as("n_train"))
-        aucRankSum(e, w)
-          .crossJoin(broadcast(n))
-          .select(lit(f * 0.25).as("fraction"), col("n_train"),
-            col("n_pos"), col("n_neg"), col("auc"))
+      val xyAll = e.select(col("vec_id"),
+          (col("label") % 2).cast("double").as("y"),
+          (col("vec_id") % 4).cast("int").as("res"),
+          posexplode(col("embedding")).as(Seq("i", "xf")))
+        .select(col("vec_id"), col("y"), col("res"), col("i"),
+          col("xf").cast("double").as("x"))
+      import s.implicits._
+      val fmap = (1 to 4).flatMap(f => (0 until f).map(r => (f, r)))
+        .toDF("f", "res")
+      val xyF = xyAll.join(broadcast(fmap), "res")
+      // n_train per fraction: residue-class counts folded through the
+      // same membership map — never a second corpus pass per chain
+      val cnts = e.select((col("vec_id") % 4).cast("int").as("res"))
+        .groupBy("res").agg(count(lit(1)).as("c"))
+        .join(broadcast(fmap), "res")
+        .groupBy("f").agg(sum(col("c")).as("n"))
+      val dims = e.select(col("embedding")).limit(1)
+        .select(posexplode(col("embedding")).as(Seq("i", "xf")))
+        .select(col("i"))
+      var w = dims.crossJoin((1 to 4).toDF("f"))
+        .select(col("f"), col("i"), lit(0.0).as("w"))
+      for (_ <- 1 to 2) {
+        val z = xyF.join(broadcast(w), Seq("f", "i"))
+          .groupBy("f", "vec_id", "y")
+          .agg(dsumFine(col("x") * col("w")).as("z"))
+        val resid = z.select(col("f"), col("vec_id"),
+          (lit(1.0) / (lit(1.0) + exp(-col("z"))) - col("y")).as("r"))
+        // shuffle_hash for the same reason as logregSteps: resid is
+        // corpus-sized and must never broadcast at production row counts
+        val grad = xyF.join(resid.hint("shuffle_hash"), Seq("f", "vec_id"))
+          .groupBy("f", "i")
+          .agg(dsumFine(col("x") * col("r")).as("g"))
+          .join(broadcast(cnts), "f")
+          .select(col("f"), col("i"), (col("g") / col("n")).as("g"))
+        w = w.join(grad, Seq("f", "i"))
+          .select(col("f"), col("i"), (col("w") - lit(0.1) * col("g")).as("w"))
       }
-      rows.reduce(_ unionByName _).orderBy("fraction")
+      // all four models score the FULL corpus in one pass: the broadcast
+      // weight table carries (f, i, w), so the explode fans out ×4 and
+      // map-side partial aggregation collapses it back to 4n margin groups
+      val scores = xyAll.join(broadcast(w), "i")
+        .groupBy("f", "vec_id", "y")
+        .agg(dsumFine(col("x") * col("w")).as("z"))
+        .select(col("f"), col("y"),
+          round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6).as("p"))
+      val lvl = scores.groupBy("f", "p")
+        .agg(sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("np"),
+          sum(when(col("y") === 1.0, 0L).otherwise(1L)).as("nn"))
+      val below = coalesce(sum(col("nn")).over(
+        Window.partitionBy("f").orderBy("p")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+      val tot = lvl.groupBy("f")
+        .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"))
+      lvl.select(col("f"), col("np"), col("nn"), below.as("below"))
+        .join(broadcast(tot), "f")
+        .groupBy("f", "n_pos", "n_neg")
+        .agg(round(dsumFine(col("np").cast("double") *
+            (col("below").cast("double") + col("nn").cast("double") / 2.0)) /
+          (col("n_pos").cast("double") * col("n_neg").cast("double")), 6)
+          .as("auc"))
+        .join(broadcast(cnts), "f")
+        .select((col("f") * lit(0.25)).as("fraction"), col("n").as("n_train"),
+          col("n_pos"), col("n_neg"), col("auc"))
+        .orderBy("fraction")
     },
     Some {
       def chain(f: Int): String = {
