@@ -57,6 +57,16 @@ object Bench {
     // Warm up the JVM/codegen/IO paths once so the first timed query doesn't
     // absorb session initialization (scheduler, parquet footer reads, JIT).
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
+    // The shared adaptive-LSH list memo is cross-query state (it survives
+    // per-query release by design) — pay it HERE as a declared line item
+    // instead of letting the alphabetically first consumer carry it
+    // invisibly (r13: one arbitrary row read ~11 s heavy on single-pass
+    // boards). Reported as "lsh_build" in the JSON and counted in total.
+    val lshBuild = {
+      val t0 = System.nanoTime()
+      operators.Similarity.prewarmProductionLists(spark, sfDir)
+      (System.nanoTime() - t0) / 1e9
+    }
     // three passes, best-of per query: measured warm floors are only
     // reached after several repetitions in a fresh JVM (first runs carry
     // 2-3× of codegen/JIT cost), so two passes still reported warm-up, not
@@ -85,7 +95,9 @@ object Bench {
     def fmt(v: Double): String = f"$v%.3f"
     def jsonOf(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // total covers the declared queries PLUS the explicitly-priced memo
+    // build — the same work r13 boards counted, just attributed honestly
+    val total = results.map(_._2).sum + lshBuild
     // emit sf bare only when it is a plain decimal number (toDoubleOption
     // would also accept NaN/Infinity, which are invalid bare JSON); anything
     // else is emitted as an escaped JSON string
@@ -124,12 +136,12 @@ object Bench {
     // carries every per-query time for round-over-round comparison
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""canary":${fmt(canary)},"canary_cpu":${fmt(canaryCpu)},""" +
-      s""""n_queries":${results.size},""" +
+      s""""lsh_build":${fmt(lshBuild)},"n_queries":${results.size},""" +
       s""""full":"bench_full.json","queries":${jsonOf(headlined)},"sf":$sf}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"),
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""canary":${fmt(canary)},"canary_cpu":${fmt(canaryCpu)},""" +
-        s""""n_queries":${results.size},""" +
+        s""""lsh_build":${fmt(lshBuild)},"n_queries":${results.size},""" +
         s""""queries":${jsonOf(results)},"sf":$sf}""")
     spark.stop()
     // last line of output, after Spark's shutdown noise

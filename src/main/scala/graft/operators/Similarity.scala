@@ -45,6 +45,17 @@ object Similarity {
   private def lshTop5Auto(s: SparkSession, dir: String): DataFrame =
     graft.Caches.memo(s, s"lsh:top5a:$dir")(lshTopKAuto(emb(s, dir), 5))
 
+  /** Force the shared [[lshTop5Auto]] memo for `dir` and return its row
+    * count. Bench calls this BEFORE the query loop and reports the elapsed
+    * seconds as its own `lsh_build` line item — otherwise the multi-second
+    * adaptive list build lands invisibly on whichever consumer happens to
+    * run first alphabetically, and single-pass boards read that one row
+    * ~3× heavy (r13 verdict: dedup_semantic_clusters_scaled 14.7 s
+    * single-pass vs 3.86 s warm at sf1, the difference being this build).
+    */
+  def prewarmProductionLists(s: SparkSession, dir: String): Long =
+    lshTop5Auto(s, dir).count()
+
   /** The ground-truth query-sample modulus: m = max(8, 2^⌈log₂(n/256)⌉)
     * computed IN-PLAN from the corpus count, so the residue-class sample
     * `vec_id % m = 3` holds ~256–512 query vectors at ANY corpus size —
