@@ -5,7 +5,10 @@ import org.apache.spark.sql.functions._
 
 /** Dev/bench utility: amplify a testdata scale-factor directory by an
   * integer factor, producing a workload-representative larger corpus for
-  * scale validation (`args: srcDir dstDir factor`). This is measurement
+  * scale validation (`args: srcDir dstDir factor [table ...]` — trailing
+  * table names restrict the amplification to those tables, for probes that
+  * need one table at a decade the full amplified directory would make
+  * needlessly expensive, e.g. the 2 M-vector LSH probe). This is measurement
   * scaffolding, not an operator — the library's scale arguments live in the
   * operators themselves; this main exists so those arguments can be checked
   * against a 10× corpus instead of only being argued (SURVEY §6).
@@ -35,7 +38,7 @@ object ScaleUp {
   private val Stride = 1L << 40
 
   def main(args: Array[String]): Unit = {
-    val Array(src, dst, fStr) = args
+    val Array(src, dst, fStr, onlyTables @ _*) = args
     val f = fStr.toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = Sessions.builder(s"local[$cpus]", cpus.toInt)
@@ -46,6 +49,7 @@ object ScaleUp {
     def shift(c: String, i: Int) = col(c) + lit(i * Stride)
 
     def replicate(name: String)(tx: (DataFrame, Int) => DataFrame): Unit = {
+      if (onlyTables.nonEmpty && !onlyTables.contains(name)) return
       val base = Tables.load(spark, src, name)
       val out = (0 until f).map(i => tx(base, i)).reduce(_ unionByName _)
       out.repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)

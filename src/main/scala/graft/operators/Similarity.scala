@@ -188,23 +188,27 @@ object Similarity {
   private val Bands = 4
   private val BitsPerBand = NumPlanes / Bands
 
-  /** Ceiling of the adaptive bit budget ([[autoBits]]): 4 bands × 12 bits
-    * = 48 seed-42 planes are baked into the plan (and the oracle) as
-    * literals, enough for per-band-bucket occupancy ≤ ~256 through ~8 M
-    * vectors (bits = 12 engages at n ≥ 256·2¹¹ ≈ 0.5 M). Beyond the cap a
-    * deployment raises this constant — [[planesFor]] extends the seed-42
-    * sequence compatibly, so a larger cap only APPENDS plane literals and
-    * every sub-cap corpus keeps choosing the identical geometry. The cap
-    * exists because each +1 bit adds 4 plane literals to the replayed
-    * oracle text, not because anything densifies at it.
+  /** Ceiling of the adaptive bit budget ([[autoBits]]): 4 bands × 16 bits
+    * = 64 seed-42 planes are baked into the plan (and the oracle) as
+    * literals, enough for per-band-bucket occupancy ≤ ~256 through ~16 M
+    * vectors (bits = 16 engages at n ≥ 256·2¹⁵ ≈ 8.4 M). Raised from 12 in
+    * r14 after the 2 M-vector probe measured the capped geometry
+    * densifying (occupancy ~488 at 4×12); [[autoSignBits]] computes a
+    * plane's dot product only when the CHOSEN budget uses it, so sub-cap
+    * corpora pay nothing for the headroom and keep choosing — and
+    * computing — the identical geometry (all pre-r14 hashes unchanged:
+    * [[planesFor]] extends the seed-42 sequence compatibly, a larger cap
+    * only APPENDS plane literals). Beyond 16 a deployment raises this
+    * constant again; each +1 bit costs 4 plane literals in the replayed
+    * oracle text, nothing at sub-cap runtime.
     */
-  private val MaxAutoBits = 12
+  private val MaxAutoBits = 16
 
   /** The CORPUS-ADAPTIVE LSH bit budget, computed IN-PLAN from the corpus
     * count — the geometry chooser measured by LshScaleProbe (SURVEY §6)
     * promoted from a hand-tuned per-decade knob into plan arithmetic:
     *
-    *   abits = clamp(4, bitlength(⌈n/256⌉ − 1), 12)
+    *   abits = clamp(4, bitlength(⌈n/256⌉ − 1), [[MaxAutoBits]])
     *
     * i.e. the smallest power-of-two bucket count per band that holds
     * per-bucket occupancy n/2^abits ≤ ~256, the regime the probe measured
@@ -389,7 +393,7 @@ object Similarity {
     * ladder LshScaleProbe measured — so per-bucket occupancy, and
     * therefore candidate-pair cost per vector, stays ~constant at every
     * decade where any fixed block eventually densifies quadratically.
-    * All 48 seed-42 planes interpolate into the oracle as literals (the
+    * All 4·[[MaxAutoBits]] seed-42 planes interpolate into the oracle as literals (the
     * first 16 ARE the default's — `planesFor` draws sequentially) with
     * the chooser arithmetic replayed, so the scaled geometry is
     * hash-checked end-to-end at every scale factor, not just probed.
@@ -640,10 +644,11 @@ object Similarity {
     * CORPUS-ADAPTIVE geometry — the substrate [[lshTopKAuto]] self-joins
     * and sim_lsh_occupancy inspects. The bit budget is [[autoBits]]'
     * in-plan scalar, so the NUMBER of sign bits consulted per band is
-    * data-dependent while the plan stays static: all 4 × [[MaxAutoBits]]
-    * plane dots are computed (one codegen kernel each against a FOLDED
-    * constant plane — 48 × 64 multiply-adds per vector, linear and
-    * negligible next to the candidate join) into a sign-bit array, and
+    * data-dependent while the plan stays static: the first 4·abits of the
+    * 4 × [[MaxAutoBits]] plane dots are computed (one codegen kernel each
+    * against a FOLDED constant plane, gated by the chosen budget —
+    * 4·abits × 64 multiply-adds per vector, linear and negligible next to
+    * the candidate join) into a sign-bit array, and
     * each band's bucket id packs the `abits`-long slice at offset
     * band · abits via plain conditional arithmetic (no higher-order
     * functions).
@@ -659,12 +664,20 @@ object Similarity {
     * ([[planeLit]]) rather than per-row 64-element CreateArrays.
     */
   /** The 4 × [[MaxAutoBits]] sign bits as one array expression (reads
-    * `embedding`).
+    * `embedding` and the broadcast `abits`). Entry j is only ever read for
+    * j < [[Bands]]·abits ([[autoBucketFor]] indexes b·abits + j, j <
+    * abits), so the dot product is gated behind that bound: codegen
+    * evaluates a `when` branch lazily, and a sub-cap corpus computes
+    * exactly the 4·abits dots it uses — raising the cap costs the small
+    * corpus nothing (r14; unconditional sign bits would have taxed every
+    * scale +⅓ encode for headroom only the >0.5 M-vector decade reads).
     */
   private def autoSignBits: Column = {
     val pl = planesFor(Bands * MaxAutoBits)
     array((0 until Bands * MaxAutoBits).map { j =>
-      when(dot(col("embedding"), planeLit(pl(j))) >= 0, lit(1L)).otherwise(lit(0L))
+      when(lit(j.toLong) < lit(Bands.toLong) * col("abits"),
+        when(dot(col("embedding"), planeLit(pl(j))) >= 0, lit(1L)).otherwise(lit(0L)))
+        .otherwise(lit(0L))
     }: _*)
   }
 
@@ -692,7 +705,7 @@ object Similarity {
     VectorKernels.register(e.sparkSession)
     // ONE projection computes dots → sign array → packed buckets, and the
     // PERSISTED frame carries only (vec_id, embedding, nrm, bks) — the
-    // intermediate 48-long sign array must NOT reach the cache: the SQL
+    // intermediate 4·MaxAutoBits-long sign array must NOT reach the cache: the SQL
     // cache's columnar encode of a 48-element array column measured ~6 s
     // at 20 k rows (3× the whole fixed-geometry build) while the same
     // frame without it caches in <1 s. The un-cached single-stage
@@ -733,7 +746,7 @@ object Similarity {
     * corpus size up to the [[MaxAutoBits]] cap, where a fixed geometry
     * must be re-tuned by hand each decade. Fully oracle-replayable
     * ([[lshOracleCtesAuto]]): the chooser is integer-exact arithmetic and
-    * the 48 planes are seed-42 literals of the operator.
+    * the 4·[[MaxAutoBits]] planes are seed-42 literals of the operator.
     */
   def lshTopKAuto(e: DataFrame, k: Int = 5): DataFrame = {
     val banded = lshBandedAuto(e)
@@ -1213,7 +1226,7 @@ object Similarity {
     * endpoints' top-5 (or never bucket-colliding) joins a cluster only
     * through a transitive chain — the kNN-graph-covers-near-dup-sets
     * argument every production semantic dedup rests on. The oracle replays
-    * the 48 seed-42 plane literals, the chooser, the lists, the cut, and
+    * the 4·MaxAutoBits seed-42 plane literals, the chooser, the lists, the cut, and
     * the recursive closure, so the approximation itself is hash-checked
     * end-to-end.
     */
