@@ -62,7 +62,14 @@ object Bench {
     // instead of letting the alphabetically first consumer carry it
     // invisibly (r13: one arbitrary row read ~11 s heavy on single-pass
     // boards). Reported as "lsh_build" in the JSON and counted in total.
-    val lshBuild = {
+    // Skipped (0.000) when a dev-restricted run touches no consumer of the
+    // memo — a non-LSH subset board must not carry multi-second work none
+    // of its timed queries read (r14 ADVICE).
+    val lshConsumers = Set("sim_lsh_ann_scaled", "sim_mutual_knn",
+      "ml_knn_classify", "sim_lsh_recall", "sim_recall_curve",
+      "dedup_semantic_clusters_scaled")
+    val lshBuild = if (onlyQ.exists(qs => qs.intersect(lshConsumers).isEmpty)) 0.0
+    else {
       val t0 = System.nanoTime()
       operators.Similarity.prewarmProductionLists(spark, sfDir)
       (System.nanoTime() - t0) / 1e9

@@ -36,6 +36,15 @@ object Sessions {
     // unfiltered MIN/MAX/COUNT answer from parquet footer statistics alone —
     // a table-wide stats query reads metadata, not 100 TB of pages
     "spark.sql.parquet.aggregatePushdown" -> "true",
+    // ObjectHashAggregate (typed Aggregators: TopK.neighbors, sketches)
+    // falls back to SORT-based aggregation after only 128 distinct keys per
+    // task by default — which re-sorts exactly the candidate stream the
+    // bounded-state top-k exists to never sort (the 2 M-vector rank path's
+    // >90 GB spill class). The engine's object buffers are all O(k)/O(bits)
+    // bounded (a 5-entry neighbor list ≈ 300 B), so 2 M keys per task is
+    // ~600 MB worst-case — hash aggregation stays safe where the default
+    // assumes arbitrarily fat buffers
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "2000000",
     // iterative operators pin checkpointed substrates in storage memory; at
     // the default 0.5 the protected storage pool starves the 16–32
     // concurrent per-executor aggregation tasks of execution pages exactly

@@ -1,7 +1,5 @@
 package graft.functions
 
-import scala.collection.mutable.ArrayBuffer
-
 import org.apache.spark.sql.{Column, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
@@ -10,16 +8,20 @@ import org.apache.spark.sql.functions.udaf
   * neighbors per query" at corpus scale (SURVEY.md §2.11 kernel policy:
   * Aggregators over UDFs; the [[HeavyHitters]]/[[Kmv]] convention).
   *
-  * Why this exists (r14): the LSH candidate ranking previously relied on a
-  * rank window whose map-side WindowGroupLimit prune still SORTS the whole
-  * per-task candidate stream before pruning — at the 2 M-vector probe
-  * corpus the ~2·10⁹ scored pairs spilled >90 GB of sort runs and the
-  * build died on scratch space (the cap-12 run filled 77 GB the same way).
-  * A k-sized insertion buffer per query never materializes the stream at
-  * all: per-task state is O(live queries × k), the shuffle carries ≤ k
-  * entries per (task, query), and there is NO sort anywhere in the rank
-  * path. This is the textbook 100 TB top-k aggregate — candidate volume
-  * only ever streams through compare-and-insert.
+  * Why this exists (r14, WIRED in r15): the LSH candidate ranking
+  * previously relied on a rank window whose map-side WindowGroupLimit
+  * prune still SORTS the whole per-task candidate stream before pruning —
+  * at the 2 M-vector probe corpus the ~2·10⁹ scored pairs spilled >90 GB
+  * of sort runs and the build died on scratch space (the cap-12 run
+  * filled 77 GB the same way). A k-sized insertion buffer per query never
+  * materializes the stream at all: per-task state is O(live queries × k),
+  * the exchange carries one ≤ k-entry partial buffer per (task, query),
+  * and there is NO sort anywhere in the rank path. This is the textbook
+  * 100 TB top-k aggregate — candidate volume only ever streams through
+  * compare-and-insert. `rankBanded` (operators/Similarity.scala) is the
+  * call site; Round15Spec pins both the no-Window/no-rank-Sort plan and
+  * value-identity against the row_number-over-distinct-candidates oracle
+  * form.
   *
   * Semantics are EXACTLY the dense_rank form it replaces (value-identical,
   * every oracle hash unchanged): candidates order by
@@ -28,47 +30,58 @@ import org.apache.spark.sql.functions.udaf
   * colliding in several bands carries an identical cosine, so duplicate
   * (n_id, cos) arrivals are dropped on insert exactly as the old
   * dense_rank + distinct() collapsed them. Rank = 1-based position in the
-  * final merged order.
+  * final merged order. `finish` returns the RAW cosine; the caller's
+  * projection applies the same round(cos, 6) the window form emitted.
+  *
+  * Buffer representation: an immutable sorted List inside a product-encoded
+  * case class (NOT kryo — the buffer crosses the partial/final exchange
+  * once per (task, query) and a product encoder writes it as a plain
+  * array-of-struct column). The hot path never allocates: a full buffer
+  * rejects a non-qualifying candidate with one double compare (the
+  * round(cos,9) can only move a value by < 5e-10, so `cos < minR9 - 5e-10`
+  * proves the candidate cannot reach the buffer tail even after rounding —
+  * the BigDecimal round runs only for the O(k·ln n) candidates that
+  * survive the guard).
   */
-final case class TopKNeighborsBuf(
-    k: Int,
-    // sorted by (r9 desc, nId asc); length <= k. Entries are
-    // (r9 = round(cos, 9), nId, raw cos).
-    buf: ArrayBuffer[(Double, Long, Double)]) {
+final case class TopKNeighborEntry(r9: Double, nId: Long, cos: Double)
+
+final case class TopKNeighborsBuf(k: Int, buf: List[TopKNeighborEntry]) {
 
   private def round9(x: Double): Double =
     BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   def add(nId: Long, cos: Double): TopKNeighborsBuf = {
+    // fast reject: buffer full and the candidate provably sorts below the
+    // current tail even after rounding — the overwhelmingly common case on
+    // a candidate stream, no BigDecimal, no allocation
+    if (buf.length >= k && cos < buf.last.r9 - 5e-10) return this
     val r9 = round9(cos)
-    var i = 0
-    while (i < buf.length &&
-        (buf(i)._1 > r9 || (buf(i)._1 == r9 && buf(i)._2 < nId))) i += 1
+    if (buf.length >= k) {
+      val last = buf.last
+      if (r9 < last.r9 || (r9 == last.r9 && nId > last.nId)) return this
+    }
+    // insertion point in (r9 desc, nId asc) order
+    val (before, after) = buf.span(e => e.r9 > r9 || (e.r9 == r9 && e.nId < nId))
     // a band duplicate of a pair has the identical (r9, nId) key and lands
     // exactly here — drop it (the old distinct())
-    if (i < buf.length && buf(i)._1 == r9 && buf(i)._2 == nId) return this
-    if (i < k) {
-      buf.insert(i, (r9, nId, cos))
-      if (buf.length > k) buf.remove(k)
-    }
-    this
+    if (after.nonEmpty && after.head.r9 == r9 && after.head.nId == nId) return this
+    val merged = before ::: TopKNeighborEntry(r9, nId, cos) :: after
+    copy(buf = if (merged.length > k) merged.take(k) else merged)
   }
 
-  def merge(o: TopKNeighborsBuf): TopKNeighborsBuf = {
-    o.buf.foreach { case (_, nId, cos) => add(nId, cos) }
-    this
-  }
+  def merge(o: TopKNeighborsBuf): TopKNeighborsBuf =
+    o.buf.foldLeft(this)((b, e) => b.add(e.nId, e.cos))
 }
 
 /** `groupBy(q_id).agg(TopK.neighbors(k)(n_id, cos))` → array of
   * (n_id, cos, rank) structs, rank 1-based in (round(cos,9) desc, n_id)
-  * order, band duplicates collapsed.
+  * order, band duplicates collapsed, cosine RAW (caller rounds for
+  * display).
   */
 class TopKNeighborsAgg(k: Int)
     extends Aggregator[(Long, Double), TopKNeighborsBuf, Seq[(Long, Double, Int)]] {
 
-  override def zero: TopKNeighborsBuf =
-    TopKNeighborsBuf(k, ArrayBuffer.empty)
+  override def zero: TopKNeighborsBuf = TopKNeighborsBuf(k, Nil)
 
   override def reduce(b: TopKNeighborsBuf, in: (Long, Double)): TopKNeighborsBuf =
     b.add(in._1, in._2)
@@ -78,10 +91,10 @@ class TopKNeighborsAgg(k: Int)
 
   override def finish(b: TopKNeighborsBuf): Seq[(Long, Double, Int)] =
     b.buf.iterator.zipWithIndex
-      .map { case ((_, nId, cos), i) => (nId, cos, i + 1) }.toSeq
+      .map { case (e, i) => (e.nId, e.cos, i + 1) }.toSeq
 
   override def bufferEncoder: Encoder[TopKNeighborsBuf] =
-    Encoders.kryo[TopKNeighborsBuf]
+    Encoders.product[TopKNeighborsBuf]
 
   override def outputEncoder: Encoder[Seq[(Long, Double, Int)]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Double, Int)]]()

@@ -592,20 +592,26 @@ object Similarity {
     * query-side banded rows × neighbor-side banded rows on (band, bucket),
     * exact cosine, per-query rank ≤ k with cross-band dedup.
     *
-    * Dedup/rank SHAPE (r13, measured): a pair colliding in several bands
-    * appears once per band with an IDENTICAL cosine (same two vectors, same
-    * kernel), so `dense_rank` over (round(cos,9) desc, n_id) on the raw
-    * multi-band stream assigns duplicates the same rank and is value-
-    * identical to the old groupBy(q_id,n_id)-then-row_number form. The
-    * difference at scale is the plan: the rank-limit filter lets Spark
-    * insert a PARTIAL WindowGroupLimit — a map-side per-query top-k prune
-    * BEFORE the shuffle — so the exchange carries ≤ ~bands·k rows per query
-    * instead of every candidate pair, and the sort spills incrementally
-    * where the old pre-dedup hash aggregate held one map entry per
-    * DISTINCT PAIR per task (the round-11 "hash-agg cannot spill" failure
-    * class: at the 100× corpus its 2.4·10⁸-pair build spilled ~10 GB and
-    * ran 20+ minutes; this shape finishes in ~1 minute). The final
-    * distinct() collapses same-rank band duplicates on a ≤ k·n frame.
+    * Rank SHAPE (r15 — the bounded-state form): the per-query top-k is a
+    * [[graft.functions.TopK.neighbors]] Aggregator — a k-sized insertion
+    * buffer ordered by (round(cos,9) desc, n_id) that drops band
+    * duplicates on insert (a pair colliding in several bands carries an
+    * IDENTICAL cosine — same two vectors, same kernel — so its (r9, n_id)
+    * key is identical and the insert is the old distinct()). Value-
+    * identical to the r13 dense_rank window AND to the oracle's
+    * row_number-over-distinct-candidates replay (Round15Spec proves both);
+    * what changes is the PLAN. The window form's map-side WindowGroupLimit
+    * prune still SORTS the whole per-task candidate stream before pruning:
+    * at the 2 M-vector probe the ~2·10⁹ scored pairs spilled >90 GB of
+    * sort runs and the build died on scratch space. The aggregate form
+    * never materializes the stream — candidates flow through
+    * compare-and-insert into O(live queries × k) task state
+    * (ObjectHashAggregate; [[graft.Sessions.scaleDefaults]] raises the
+    * 128-key sort-based fallback so the map stays hash-based at corpus
+    * key counts), the partial/final exchange carries ONE ≤ k-entry buffer
+    * per (task, query), and NO sort exists anywhere in the rank path
+    * (Round15Spec pins the plan). The old distinct() exchange on the
+    * ≤ k·n output disappears too — dedup happens inside the buffer.
     */
   private def rankBanded(q: DataFrame, n: DataFrame, k: Int): DataFrame = {
     val scored = q.select("vec_id", "embedding", "nrm", "band", "bucket")
@@ -616,13 +622,12 @@ object Similarity {
           col("bucket") === col("bucket_b") && col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         (dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm"))).as("cos"))
-    val w = Window.partitionBy("q_id")
-      .orderBy(round(col("cos"), 9).desc, col("n_id"))
     scored
-      .withColumn("rank", dense_rank().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cosine"), col("rank"))
-      .distinct()
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopK.neighbors(k)(col("n_id"), col("cos")).as("nb"))
+      .select(col("q_id"), explode(col("nb")).as("x"))
+      .select(col("q_id"), col("x._1").as("n_id"),
+        round(col("x._2"), 6).as("cosine"), col("x._3").as("rank"))
   }
 
   /** [[lshTopK]] at the default 4×4 geometry with the QUERY side

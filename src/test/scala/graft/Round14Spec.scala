@@ -66,7 +66,12 @@ class Round14Spec extends SparkSuite {
     val dynamic = Sessions.scaleDefaults.filter { case (k, _) =>
       spark.conf.isModifiable(k) }
     assert(dynamic.nonEmpty)
-    val saved = dynamic.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    // the builder also carries spark.sql.shuffle.partitions — save/restore
+    // it alongside the scaleDefaults keys so this test cannot silently
+    // repoint the shared session's reducer width for later suites if the
+    // builder argument and TestSpark's default ever diverge (r14 ADVICE)
+    val saved = (dynamic.keys.toSeq :+ "spark.sql.shuffle.partitions")
+      .map(k => k -> spark.conf.getOption(k)).toMap
     try {
       val s = Sessions.builder("local[4]", 4).getOrCreate()
       assert(s eq spark, "expected the shared session back")
