@@ -198,6 +198,123 @@ case class ByteVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** The seed-42 ±1 hyperplane sign sequence as flat bytes — the SINGLE
+  * random draw behind every LSH geometry in the engine
+  * ([[graft.operators.Similarity]]'s `planesFor` interpolates the same
+  * sequence into oracle SQL and fixed-geometry plan literals; Round15Spec
+  * pins the two derivations byte-for-byte). `Random(42)` draws
+  * sequentially, so `signsFor(n)` is always a PREFIX of `signsFor(m)` for
+  * n ≤ m — geometries can grow without moving any pinned bucket.
+  */
+object LshPlanes {
+  def signsFor(nPlanes: Int): Array[Byte] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(nPlanes * 64)(if (rnd.nextBoolean()) 1.toByte else -1.toByte)
+  }
+}
+
+/** ALL of a vector's adaptive-LSH band buckets in one compact kernel:
+  * bucket[b] = Σ_{j<abits} [dot(emb, plane_{b·abits+j}) ≥ 0] · 2^j over
+  * the seed-42 ±1 planes ([[LshPlanes]]).
+  *
+  * Why a single kernel instead of per-plane [[FloatVecDot]] columns
+  * (r15, measured): the expression-built encode — a bands×maxBits-entry
+  * sign array of when-gated dot kernels feeding conditional bucket
+  * packing — generates ~bands·maxBits inlined 64-float loops in ONE
+  * projection method. At the r13 4×12 width that stayed JIT-compiled; at
+  * the r15 8×16 width (128 loops) the generated `project_doConsume`
+  * crosses the JVM's huge-method limit, silently never JIT-compiles, and
+  * runs BYTECODE-INTERPRETED — the 2 M-vector encode measured >40 min
+  * where this kernel's single ~30-line loop nest (JIT-friendly at any
+  * bands×bits, loop bounds runtime values) does the identical arithmetic
+  * in seconds. Bit-compatibility: each plane dot is the same sequential
+  * float→double multiply-accumulate as [[FloatVecDot]] against a ±1.0
+  * coefficient, so every bucket equals the old expression form and the
+  * DuckDB replay exactly.
+  *
+  * Children: (embedding array<float>, abits long — the in-plan chooser
+  * scalar). `bands`/`maxBits` are plan constants of the operator; abits
+  * is clamped to maxBits defensively (the chooser already guarantees it).
+  */
+case class LshAutoBuckets(left: Expression, right: Expression,
+                          bands: Int, maxBits: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "lsh_abuckets"
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val emb = VecTypeCheck.arrayOf(FloatType, prettyName, "emb" -> left.dataType)
+    if (emb != TypeCheckResult.TypeCheckSuccess) emb
+    else if (right.dataType != org.apache.spark.sql.types.LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects abits: bigint, got ${right.dataType.catalogString}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  // one flat 8 KB sign table per plan instance; rides plan serialization
+  private lazy val signs: Array[Byte] = LshPlanes.signsFor(bands * maxBits)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val ab = math.min(b.asInstanceOf[Long].toInt, maxBits)
+    val n = math.min(x.numElements(), 64)
+    val out = new Array[Long](bands)
+    var bnd = 0
+    while (bnd < bands) {
+      var bk = 0L
+      var j = 0
+      while (j < ab) {
+        val off = (bnd * ab + j) << 6
+        var acc = 0.0
+        var i = 0
+        while (i < n) { acc += x.getFloat(i).toDouble * signs(off + i).toDouble; i += 1 }
+        if (acc >= 0.0) bk |= (1L << j)
+        j += 1
+      }
+      out(bnd) = bk
+      bnd += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val s = ctx.addReferenceObj("lshSigns", signs, "byte[]")
+      val ab = ctx.freshName("ab")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val bnd = ctx.freshName("bnd")
+      val bk = ctx.freshName("bk")
+      val j = ctx.freshName("j")
+      val off = ctx.freshName("off")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      s"""
+         |int $ab = (int) java.lang.Math.min($b, (long) $maxBits);
+         |int $n = java.lang.Math.min($a.numElements(), 64);
+         |long[] $out = new long[$bands];
+         |for (int $bnd = 0; $bnd < $bands; $bnd++) {
+         |  long $bk = 0L;
+         |  for (int $j = 0; $j < $ab; $j++) {
+         |    int $off = ($bnd * $ab + $j) << 6;
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $acc += (double) $a.getFloat($i) * (double) $s[$off + $i];
+         |    }
+         |    if ($acc >= 0.0) $bk |= (1L << $j);
+         |  }
+         |  $out[$bnd] = $bk;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Session registration + Column-level API for the kernels. */
 object VectorKernels {
 
@@ -214,10 +331,20 @@ object VectorKernels {
       exprs => ByteVecDot(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("dvec_dot",
       exprs => DoubleVecDot(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("lsh_abuckets",
+      // bands/maxBits arrive as foldable int literals (plan constants of
+      // the calling operator) — evaluated once at resolution
+      exprs => LshAutoBuckets(exprs(0), exprs(1),
+        exprs(2).eval(null).asInstanceOf[Int],
+        exprs(3).eval(null).asInstanceOf[Int]), "built-in")
   }
 
   def fdot(a: Column, b: Column): Column = call_function("fvec_dot", a, b)
   def fnorm(a: Column): Column = call_function("fvec_norm", a)
   def bdot(a: Column, b: Column): Column = call_function("bvec_dot", a, b)
   def ddot(a: Column, b: Column): Column = call_function("dvec_dot", a, b)
+  def abuckets(emb: Column, abits: Column, bands: Int, maxBits: Int): Column =
+    call_function("lsh_abuckets", emb, abits,
+      org.apache.spark.sql.functions.lit(bands),
+      org.apache.spark.sql.functions.lit(maxBits))
 }

@@ -188,21 +188,39 @@ object Similarity {
   private val Bands = 4
   private val BitsPerBand = NumPlanes / Bands
 
-  /** Ceiling of the adaptive bit budget ([[autoBits]]): 4 bands × 16 bits
-    * = 64 seed-42 planes are baked into the plan (and the oracle) as
-    * literals, enough for per-band-bucket occupancy ≤ ~256 through ~16 M
-    * vectors (bits = 16 engages at n ≥ 256·2¹⁵ ≈ 8.4 M). Raised from 12 in
-    * r14 after the 2 M-vector probe measured the capped geometry
-    * densifying (occupancy ~488 at 4×12); [[autoSignBits]] computes a
-    * plane's dot product only when the CHOSEN budget uses it, so sub-cap
-    * corpora pay nothing for the headroom and keep choosing — and
-    * computing — the identical geometry (all pre-r14 hashes unchanged:
-    * [[planesFor]] extends the seed-42 sequence compatibly, a larger cap
+  /** Ceiling of the adaptive bit budget ([[autoBits]]):
+    * [[AutoBands]] × 16 bits = 128 seed-42 planes are baked into the plan
+    * (and the oracle) as literals, enough for per-band-bucket occupancy
+    * ≤ ~256 through ~16 M vectors (bits = 16 engages at
+    * n ≥ 256·2¹⁵ ≈ 8.4 M). Raised from 12 in r14 after the 2 M-vector
+    * probe measured the capped geometry densifying (occupancy ~488 at
+    * 4×12); [[autoSignBits]] computes a plane's dot product only when the
+    * CHOSEN budget uses it, so sub-cap corpora pay nothing for the
+    * headroom and keep choosing — and computing — the identical geometry
+    * ([[planesFor]] extends the seed-42 sequence compatibly, a larger cap
     * only APPENDS plane literals). Beyond 16 a deployment raises this
-    * constant again; each +1 bit costs 4 plane literals in the replayed
-    * oracle text, nothing at sub-cap runtime.
+    * constant again; each +1 bit costs [[AutoBands]] plane literals in
+    * the replayed oracle text, nothing at sub-cap runtime.
     */
   private val MaxAutoBits = 16
+
+  /** Bands of the CORPUS-ADAPTIVE geometry — the OR-construction width:
+    * a true neighbor is admitted if it collides in ANY band, so the miss
+    * probability is (1 − q)^bands for per-band hit probability q. Raised
+    * 4 → 10 in r15 as the recall lever the r14 verdict priced: the
+    * 4-band recall@5 was 0.406 / 0.451 / 0.493 at sf0.001/0.01/0.1
+    * (per-band q ≈ 0.12–0.16); measured post-raise the 10-band geometry
+    * reads 0.711 / 0.740 / 0.810 at the same scales (8 bands measured
+    * 0.660 / 0.686 / 0.732 — short of the ≥0.7 bar at two scales, hence
+    * 10). Candidate volume — bands × n × occupancy, the
+    * `sim_lsh_occupancy` readout — scales by exactly 2.5×, a priced,
+    * linear trade. The bit budget per band ([[autoBits]]) is unchanged:
+    * recall comes from MORE independent bands, not coarser buckets, so
+    * per-band occupancy (and with it worst-case bucket skew) stays pinned
+    * at ~256. Decoupled from the fixed 4×4 historical anchor ([[Bands]] —
+    * the oracle-pinned round-1 geometry `sim_lsh_ann` keeps alive).
+    */
+  private val AutoBands = 10
 
   /** The CORPUS-ADAPTIVE LSH bit budget, computed IN-PLAN from the corpus
     * count — the geometry chooser measured by LshScaleProbe (SURVEY §6)
@@ -291,9 +309,10 @@ object Similarity {
        |""".stripMargin
   }
 
-  /** The CORPUS-ADAPTIVE replay ([[lshTopKAuto]]): all 4 × [[MaxAutoBits]]
-    * seed-42 planes as literals, the `g(abits)` chooser CTE, and the
-    * band/bit packing driven by the CHOSEN budget — planes ≥ 4·abits are
+  /** The CORPUS-ADAPTIVE replay ([[lshTopKAuto]]): all
+    * [[AutoBands]] × [[MaxAutoBits]] seed-42 planes as literals, the
+    * `g(abits)` chooser CTE, and the band/bit packing driven by the
+    * CHOSEN budget — planes ≥ AutoBands·abits are
     * filtered out, `plane // abits` assigns bands, `2^(plane % abits)`
     * weights bits. Every arithmetic step is integer-exact on both engines,
     * so the geometry the oracle replays is provably the one the plan chose.
@@ -303,13 +322,13 @@ object Similarity {
        |   sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
        | FROM embeddings),
        |$abitsSql,
-       |pl(plane, coef) AS (VALUES ${planeValuesSql(Bands * MaxAutoBits)}),
+       |pl(plane, coef) AS (VALUES ${planeValuesSql(AutoBands * MaxAutoBits)}),
        |bits AS (SELECT e.vec_id, pl.plane,
        |    CASE WHEN list_sum(list_transform(range(1,65),
        |           i -> CAST(e.embedding[i] AS DOUBLE) * coef[i])) >= 0
        |         THEN CAST(power(2, plane % (SELECT abits FROM g)) AS BIGINT)
        |         ELSE 0 END AS bit
-       |  FROM e CROSS JOIN pl WHERE pl.plane < $Bands * (SELECT abits FROM g)),
+       |  FROM e CROSS JOIN pl WHERE pl.plane < $AutoBands * (SELECT abits FROM g)),
        |bk AS (SELECT vec_id,
        |       CAST(plane // (SELECT abits FROM g) AS INT) AS band,
        |       CAST(sum(bit) AS BIGINT) AS bucket
@@ -393,7 +412,7 @@ object Similarity {
     * ladder LshScaleProbe measured — so per-bucket occupancy, and
     * therefore candidate-pair cost per vector, stays ~constant at every
     * decade where any fixed block eventually densifies quadratically.
-    * All 4·[[MaxAutoBits]] seed-42 planes interpolate into the oracle as literals (the
+    * All [[AutoBands]]·[[MaxAutoBits]] seed-42 planes interpolate into the oracle as literals (the
     * first 16 ARE the default's — `planesFor` draws sequentially) with
     * the chooser arithmetic replayed, so the scaled geometry is
     * hash-checked end-to-end at every scale factor, not just probed.
@@ -440,13 +459,13 @@ object Similarity {
     },
     Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
        |$abitsSql,
-       |pl(plane, coef) AS (VALUES ${planeValuesSql(Bands * MaxAutoBits)}),
+       |pl(plane, coef) AS (VALUES ${planeValuesSql(AutoBands * MaxAutoBits)}),
        |bits AS (SELECT e.vec_id, pl.plane,
        |    CASE WHEN list_sum(list_transform(range(1,65),
        |           i -> CAST(e.embedding[i] AS DOUBLE) * coef[i])) >= 0
        |         THEN CAST(power(2, plane % (SELECT abits FROM g)) AS BIGINT)
        |         ELSE 0 END AS bit
-       |  FROM e CROSS JOIN pl WHERE pl.plane < $Bands * (SELECT abits FROM g)),
+       |  FROM e CROSS JOIN pl WHERE pl.plane < $AutoBands * (SELECT abits FROM g)),
        |bk AS (SELECT vec_id,
        |       CAST(plane // (SELECT abits FROM g) AS INT) AS band,
        |       CAST(sum(bit) AS BIGINT) AS bucket
@@ -649,58 +668,33 @@ object Similarity {
     * CORPUS-ADAPTIVE geometry — the substrate [[lshTopKAuto]] self-joins
     * and sim_lsh_occupancy inspects. The bit budget is [[autoBits]]'
     * in-plan scalar, so the NUMBER of sign bits consulted per band is
-    * data-dependent while the plan stays static: the first 4·abits of the
-    * 4 × [[MaxAutoBits]] plane dots are computed (one codegen kernel each
-    * against a FOLDED constant plane, gated by the chosen budget —
-    * 4·abits × 64 multiply-adds per vector, linear and negligible next to
-    * the candidate join) into a sign-bit array, and
-    * each band's bucket id packs the `abits`-long slice at offset
-    * band · abits via plain conditional arithmetic (no higher-order
-    * functions).
+    * data-dependent while the plan stays static: ALL AutoBands·abits
+    * plane dots and the band bucket packing run inside ONE
+    * [[graft.functions.LshAutoBuckets]] kernel — a single compact loop
+    * nest over the seed-42 sign table, AutoBands·abits × 64 multiply-adds
+    * per vector, linear and negligible next to the candidate join.
     *
-    * Codegen discipline (measured, r13): ALL of that arithmetic happens
+    * Encode SHAPE history: r13 built the encode from per-plane
+    * [[graft.functions.FloatVecDot]] columns gated by `when(j < …)` into
+    * a sign array + conditional packing — at the r15 8×16 width that is
+    * 128 inlined 64-float loops in one generated projection method, which
+    * silently crosses the JVM huge-method JIT limit and runs
+    * bytecode-interpreted (the 2 M encode measured >40 min vs seconds —
+    * the same failure class as r13's interpreted-expression lesson one
+    * level down the stack). The kernel is immune at any width: its
+    * bytecode size is constant, loop bounds are runtime values.
+    *
+    * Codegen discipline (measured, r13): the bucket arithmetic happens
     * INSIDE the persisted projection, so the frame every consumer reads —
     * and crucially the candidate self-join's stage — sees only plain
-    * attribute columns. The first cut computed buckets downstream of the
-    * cache: the giant bucket expressions landed in the join stage, pushed
-    * it out of whole-stage codegen, and the per-PAIR cosine re-rank ran
-    * interpreted — 126 s vs 6 s for the value-identical fixed-geometry
-    * build at sf1. Same reason the planes are single literal columns
-    * ([[planeLit]]) rather than per-row 64-element CreateArrays.
+    * attribute columns (bucket expressions left in the join stage pushed
+    * it out of whole-stage codegen — the per-pair cosine ran interpreted,
+    * 126 s vs 6 s at sf1).
     */
-  /** The 4 × [[MaxAutoBits]] sign bits as one array expression (reads
-    * `embedding` and the broadcast `abits`). Entry j is only ever read for
-    * j < [[Bands]]·abits ([[autoBucketFor]] indexes b·abits + j, j <
-    * abits), so the dot product is gated behind that bound: codegen
-    * evaluates a `when` branch lazily, and a sub-cap corpus computes
-    * exactly the 4·abits dots it uses — raising the cap costs the small
-    * corpus nothing (r14; unconditional sign bits would have taxed every
-    * scale +⅓ encode for headroom only the >0.5 M-vector decade reads).
-    */
-  private def autoSignBits: Column = {
-    val pl = planesFor(Bands * MaxAutoBits)
-    array((0 until Bands * MaxAutoBits).map { j =>
-      when(lit(j.toLong) < lit(Bands.toLong) * col("abits"),
-        when(dot(col("embedding"), planeLit(pl(j))) >= 0, lit(1L)).otherwise(lit(0L)))
-        .otherwise(lit(0L))
-    }: _*)
-  }
-
-  /** bucket_b = Σ_{j < abits} sb[b·abits + j] · 2^j — the plane index
-    * depends on the data-derived `abits`, so bits select from the
-    * precomputed `sb` sign array; 2^j is an exact long literal.
-    */
-  private def autoBucketFor(b: Int): Column = (0 until MaxAutoBits).map { j =>
-    when(lit(j.toLong) < col("abits"),
-      element_at(col("sb"),
-        (lit(b) * col("abits") + lit(j.toLong + 1L)).cast("int")) * lit(1L << j))
-      .otherwise(lit(0L))
-  }.reduce(_ + _)
-
   /** Explode a `bks` array column into (band, bucket) rows, keeping `keep`.
     */
   private def explodeBands(df: DataFrame, keep: Seq[String]): DataFrame =
-    df.withColumn("bb", explode(array((0 until Bands).map(b =>
+    df.withColumn("bb", explode(array((0 until AutoBands).map(b =>
         struct(lit(b).as("band"),
           element_at(col("bks"), b + 1).as("bucket"))): _*)))
       .select((keep.map(col) :+ col("bb.band").as("band")
@@ -710,8 +704,8 @@ object Similarity {
     VectorKernels.register(e.sparkSession)
     // ONE projection computes dots → sign array → packed buckets, and the
     // PERSISTED frame carries only (vec_id, embedding, nrm, bks) — the
-    // intermediate 4·MaxAutoBits-long sign array must NOT reach the cache: the SQL
-    // cache's columnar encode of a 48-element array column measured ~6 s
+    // intermediate AutoBands·MaxAutoBits-long sign array must NOT reach the cache: the SQL
+    // cache's columnar encode of a 48-element array column measured ~6 s (r13 geometry)
     // at 20 k rows (3× the whole fixed-geometry build) while the same
     // frame without it caches in <1 s. The un-cached single-stage
     // projection itself is cheap (0.8 s at 20 k rows — whole-stage
@@ -719,9 +713,9 @@ object Similarity {
     val withBuckets = graft.Caches.track(
       e.select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
         .crossJoin(broadcast(autoBits(e)))
-        .withColumn("sb", autoSignBits)
         .select(col("vec_id"), col("embedding"), col("nrm"),
-          array((0 until Bands).map(autoBucketFor): _*).as("bks")))
+          VectorKernels.abuckets(col("embedding"), col("abits"),
+            AutoBands, MaxAutoBits).as("bks")))
     explodeBands(withBuckets, Seq("vec_id", "embedding", "nrm"))
   }
 
@@ -737,9 +731,9 @@ object Similarity {
     explodeBands(
       e.select(col("vec_id"), col("embedding"))
         .crossJoin(broadcast(autoBits(e)))
-        .withColumn("sb", autoSignBits)
         .select(col("vec_id"),
-          array((0 until Bands).map(autoBucketFor): _*).as("bks")),
+          VectorKernels.abuckets(col("embedding"), col("abits"),
+            AutoBands, MaxAutoBits).as("bks")),
       Seq("vec_id"))
   }
 
@@ -751,7 +745,7 @@ object Similarity {
     * corpus size up to the [[MaxAutoBits]] cap, where a fixed geometry
     * must be re-tuned by hand each decade. Fully oracle-replayable
     * ([[lshOracleCtesAuto]]): the chooser is integer-exact arithmetic and
-    * the 4·[[MaxAutoBits]] planes are seed-42 literals of the operator.
+    * the [[AutoBands]]·[[MaxAutoBits]] planes are seed-42 literals of the operator.
     */
   def lshTopKAuto(e: DataFrame, k: Int = 5): DataFrame = {
     val banded = lshBandedAuto(e)
@@ -1231,7 +1225,7 @@ object Similarity {
     * endpoints' top-5 (or never bucket-colliding) joins a cluster only
     * through a transitive chain — the kNN-graph-covers-near-dup-sets
     * argument every production semantic dedup rests on. The oracle replays
-    * the 4·MaxAutoBits seed-42 plane literals, the chooser, the lists, the cut, and
+    * the AutoBands·MaxAutoBits seed-42 plane literals, the chooser, the lists, the cut, and
     * the recursive closure, so the approximation itself is hash-checked
     * end-to-end.
     */

@@ -25,17 +25,20 @@ class Round13Spec extends SparkSuite {
     }
   }
 
-  test("lshTopKAuto at a 4-bit corpus is value-identical to fixed 4x4") {
-    // at this corpus size the chooser picks the floor geometry, so the
-    // data-dependent sign-array packing must reproduce the static packing
-    // bit-for-bit — the strongest cheap check that the adaptive bucket
-    // arithmetic (element_at slicing, 2^j weights, band offsets) is right
+  test("lshTopKAuto at a 4-bit corpus is value-identical to the fixed block") {
+    // at this corpus size the chooser picks the floor bit budget, so the
+    // kernel-packed adaptive buckets must reproduce the static per-plane
+    // literal packing bit-for-bit at the SAME geometry — the strongest
+    // cheap check that the LshAutoBuckets kernel arithmetic (sign-table
+    // offsets, 2^j weights, band offsets) is right. 10×4 since r15
+    // (AutoBands = 10; the fixed builder draws the same seed-42 plane
+    // prefix, so the two paths must agree exactly).
     def key(df: org.apache.spark.sql.DataFrame) =
       df.orderBy("q_id", "rank").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
         .toSeq
     val auto = key(Similarity.lshTopKAuto(emb, 5))
-    val fixed = key(Similarity.lshTopK(emb, 5, 4, 4))
+    val fixed = key(Similarity.lshTopK(emb, 5, 10, 4))
     assert(auto.nonEmpty && auto == fixed)
     Caches.release(spark)
   }
@@ -52,18 +55,21 @@ class Round13Spec extends SparkSuite {
     Caches.release(spark)
   }
 
-  test("lshTopK plans the map-side rank prune (WindowGroupLimit)") {
-    // the scale-critical optimization behind the r13 rework: the dense_rank
-    // <= k filter must plan a PARTIAL WindowGroupLimit so per-query top-k
-    // is pruned BEFORE the exchange — without it the shuffle carries every
-    // candidate pair (2.4e8 at the 100x corpus: ~10 GB spill, 20+ min).
-    // Two occurrences = Partial (map-side) + Final (post-exchange).
+  test("lshTopK plans the map-side bounded-state rank (partial TopK aggregate)") {
+    // r13 pinned the WindowGroupLimit prune here; r15 replaced the window
+    // entirely with the TopK.neighbors Aggregator (the window's map-side
+    // prune still SORTED the per-task candidate stream — >90 GB spill at
+    // the 2 M probe). The surviving scale property: per-query top-k is
+    // still reduced MAP-SIDE before the exchange — two ObjectHashAggregate
+    // occurrences = partial + final — and no Window/sort remains in the
+    // rank path (Round15Spec pins the full discipline on the auto path).
     for ((label, df) <- Seq(
         "fixed" -> Similarity.lshTopK(emb, 5, 4, 4),
         "auto" -> Similarity.lshTopKAuto(emb, 5))) {
       val p = df.queryExecution.executedPlan.toString
-      assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
-        s"$label: rank prune not planned map-side:\n$p")
+      assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+        s"$label: bounded-state rank not planned two-phase:\n$p")
+      assert(!p.contains("WindowGroupLimit"), s"$label: window rank came back:\n$p")
     }
     Caches.release(spark)
   }
@@ -71,7 +77,7 @@ class Round13Spec extends SparkSuite {
   test("sim_lsh_occupancy: per-band load accounting is consistent") {
     val n = emb.count()
     val rows = SparkEntry.queries("sim_lsh_occupancy")(spark, sfDir).collect()
-    assert(rows.length == 4) // one row per band
+    assert(rows.length == 10) // one row per band (AutoBands = 10 since r15)
     rows.foreach { r =>
       val (abits, nVec, used, maxOcc, sumSq) =
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))

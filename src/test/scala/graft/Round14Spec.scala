@@ -10,13 +10,17 @@ import org.apache.spark.sql.functions._
 class Round14Spec extends SparkSuite {
 
   /** Measured recall@5 of the adaptive geometry on the residue-class panel
-    * (r14, ShowQuery sim_lsh_recall): 0.406 at sf0.001, 0.451 at sf0.01,
-    * 0.493 at sf0.1, 0.939 at /tmp/sf1 (replica near-neighbors collide in
-    * every band). The floor is set at 0.30 — comfortably under the
-    * measured band so geometry retunes don't flap the suite, but far above
-    * the ~0 a collapsed candidate path would read.
+    * (ShowQuery sim_lsh_recall). r14 at 4 bands: 0.406 / 0.451 / 0.493 at
+    * sf0.001/0.01/0.1. r15 raised the OR-construction to 10 bands
+    * (Similarity.AutoBands — more independent bands, same per-band bit
+    * budget) and measured 0.711 / 0.740 / 0.810 at the same scales
+    * (8 bands read 0.660 / 0.686 / 0.732 — under the ≥0.7 target at two
+    * scales). The floor is set at 0.65 — under the measured band so
+    * data-noise wiggle doesn't flap the suite, far above both the ~0 of a
+    * collapsed candidate path and the ~0.45 of the quality regression the
+    * r14 verdict flagged.
     */
-  private val RecallFloor = 0.30
+  private val RecallFloor = 0.65
 
   private def recallAt5(dir: String): (Long, Double) = {
     val r = SparkEntry.queries("sim_lsh_recall")(spark, dir).collect().head

@@ -122,6 +122,52 @@ class Round15Spec extends SparkSuite {
     assert(b2.buf.map(_.nId) == List(3L, 7L))
   }
 
+  test("LshPlanes.signsFor draws the identical seed-42 sequence as the oracle planes") {
+    // the oracle/plan literals come from Similarity's planesFor
+    // (Array.fill(n, 64) of Random(42) booleans — row-major, so the flat
+    // byte table is the same draw sequence); the kernel reads
+    // LshPlanes.signsFor. Regenerate the planesFor formula here and pin
+    // the two byte-for-byte, plus the prefix property a growing geometry
+    // relies on.
+    val planes = {
+      val rnd = new scala.util.Random(42)
+      Array.fill(96, 64)(if (rnd.nextBoolean()) 1.toByte else -1.toByte)
+    }.flatten
+    assert(graft.functions.LshPlanes.signsFor(96).sameElements(planes))
+    assert(graft.functions.LshPlanes.signsFor(128).take(96 * 64)
+      .sameElements(planes), "signsFor is not prefix-stable")
+  }
+
+  test("LshAutoBuckets kernel equals the per-plane dot/sign/pack formulation") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    graft.functions.VectorKernels.register(spark)
+    val bands = 8
+    val maxBits = 16
+    val abits = 5 // exercise a non-floor budget
+    val got = e.select(col("vec_id"),
+        graft.functions.VectorKernels.abuckets(
+          col("embedding"), lit(abits.toLong), bands, maxBits).as("bks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // reference: sequential-accumulation dots against typedlit planes,
+    // sign → 2^j packing — the exact r13 expression form
+    val signs = graft.functions.LshPlanes.signsFor(bands * maxBits)
+    val planes = Array.tabulate(bands * maxBits)(p =>
+      Array.tabulate(64)(i => signs(p * 64 + i).toFloat))
+    def bucketCol(b: Int) = (0 until abits).map { j =>
+      val seqDot = aggregate(
+        zip_with(col("embedding"), typedlit(planes(b * abits + j).toSeq),
+          (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+      when(seqDot >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val ref = e.select(col("vec_id"),
+        array((0 until bands).map(bucketCol): _*).as("bks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got.size == ref.size && got.keySet == ref.keySet)
+    val diff = got.count { case (k, v) => ref(k) != v }
+    assert(diff == 0, s"$diff of ${got.size} vectors bucket differently")
+  }
+
   test("TopK.neighbors merges across partitions and ranks 1..k") {
     import spark.implicits._
     val rows = Seq(
