@@ -28,7 +28,16 @@ object LshScaleProbe {
     val bands = nums.headOption.getOrElse(4)
     val bits = nums.drop(1).headOption.getOrElse(7)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = Sessions.builder(s"local[$cpus]", cpus.toInt)
+    // Reducer width decoupled from core count (SPARK_GRAFT_SHUFFLE): the
+    // band self-join + partial TopK aggregate run in the SAME stage, so
+    // per-task partial state is bands·n·buffer / partitions and only
+    // `cpus` tasks are live at once — at the 2 M decade, 32 partitions
+    // hold ~20 M live buffers (~8 GB, the whole probe heap) where 512
+    // bound live state at ~1.3 M (~0.5 GB). On a real cluster this is
+    // just "partitions scale with data", the Sessions doc's contract; the
+    // probe makes the knob explicit so the local rig can honor it.
+    val width = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus).toInt
+    val spark = Sessions.builder(s"local[$cpus]", width)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -35,6 +35,13 @@ import org.apache.spark.sql.functions._
   *    duplicates that would stack LSH/IVF buckets 10 deep at one point.
   */
 object ScaleUp {
+  // ALWAYS amplify from the ORIGINAL directory in one hop: the stride is a
+  // fixed constant, so chaining hops (src -> x100 -> x10) makes replica i
+  // of hop two collide with replica i of hop one (strides add: i + j gives
+  // 109 distinct key spaces for a x100 then x10 chain, not 1000) — the r15
+  // "2 M-vector" probe corpus built that way carried only 218 k distinct
+  // vec_ids and silently under-reported list counts. A single x1000 hop
+  // keeps every replica key space disjoint.
   private val Stride = 1L << 40
 
   def main(args: Array[String]): Unit = {
