@@ -116,14 +116,18 @@ object Similarity {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
           col("nrm").as("q_nrm"))
       val b = e.toDF("n_id", "n_emb", "n_nrm")
-      val w = Window.partitionBy("q_id")
-        .orderBy(round(col("cos"), 9).desc, col("n_id"))
+      // rank tail: the bounded-state TopK aggregate (r15) — the window
+      // form sorted the panel × corpus pair stream per task (the exact
+      // path's copy of the rank-sort spill shape at the 2 M decade);
+      // identical (round(cos,9) desc, n_id) order, raw cos preserved
       a.join(b, col("q_id") =!= col("n_id"))
-        .withColumn("cos",
-          dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+        .select(col("q_id"), col("n_id"),
+          (dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm"))).as("cos"))
+        .groupBy(col("q_id"))
+        .agg(graft.functions.TopK.neighbors(5)(col("n_id"), col("cos")).as("nb"))
+        .select(col("q_id"), explode(col("nb")).as("x"))
+        .select(col("q_id"), col("x._1").as("n_id"),
+          col("x._2").as("cos"), col("x._3").as("rank"))
     }
 
   /** Σ aᵢ·bᵢ in double (codegen kernel; session must be registered). */
@@ -150,14 +154,17 @@ object Similarity {
       val n = emb(s, dir).select(col("vec_id"), col("embedding"),
         l2norm(col("embedding")).as("nrm"))
         .toDF("n_id", "n_emb", "n_nrm")
-      val w = Window.partitionBy("q_id")
-        .orderBy(round(col("cos"), 9).desc, col("n_id"))
+      // bounded-state TopK rank (r15): value-identical to the
+      // row_number window the oracle replays, no per-task sort of the
+      // 10 × corpus candidate stream
       q.join(n, col("q_id") =!= col("n_id"))
-        .withColumn("cos",
-          dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cosine"), col("rank"))
+        .select(col("q_id"), col("n_id"),
+          (dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm"))).as("cos"))
+        .groupBy(col("q_id"))
+        .agg(graft.functions.TopK.neighbors(5)(col("n_id"), col("cos")).as("nb"))
+        .select(col("q_id"), explode(col("nb")).as("x"))
+        .select(col("q_id"), col("x._1").as("n_id"),
+          round(col("x._2"), 6).as("cosine"), col("x._3").as("rank"))
         .orderBy("q_id", "rank")
     },
     Some("""WITH e AS (SELECT vec_id, embedding,
@@ -980,15 +987,17 @@ object Similarity {
     val qs = broadcast(quantized(raw.filter(col("vec_id") < 10))
       .toDF("q_id", "q_qvec", "q_scale", "q_nrm"))
     val ns = quantized(e).toDF("n_id", "n_qvec", "n_scale", "n_nrm")
-    val wApprox = Window.partitionBy("q_id")
-      .orderBy(round(col("qcos"), 9).desc, col("n_id"))
+    // approx shortlist via the bounded-state TopK aggregate (r15): same
+    // (round(qcos,9) desc, n_id) order as the old row_number window, no
+    // per-task sort of the panel × corpus quantized-score stream
     val cand = qs.join(ns, col("q_id") =!= col("n_id"))
-      .withColumn("qcos",
-        VectorKernels.bdot(col("q_qvec"), col("n_qvec")) * col("q_scale") *
-          col("n_scale") / (col("q_nrm") * col("n_nrm")))
-      .withColumn("arank", row_number().over(wApprox))
-      .filter(col("arank") <= 4 * k)
-      .select("q_id", "n_id")
+      .select(col("q_id"), col("n_id"),
+        (VectorKernels.bdot(col("q_qvec"), col("n_qvec")) * col("q_scale") *
+          col("n_scale") / (col("q_nrm") * col("n_nrm"))).as("qcos"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopK.neighbors(4 * k)(col("n_id"), col("qcos")).as("nb"))
+      .select(col("q_id"), explode(col("nb")).as("x"))
+      .select(col("q_id"), col("x._1").as("n_id"))
     // exact re-rank of candidates only: float vectors join back by id
     val nf = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
       l2norm(col("embedding")).as("n_nrm"))
@@ -1115,16 +1124,18 @@ object Similarity {
     // ADC: PqM table lookups per (query, candidate) — a broadcast equi-join
     // on (sub, cent_id) + a map-side-combined decimal sum; candidate floats
     // never move. The approximate norm is the codeword norm (standard ADC).
-    val wApprox = Window.partitionBy("q_id")
-      .orderBy(round(col("cos_adc"), 9).desc, col("n_id"))
+    // ADC shortlist via the bounded-state TopK aggregate (r15) — same
+    // order as the old row_number window, no candidate-stream sort
     val cand = codes.join(dt, Seq("sub", "cent_id"))
       .filter(col("n_id") =!= col("q_id"))
       .groupBy("q_id", "n_id", "q_nrm")
       .agg(dsumFine(col("part")).as("apx"), dsumFine(col("c_sq")).as("pq_sq"))
-      .withColumn("cos_adc", col("apx") / (col("q_nrm") * sqrt(col("pq_sq"))))
-      .withColumn("arank", row_number().over(wApprox))
-      .filter(col("arank") <= 4 * k)
-      .select("q_id", "n_id")
+      .select(col("q_id"), col("n_id"),
+        (col("apx") / (col("q_nrm") * sqrt(col("pq_sq")))).as("cos_adc"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopK.neighbors(4 * k)(col("n_id"), col("cos_adc")).as("nb"))
+      .select(col("q_id"), explode(col("nb")).as("x"))
+      .select(col("q_id"), col("x._1").as("n_id"))
     // exact re-rank of candidates only: float vectors join back by id
     val nf = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
       l2norm(col("embedding")).as("n_nrm"))

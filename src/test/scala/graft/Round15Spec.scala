@@ -106,6 +106,19 @@ class Round15Spec extends SparkSuite {
     assert(v.exists(_.toLong >= 1000000L), s"fallback threshold too low: $v")
   }
 
+  test("brute-force exact top-k ranks without any window (bounded-state everywhere)") {
+    // r15 extended the TopK discipline beyond the LSH tail: the brute
+    // path's only window was the rank over the query × corpus pair
+    // stream — the exact-path copy of the spill shape. Its plan must now
+    // be window-free end to end.
+    val opt = SparkEntry.queries("sim_brute_topk")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    val ws = opt.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(ws.isEmpty, s"brute top-k grew a window back:\n$ws")
+    Caches.release(spark)
+  }
+
   test("TopK buffer: k-bound, (r9 desc, nId asc) order, duplicate collapse") {
     val b0 = TopKNeighborsBuf(3, Nil)
       .add(10L, 0.5).add(11L, 0.9).add(12L, 0.7)
