@@ -892,18 +892,21 @@ object Similarity {
     val cents = broadcast(raw.filter(col("vec_id") < IvfK)
       .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
         l2norm(col("embedding")).as("c_nrm")))
-    // cell assignment: one broadcast pass, argmax cosine via min_by-style window
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(round(col("cos_c"), 9).desc, col("cent_id"))
+    // cell assignment: one broadcast pass, argmax cosine via the
+    // bounded-state TopK aggregate at k = 1 (r15 — the window form sorted
+    // the IvfK × n assignment stream; ordering identical: (round(cos,9)
+    // desc, cent_id)). The vector payload rides as a grouping key so no
+    // join-back pass is needed.
     val assigned = e.select(col("vec_id"), col("embedding"),
         l2norm(col("embedding")).as("nrm"))
       .crossJoin(cents)
-      .withColumn("cos_c",
-        dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("cent_id"), col("vec_id").as("n_id"),
-        col("embedding").as("n_emb"), col("nrm").as("n_nrm"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
+        (dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm"))).as("cos_c"))
+      .groupBy(col("vec_id"), col("embedding"), col("nrm"))
+      .agg(graft.functions.TopK.neighbors(1)(col("cent_id"), col("cos_c")).as("nb"))
+      .select(col("nb").getItem(0).getField("_1").as("cent_id"),
+        col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        col("nrm").as("n_nrm"))
     // query side: nprobe nearest cells per query vector
     val wProbe = Window.partitionBy("q_id")
       .orderBy(round(col("cos_c"), 9).desc, col("cent_id"))
@@ -915,15 +918,18 @@ object Similarity {
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= IvfNProbe)
       .select(col("q_id"), col("q_emb"), col("q_nrm"), col("cent_id"))
-    // scan only the probed cells, exact re-rank
-    val wRank = Window.partitionBy("q_id")
-      .orderBy(round(col("cos"), 9).desc, col("n_id"))
+    // scan only the probed cells; exact rank via the bounded-state TopK
+    // aggregate (the probed-cell stream is ~nprobe/IvfK of the corpus per
+    // query — still corpus-linear, never sorted)
     broadcast(probes).join(assigned, "cent_id")
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("cos", dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
-      .withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cosine"), col("rank"))
+      .select(col("q_id"), col("n_id"),
+        (dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm"))).as("cos"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopK.neighbors(k)(col("n_id"), col("cos")).as("nb"))
+      .select(col("q_id"), explode(col("nb")).as("x"))
+      .select(col("q_id"), col("x._1").as("n_id"),
+        round(col("x._2"), 6).as("cosine"), col("x._3").as("rank"))
   }
 
   /** Int8 scalar-quantized top-k — the FAISS/ScaNN SQ8 layout in DataFrame
