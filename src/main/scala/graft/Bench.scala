@@ -65,9 +65,7 @@ object Bench {
     // Skipped (0.000) when a dev-restricted run touches no consumer of the
     // memo — a non-LSH subset board must not carry multi-second work none
     // of its timed queries read (r14 ADVICE).
-    val lshConsumers = Set("sim_lsh_ann_scaled", "sim_mutual_knn",
-      "ml_knn_classify", "sim_lsh_recall", "sim_recall_curve",
-      "dedup_semantic_clusters_scaled")
+    val lshConsumers = operators.Similarity.lshMemoConsumers
     val lshBuild = if (onlyQ.exists(qs => qs.intersect(lshConsumers).isEmpty)) 0.0
     else {
       val t0 = System.nanoTime()

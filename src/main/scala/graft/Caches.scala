@@ -97,6 +97,33 @@ object Caches {
     cell()
   }
 
+  /** Observability/test hook: the memo keys currently installed for
+    * `spark` (installed ≠ forced — a lazy cell counts once `memo` was
+    * called for the key, which is exactly the "this code path reads the
+    * memo" signal Round16Spec pins the Bench consumer list against).
+    */
+  def memoKeys(spark: SparkSession): Set[String] = {
+    val it = memos.keys()
+    val out = scala.collection.mutable.Set.empty[String]
+    while (it.hasMoreElements) {
+      val (s, k) = it.nextElement()
+      if (s eq spark) out += k
+    }
+    out.toSet
+  }
+
+  /** Test hook: drop `spark`'s memo cells (references only — the
+    * ContextCleaner reclaims any forced localCheckpoint blocks), so a spec
+    * can observe which keys ONE query installs on a long-lived session.
+    */
+  def dropMemos(spark: SparkSession): Unit = {
+    val it = memos.keys()
+    while (it.hasMoreElements) {
+      val key = it.nextElement()
+      if (key._1 eq spark) memos.remove(key)
+    }
+  }
+
   /** Unpersist everything tracked under EVERY session — the escape hatch
     * for a driver hosting many short-lived sessions whose per-session
     * [[release]] calls it can't guarantee (a forgotten release would

@@ -11,10 +11,24 @@ import org.apache.spark.sql.functions._
   * probing the next decade's block must not have to pay that first);
   * `auto` times [[operators.Similarity.lshTopKAuto]]'s in-plan chooser
   * instead of a fixed (bands, bits) block; `plan` prints the chooser
-  * build's formatted physical plan and exits without timing anything.
+  * build's formatted physical plan and exits without timing anything;
+  * `recall` measures panel recall@5 of the production adaptive lists
+  * against exact ground truth and exits (r15 verdict item 1 — the quality
+  * number at the decades where the declared sim_lsh_recall row cannot
+  * run).
+  *
+  * The recall panel is a ~256-query HASH sample (xxhash64(vec_id) mod m),
+  * NOT sim_lsh_recall's residue-class sample: on a [[ScaleUp]]-amplified
+  * corpus the replica stride 2⁴⁰ is divisible by the power-of-two residue
+  * modulus, so `vec_id % m = 3` selects the SAME source vector in every
+  * replica — at the ×1000 corpus that panel is 1000 noisy clones of one
+  * query, not a sample. The hash breaks the stride alignment and draws
+  * uniformly across sources and replicas; ground truth is still each
+  * panel query's exact top-5 over the FULL corpus (panel × n dots — one
+  * broadcast map stage + a bounded-state TopK, linear at any decade).
   */
 object LshScaleProbe {
-  private val ModeFlags = Set("only", "auto", "plan")
+  private val ModeFlags = Set("only", "auto", "plan", "recall")
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)
@@ -55,6 +69,49 @@ object LshScaleProbe {
     if (args.contains("plan")) {
       println(operators.Similarity.lshTopKAuto(e, 5).queryExecution
         .explainString(org.apache.spark.sql.execution.FormattedMode))
+      spark.stop(); return
+    }
+    if (args.contains("recall")) {
+      import operators.Similarity.{dot, l2norm}
+      functions.VectorKernels.register(spark)
+      val n = e.count()
+      // same ~256-query budget rule as sampleModulus, driver-side on the
+      // exact count (a dev probe may collect one long)
+      val m = math.max(8L,
+        java.lang.Long.highestOneBit(math.max(1L, (n + 255) / 256 - 1)) * 2)
+      val v = e.select(col("vec_id"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"))
+      val panel = v.filter(pmod(xxhash64(col("vec_id")), lit(m)) === 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"))
+      val t0 = System.nanoTime()
+      // exact ground truth: one broadcast map stage over the corpus, rank
+      // via the bounded-state TopK — identical ordering convention
+      // (round(cos,9) desc, n_id) to the production lists
+      val exact = v.crossJoin(broadcast(panel))
+        .filter(col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          (dot(col("embedding"), col("q_emb")) /
+            (col("nrm") * col("q_nrm"))).as("cos"))
+        .groupBy("q_id")
+        .agg(functions.TopK.neighbors(5)(col("n_id"), col("cos")).as("nb"))
+        .select(col("q_id"), explode(col("nb")).as("x"))
+        .select(col("q_id"), col("x._1").as("n_id"))
+        .localCheckpoint(true)
+      val tExact = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val got = operators.Similarity.lshTopKAuto(e, 5)
+        .join(broadcast(panel.select("q_id")), Seq("q_id"), "left_semi")
+        .select("q_id", "n_id")
+        .localCheckpoint(true)
+      val tAnn = (System.nanoTime() - t1) / 1e9
+      val Array(nq, nExact) = exact
+        .agg(countDistinct(col("q_id")), count(lit(1)))
+        .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+      val hits = exact.join(got, Seq("q_id", "n_id"), "left_semi").count()
+      println(f"[lshprobe] recall n=$n m=$m queries=$nq exact_pairs=$nExact " +
+        f"hits=$hits recall_at5=${hits.toDouble / nExact}%.3f " +
+        f"t_exact=$tExact%.1f s t_ann_build=$tAnn%.1f s")
       spark.stop(); return
     }
     if (!args.contains("only"))

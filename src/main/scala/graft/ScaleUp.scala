@@ -53,7 +53,18 @@ object ScaleUp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def shift(c: String, i: Int) = col(c) + lit(i * Stride)
+    // Guard enforced in-plan on every shifted key: a key outside
+    // [0, Stride) means the source directory is ITSELF an amplified
+    // corpus, and chaining hops silently collides replica key spaces
+    // (the r15 incident documented above — 218 k distinct vec_ids in a
+    // "2 M" corpus). raise_error fails the write job with the one-hop
+    // instruction instead of producing a corrupt corpus.
+    def shift(c: String, i: Int) =
+      when(col(c) < 0L || col(c) >= Stride,
+        raise_error(concat(lit(s"[scaleup] $c="), col(c).cast("string"),
+          lit(" outside [0, 2^40): input is already amplified — " +
+            "amplify from the ORIGINAL directory in ONE hop"))))
+        .otherwise(col(c) + lit(i.toLong * Stride))
 
     def replicate(name: String)(tx: (DataFrame, Int) => DataFrame): Unit = {
       if (onlyTables.nonEmpty && !onlyTables.contains(name)) return

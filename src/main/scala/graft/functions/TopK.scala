@@ -38,10 +38,11 @@ import org.apache.spark.sql.functions.udaf
   * once per (task, query) and a product encoder writes it as a plain
   * array-of-struct column). The hot path never allocates: a full buffer
   * rejects a non-qualifying candidate with one double compare (the
-  * round(cos,9) can only move a value by < 5e-10, so `cos < minR9 - 5e-10`
-  * proves the candidate cannot reach the buffer tail even after rounding —
-  * the BigDecimal round runs only for the O(k·ln n) candidates that
-  * survive the guard).
+  * round(cos,9) can only move a value by < 5e-10, so `cos < minR9 - 1e-9`
+  * proves the candidate cannot reach the buffer tail even after rounding,
+  * with the extra 5e-10 absorbing the ~ulp of IEEE error the compare and
+  * the stored r9 each carry — the BigDecimal round runs only for the
+  * O(k·ln n) candidates that survive the guard).
   */
 final case class TopKNeighborEntry(r9: Double, nId: Long, cos: Double)
 
@@ -53,8 +54,15 @@ final case class TopKNeighborsBuf(k: Int, buf: List[TopKNeighborEntry]) {
   def add(nId: Long, cos: Double): TopKNeighborsBuf = {
     // fast reject: buffer full and the candidate provably sorts below the
     // current tail even after rounding — the overwhelmingly common case on
-    // a candidate stream, no BigDecimal, no allocation
-    if (buf.length >= k && cos < buf.last.r9 - 5e-10) return this
+    // a candidate stream, no BigDecimal, no allocation. The margin is a
+    // full 1e-9 grid cell (double the 5e-10 rounding half-width): the
+    // subtraction and the stored r9 each carry ~1 ulp of IEEE error, so a
+    // 5e-10 margin left a ~2-ulp window where a candidate that TIES the
+    // tail at 9 dp (and wins the nId tiebreak) could be wrongly rejected;
+    // at 1e-9 a rejected cos rounds to at most tail.r9 − 1e-9 + 5e-10 +
+    // ulp-noise < tail.r9, strictly below the tail, so rejection is sound.
+    // Anything inside the margin falls through to the exact round9 path.
+    if (buf.length >= k && cos < buf.last.r9 - 1e-9) return this
     val r9 = round9(cos)
     if (buf.length >= k) {
       val last = buf.last

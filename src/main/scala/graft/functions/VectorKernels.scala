@@ -258,7 +258,13 @@ case class LshAutoBuckets(left: Expression, right: Expression,
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val ab = math.min(b.asInstanceOf[Long].toInt, maxBits)
-    val n = math.min(x.numElements(), 64)
+    // the sign table is strided at 64 floats per plane; a narrower vector
+    // would silently zero-pad and a wider one silently PREFIX-bucket —
+    // both produce plausible-looking but wrong buckets, so reject loudly
+    if (x.numElements() != 64)
+      throw new IllegalArgumentException(
+        s"lsh_abuckets expects 64-dim embeddings, got ${x.numElements()}")
+    val n = 64
     val out = new Array[Long](bands)
     var bnd = 0
     while (bnd < bands) {
@@ -292,7 +298,11 @@ case class LshAutoBuckets(left: Expression, right: Expression,
       val i = ctx.freshName("i")
       s"""
          |int $ab = (int) java.lang.Math.min($b, (long) $maxBits);
-         |int $n = java.lang.Math.min($a.numElements(), 64);
+         |if ($a.numElements() != 64) {
+         |  throw new IllegalArgumentException(
+         |    "lsh_abuckets expects 64-dim embeddings, got " + $a.numElements());
+         |}
+         |int $n = 64;
          |long[] $out = new long[$bands];
          |for (int $bnd = 0; $bnd < $bands; $bnd++) {
          |  long $bk = 0L;

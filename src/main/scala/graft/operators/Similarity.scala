@@ -45,6 +45,24 @@ object Similarity {
   private def lshTop5Auto(s: SparkSession, dir: String): DataFrame =
     graft.Caches.memo(s, s"lsh:top5a:$dir")(lshTopKAuto(emb(s, dir), 5))
 
+  /** The memo key [[lshTop5Auto]] installs for `dir` — exposed so tests
+    * can observe (via [[graft.Caches.memoKeys]]) which queries actually
+    * force the shared list build.
+    */
+  def lshMemoKey(dir: String): String = s"lsh:top5a:$dir"
+
+  /** The declared queries that force the [[lshTop5Auto]] memo — the single
+    * source of truth Bench reads to decide whether a restricted board owes
+    * the `lsh_build` line item (r15 verdict: Bench hand-duplicated this
+    * set, so a future consumer added without updating it would silently
+    * reattribute the multi-second memo build onto that query's row).
+    * Round16Spec pins membership against ACTUAL memo access per query, so
+    * the set cannot drift from the call graph unnoticed.
+    */
+  val lshMemoConsumers: Set[String] = Set("sim_lsh_ann_scaled",
+    "sim_mutual_knn", "ml_knn_classify", "sim_lsh_recall",
+    "sim_recall_curve", "dedup_semantic_clusters_scaled")
+
   /** Force the shared [[lshTop5Auto]] memo for `dir` and return its row
     * count. Bench calls this BEFORE the query loop and reports the elapsed
     * seconds as its own `lsh_build` line item — otherwise the multi-second
@@ -196,7 +214,8 @@ object Similarity {
   private val BitsPerBand = NumPlanes / Bands
 
   /** Ceiling of the adaptive bit budget ([[autoBits]]):
-    * [[AutoBands]] × 16 bits = 128 seed-42 planes are baked into the plan
+    * [[AutoBands]] × [[MaxAutoBits]] seed-42 planes (160 at the current
+    * 10-band OR-construction) are baked into the plan
     * (and the oracle) as literals, enough for per-band-bucket occupancy
     * ≤ ~256 through ~16 M vectors (bits = 16 engages at
     * n ≥ 256·2¹⁵ ≈ 8.4 M). Raised from 12 in r14 after the 2 M-vector
@@ -899,7 +918,10 @@ object Similarity {
     // join-back pass is needed.
     val assigned = e.select(col("vec_id"), col("embedding"),
         l2norm(col("embedding")).as("nrm"))
-      .crossJoin(cents)
+      // hint re-stated at the join site (not only on cents' definition) so
+      // the broadcast does not ride on hint propagation through the
+      // intervening projections surviving a future refactor (r15 verdict)
+      .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
         (dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm"))).as("cos_c"))
       .groupBy(col("vec_id"), col("embedding"), col("nrm"))
@@ -913,7 +935,7 @@ object Similarity {
     val probes = raw.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         l2norm(col("embedding")).as("q_nrm"))
-      .crossJoin(cents)
+      .crossJoin(broadcast(cents))
       .withColumn("cos_c", dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= IvfNProbe)
@@ -2909,7 +2931,7 @@ object Similarity {
         l2norm(col("embedding")).as("nrm"))
       val wAssign = Window.partitionBy("vec_id")
         .orderBy(round(col("cos_c"), 9).desc, col("cent_id"))
-      val assigned = withN.crossJoin(cents)
+      val assigned = withN.crossJoin(broadcast(cents))
         .withColumn("cos_c",
           dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
         .withColumn("rn", row_number().over(wAssign))
@@ -2922,7 +2944,7 @@ object Similarity {
           col("nrm").as("q_nrm"))
       val wProbe = Window.partitionBy("q_id")
         .orderBy(round(col("cos_c"), 9).desc, col("cent_id"))
-      val probes = panel.crossJoin(cents)
+      val probes = panel.crossJoin(broadcast(cents))
         .withColumn("cos_c",
           dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
         .withColumn("rn", row_number().over(wProbe))
