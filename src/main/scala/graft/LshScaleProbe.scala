@@ -109,8 +109,24 @@ object LshScaleProbe {
         .agg(countDistinct(col("q_id")), count(lit(1)))
         .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
       val hits = exact.join(got, Seq("q_id", "n_id"), "left_semi").count()
+      // honesty split for ScaleUp corpora: an amplified corpus's exact
+      // neighbors are dominated by same-source replica CLONES (±0.05 noise
+      // on a 0.125-σ vector ⇒ cosine ≈ 0.9+), which share most sign bits —
+      // the easy regime for banding. Recall over cross-source pairs is the
+      // organic-like number; on an organic corpus every pair is
+      // cross-source and the split collapses to the headline.
+      val srcOf = (c: org.apache.spark.sql.Column) => pmod(c, lit(1L << 40))
+      val clone = srcOf(col("q_id")) === srcOf(col("n_id"))
+      val cloneExact = exact.filter(clone).count()
+      val cloneHits = exact.filter(clone)
+        .join(got, Seq("q_id", "n_id"), "left_semi").count()
+      val crossExact = nExact - cloneExact
+      val crossHits = hits - cloneHits
+      def ratio(a: Long, b: Long) = if (b == 0) Double.NaN else a.toDouble / b
       println(f"[lshprobe] recall n=$n m=$m queries=$nq exact_pairs=$nExact " +
-        f"hits=$hits recall_at5=${hits.toDouble / nExact}%.3f " +
+        f"hits=$hits recall_at5=${ratio(hits, nExact)}%.3f " +
+        f"clone_pairs=$cloneExact recall_clone=${ratio(cloneHits, cloneExact)}%.3f " +
+        f"cross_pairs=$crossExact recall_cross=${ratio(crossHits, crossExact)}%.3f " +
         f"t_exact=$tExact%.1f s t_ann_build=$tAnn%.1f s")
       spark.stop(); return
     }

@@ -15,12 +15,16 @@ class Round14Spec extends SparkSuite {
     * (Similarity.AutoBands — more independent bands, same per-band bit
     * budget) and measured 0.711 / 0.740 / 0.810 at the same scales
     * (8 bands read 0.660 / 0.686 / 0.732 — under the ≥0.7 target at two
-    * scales). The floor is set at 0.65 — under the measured band so
-    * data-noise wiggle doesn't flap the suite, far above both the ~0 of a
-    * collapsed candidate path and the ~0.45 of the quality regression the
-    * r14 verdict flagged.
+    * scales). r16 re-measured the ladder on the unchanged geometry
+    * (0.711 / 0.740 at the gated scales from the round's verify dumps,
+    * 0.810 at sf0.1, hash-panel 0.979 at the 2 M decade) and raised the
+    * floor 0.65 → 0.70 per the r15 verdict: the recall is deterministic
+    * (literal planes, fixed data), so the floor sits just under the
+    * weakest measured rung (0.711) — any geometry/packing change that
+    * costs even a band's worth of recall now fails the suite, while the
+    * suite cannot flap (nothing here is sampled).
     */
-  private val RecallFloor = 0.65
+  private val RecallFloor = 0.70
 
   private def recallAt5(dir: String): (Long, Double) = {
     val r = SparkEntry.queries("sim_lsh_recall")(spark, dir).collect().head
