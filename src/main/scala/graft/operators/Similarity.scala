@@ -1180,6 +1180,404 @@ object Similarity {
       .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cosine"), col("rank"))
   }
 
+  /** Fused IVF+PQ top-k — the FAISS IVFPQ architecture proper, composing
+    * the two pruning axes the flat rungs exercise separately: the coarse
+    * IVF quantizer prunes WHICH vectors are scored (only the `IvfNProbe`
+    * probed cells per query reach the ADC join — candidate volume drops to
+    * ~nprobe/IvfK of the corpus, [[ivfTopK]]'s axis) and the product
+    * quantizer shrinks WHAT is scored (each candidate contributes `PqM`
+    * code rows, [[pqTopK]]'s axis) — and, unlike the residual-free
+    * [[simPqTopk]], the codes quantize the RESIDUAL x − c(cell(x)), the
+    * refinement that makes IVFPQ's codebook spend its entropy on what the
+    * coarse step missed. approx dot(q, x) decomposes exactly:
+    * dot(q, c) + Σ_sub dot(q_sub, cb_sub(code)) — the first term is one
+    * per-(query, probed-cell) scalar, the second `PqM` lookups in the
+    * per-query distance table; the approximate norm is the reconstruction
+    * norm √Σ_sub |c_sub + cb_sub|², a 512-entry (cell, sub, code) table.
+    *
+    * At 100 TB this is THE ANN shape: the corpus-sized frames are the
+    * assignment/encode passes (linear, map-side against broadcast
+    * centroids + codebook) and the probed-cell code join (equi-join on
+    * cent_id, shuffle carries codes only — 4 ints per candidate, never
+    * floats); every table (centroids, codebook, distance tables,
+    * reconstruction norms) is broadcast; the shortlist is the
+    * bounded-state [[graft.functions.TopK]] aggregate (no sort on the
+    * candidate stream); exact re-rank fetches shortlist × dims floats
+    * only. Deterministic end-to-end — seed-vector centroids/codebook
+    * (`vec_id < IvfK` / `< PqK` residuals), round-9 + id tie-broken
+    * argmins, order-independent decimal ADC sums — so the whole fused
+    * pipeline is oracle-checked in SQL; SimilaritySpec measures recall
+    * and verifies the cell pruning is genuine.
+    *
+    * Residual arithmetic is exact cross-engine: both operands are float32,
+    * so `double(x_i) − double(c_i)` is exactly representable in double and
+    * DuckDB's `CAST(… AS DOUBLE) − CAST(… AS DOUBLE)` reproduces it
+    * bit-for-bit; all downstream dots run the same sequential double MAC
+    * as [[graft.functions.DoubleVecDot]].
+    */
+  /** The fused-IVFPQ pipeline replayed in DuckDB, CTE-for-CTE against
+    * [[ivfPqTopK]] (assignment, residuals, residual codebook, encode,
+    * reconstruction norms, probes + coarse dots, distance tables, the
+    * cell-pruned ADC aggregate, shortlist, exact re-rank). `panel = true`
+    * swaps the default `vec_id < 10` query panel for the
+    * [[sampleModulus]] residue class — the recall row's convention.
+    */
+  private def ivfPqOracleCtes(panel: Boolean): String = {
+      def dot64(a: String, b: String) =
+        s"list_sum(list_transform(range(1, 65), i -> " +
+          s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+      val mmCte = if (panel) s"$mmSql,\n" else ""
+      val prPred = if (panel) "e.vec_id % (SELECT m FROM mm) = 3"
+                   else "e.vec_id < 10"
+      val dtPred = if (panel) "q.vec_id % (SELECT m FROM mm) = 3"
+                   else "q.vec_id < 10"
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |   sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+         | FROM embeddings),
+         |${mmCte}c AS (SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
+         |      FROM e WHERE vec_id < $IvfK),
+         |asg AS (SELECT vec_id, embedding, cent_id, c_emb FROM (
+         |   SELECT e.vec_id, e.embedding, c.cent_id, c.c_emb,
+         |     ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY round(
+         |       ${dot64("e.embedding", "c.c_emb")} / (e.nrm * c.c_nrm), 9)
+         |       DESC, c.cent_id) AS rn
+         |   FROM e CROSS JOIN c) WHERE rn = 1),
+         |res AS (SELECT vec_id, cent_id,
+         |   list_transform(range(1, 65),
+         |     i -> CAST(embedding[i] AS DOUBLE) - CAST(c_emb[i] AS DOUBLE)) AS res
+         | FROM asg),
+         |subs AS (SELECT unnest(range(0, $PqM)) AS sub),
+         |cb AS (SELECT code, sub, cb_sub,
+         |    list_sum(list_transform(range(1, 17), i -> cb_sub[i] * cb_sub[i])) AS cb_sq
+         |  FROM (SELECT r.vec_id AS code, sub,
+         |      list_transform(range(1, 17), i -> r.res[sub*$PqSubDim+i]) AS cb_sub
+         |    FROM res r, subs WHERE r.vec_id < $PqK)),
+         |codes AS (SELECT vec_id AS n_id, cent_id, sub, code FROM (
+         |   SELECT r.vec_id, r.cent_id, cb.sub, cb.code,
+         |     ROW_NUMBER() OVER (PARTITION BY r.vec_id, cb.sub ORDER BY round(
+         |       list_sum(list_transform(range(1, 17),
+         |         i -> r.res[sub*$PqSubDim+i] * r.res[sub*$PqSubDim+i]))
+         |       - 2 * list_sum(list_transform(range(1, 17),
+         |         i -> r.res[sub*$PqSubDim+i] * cb.cb_sub[i]))
+         |       + cb.cb_sq, 9), cb.code) AS rn
+         |   FROM res r CROSS JOIN cb) WHERE rn = 1),
+         |rq AS (SELECT c.cent_id, cb.sub, cb.code,
+         |    list_sum(list_transform(range(1, 17),
+         |      i -> (CAST(c.c_emb[sub*$PqSubDim+i] AS DOUBLE) + cb.cb_sub[i])
+         |         * (CAST(c.c_emb[sub*$PqSubDim+i] AS DOUBLE) + cb.cb_sub[i]))) AS recon_sq
+         |  FROM c CROSS JOIN cb),
+         |pr AS (SELECT q_id, q_nrm, cent_id, qc FROM (
+         |   SELECT e.vec_id AS q_id, e.nrm AS q_nrm, c.cent_id,
+         |     ${dot64("e.embedding", "c.c_emb")} AS qc,
+         |     ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY round(
+         |       ${dot64("e.embedding", "c.c_emb")} / (e.nrm * c.c_nrm), 9)
+         |       DESC, c.cent_id) AS rn
+         |   FROM e CROSS JOIN c WHERE $prPred) WHERE rn <= $IvfNProbe),
+         |dt AS (SELECT q.vec_id AS q_id, cb.sub, cb.code,
+         |    list_sum(list_transform(range(1, 17),
+         |      i -> CAST(q.embedding[sub*$PqSubDim+i] AS DOUBLE) * cb.cb_sub[i])) AS part
+         |  FROM e q CROSS JOIN cb WHERE $dtPred),
+         |adc AS (SELECT pr.q_id, cd.n_id, pr.q_nrm, pr.qc,
+         |    CAST(SUM(CAST(dt.part AS DECIMAL(38,20))) AS DOUBLE) AS rpart,
+         |    CAST(SUM(CAST(rq.recon_sq AS DECIMAL(38,20))) AS DOUBLE) AS rsq
+         |  FROM pr JOIN codes cd ON cd.cent_id = pr.cent_id
+         |    JOIN rq ON rq.cent_id = cd.cent_id AND rq.sub = cd.sub AND rq.code = cd.code
+         |    JOIN dt ON dt.q_id = pr.q_id AND dt.sub = cd.sub AND dt.code = cd.code
+         |  WHERE cd.n_id != pr.q_id
+         |  GROUP BY pr.q_id, cd.n_id, pr.q_nrm, pr.qc),
+         |cand AS (SELECT q_id, n_id FROM (
+         |   SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |     ORDER BY round((qc + rpart) / (q_nrm * sqrt(rsq)), 9) DESC, n_id) AS arank
+         |   FROM adc) WHERE arank <= 20),
+         |sc AS (SELECT cand.q_id, cand.n_id,
+         |    ${dot64("q.embedding", "n.embedding")} / (q.nrm * n.nrm) AS cos
+         |  FROM cand JOIN e q ON q.vec_id = cand.q_id
+         |            JOIN e n ON n.vec_id = cand.n_id),
+         |r AS (SELECT q_id, n_id, cos, CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY q_id ORDER BY round(cos, 9) DESC, n_id) AS INT) AS rank
+         |  FROM sc)
+         |""".stripMargin
+  }
+
+  private val simIvfPqTopk = Q(
+    "sim_ivfpq_topk",
+    (s, dir) => ivfPqTopK(emb(s, dir),
+      Tables.load(s, dir, "embeddings")).orderBy("q_id", "rank"),
+    Some(ivfPqOracleCtes(panel = false) +
+      """SELECT q_id, n_id, round(cos, 6) AS cosine, rank
+        |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin))
+
+  /** Recall@5 of the FUSED IVF+PQ path against the sampled exact ground
+    * truth — [[simLshRecall]]/[[simIvfRecall]]'s readout for the third ANN
+    * rung, so all three candidate generators (hash buckets, probed cells,
+    * probed cells × residual codes) are priced on the SAME residue-class
+    * panel by the SAME metric: the fused row isolates what the 4-byte
+    * residual code costs ON TOP of the cell pruning (its recall is
+    * bounded above by sim_ivf_recall's). Deterministic end-to-end like
+    * its parents, so the recall number is hash-checked, not asserted.
+    */
+  private val simIvfPqRecall = Q(
+    "sim_ivfpq_recall",
+    (s, dir) => {
+      VectorKernels.register(s)
+      val e = emb(s, dir)
+      val panel = e.crossJoin(broadcast(sampleModulus(e)))
+        .filter(col("vec_id") % col("m") === 3)
+        .select(col("vec_id"), col("embedding"))
+      val got = ivfPqTopK(e, Tables.load(s, dir, "embeddings"),
+          panel = Some(panel))
+        .select("q_id", "n_id")
+      val exact = exactTop5(s, dir).select("q_id", "n_id")
+      val hits = exact.join(got, Seq("q_id", "n_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      exact.agg(countDistinct(col("q_id")).as("n_queries"),
+          count(lit(1)).as("n_exact_pairs"))
+        .crossJoin(broadcast(hits))
+        .select(col("n_queries"), col("n_exact_pairs"), col("n_hits"),
+          round(col("n_hits").cast("double") /
+            col("n_exact_pairs").cast("double"), 6).as("recall_at5"))
+    },
+    Some(ivfPqOracleCtes(panel = true) +
+      s""",got AS (SELECT q_id, n_id FROM r WHERE rank <= 5),
+        |exp AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |      / (a.nrm * b.nrm) AS cos
+        |  FROM e a JOIN e b ON b.vec_id != a.vec_id
+        |  WHERE a.vec_id % (SELECT m FROM mm) = 3),
+        |ex AS (SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY round(cos, 9) DESC, n_id) AS INT) AS xr FROM exp)
+        |  WHERE xr <= 5),
+        |h AS (SELECT count(*) AS n_hits FROM ex
+        |      WHERE EXISTS (SELECT 1 FROM got
+        |                    WHERE got.q_id = ex.q_id AND got.n_id = ex.n_id))
+        |SELECT (SELECT count(DISTINCT q_id) FROM ex) AS n_queries,
+        |  (SELECT count(*) FROM ex) AS n_exact_pairs, n_hits,
+        |  round(CAST(n_hits AS DOUBLE) / (SELECT count(*) FROM ex), 6) AS recall_at5
+        |FROM h""".stripMargin))
+
+  /** `e`: spread full vector set; `raw`: unspread scan for the pushed-down
+    * centroid/codebook/query reads. `panel`: optional (vec_id, embedding)
+    * query frame replacing the default `vec_id < 10` panel — the recall
+    * row passes the residue-class sample here so the fused path is priced
+    * on the same panel as the other ANN rungs.
+    */
+  def ivfPqTopK(e: DataFrame, raw: DataFrame, k: Int = 5,
+                panel: Option[DataFrame] = None): DataFrame = {
+    VectorKernels.register(e.sparkSession)
+    import graft.functions.Deterministic.dsumFine
+    val qv = panel.getOrElse(raw.filter(col("vec_id") < 10))
+      .select(col("vec_id"), col("embedding"))
+    val cents = broadcast(raw.filter(col("vec_id") < IvfK)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
+        l2norm(col("embedding")).as("c_nrm")))
+    // coarse assignment → per-vector residual, in double (exact: both
+    // operands are float32, the difference is exactly representable)
+    def residual(v: DataFrame): DataFrame = v
+      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        (dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm"))).as("cos_c"))
+      .groupBy(col("vec_id"), col("embedding"))
+      .agg(graft.functions.TopK.neighbors(1)(col("cent_id"), col("cos_c")).as("nb"))
+      .select(col("vec_id"), col("embedding"),
+        col("nb").getItem(0).getField("_1").as("cent_id"))
+      .join(broadcast(cents.select(col("cent_id"), col("c_emb"))), "cent_id")
+      .select(col("vec_id"), col("cent_id"),
+        zip_with(col("embedding"), col("c_emb"),
+          (x, c) => x.cast("double") - c.cast("double")).as("res"))
+    val subs = explode(sequence(lit(0), lit(PqM - 1))).as("sub")
+    def subSlice(a: Column) = slice(a, col("sub") * PqSubDim + 1, lit(PqSubDim))
+    // residual codebook: the first PqK vectors' residual slices (PqM×PqK
+    // = 64 rows; a production build k-means-refines them — [[kmeansAssign]]
+    // is that machinery — without touching this query-side plan)
+    val cb = broadcast(residual(raw.filter(col("vec_id") < PqK))
+      .select(col("vec_id").as("code"), subs, col("res"))
+      .select(col("code"), col("sub"), subSlice(col("res")).as("cb_sub"))
+      .withColumn("cb_sq", dotD(col("cb_sub"), col("cb_sub"))))
+    // encode: argmin L2² of (residual slice − codebook slice) per
+    // (vector, subspace), bounded-state TopK at k=1 — no window, no sort
+    // on the N·PqM·PqK encode stream
+    val codes = residual(e)
+      .select(col("vec_id").as("n_id"), col("cent_id"), subs, col("res"))
+      .select(col("n_id"), col("cent_id"), col("sub"), subSlice(col("res")).as("x_sub"))
+      .join(cb, "sub")
+      .select(col("n_id"), col("cent_id"), col("sub"), col("code"),
+        (dotD(col("x_sub"), col("x_sub")) - lit(2) * dotD(col("x_sub"), col("cb_sub"))
+          + col("cb_sq")).as("d2"))
+      .groupBy(col("n_id"), col("cent_id"), col("sub"))
+      .agg(graft.functions.TopK.neighbors(1)(col("code"), -col("d2")).as("nb"))
+      .select(col("n_id"), col("cent_id"), col("sub"),
+        col("nb").getItem(0).getField("_1").as("code"))
+    // reconstruction-norm table: |c_sub + cb_sub|² per (cell, sub, code) —
+    // IvfK·PqM·PqK = 512 rows, broadcast
+    val reconSq = broadcast(cents.select(col("cent_id"), subs, col("c_emb"))
+      .select(col("cent_id"), col("sub"),
+        transform(subSlice(col("c_emb")), x => x.cast("double")).as("c_sub"))
+      .join(cb, "sub")
+      .withColumn("recon_sub", zip_with(col("c_sub"), col("cb_sub"), (a, b) => a + b))
+      .select(col("cent_id"), col("sub"), col("code"),
+        dotD(col("recon_sub"), col("recon_sub")).as("recon_sq")))
+    // query side: nprobe nearest cells + the per-(query, cell) coarse dot
+    val wProbe = Window.partitionBy("q_id")
+      .orderBy(round(col("cos_c"), 9).desc, col("cent_id"))
+    val probes = broadcast(qv
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        l2norm(col("embedding")).as("q_nrm"))
+      .crossJoin(broadcast(cents))
+      .withColumn("qc", dot(col("q_emb"), col("c_emb")))
+      .withColumn("cos_c", col("qc") / (col("q_nrm") * col("c_nrm")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= IvfNProbe)
+      .select(col("q_id"), col("q_nrm"), col("cent_id"), col("qc")))
+    // per-query residual distance table: PqM·PqK rows per query, broadcast
+    val dt = broadcast(qv
+      .select(col("vec_id").as("q_id"), subs, col("embedding"))
+      .select(col("q_id"), col("sub"),
+        transform(subSlice(col("embedding")), x => x.cast("double")).as("q_sub"))
+      .join(cb, "sub")
+      .select(col("q_id"), col("sub"), col("code"),
+        dotD(col("q_sub"), col("cb_sub")).as("part")))
+    // the fusion: probed-cell equi-join prunes candidates (IVF), the code
+    // join scores them from broadcast tables (PQ ADC) — shuffle carries
+    // codes, never floats; shortlist via the bounded-state TopK aggregate
+    val cand = probes.join(codes, "cent_id")
+      .filter(col("n_id") =!= col("q_id"))
+      .join(dt, Seq("q_id", "sub", "code"))
+      .join(reconSq, Seq("cent_id", "sub", "code"))
+      .groupBy(col("q_id"), col("n_id"), col("q_nrm"), col("qc"))
+      .agg(dsumFine(col("part")).as("rpart"), dsumFine(col("recon_sq")).as("rsq"))
+      .select(col("q_id"), col("n_id"),
+        ((col("qc") + col("rpart")) / (col("q_nrm") * sqrt(col("rsq")))).as("cos_adc"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopK.neighbors(4 * k)(col("n_id"), col("cos_adc")).as("nb"))
+      .select(col("q_id"), explode(col("nb")).as("x"))
+      .select(col("q_id"), col("x._1").as("n_id"))
+    // exact re-rank of the shortlist only
+    val nf = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+      l2norm(col("embedding")).as("n_nrm"))
+    val qf = broadcast(qv
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        l2norm(col("embedding")).as("q_nrm")))
+    val wExact = Window.partitionBy("q_id")
+      .orderBy(round(col("cos"), 9).desc, col("n_id"))
+    cand.join(nf, "n_id").join(qf, "q_id")
+      .withColumn("cos",
+        dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cosine"), col("rank"))
+  }
+
+  /** Binary-signature (1 bit/dim) Hamming top-k — the last rung of the
+    * compression ladder after SQ8 (8 bits/dim, [[simQuantizedTopk]]) and
+    * PQ (4 codes/vector, [[simPqTopk]]): each vector compresses to 64
+    * sign bits against the seed-42 hyperplanes (the SAME first-64-planes
+    * sign machinery as LSH — one [[graft.functions.LshAutoBuckets]] kernel
+    * call at 4 bands × 16 bits), and candidate scoring is XOR + popcount
+    * over four packed 16-bit words: no float ever moves until the exact
+    * re-rank. Where banded LSH ([[lshTopKAuto]]) prunes by bucket
+    * EQUALITY (recall from OR-ed bands), the Hamming scan RANKS by
+    * signature distance — a complete ordering at 64× compression, the
+    * symmetric-sketch shape (SimHash for embeddings) used when the
+    * candidate generator must return a fixed-size shortlist with no
+    * occupancy variance. Top `4k` by (hamming asc, n_id) via the
+    * bounded-state [[graft.functions.TopK]] aggregate (score = −hamming:
+    * integer-exact at 9 dp), then exact float re-rank of the shortlist.
+    *
+    * Scale: the signature build is linear map-side kernel work; the scan
+    * streams panel × corpus sign-words through compare-and-insert with
+    * O(panel·k) state — at 10⁹ vectors the same signatures feed a banded
+    * multi-index (the LSH path) so the scan side prunes too; this
+    * operator prices the exhaustive-rank variant. Deterministic
+    * (seed-42 planes, ≥ 0 sign convention, integer Hamming, round-9 + id
+    * tie-breaks), so the full pipeline — signatures included — is
+    * oracle-checked in SQL; SimilaritySpec measures recall.
+    */
+  private val HamBands = 4   // 4 packed 16-bit sign words …
+  private val HamBits = 16   // … = 64 sign bits, 1 bit per dimension
+
+  private val simHammingTopk = Q(
+    "sim_hamming_topk",
+    (s, dir) => hammingTopK(emb(s, dir),
+      Tables.load(s, dir, "embeddings")).orderBy("q_id", "rank"),
+    Some(s"""WITH e AS (SELECT vec_id, embedding,
+           |   sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+           | FROM embeddings),
+           |pl(plane, coef) AS (VALUES ${planeValuesSql(HamBands * HamBits)}),
+           |bits AS (SELECT e.vec_id, pl.plane,
+           |    CASE WHEN list_sum(list_transform(range(1,65),
+           |           i -> CAST(e.embedding[i] AS DOUBLE) * coef[i])) >= 0
+           |         THEN CAST(power(2, plane % $HamBits) AS BIGINT) ELSE 0 END AS bit
+           |  FROM e CROSS JOIN pl),
+           |bk AS (SELECT vec_id, CAST(plane // $HamBits AS INT) AS band,
+           |       CAST(sum(bit) AS BIGINT) AS bucket
+           |       FROM bits GROUP BY vec_id, plane // $HamBits),
+           |hm AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+           |    CAST(SUM(bit_count(xor(a.bucket, b.bucket))) AS BIGINT) AS ham
+           |  FROM bk a JOIN bk b ON a.band = b.band AND a.vec_id != b.vec_id
+           |  WHERE a.vec_id < 10
+           |  GROUP BY a.vec_id, b.vec_id),
+           |cand AS (SELECT q_id, n_id FROM (
+           |   SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+           |     ORDER BY ham, n_id) AS arank FROM hm) WHERE arank <= 20),
+           |sc AS (SELECT cand.q_id, cand.n_id,
+           |    list_sum(list_transform(range(1, 65),
+           |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)))
+           |      / (q.nrm * n.nrm) AS cos
+           |  FROM cand JOIN e q ON q.vec_id = cand.q_id
+           |            JOIN e n ON n.vec_id = cand.n_id),
+           |r AS (SELECT q_id, n_id, cos, CAST(ROW_NUMBER() OVER (
+           |    PARTITION BY q_id ORDER BY round(cos, 9) DESC, n_id) AS INT) AS rank
+           |  FROM sc)
+           |SELECT q_id, n_id, round(cos, 6) AS cosine, rank
+           |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin))
+
+  /** `e`: spread full vector set; `raw`: unspread scan for the pushed-down
+    * query-side read.
+    */
+  def hammingTopK(e: DataFrame, raw: DataFrame, k: Int = 5): DataFrame = {
+    VectorKernels.register(e.sparkSession)
+    // 64 sign bits via the adaptive-LSH bucket kernel at its full fixed
+    // width (abits = maxBits = 16 → planes 0..63, band-major — identical
+    // plane indexing to the oracle's plane // 16 packing)
+    def signed(v: DataFrame): DataFrame = v
+      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"),
+        VectorKernels.abuckets(col("embedding"), lit(HamBits.toLong),
+          HamBands, HamBits).as("sig"))
+    val qs = broadcast(signed(raw.filter(col("vec_id") < 10))
+      .toDF("q_id", "q_emb", "q_nrm", "q_sig"))
+    val ns = signed(e).toDF("n_id", "n_emb", "n_nrm", "n_sig")
+    // XOR + popcount over the four packed words; −hamming feeds the
+    // bounded-state TopK (integers are exact at the 9-dp round, ordering
+    // ≡ (hamming asc, n_id asc))
+    val ham = aggregate(
+      zip_with(col("q_sig"), col("n_sig"),
+        (a, b) => call_function("bit_count", a.bitwiseXOR(b)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val cand = qs.join(ns, col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), (-ham.cast("double")).as("nham"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopK.neighbors(4 * k)(col("n_id"), col("nham")).as("nb"))
+      .select(col("q_id"), explode(col("nb")).as("x"))
+      .select(col("q_id"), col("x._1").as("n_id"))
+    // exact re-rank of the shortlist only: float vectors join back by id
+    val nf = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+      l2norm(col("embedding")).as("n_nrm"))
+    val qf = broadcast(raw.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        l2norm(col("embedding")).as("q_nrm")))
+    val wExact = Window.partitionBy("q_id")
+      .orderBy(round(col("cos"), 9).desc, col("n_id"))
+    cand.join(nf, "n_id").join(qf, "q_id")
+      .withColumn("cos",
+        dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cosine"), col("rank"))
+  }
+
   /** Semantic dedup clusters, the EXACT AUDIT: the embedding-cosine
     * near-dup pairs of the deterministic [[sampleModulus]] residue-class
     * panel resolved into connected components (cluster id = min vec_id) —
@@ -3798,5 +4196,6 @@ object Similarity {
     simLshRecall, mlThresholdCost, simHubness, mlCalibrationSlope,
     simLshAnnScaled, mlMccSweep, simEmbeddingDrift, simKcenterSeeds,
     simIvfRecall, mlGroupAuc, mlBrierCi, simRecallCurve, mlLearningCurve,
-    dedupSemanticClustersScaled, simLshOccupancy)
+    dedupSemanticClustersScaled, simLshOccupancy, simIvfPqTopk,
+    simHammingTopk, simIvfPqRecall)
 }

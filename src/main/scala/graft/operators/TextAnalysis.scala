@@ -2351,7 +2351,12 @@ object TextAnalysis {
         .select(col("w"), col("lang").as("cls"),
           (log(coalesce(col("cnt"), lit(0L)) + 1) -
             log(col("tot") + col("v"))).as("lp"))
-      val scored = dm.join(lps, "w")
+      // the log-prob table is vocabulary×classes — broadcast it so the
+      // corpus-sized multiplicity frame never shuffles on w (r16, measured:
+      // the w-exchange of dm plus the ×classes post-join exchange dominated
+      // the query; with the map-side join the only wide exchange left is
+      // the partially-aggregated (doc, class) score frame)
+      val scored = dm.join(broadcast(lps), "w")
         .groupBy("doc_id", "lang", "cls")
         .agg(dsumFine(col("mult") * col("lp")).as("ll"))
         .join(broadcast(prior), "cls")

@@ -56,6 +56,22 @@ class Round16Spec extends SparkSuite {
       s"centroid crossJoin degraded to a shuffled cartesian:\n$plan")
   }
 
+  test("sim_ivfpq_topk plans centroid/codebook/panel joins as broadcasts") {
+    val plan = fmtPlan("sim_ivfpq_topk")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast centroid join, got:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"a small-side crossJoin degraded to a shuffled cartesian:\n$plan")
+  }
+
+  test("sim_hamming_topk plans the panel scan as a broadcast, never a cartesian") {
+    val plan = fmtPlan("sim_hamming_topk")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast panel join, got:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the panel × corpus scan degraded to a shuffled cartesian:\n$plan")
+  }
+
   // ---- 2. LshAutoBuckets width guard -------------------------------------
 
   test("lsh_abuckets rejects non-64-dim embeddings instead of prefix-bucketing") {

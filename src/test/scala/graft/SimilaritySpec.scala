@@ -134,6 +134,46 @@ class SimilaritySpec extends SparkSuite {
     assert(got.values.forall(_.size <= 5))
   }
 
+  test("fused IVF+PQ: residual-code ADC through probed cells finds real neighbors") {
+    val raw = Tables.load(spark, sfDir, "embeddings")
+    val got = Similarity.ivfPqTopK(raw, raw)
+      .select("q_id", "n_id")
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    val queries = bruteTop5.filter(_._1 < 10)
+    val hits = queries.toSeq.map { case (q, truth) =>
+      got.getOrElse(q, Set.empty).intersect(truth).size
+    }.sum
+    val recall = hits.toDouble / queries.values.map(_.size).sum
+    info(f"ivfpq recall@5 = $recall%.3f")
+    // two stacked prunings: the IVF cell scan caps recall at the probed-cell
+    // mass (~nprobe/IvfK on this unclustered testdata — sim_ivf_ann's bound)
+    // and the 4-byte residual code is lossy inside it; measured 0.500 at
+    // sf0.001 (deterministic: seed planes, fixed data) — floor just under
+    assert(recall >= 0.4, s"recall@5 = $recall")
+    assert(got.values.forall(_.size <= 5))
+  }
+
+  test("binary Hamming top-k: the 64-bit sign sketch ranks real neighbors first") {
+    val raw = Tables.load(spark, sfDir, "embeddings")
+    val got = Similarity.hammingTopK(raw, raw)
+      .select("q_id", "n_id")
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    val queries = bruteTop5.filter(_._1 < 10)
+    val hits = queries.toSeq.map { case (q, truth) =>
+      got.getOrElse(q, Set.empty).intersect(truth).size
+    }.sum
+    val recall = hits.toDouble / queries.values.map(_.size).sum
+    info(f"hamming recall@5 = $recall%.3f")
+    // 1 bit/dim: E[hamming] tracks angle (sign-agreement probability
+    // 1 − θ/π), so a 4k shortlist over 64 bits beats the random-pool
+    // baseline (20/(n−1) ≈ 0.1) by ~4×; measured 0.380 at sf0.001
+    // (deterministic: seed planes, fixed data) — floor just under
+    assert(recall >= 0.3, s"recall@5 = $recall")
+    assert(got.values.forall(_.size <= 5))
+  }
+
   test("tiled cosine pairs: equi-join plan with no all-pairs operator") {
     // dedup_semantic_clusters left this family in r13: its exact audit now
     // runs on the bounded residue panel, where a broadcast non-equi
