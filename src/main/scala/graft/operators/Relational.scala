@@ -305,9 +305,17 @@ object Relational {
       blockCols.map(col)): _*)
     a.join(b, blockCols)
       .filter(col("key_a") < col("key_b"))
+      // length prefilter: |len(a) − len(b)| > maxDist proves dist > maxDist
+      // (each edit changes length by ≤ 1), so the kernel never runs on
+      // provably-unmatchable pairs — result-identical, kernel-call-fewer
+      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
       .select((col("key_a") +: col("key_b") +: blockCols.map(col)) :+
-        levenshtein(col("name_a"), col("name_b")).as("dist"): _*)
-      .filter(col("dist") <= maxDist)
+        // thresholded levenshtein: the banded O(maxDist·n) DP with early
+        // exit, vs the full O(n·m) table — returns −1 above the threshold
+        // and the EXACT distance at or under it, so the kept rows and
+        // their dist values are identical to the unbounded kernel's
+        levenshtein(col("name_a"), col("name_b"), maxDist).as("dist"): _*)
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
   }
 
   /** Blocked fuzzy join (record linkage, J5+ [EXT]): near-identical part

@@ -1134,9 +1134,12 @@ object Similarity {
     val codes = e
       .select(col("vec_id").as("n_id"), subs, col("embedding"))
       .select(col("n_id"), col("sub"), subSlice(col("embedding")).as("x_sub"))
+      // hoist |x_sub|² above the codebook join (constant per (vector,
+      // subspace); Catalyst won't lift it out of the per-code expression)
+      .withColumn("x_sq", dot(col("x_sub"), col("x_sub")))
       .join(cb, "sub")
       .withColumn("dist2",
-        dot(col("x_sub"), col("x_sub")) - lit(2) * dot(col("x_sub"), col("c_sub"))
+        col("x_sq") - lit(2) * dot(col("x_sub"), col("c_sub"))
           + col("c_sq"))
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
@@ -1402,9 +1405,13 @@ object Similarity {
     val codes = residual(e)
       .select(col("vec_id").as("n_id"), col("cent_id"), subs, col("res"))
       .select(col("n_id"), col("cent_id"), col("sub"), subSlice(col("res")).as("x_sub"))
+      // hoist |x_sub|² above the codebook join: it is constant per
+      // (vector, subspace) and Catalyst will not lift it out of the
+      // per-code expression on its own — same value, PqK× fewer dots
+      .withColumn("x_sq", dotD(col("x_sub"), col("x_sub")))
       .join(cb, "sub")
       .select(col("n_id"), col("cent_id"), col("sub"), col("code"),
-        (dotD(col("x_sub"), col("x_sub")) - lit(2) * dotD(col("x_sub"), col("cb_sub"))
+        (col("x_sq") - lit(2) * dotD(col("x_sub"), col("cb_sub"))
           + col("cb_sq")).as("d2"))
       .groupBy(col("n_id"), col("cent_id"), col("sub"))
       .agg(graft.functions.TopK.neighbors(1)(col("code"), -col("d2")).as("nb"))
