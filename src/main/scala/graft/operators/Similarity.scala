@@ -1438,25 +1438,56 @@ object Similarity {
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= IvfNProbe)
       .select(col("q_id"), col("q_nrm"), col("cent_id"), col("qc")))
-    // per-query residual distance table: PqM·PqK rows per query, broadcast
-    val dt = broadcast(qv
+    // per-query residual distance table, packed to ONE 64-double array per
+    // query ordered by sub·PqK + code (dense: dt is qv × the full
+    // codebook), so a pair's PqM lookups are array indexing, not a join
+    val dtArr = broadcast(qv
       .select(col("vec_id").as("q_id"), subs, col("embedding"))
       .select(col("q_id"), col("sub"),
         transform(subSlice(col("embedding")), x => x.cast("double")).as("q_sub"))
       .join(cb, "sub")
-      .select(col("q_id"), col("sub"), col("code"),
-        dotD(col("q_sub"), col("cb_sub")).as("part")))
-    // the fusion: probed-cell equi-join prunes candidates (IVF), the code
-    // join scores them from broadcast tables (PQ ADC) — shuffle carries
-    // codes, never floats; shortlist via the bounded-state TopK aggregate
-    val cand = probes.join(codes, "cent_id")
+      .select(col("q_id"), (col("sub") * PqK + col("code")).as("i"),
+        dotD(col("q_sub"), col("cb_sub")).as("part"))
+      .groupBy(col("q_id"))
+      .agg(transform(sort_array(collect_list(struct(col("i"), col("part")))),
+        s => s.getField("part")).as("dts")))
+    // pack the PqM codes into ONE row per vector, folding the
+    // reconstruction norm² into the same aggregate — the production ADC
+    // scan layout (codes contiguous per vector): the candidate stream is
+    // 1 row per (query, candidate) instead of PqM, and the per-pair ADC
+    // sum becomes a fixed-order PqM-term decimal expression instead of a
+    // panel×candidates hash aggregate (r16, measured: that aggregate was
+    // the recall row's dominant cost). Decimal addition is exact, so the
+    // fixed-order sum is VALUE-identical to the grouped dsumFine it
+    // replaces — every hash unchanged.
+    val nvec = codes.join(reconSq, Seq("cent_id", "sub", "code"))
+      .groupBy(col("n_id"), col("cent_id"))
+      .agg(sort_array(collect_list(struct(col("sub"), col("code")))).as("cs"),
+        dsumFine(col("recon_sq")).as("rsq"))
+    // exact fixed-point fold: parts cast to scale-20 decimals exactly as
+    // dsumFine does (same HALF_UP 20-digit round of the double), then
+    // added with integer-digit headroom so NO step ever rounds — (34,20)
+    // + (33,20) = (35,20), cast back to (34,20) loses nothing while
+    // |sum| < 10¹⁴ (parts are O(1) subspace dots) — so the fold equals
+    // the grouped decimal sum it replaces digit-for-digit
+    val dec3420 = org.apache.spark.sql.types.DecimalType(34, 20)
+    val decZero = lit(new java.math.BigDecimal(0)).cast(dec3420)
+    def rpart(cs: Column, dts: Column): Column = aggregate(
+      cs, decZero,
+      (acc, c) => (acc + element_at(dts,
+        (c.getField("sub") * PqK + c.getField("code") + 1).cast("int"))
+        .cast(org.apache.spark.sql.types.DecimalType(33, 20))).cast(dec3420),
+      acc => acc.cast("double"))
+    // the fusion: probed-cell equi-join prunes candidates (IVF), the
+    // packed codes score against the broadcast per-query table (PQ ADC) —
+    // shuffle carries codes, never floats; shortlist via the bounded-state
+    // TopK aggregate
+    val cand = probes.join(nvec, "cent_id")
       .filter(col("n_id") =!= col("q_id"))
-      .join(dt, Seq("q_id", "sub", "code"))
-      .join(reconSq, Seq("cent_id", "sub", "code"))
-      .groupBy(col("q_id"), col("n_id"), col("q_nrm"), col("qc"))
-      .agg(dsumFine(col("part")).as("rpart"), dsumFine(col("recon_sq")).as("rsq"))
+      .join(dtArr, "q_id")
       .select(col("q_id"), col("n_id"),
-        ((col("qc") + col("rpart")) / (col("q_nrm") * sqrt(col("rsq")))).as("cos_adc"))
+        ((col("qc") + rpart(col("cs"), col("dts"))) /
+          (col("q_nrm") * sqrt(col("rsq")))).as("cos_adc"))
       .groupBy(col("q_id"))
       .agg(graft.functions.TopK.neighbors(4 * k)(col("n_id"), col("cos_adc")).as("nb"))
       .select(col("q_id"), explode(col("nb")).as("x"))
