@@ -30,7 +30,9 @@ object Bench {
     "events_bot_detect", "events_forecast",
     // round 10
     "sim_lsh_recall", "dedup_tfidf_cosine", "events_quantile_sketch",
-    "graph_clustering_coeff", "quality_kendall_tau", "events_ab_test")
+    "graph_clustering_coeff", "quality_kendall_tau", "events_ab_test",
+    // round 16
+    "sim_ivfpq_topk", "sim_hamming_topk", "sim_ivfpq_recall")
 
   /** Noise canary: a cheap, code-stable query whose implementation has not
     * changed since round 1. Its best-of-N time moves only with host

@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
   * broadcast map stage + a bounded-state TopK, linear at any decade).
   */
 object LshScaleProbe {
-  private val ModeFlags = Set("only", "auto", "plan", "recall")
+  private val ModeFlags = Set("only", "auto", "plan", "recall", "ivfpq")
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)
@@ -71,14 +71,18 @@ object LshScaleProbe {
         .explainString(org.apache.spark.sql.execution.FormattedMode))
       spark.stop(); return
     }
-    if (args.contains("recall")) {
+    if (args.contains("recall") || args.contains("ivfpq")) {
       import operators.Similarity.{dot, l2norm}
       functions.VectorKernels.register(spark)
       val n = e.count()
       // same ~256-query budget rule as sampleModulus, driver-side on the
-      // exact count (a dev probe may collect one long)
+      // exact count (a dev probe may collect one long). The budget is an
+      // env knob (default 256): the ivfpq mode's ADC stream is
+      // panel-linear (panel × nprobe/IvfK × corpus), so the 2 M decade
+      // probes with a smaller panel to keep the fold stage bounded.
+      val budget = sys.env.getOrElse("SPARK_GRAFT_PROBE_QUERIES", "256").toLong
       val m = math.max(8L,
-        java.lang.Long.highestOneBit(math.max(1L, (n + 255) / 256 - 1)) * 2)
+        java.lang.Long.highestOneBit(math.max(1L, (n + budget - 1) / budget - 1)) * 2)
       val v = e.select(col("vec_id"), col("embedding"),
         l2norm(col("embedding")).as("nrm"))
       val panel = v.filter(pmod(xxhash64(col("vec_id")), lit(m)) === 3)
@@ -100,8 +104,22 @@ object LshScaleProbe {
         .localCheckpoint(true)
       val tExact = (System.nanoTime() - t0) / 1e9
       val t1 = System.nanoTime()
-      val got = operators.Similarity.lshTopKAuto(e, 5)
-        .join(broadcast(panel.select("q_id")), Seq("q_id"), "left_semi")
+      // `ivfpq`: the fused IVF+PQ path queried with the hash panel —
+      // corpus-side encode + packed-ADC + exact re-rank, the production
+      // fused pipeline at this decade; otherwise the adaptive LSH lists.
+      // The ADC shortlist scales ∝ corpus by default (a fixed shortlist
+      // is a shrinking fraction of each probed cell — the measured
+      // recall-collapse mode); SPARK_GRAFT_IVFPQ_SHORTLIST overrides to
+      // price a specific width (e.g. the declared rows' fixed 20).
+      val shortlist = sys.env.get("SPARK_GRAFT_IVFPQ_SHORTLIST").map(_.toInt)
+        .getOrElse(math.max(20, (n / 500).toInt))
+      val got = (if (args.contains("ivfpq"))
+        operators.Similarity.ivfPqTopK(Tables.spread(e), e,
+          panel = Some(panel.select(col("q_id").as("vec_id"),
+            col("q_emb").as("embedding"))), shortlist = shortlist)
+      else
+        operators.Similarity.lshTopKAuto(e, 5)
+          .join(broadcast(panel.select("q_id")), Seq("q_id"), "left_semi"))
         .select("q_id", "n_id")
         .localCheckpoint(true)
       val tAnn = (System.nanoTime() - t1) / 1e9
@@ -123,7 +141,9 @@ object LshScaleProbe {
       val crossExact = nExact - cloneExact
       val crossHits = hits - cloneHits
       def ratio(a: Long, b: Long) = if (b == 0) Double.NaN else a.toDouble / b
-      println(f"[lshprobe] recall n=$n m=$m queries=$nq exact_pairs=$nExact " +
+      val mode =
+        if (args.contains("ivfpq")) s"ivfpq_recall shortlist=$shortlist" else "recall"
+      println(f"[lshprobe] $mode n=$n m=$m queries=$nq exact_pairs=$nExact " +
         f"hits=$hits recall_at5=${ratio(hits, nExact)}%.3f " +
         f"clone_pairs=$cloneExact recall_clone=${ratio(cloneHits, cloneExact)}%.3f " +
         f"cross_pairs=$crossExact recall_cross=${ratio(crossHits, crossExact)}%.3f " +

@@ -1364,10 +1364,19 @@ object Similarity {
     * centroid/codebook/query reads. `panel`: optional (vec_id, embedding)
     * query frame replacing the default `vec_id < 10` panel — the recall
     * row passes the residue-class sample here so the fused path is priced
-    * on the same panel as the other ANN rungs.
+    * on the same panel as the other ANN rungs. `shortlist`: ADC
+    * candidates kept per query before the exact re-rank (default 4·k,
+    * the declared rows' oracle-pinned width) — THE recall knob at scale:
+    * a fixed shortlist over a growing corpus is a shrinking fraction of
+    * each probed cell, so recall decays by construction (measured ladder
+    * in SURVEY §6: 0.206 → 0.051 → 0.024 clone-recall at 20 k → 200 k →
+    * 2 M with the default 20); deployments scale it ∝ corpus (the
+    * [[LshScaleProbe]] ivfpq mode prices the trade).
     */
   def ivfPqTopK(e: DataFrame, raw: DataFrame, k: Int = 5,
-                panel: Option[DataFrame] = None): DataFrame = {
+                panel: Option[DataFrame] = None,
+                shortlist: Int = -1): DataFrame = {
+    val shortlistN = if (shortlist > 0) shortlist else 4 * k
     VectorKernels.register(e.sparkSession)
     import graft.functions.Deterministic.dsumFine
     val qv = panel.getOrElse(raw.filter(col("vec_id") < 10))
@@ -1489,7 +1498,7 @@ object Similarity {
         ((col("qc") + rpart(col("cs"), col("dts"))) /
           (col("q_nrm") * sqrt(col("rsq")))).as("cos_adc"))
       .groupBy(col("q_id"))
-      .agg(graft.functions.TopK.neighbors(4 * k)(col("n_id"), col("cos_adc")).as("nb"))
+      .agg(graft.functions.TopK.neighbors(shortlistN)(col("n_id"), col("cos_adc")).as("nb"))
       .select(col("q_id"), explode(col("nb")).as("x"))
       .select(col("q_id"), col("x._1").as("n_id"))
     // exact re-rank of the shortlist only

@@ -197,4 +197,40 @@ class Round16Spec extends SparkSuite {
       }
     }
   }
+
+  // ---- 6. Packed-ADC decimal fold exactness ------------------------------
+
+  test("the packed ADC fold is digit-identical to the grouped decimal sum") {
+    // ivfPqTopK's ADC scores each pair by folding PqM distance-table
+    // lookups with (34,20)-accumulator decimal adds over (33,20) inputs —
+    // replacing the grouped dsumFine of the first implementation. The
+    // fold is exact only while no add step rounds: (34,20) + (33,20) =
+    // (35,20) and the cast back to (34,20) never truncates for |sum| <
+    // 10¹⁴. This pins that equivalence on adversarial doubles (mixed
+    // magnitudes/signs, values whose 20-digit rounding is nontrivial) —
+    // if a future edit narrows the headroom or widens the inputs past the
+    // assumption, this fails before the oracle gate does.
+    import org.apache.spark.sql.types.DecimalType
+    import graft.functions.Deterministic.dsumFine
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { g =>
+      val parts = Array.fill(4)(
+        (rnd.nextDouble() - 0.5) * math.pow(10, rnd.nextInt(7) - 3))
+      (g.toLong, parts)
+    }
+    val df = spark.createDataFrame(
+      rows.map { case (g, p) => (g, p.toSeq) }).toDF("g", "parts")
+    val dec3420 = DecimalType(34, 20)
+    val folded = df.select(col("g"),
+      aggregate(col("parts"),
+        lit(new java.math.BigDecimal(0)).cast(dec3420),
+        (acc, x) => (acc + x.cast(DecimalType(33, 20))).cast(dec3420),
+        acc => acc.cast("double")).as("v"))
+    val grouped = df.select(col("g"), explode(col("parts")).as("p"))
+      .groupBy("g").agg(dsumFine(col("p")).as("v"))
+    val mismatches = folded.as("f").join(grouped.as("s"), "g")
+      .filter(col("f.v") =!= col("s.v"))
+      .count()
+    assert(mismatches == 0)
+  }
 }
