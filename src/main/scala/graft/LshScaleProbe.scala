@@ -113,10 +113,59 @@ object LshScaleProbe {
       // price a specific width (e.g. the declared rows' fixed 20).
       val shortlist = sys.env.get("SPARK_GRAFT_IVFPQ_SHORTLIST").map(_.toInt)
         .getOrElse(math.max(20, (n / 500).toInt))
+      // SPARK_GRAFT_IVFPQ_TRAINED=<pqK>: replace the seed-residual
+      // codebook with a k-means-trained one (2 Lloyd iterations over a
+      // ~20 k hash sample of residuals, per subspace) — the ladder's
+      // named quality knob. Codes stay DENSE in [0, pqK): an emptied
+      // cluster keeps its previous centroid (the packed distance-table
+      // index is positional).
+      val trainedK = sys.env.get("SPARK_GRAFT_IVFPQ_TRAINED").map(_.toInt)
+      val cbOverride = trainedK.map { pqK =>
+        import functions.VectorKernels.ddot
+        val sampleMod = math.max(1L, n / 20000L)
+        val res = operators.Similarity.ivfResiduals(
+          Tables.spread(e).filter(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0), e)
+        val subs = explode(sequence(lit(0), lit(3))).as("sub")
+        val slices = res.select(col("vec_id"), subs, col("res"))
+          .select(col("vec_id"), col("sub"),
+            slice(col("res"), col("sub") * 16 + 1, lit(16)).as("x"))
+          .localCheckpoint(true)
+        // seeds from the UNSAMPLED corpus (the hash sample need not contain
+        // vec_ids < pqK): the same first-pqK identity the production
+        // default uses, so training isolates the Lloyd refinement
+        var cents = operators.Similarity
+          .ivfResiduals(e.filter(col("vec_id") < pqK), e)
+          .select(col("vec_id"), subs, col("res"))
+          .select(col("vec_id").as("code"), col("sub"),
+            slice(col("res"), col("sub") * 16 + 1, lit(16)).as("cb_sub"))
+          .localCheckpoint(true)
+        for (_ <- 1 to 2) {
+          val asg = slices.join(broadcast(cents), "sub")
+            .select(col("vec_id"), col("sub"), col("x"), col("code"),
+              (ddot(col("x"), col("x")) - lit(2) * ddot(col("x"), col("cb_sub"))
+                + ddot(col("cb_sub"), col("cb_sub"))).as("d2"))
+            .groupBy(col("vec_id"), col("sub"), col("x"))
+            .agg(functions.TopK.neighbors(1)(col("code"), -col("d2")).as("nb"))
+            .select(col("sub"), col("x"),
+              col("nb").getItem(0).getField("_1").as("code"))
+          val means = asg.select(col("sub"), col("code"), posexplode(col("x")))
+            .groupBy(col("sub"), col("code"), col("pos"))
+            .agg(avg(col("col")).as("v"))
+            .groupBy(col("sub"), col("code"))
+            .agg(transform(sort_array(collect_list(struct(col("pos"), col("v")))),
+              s => s.getField("v")).as("m_sub"))
+          cents = cents.join(means, Seq("sub", "code"), "left")
+            .select(col("sub"), col("code"),
+              coalesce(col("m_sub"), col("cb_sub")).as("cb_sub"))
+            .localCheckpoint(true)
+        }
+        cents.withColumn("cb_sq", ddot(col("cb_sub"), col("cb_sub")))
+      }
       val got = (if (args.contains("ivfpq"))
         operators.Similarity.ivfPqTopK(Tables.spread(e), e,
           panel = Some(panel.select(col("q_id").as("vec_id"),
-            col("q_emb").as("embedding"))), shortlist = shortlist)
+            col("q_emb").as("embedding"))), shortlist = shortlist,
+          codebook = cbOverride, pqK = trainedK.getOrElse(16))
       else
         operators.Similarity.lshTopKAuto(e, 5)
           .join(broadcast(panel.select("q_id")), Seq("q_id"), "left_semi"))
@@ -142,7 +191,10 @@ object LshScaleProbe {
       val crossHits = hits - cloneHits
       def ratio(a: Long, b: Long) = if (b == 0) Double.NaN else a.toDouble / b
       val mode =
-        if (args.contains("ivfpq")) s"ivfpq_recall shortlist=$shortlist" else "recall"
+        if (args.contains("ivfpq"))
+          s"ivfpq_recall shortlist=$shortlist" +
+            trainedK.map(k => s" trained_pqK=$k").getOrElse("")
+        else "recall"
       println(f"[lshprobe] $mode n=$n m=$m queries=$nq exact_pairs=$nExact " +
         f"hits=$hits recall_at5=${ratio(hits, nExact)}%.3f " +
         f"clone_pairs=$cloneExact recall_clone=${ratio(cloneHits, cloneExact)}%.3f " +

@@ -1373,21 +1373,18 @@ object Similarity {
     * 2 M with the default 20); deployments scale it ∝ corpus (the
     * [[LshScaleProbe]] ivfpq mode prices the trade).
     */
-  def ivfPqTopK(e: DataFrame, raw: DataFrame, k: Int = 5,
-                panel: Option[DataFrame] = None,
-                shortlist: Int = -1): DataFrame = {
-    val shortlistN = if (shortlist > 0) shortlist else 4 * k
-    VectorKernels.register(e.sparkSession)
-    import graft.functions.Deterministic.dsumFine
-    val qv = panel.getOrElse(raw.filter(col("vec_id") < 10))
-      .select(col("vec_id"), col("embedding"))
+  /** Coarse-assign `v`'s vectors to their nearest of [[IvfK]] seed cells
+    * (read from `raw`) and emit per-vector residuals in double — exact:
+    * both operands are float32, the difference is exactly representable.
+    * Shared by [[ivfPqTopK]] (encode + codebook) and the
+    * [[graft.LshScaleProbe]] ivfpq mode's codebook training.
+    */
+  private[graft] def ivfResiduals(v: DataFrame, raw: DataFrame): DataFrame = {
+    VectorKernels.register(v.sparkSession)
     val cents = broadcast(raw.filter(col("vec_id") < IvfK)
       .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
         l2norm(col("embedding")).as("c_nrm")))
-    // coarse assignment → per-vector residual, in double (exact: both
-    // operands are float32, the difference is exactly representable)
-    def residual(v: DataFrame): DataFrame = v
-      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
+    v.select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("cent_id"),
         (dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm"))).as("cos_c"))
@@ -1399,15 +1396,34 @@ object Similarity {
       .select(col("vec_id"), col("cent_id"),
         zip_with(col("embedding"), col("c_emb"),
           (x, c) => x.cast("double") - c.cast("double")).as("res"))
+  }
+
+  def ivfPqTopK(e: DataFrame, raw: DataFrame, k: Int = 5,
+                panel: Option[DataFrame] = None,
+                shortlist: Int = -1,
+                codebook: Option[DataFrame] = None,
+                pqK: Int = PqK): DataFrame = {
+    val shortlistN = if (shortlist > 0) shortlist else 4 * k
+    VectorKernels.register(e.sparkSession)
+    import graft.functions.Deterministic.dsumFine
+    val qv = panel.getOrElse(raw.filter(col("vec_id") < 10))
+      .select(col("vec_id"), col("embedding"))
+    val cents = broadcast(raw.filter(col("vec_id") < IvfK)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
+        l2norm(col("embedding")).as("c_nrm")))
+    def residual(v: DataFrame): DataFrame = ivfResiduals(v, raw)
     val subs = explode(sequence(lit(0), lit(PqM - 1))).as("sub")
     def subSlice(a: Column) = slice(a, col("sub") * PqSubDim + 1, lit(PqSubDim))
-    // residual codebook: the first PqK vectors' residual slices (PqM×PqK
-    // = 64 rows; a production build k-means-refines them — [[kmeansAssign]]
-    // is that machinery — without touching this query-side plan)
-    val cb = broadcast(residual(raw.filter(col("vec_id") < PqK))
-      .select(col("vec_id").as("code"), subs, col("res"))
-      .select(col("code"), col("sub"), subSlice(col("res")).as("cb_sub"))
-      .withColumn("cb_sq", dotD(col("cb_sub"), col("cb_sub"))))
+    // residual codebook: by default the first pqK vectors' residual
+    // slices (PqM×pqK rows); `codebook` overrides with a trained one —
+    // (code, sub, cb_sub, cb_sq) with codes dense in [0, pqK) — the
+    // [[graft.LshScaleProbe]] ivfpq mode's k-means-refined variant (the
+    // declared rows keep the seed default, oracle-pinned)
+    val cb = broadcast(codebook.getOrElse(
+      residual(raw.filter(col("vec_id") < pqK))
+        .select(col("vec_id").as("code"), subs, col("res"))
+        .select(col("code"), col("sub"), subSlice(col("res")).as("cb_sub"))
+        .withColumn("cb_sq", dotD(col("cb_sub"), col("cb_sub")))))
     // encode: argmin L2² of (residual slice − codebook slice) per
     // (vector, subspace), bounded-state TopK at k=1 — no window, no sort
     // on the N·PqM·PqK encode stream
@@ -1455,7 +1471,7 @@ object Similarity {
       .select(col("q_id"), col("sub"),
         transform(subSlice(col("embedding")), x => x.cast("double")).as("q_sub"))
       .join(cb, "sub")
-      .select(col("q_id"), (col("sub") * PqK + col("code")).as("i"),
+      .select(col("q_id"), (col("sub") * pqK + col("code")).as("i"),
         dotD(col("q_sub"), col("cb_sub")).as("part"))
       .groupBy(col("q_id"))
       .agg(transform(sort_array(collect_list(struct(col("i"), col("part")))),
@@ -1484,7 +1500,7 @@ object Similarity {
     def rpart(cs: Column, dts: Column): Column = aggregate(
       cs, decZero,
       (acc, c) => (acc + element_at(dts,
-        (c.getField("sub") * PqK + c.getField("code") + 1).cast("int"))
+        (c.getField("sub") * pqK + c.getField("code") + 1).cast("int"))
         .cast(org.apache.spark.sql.types.DecimalType(33, 20))).cast(dec3420),
       acc => acc.cast("double"))
     // the fusion: probed-cell equi-join prunes candidates (IVF), the
