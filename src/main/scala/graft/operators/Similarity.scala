@@ -1360,6 +1360,133 @@ object Similarity {
         |  round(CAST(n_hits AS DOUBLE) / (SELECT count(*) FROM ex), 6) AS recall_at5
         |FROM h""".stripMargin))
 
+  /** PQ codebook TRAINING as a declared, oracle-replayed row — the
+    * machinery behind the probe-measured codebook knob (SURVEY §6 r16:
+    * trained pqK=256 lifted the fused path from 0.336 to 0.978 recall at
+    * 200 k). Two complete Lloyd rounds (assign → mean-update) over the
+    * corpus's IVF residual slices: seeds are the first [[PqK]] vectors'
+    * slices (the production default's identity, so training isolates the
+    * refinement), assignment is the encode argmin (round-9 + code
+    * tie-break via the bounded-state TopK at k = 1 — no window over the
+    * n·PqM·PqK stream), centroid updates are ORDER-INDEPENDENT decimal
+    * means (dsumFine / exact count per (sub, code, dim) — the sim_kmeans
+    * stance), and an emptied cluster keeps its previous centroid so codes
+    * stay dense in [0, PqK) (the packed distance-table index is
+    * positional). Output: per (sub, code) the trained centroid's norm,
+    * the final assignment's member count, and its mean quantization
+    * error (the Lloyd objective) — the training-health readout a
+    * deployment monitors before swapping a codebook in.
+    *
+    * Scale: each round is one broadcast-join linear pass + a
+    * vocabulary-sized (PqM·PqK·dims) mean aggregate; rounds are
+    * driver-bounded at 2 with `localCheckpoint` truncating the iteration
+    * lineage (the graph-family iteration discipline).
+    */
+  private val simPqTrain = Q(
+    "sim_pq_train",
+    (s, dir) => {
+      VectorKernels.register(s)
+      import graft.functions.Deterministic.dsumFine
+      val raw = Tables.load(s, dir, "embeddings")
+      val subsE = explode(sequence(lit(0), lit(PqM - 1))).as("sub")
+      val sl = ivfResiduals(emb(s, dir), raw)
+        .select(col("vec_id"), subsE, col("res"))
+        .select(col("vec_id"), col("sub"),
+          slice(col("res"), col("sub") * PqSubDim + 1, lit(PqSubDim)).as("x"))
+        .localCheckpoint()
+      val cb0 = sl.filter(col("vec_id") < PqK)
+        .select(col("vec_id").as("code"), col("sub"), col("x").as("cb"))
+      def assign(cbN: DataFrame): DataFrame = sl
+        .withColumn("x_sq", dotD(col("x"), col("x")))
+        .join(broadcast(cbN.withColumn("cb_sq", dotD(col("cb"), col("cb")))), "sub")
+        .select(col("vec_id"), col("sub"), col("x"), col("code"),
+          (col("x_sq") - lit(2) * dotD(col("x"), col("cb")) + col("cb_sq")).as("d2"))
+        .groupBy(col("vec_id"), col("sub"), col("x"))
+        .agg(graft.functions.TopK.neighbors(1)(col("code"), -col("d2")).as("nb"))
+        .select(col("vec_id"), col("sub"), col("x"),
+          col("nb").getItem(0).getField("_1").as("code"),
+          (-col("nb").getItem(0).getField("_2")).as("d2"))
+      def update(asg: DataFrame, cbPrev: DataFrame): DataFrame = {
+        val means = asg.select(col("sub"), col("code"), posexplode(col("x")))
+          .groupBy(col("sub"), col("code"), col("pos"))
+          .agg((dsumFine(col("col")) / count(lit(1))).as("v"))
+          .groupBy(col("sub"), col("code"))
+          .agg(transform(sort_array(collect_list(struct(col("pos"), col("v")))),
+            t => t.getField("v")).as("m"))
+        cbPrev.join(means, Seq("sub", "code"), "left")
+          .select(col("sub"), col("code"), coalesce(col("m"), col("cb")).as("cb"))
+      }
+      val a1 = assign(cb0)
+      val cb1 = update(a1, cb0).localCheckpoint()
+      val a2 = assign(cb1).localCheckpoint()
+      val cb2 = update(a2, cb1)
+      val stats = a2.groupBy("sub", "code")
+        .agg(count(lit(1)).as("n_members"),
+          round(dsumFine(col("d2")) / count(lit(1)), 6).as("mse"))
+      cb2.join(stats, Seq("sub", "code"), "left")
+        .select(col("sub"), col("code").cast("int").as("code"),
+          coalesce(col("n_members"), lit(0L)).as("n_members"),
+          round(sqrt(dotD(col("cb"), col("cb"))), 6).as("cb_norm"),
+          coalesce(col("mse"), lit(0.0)).as("mse"))
+        .orderBy("sub", "code")
+    },
+    Some {
+      def d2Sql(x: String, cb: String) =
+        s"list_sum(list_transform(range(1, 17), i -> $x[i]*$x[i]))" +
+          s" - 2*list_sum(list_transform(range(1, 17), i -> $x[i]*$cb[i]))" +
+          s" + list_sum(list_transform(range(1, 17), i -> $cb[i]*$cb[i]))"
+      def assignSql(a: String, cbN: String) =
+        s"""$a AS (SELECT vec_id, sub, x, code, d2 FROM (
+           |   SELECT sl.vec_id, sl.sub, sl.x, $cbN.code,
+           |     ${d2Sql("sl.x", s"$cbN.cb")} AS d2,
+           |     ROW_NUMBER() OVER (PARTITION BY sl.vec_id, sl.sub ORDER BY
+           |       round(${d2Sql("sl.x", s"$cbN.cb")}, 9), $cbN.code) AS rn
+           |   FROM sl JOIN $cbN ON sl.sub = $cbN.sub) WHERE rn = 1)""".stripMargin
+      def updateSql(m: String, a: String, cbPrev: String, cbN: String) =
+        s"""$m AS (SELECT sub, code, pos,
+           |    CAST(SUM(CAST(x[pos] AS DECIMAL(38,20))) AS DOUBLE) / count(*) AS v
+           |  FROM $a, unnest(range(1, 17)) AS t(pos) GROUP BY sub, code, pos),
+           |$cbN AS (SELECT $cbPrev.sub, $cbPrev.code,
+           |    CASE WHEN g.sub IS NULL THEN $cbPrev.cb ELSE g.arr END AS cb
+           |  FROM $cbPrev LEFT JOIN (SELECT sub, code, list(v ORDER BY pos) AS arr
+           |                          FROM $m GROUP BY sub, code) g
+           |    ON g.sub = $cbPrev.sub AND g.code = $cbPrev.code)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |   sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+         | FROM embeddings),
+         |c AS (SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
+         |      FROM e WHERE vec_id < $IvfK),
+         |asg AS (SELECT vec_id, embedding, c_emb FROM (
+         |   SELECT e.vec_id, e.embedding, c.c_emb,
+         |     ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY round(
+         |       list_sum(list_transform(range(1, 65),
+         |         i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)))
+         |       / (e.nrm * c.c_nrm), 9) DESC, c.cent_id) AS rn
+         |   FROM e CROSS JOIN c) WHERE rn = 1),
+         |res AS (SELECT vec_id,
+         |   list_transform(range(1, 65),
+         |     i -> CAST(embedding[i] AS DOUBLE) - CAST(c_emb[i] AS DOUBLE)) AS res
+         | FROM asg),
+         |subs AS (SELECT unnest(range(0, $PqM)) AS sub),
+         |sl AS (SELECT vec_id, sub,
+         |    list_transform(range(1, 17), i -> res[sub*$PqSubDim+i]) AS x
+         |  FROM res, subs),
+         |cb0 AS (SELECT vec_id AS code, sub, x AS cb FROM sl WHERE vec_id < $PqK),
+         |${assignSql("a1", "cb0")},
+         |${updateSql("m1", "a1", "cb0", "cb1")},
+         |${assignSql("a2", "cb1")},
+         |${updateSql("m2", "a2", "cb1", "cb2")},
+         |st AS (SELECT sub, code, count(*) AS n_members,
+         |    round(CAST(SUM(CAST(d2 AS DECIMAL(38,20))) AS DOUBLE) / count(*), 6) AS mse
+         |  FROM a2 GROUP BY sub, code)
+         |SELECT CAST(cb2.sub AS INT) AS sub, CAST(cb2.code AS INT) AS code,
+         |  COALESCE(st.n_members, 0) AS n_members,
+         |  round(sqrt(list_sum(list_transform(range(1, 17), i -> cb2.cb[i]*cb2.cb[i]))), 6) AS cb_norm,
+         |  COALESCE(st.mse, 0.0) AS mse
+         |FROM cb2 LEFT JOIN st ON st.sub = cb2.sub AND st.code = cb2.code
+         |ORDER BY sub, code""".stripMargin
+    })
+
   /** `e`: spread full vector set; `raw`: unspread scan for the pushed-down
     * centroid/codebook/query reads. `panel`: optional (vec_id, embedding)
     * query frame replacing the default `vec_id < 10` panel — the recall
@@ -4260,5 +4387,5 @@ object Similarity {
     simLshAnnScaled, mlMccSweep, simEmbeddingDrift, simKcenterSeeds,
     simIvfRecall, mlGroupAuc, mlBrierCi, simRecallCurve, mlLearningCurve,
     dedupSemanticClustersScaled, simLshOccupancy, simIvfPqTopk,
-    simHammingTopk, simIvfPqRecall)
+    simHammingTopk, simIvfPqRecall, simPqTrain)
 }

@@ -233,4 +233,36 @@ class Round16Spec extends SparkSuite {
       .count()
     assert(mismatches == 0)
   }
+
+  // ---- 7. PQ codebook training descends the Lloyd objective --------------
+
+  test("sim_pq_train's trained codebook beats the seed codebook's quantization error") {
+    import graft.functions.VectorKernels.ddot
+    val raw = Tables.load(spark, sfDir, "embeddings")
+    graft.functions.VectorKernels.register(spark)
+    val sl = Similarity.ivfResiduals(raw, raw)
+      .select(col("vec_id"), explode(sequence(lit(0), lit(3))).as("sub"), col("res"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("res"), col("sub") * 16 + 1, lit(16)).as("x"))
+    val cb0 = sl.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("code"), col("sub"), col("x").as("cb"))
+    // seed-codebook objective: mean over (vector, subspace) of the min
+    // squared distance to any seed centroid — what the declared row's
+    // training starts from
+    val seedMse = sl.join(broadcast(cb0), "sub")
+      .select(col("vec_id"), col("sub"),
+        (ddot(col("x"), col("x")) - lit(2) * ddot(col("x"), col("cb"))
+          + ddot(col("cb"), col("cb"))).as("d2"))
+      .groupBy("vec_id", "sub").agg(min(col("d2")).as("d"))
+      .agg(avg(col("d"))).head.getDouble(0)
+    val trained = SparkEntry.queries("sim_pq_train")(spark, sfDir)
+    val trainedMse = trained
+      .agg((sum(col("mse") * col("n_members")) / sum(col("n_members"))))
+      .head.getDouble(0)
+    info(f"seed mse=$seedMse%.4f trained mse=$trainedMse%.4f")
+    // Lloyd descent: cost(a2, cb1) <= cost(a1, cb1) <= cost(a1, cb0) =
+    // the seed objective; the slack absorbs the row's 6-dp mse rounding
+    assert(trainedMse <= seedMse + 1e-5,
+      s"training did not descend: seed=$seedMse trained=$trainedMse")
+  }
 }
