@@ -1225,7 +1225,7 @@ object Similarity {
     * swaps the default `vec_id < 10` query panel for the
     * [[sampleModulus]] residue class — the recall row's convention.
     */
-  private def ivfPqOracleCtes(panel: Boolean): String = {
+  private def ivfPqOracleCtes(panel: Boolean, trained: Boolean = false): String = {
       def dot64(a: String, b: String) =
         s"list_sum(list_transform(range(1, 65), i -> " +
           s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
@@ -1234,6 +1234,21 @@ object Similarity {
                    else "e.vec_id < 10"
       val dtPred = if (panel) "q.vec_id % (SELECT m FROM mm) = 3"
                    else "q.vec_id < 10"
+      // the codebook CTE: seed residual slices by default; with `trained`
+      // the 2-round Lloyd chain ([[pqTrainCtesSql]]) is spliced in and the
+      // book is cb2 — same (code, sub, cb_sub, cb_sq) shape downstream
+      val cbCte =
+        if (trained)
+          s"""$pqTrainCtesSql,
+             |cb AS (SELECT code, sub, cb2.cb AS cb_sub,
+             |    list_sum(list_transform(range(1, 17), i -> cb2.cb[i] * cb2.cb[i])) AS cb_sq
+             |  FROM cb2)""".stripMargin
+        else
+          s"""cb AS (SELECT code, sub, cb_sub,
+             |    list_sum(list_transform(range(1, 17), i -> cb_sub[i] * cb_sub[i])) AS cb_sq
+             |  FROM (SELECT r.vec_id AS code, sub,
+             |      list_transform(range(1, 17), i -> r.res[sub*$PqSubDim+i]) AS cb_sub
+             |    FROM res r, subs WHERE r.vec_id < $PqK))""".stripMargin
       s"""WITH e AS (SELECT vec_id, embedding,
          |   sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
          | FROM embeddings),
@@ -1250,11 +1265,7 @@ object Similarity {
          |     i -> CAST(embedding[i] AS DOUBLE) - CAST(c_emb[i] AS DOUBLE)) AS res
          | FROM asg),
          |subs AS (SELECT unnest(range(0, $PqM)) AS sub),
-         |cb AS (SELECT code, sub, cb_sub,
-         |    list_sum(list_transform(range(1, 17), i -> cb_sub[i] * cb_sub[i])) AS cb_sq
-         |  FROM (SELECT r.vec_id AS code, sub,
-         |      list_transform(range(1, 17), i -> r.res[sub*$PqSubDim+i]) AS cb_sub
-         |    FROM res r, subs WHERE r.vec_id < $PqK)),
+         |$cbCte,
          |codes AS (SELECT vec_id AS n_id, cent_id, sub, code FROM (
          |   SELECT r.vec_id, r.cent_id, cb.sub, cb.code,
          |     ROW_NUMBER() OVER (PARTITION BY r.vec_id, cb.sub ORDER BY round(
@@ -1382,44 +1393,92 @@ object Similarity {
     * driver-bounded at 2 with `localCheckpoint` truncating the iteration
     * lineage (the graph-family iteration discipline).
     */
+  /** The 2-round Lloyd chain behind [[simPqTrain]] (and consumed by
+    * [[simIvfPqTrained]]): returns (trained codebook (sub, code, cb),
+    * final assignment (vec_id, sub, x, code, d2)). Deterministic — see
+    * [[simPqTrain]]'s scaladoc for the exact conventions.
+    */
+  private def pqTrainChain(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    VectorKernels.register(s)
+    import graft.functions.Deterministic.dsumFine
+    val raw = Tables.load(s, dir, "embeddings")
+    val subsE = explode(sequence(lit(0), lit(PqM - 1))).as("sub")
+    val sl = ivfResiduals(emb(s, dir), raw)
+      .select(col("vec_id"), subsE, col("res"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("res"), col("sub") * PqSubDim + 1, lit(PqSubDim)).as("x"))
+      .localCheckpoint()
+    val cb0 = sl.filter(col("vec_id") < PqK)
+      .select(col("vec_id").as("code"), col("sub"), col("x").as("cb"))
+    def assign(cbN: DataFrame): DataFrame = sl
+      .withColumn("x_sq", dotD(col("x"), col("x")))
+      .join(broadcast(cbN.withColumn("cb_sq", dotD(col("cb"), col("cb")))), "sub")
+      .select(col("vec_id"), col("sub"), col("x"), col("code"),
+        (col("x_sq") - lit(2) * dotD(col("x"), col("cb")) + col("cb_sq")).as("d2"))
+      .groupBy(col("vec_id"), col("sub"), col("x"))
+      .agg(graft.functions.TopK.neighbors(1)(col("code"), -col("d2")).as("nb"))
+      .select(col("vec_id"), col("sub"), col("x"),
+        col("nb").getItem(0).getField("_1").as("code"),
+        (-col("nb").getItem(0).getField("_2")).as("d2"))
+    def update(asg: DataFrame, cbPrev: DataFrame): DataFrame = {
+      val means = asg.select(col("sub"), col("code"), posexplode(col("x")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg((dsumFine(col("col")) / count(lit(1))).as("v"))
+        .groupBy(col("sub"), col("code"))
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("v")))),
+          t => t.getField("v")).as("m"))
+      cbPrev.join(means, Seq("sub", "code"), "left")
+        .select(col("sub"), col("code"), coalesce(col("m"), col("cb")).as("cb"))
+    }
+    val a1 = assign(cb0)
+    val cb1 = update(a1, cb0).localCheckpoint()
+    val a2 = assign(cb1).localCheckpoint()
+    (update(a2, cb1), a2)
+  }
+
+  private def pqD2Sql(x: String, cb: String) =
+    s"list_sum(list_transform(range(1, 17), i -> $x[i]*$x[i]))" +
+      s" - 2*list_sum(list_transform(range(1, 17), i -> $x[i]*$cb[i]))" +
+      s" + list_sum(list_transform(range(1, 17), i -> $cb[i]*$cb[i]))"
+
+  private def pqAssignSql(a: String, cbN: String) =
+    s"""$a AS (SELECT vec_id, sub, x, code, d2 FROM (
+       |   SELECT sl.vec_id, sl.sub, sl.x, $cbN.code,
+       |     ${pqD2Sql("sl.x", s"$cbN.cb")} AS d2,
+       |     ROW_NUMBER() OVER (PARTITION BY sl.vec_id, sl.sub ORDER BY
+       |       round(${pqD2Sql("sl.x", s"$cbN.cb")}, 9), $cbN.code) AS rn
+       |   FROM sl JOIN $cbN ON sl.sub = $cbN.sub) WHERE rn = 1)""".stripMargin
+
+  private def pqUpdateSql(m: String, a: String, cbPrev: String, cbN: String) =
+    s"""$m AS (SELECT sub, code, pos,
+       |    CAST(SUM(CAST(x[pos] AS DECIMAL(38,20))) AS DOUBLE) / count(*) AS v
+       |  FROM $a, unnest(range(1, 17)) AS t(pos) GROUP BY sub, code, pos),
+       |$cbN AS (SELECT $cbPrev.sub, $cbPrev.code,
+       |    CASE WHEN g.sub IS NULL THEN $cbPrev.cb ELSE g.arr END AS cb
+       |  FROM $cbPrev LEFT JOIN (SELECT sub, code, list(v ORDER BY pos) AS arr
+       |                          FROM $m GROUP BY sub, code) g
+       |    ON g.sub = $cbPrev.sub AND g.code = $cbPrev.code)""".stripMargin
+
+  /** The 2-round Lloyd training replayed in SQL — sl (residual slices) →
+    * cb0 (seed book) → assign/update ×2 → cb2. Assumes `res` (per-vector
+    * residual array) and `subs` CTEs upstream; spliced by both
+    * [[simPqTrain]]'s oracle and the trained [[ivfPqOracleCtes]] variant.
+    */
+  private def pqTrainCtesSql: String =
+    s"""sl AS (SELECT vec_id, sub,
+       |    list_transform(range(1, 17), i -> res[sub*$PqSubDim+i]) AS x
+       |  FROM res, subs),
+       |cb0 AS (SELECT vec_id AS code, sub, x AS cb FROM sl WHERE vec_id < $PqK),
+       |${pqAssignSql("a1", "cb0")},
+       |${pqUpdateSql("m1", "a1", "cb0", "cb1")},
+       |${pqAssignSql("a2", "cb1")},
+       |${pqUpdateSql("m2", "a2", "cb1", "cb2")}""".stripMargin
+
   private val simPqTrain = Q(
     "sim_pq_train",
     (s, dir) => {
-      VectorKernels.register(s)
       import graft.functions.Deterministic.dsumFine
-      val raw = Tables.load(s, dir, "embeddings")
-      val subsE = explode(sequence(lit(0), lit(PqM - 1))).as("sub")
-      val sl = ivfResiduals(emb(s, dir), raw)
-        .select(col("vec_id"), subsE, col("res"))
-        .select(col("vec_id"), col("sub"),
-          slice(col("res"), col("sub") * PqSubDim + 1, lit(PqSubDim)).as("x"))
-        .localCheckpoint()
-      val cb0 = sl.filter(col("vec_id") < PqK)
-        .select(col("vec_id").as("code"), col("sub"), col("x").as("cb"))
-      def assign(cbN: DataFrame): DataFrame = sl
-        .withColumn("x_sq", dotD(col("x"), col("x")))
-        .join(broadcast(cbN.withColumn("cb_sq", dotD(col("cb"), col("cb")))), "sub")
-        .select(col("vec_id"), col("sub"), col("x"), col("code"),
-          (col("x_sq") - lit(2) * dotD(col("x"), col("cb")) + col("cb_sq")).as("d2"))
-        .groupBy(col("vec_id"), col("sub"), col("x"))
-        .agg(graft.functions.TopK.neighbors(1)(col("code"), -col("d2")).as("nb"))
-        .select(col("vec_id"), col("sub"), col("x"),
-          col("nb").getItem(0).getField("_1").as("code"),
-          (-col("nb").getItem(0).getField("_2")).as("d2"))
-      def update(asg: DataFrame, cbPrev: DataFrame): DataFrame = {
-        val means = asg.select(col("sub"), col("code"), posexplode(col("x")))
-          .groupBy(col("sub"), col("code"), col("pos"))
-          .agg((dsumFine(col("col")) / count(lit(1))).as("v"))
-          .groupBy(col("sub"), col("code"))
-          .agg(transform(sort_array(collect_list(struct(col("pos"), col("v")))),
-            t => t.getField("v")).as("m"))
-        cbPrev.join(means, Seq("sub", "code"), "left")
-          .select(col("sub"), col("code"), coalesce(col("m"), col("cb")).as("cb"))
-      }
-      val a1 = assign(cb0)
-      val cb1 = update(a1, cb0).localCheckpoint()
-      val a2 = assign(cb1).localCheckpoint()
-      val cb2 = update(a2, cb1)
+      val (cb2, a2) = pqTrainChain(s, dir)
       val stats = a2.groupBy("sub", "code")
         .agg(count(lit(1)).as("n_members"),
           round(dsumFine(col("d2")) / count(lit(1)), 6).as("mse"))
@@ -1431,26 +1490,6 @@ object Similarity {
         .orderBy("sub", "code")
     },
     Some {
-      def d2Sql(x: String, cb: String) =
-        s"list_sum(list_transform(range(1, 17), i -> $x[i]*$x[i]))" +
-          s" - 2*list_sum(list_transform(range(1, 17), i -> $x[i]*$cb[i]))" +
-          s" + list_sum(list_transform(range(1, 17), i -> $cb[i]*$cb[i]))"
-      def assignSql(a: String, cbN: String) =
-        s"""$a AS (SELECT vec_id, sub, x, code, d2 FROM (
-           |   SELECT sl.vec_id, sl.sub, sl.x, $cbN.code,
-           |     ${d2Sql("sl.x", s"$cbN.cb")} AS d2,
-           |     ROW_NUMBER() OVER (PARTITION BY sl.vec_id, sl.sub ORDER BY
-           |       round(${d2Sql("sl.x", s"$cbN.cb")}, 9), $cbN.code) AS rn
-           |   FROM sl JOIN $cbN ON sl.sub = $cbN.sub) WHERE rn = 1)""".stripMargin
-      def updateSql(m: String, a: String, cbPrev: String, cbN: String) =
-        s"""$m AS (SELECT sub, code, pos,
-           |    CAST(SUM(CAST(x[pos] AS DECIMAL(38,20))) AS DOUBLE) / count(*) AS v
-           |  FROM $a, unnest(range(1, 17)) AS t(pos) GROUP BY sub, code, pos),
-           |$cbN AS (SELECT $cbPrev.sub, $cbPrev.code,
-           |    CASE WHEN g.sub IS NULL THEN $cbPrev.cb ELSE g.arr END AS cb
-           |  FROM $cbPrev LEFT JOIN (SELECT sub, code, list(v ORDER BY pos) AS arr
-           |                          FROM $m GROUP BY sub, code) g
-           |    ON g.sub = $cbPrev.sub AND g.code = $cbPrev.code)""".stripMargin
       s"""WITH e AS (SELECT vec_id, embedding,
          |   sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
          | FROM embeddings),
@@ -1468,14 +1507,7 @@ object Similarity {
          |     i -> CAST(embedding[i] AS DOUBLE) - CAST(c_emb[i] AS DOUBLE)) AS res
          | FROM asg),
          |subs AS (SELECT unnest(range(0, $PqM)) AS sub),
-         |sl AS (SELECT vec_id, sub,
-         |    list_transform(range(1, 17), i -> res[sub*$PqSubDim+i]) AS x
-         |  FROM res, subs),
-         |cb0 AS (SELECT vec_id AS code, sub, x AS cb FROM sl WHERE vec_id < $PqK),
-         |${assignSql("a1", "cb0")},
-         |${updateSql("m1", "a1", "cb0", "cb1")},
-         |${assignSql("a2", "cb1")},
-         |${updateSql("m2", "a2", "cb1", "cb2")},
+         |$pqTrainCtesSql,
          |st AS (SELECT sub, code, count(*) AS n_members,
          |    round(CAST(SUM(CAST(d2 AS DECIMAL(38,20))) AS DOUBLE) / count(*), 6) AS mse
          |  FROM a2 GROUP BY sub, code)
@@ -1487,19 +1519,30 @@ object Similarity {
          |ORDER BY sub, code""".stripMargin
     })
 
-  /** `e`: spread full vector set; `raw`: unspread scan for the pushed-down
-    * centroid/codebook/query reads. `panel`: optional (vec_id, embedding)
-    * query frame replacing the default `vec_id < 10` panel — the recall
-    * row passes the residue-class sample here so the fused path is priced
-    * on the same panel as the other ANN rungs. `shortlist`: ADC
-    * candidates kept per query before the exact re-rank (default 4·k,
-    * the declared rows' oracle-pinned width) — THE recall knob at scale:
-    * a fixed shortlist over a growing corpus is a shrinking fraction of
-    * each probed cell, so recall decays by construction (measured ladder
-    * in SURVEY §6: 0.206 → 0.051 → 0.024 clone-recall at 20 k → 200 k →
-    * 2 M with the default 20); deployments scale it ∝ corpus (the
-    * [[LshScaleProbe]] ivfpq mode prices the trade).
+  /** The fused IVF+PQ query THROUGH the trained codebook — the capstone
+    * of the production path: [[pqTrainChain]]'s 2-round Lloyd book swaps
+    * into [[ivfPqTopK]]'s `codebook` socket and the ENTIRE train → encode
+    * → probe → ADC → re-rank chain replays in one oracle (the
+    * [[simPqTrain]] training CTEs spliced into the [[simIvfPqTopk]] query
+    * CTEs). Same panel/schema as the flat row, so the two are directly
+    * comparable: the delta between their answer sets is exactly what
+    * Lloyd refinement buys at this scale — measured at the decades in
+    * SURVEY §6 (trained pqK=256 lifts 200 k recall 0.336 → 0.978; this
+    * row pins the pqK=16 machinery the probe scales up).
     */
+  private val simIvfPqTrained = Q(
+    "sim_ivfpq_trained",
+    (s, dir) => {
+      val (cb2, _) = pqTrainChain(s, dir)
+      val cbArg = cb2.select(col("code"), col("sub"), col("cb").as("cb_sub"))
+        .withColumn("cb_sq", dotD(col("cb_sub"), col("cb_sub")))
+      ivfPqTopK(emb(s, dir), Tables.load(s, dir, "embeddings"),
+        codebook = Some(cbArg)).orderBy("q_id", "rank")
+    },
+    Some(ivfPqOracleCtes(panel = false, trained = true) +
+      """SELECT q_id, n_id, round(cos, 6) AS cosine, rank
+        |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin))
+
   /** Coarse-assign `v`'s vectors to their nearest of [[IvfK]] seed cells
     * (read from `raw`) and emit per-vector residuals in double — exact:
     * both operands are float32, the difference is exactly representable.
@@ -1525,6 +1568,23 @@ object Similarity {
           (x, c) => x.cast("double") - c.cast("double")).as("res"))
   }
 
+  /** `e`: spread full vector set; `raw`: unspread scan for the pushed-down
+    * centroid/codebook/query reads. `panel`: optional (vec_id, embedding)
+    * query frame replacing the default `vec_id < 10` panel — the recall
+    * row passes the residue-class sample here so the fused path is priced
+    * on the same panel as the other ANN rungs. `shortlist`: ADC
+    * candidates kept per query before the exact re-rank (default 4·k,
+    * the declared rows' oracle-pinned width) — THE recall knob at scale:
+    * a fixed shortlist over a growing corpus is a shrinking fraction of
+    * each probed cell, so recall decays by construction (measured ladder
+    * in SURVEY §6: 0.206 → 0.051 → 0.024 clone-recall at 20 k → 200 k →
+    * 2 M with the default 20); deployments scale it ∝ corpus (the
+    * [[LshScaleProbe]] ivfpq mode prices the trade). `codebook`/`pqK`:
+    * swap in a trained residual codebook — (code, sub, cb_sub, cb_sq)
+    * with codes dense in [0, pqK) — e.g. [[pqTrainChain]]'s output (the
+    * `sim_ivfpq_trained` row) or the probe's k-means variant; the default
+    * is the seed-residual book the flat rows pin in their oracles.
+    */
   def ivfPqTopK(e: DataFrame, raw: DataFrame, k: Int = 5,
                 panel: Option[DataFrame] = None,
                 shortlist: Int = -1,
@@ -4387,5 +4447,5 @@ object Similarity {
     simLshAnnScaled, mlMccSweep, simEmbeddingDrift, simKcenterSeeds,
     simIvfRecall, mlGroupAuc, mlBrierCi, simRecallCurve, mlLearningCurve,
     dedupSemanticClustersScaled, simLshOccupancy, simIvfPqTopk,
-    simHammingTopk, simIvfPqRecall, simPqTrain)
+    simHammingTopk, simIvfPqRecall, simPqTrain, simIvfPqTrained)
 }
