@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
   * broadcast map stage + a bounded-state TopK, linear at any decade).
   */
 object LshScaleProbe {
-  private val ModeFlags = Set("only", "auto", "plan", "recall", "ivfpq")
+  private val ModeFlags = Set("only", "auto", "plan", "recall", "ivfpq", "hamming")
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)
@@ -71,7 +71,7 @@ object LshScaleProbe {
         .explainString(org.apache.spark.sql.execution.FormattedMode))
       spark.stop(); return
     }
-    if (args.contains("recall") || args.contains("ivfpq")) {
+    if (args.contains("recall") || args.contains("ivfpq") || args.contains("hamming")) {
       import operators.Similarity.{dot, l2norm}
       functions.VectorKernels.register(spark)
       val n = e.count()
@@ -166,6 +166,11 @@ object LshScaleProbe {
           panel = Some(panel.select(col("q_id").as("vec_id"),
             col("q_emb").as("embedding"))), shortlist = shortlist,
           codebook = cbOverride, pqK = trainedK.getOrElse(16))
+      else if (args.contains("hamming"))
+        // the exhaustive-rank binary rung, same scaled shortlist rule
+        operators.Similarity.hammingTopK(Tables.spread(e), e,
+          panel = Some(panel.select(col("q_id").as("vec_id"),
+            col("q_emb").as("embedding"))), shortlist = shortlist)
       else
         operators.Similarity.lshTopKAuto(e, 5)
           .join(broadcast(panel.select("q_id")), Seq("q_id"), "left_semi"))
@@ -194,6 +199,7 @@ object LshScaleProbe {
         if (args.contains("ivfpq"))
           s"ivfpq_recall shortlist=$shortlist" +
             trainedK.map(k => s" trained_pqK=$k").getOrElse("")
+        else if (args.contains("hamming")) s"hamming_recall shortlist=$shortlist"
         else "recall"
       println(f"[lshprobe] $mode n=$n m=$m queries=$nq exact_pairs=$nExact " +
         f"hits=$hits recall_at5=${ratio(hits, nExact)}%.3f " +

@@ -1785,9 +1785,15 @@ object Similarity {
            |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin))
 
   /** `e`: spread full vector set; `raw`: unspread scan for the pushed-down
-    * query-side read.
+    * query-side read. `panel`/`shortlist`: the [[ivfPqTopK]] conventions —
+    * probe-time query frame and the corpus-scaled candidate width (default
+    * 4·k, the declared row's oracle-pinned 20; a fixed shortlist over a
+    * growing corpus decays recall exactly as the IVFPQ ladder measured).
     */
-  def hammingTopK(e: DataFrame, raw: DataFrame, k: Int = 5): DataFrame = {
+  def hammingTopK(e: DataFrame, raw: DataFrame, k: Int = 5,
+                  panel: Option[DataFrame] = None,
+                  shortlist: Int = -1): DataFrame = {
+    val shortlistN = if (shortlist > 0) shortlist else 4 * k
     VectorKernels.register(e.sparkSession)
     // 64 sign bits via the adaptive-LSH bucket kernel at its full fixed
     // width (abits = maxBits = 16 → planes 0..63, band-major — identical
@@ -1796,7 +1802,9 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"),
         VectorKernels.abuckets(col("embedding"), lit(HamBits.toLong),
           HamBands, HamBits).as("sig"))
-    val qs = broadcast(signed(raw.filter(col("vec_id") < 10))
+    val qv = panel.getOrElse(raw.filter(col("vec_id") < 10))
+      .select(col("vec_id"), col("embedding"))
+    val qs = broadcast(signed(qv)
       .toDF("q_id", "q_emb", "q_nrm", "q_sig"))
     val ns = signed(e).toDF("n_id", "n_emb", "n_nrm", "n_sig")
     // XOR + popcount over the four packed words; −hamming feeds the
@@ -1809,13 +1817,13 @@ object Similarity {
     val cand = qs.join(ns, col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"), (-ham.cast("double")).as("nham"))
       .groupBy(col("q_id"))
-      .agg(graft.functions.TopK.neighbors(4 * k)(col("n_id"), col("nham")).as("nb"))
+      .agg(graft.functions.TopK.neighbors(shortlistN)(col("n_id"), col("nham")).as("nb"))
       .select(col("q_id"), explode(col("nb")).as("x"))
       .select(col("q_id"), col("x._1").as("n_id"))
     // exact re-rank of the shortlist only: float vectors join back by id
     val nf = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
       l2norm(col("embedding")).as("n_nrm"))
-    val qf = broadcast(raw.filter(col("vec_id") < 10)
+    val qf = broadcast(qv
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         l2norm(col("embedding")).as("q_nrm")))
     val wExact = Window.partitionBy("q_id")
