@@ -113,4 +113,100 @@ object TopK {
   def neighbors(k: Int)(nId: Column, cos: Column): Column =
     udaf(new TopKNeighborsAgg(k),
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))(nId, cos)
+
+  /** Wide-shortlist variant (k ≫ 20): same (round(cos,9) desc, nId asc)
+    * contract as [[neighbors]], different buffer mechanics — the
+    * insertion LIST pays O(k) per accepted candidate, which at the probe
+    * ladder's k = 4000 shortlists became the dominant 2 M-decade cost
+    * (SURVEY §6 r16); this buffer appends accepts into a flat array and
+    * COMPACTS (sort + truncate to k + tighten the reject threshold) only
+    * when the scratch fills — amortized O(log k) per accept, still O(k)
+    * state, still no sort of the candidate STREAM. Caveat vs the list
+    * form: duplicate (nId, cos) arrivals are collapsed only at
+    * compaction/finish, so intermediate scratch can hold both copies —
+    * fine for its call sites (the ivfpq/hamming shortlists are
+    * one-row-per-pair streams; the multi-band LSH rank keeps the list
+    * form at k ≤ 20 where the list is optimal).
+    */
+  def neighborsWide(k: Int)(nId: Column, cos: Column): Column =
+    udaf(new TopKNeighborsWideAgg(k),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))(nId, cos)
+}
+
+/** Flat scratch buffer for [[TopK.neighborsWide]]: `ids`/`coss` hold up to
+  * 2·k candidates (`n` live), `thr` is the round-9 score of the current
+  * k-th best AFTER the last compaction (−∞ until k accepts seen) — the
+  * fast-reject bound. Arrays are mutated in place between serializations
+  * (the ObjectHashAggregate holds the JVM object; the product encoder
+  * writes the arrays only at the partial/final exchange).
+  */
+final case class TopKWideBuf(k: Int, var n: Int, var thr: Double,
+                             var ids: Array[Long], var coss: Array[Double]) {
+
+  private def round9(x: Double): Double =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Sort desc by (round9(cos), −nId), dedup exact (nId, cos) pairs,
+    * truncate to k, tighten `thr`. The dedup-then-rank is exactly the
+    * list form's collapse of duplicate arrivals.
+    */
+  def compact(): TopKWideBuf = {
+    val entries = Array.tabulate(n)(i => (round9(coss(i)), ids(i), coss(i)))
+      .distinctBy(e => (e._1, e._2)) // the list form's (r9, nId) collapse
+      .sortBy { case (r9, id, _) => (-r9, id) }
+    val keep = math.min(k, entries.length)
+    val nids = new Array[Long](2 * k + 1)
+    val ncos = new Array[Double](2 * k + 1)
+    var i = 0
+    while (i < keep) { nids(i) = entries(i)._2; ncos(i) = entries(i)._3; i += 1 }
+    ids = nids; coss = ncos; n = keep
+    if (keep >= k) thr = entries(keep - 1)._1
+    this
+  }
+
+  def add(nId: Long, cos: Double): TopKWideBuf = {
+    // the [[TopKNeighborsBuf]] fast-reject bound, against the compacted
+    // threshold: a full 1e-9 grid cell of margin proves the candidate
+    // cannot reach the kept k even after rounding
+    if (thr > Double.NegativeInfinity && cos < thr - 1e-9) return this
+    if (n == ids.length) compact()
+    // compaction may still leave the scratch full (k == capacity bound
+    // impossible: capacity 2k+1 > k) — append is always safe here
+    ids(n) = nId; coss(n) = cos; n += 1
+    this
+  }
+
+  def merge(o: TopKWideBuf): TopKWideBuf = {
+    var i = 0
+    while (i < o.n) { add(o.ids(i), o.coss(i)); i += 1 }
+    this
+  }
+}
+
+/** Same contract as [[TopKNeighborsAgg]] at wide k — see
+  * [[TopK.neighborsWide]].
+  */
+class TopKNeighborsWideAgg(k: Int)
+    extends Aggregator[(Long, Double), TopKWideBuf, Seq[(Long, Double, Int)]] {
+
+  override def zero: TopKWideBuf =
+    TopKWideBuf(k, 0, Double.NegativeInfinity,
+      new Array[Long](2 * k + 1), new Array[Double](2 * k + 1))
+
+  override def reduce(b: TopKWideBuf, in: (Long, Double)): TopKWideBuf =
+    b.add(in._1, in._2)
+
+  override def merge(b1: TopKWideBuf, b2: TopKWideBuf): TopKWideBuf =
+    b1.merge(b2)
+
+  override def finish(b: TopKWideBuf): Seq[(Long, Double, Int)] = {
+    b.compact()
+    (0 until b.n).map(i => (b.ids(i), b.coss(i), i + 1))
+  }
+
+  override def bufferEncoder: Encoder[TopKWideBuf] =
+    Encoders.product[TopKWideBuf]
+
+  override def outputEncoder: Encoder[Seq[(Long, Double, Int)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Double, Int)]]()
 }

@@ -1701,7 +1701,12 @@ object Similarity {
         ((col("qc") + rpart(col("cs"), col("dts"))) /
           (col("q_nrm") * sqrt(col("rsq")))).as("cos_adc"))
       .groupBy(col("q_id"))
-      .agg(graft.functions.TopK.neighbors(shortlistN)(col("n_id"), col("cos_adc")).as("nb"))
+      // wide probe shortlists take the flat-scratch aggregator (amortized
+      // O(log k) accepts); declared rows (k*4 = 20) keep the list form
+      .agg((if (shortlistN > 64)
+          graft.functions.TopK.neighborsWide(shortlistN)(col("n_id"), col("cos_adc"))
+        else
+          graft.functions.TopK.neighbors(shortlistN)(col("n_id"), col("cos_adc"))).as("nb"))
       .select(col("q_id"), explode(col("nb")).as("x"))
       .select(col("q_id"), col("x._1").as("n_id"))
     // exact re-rank of the shortlist only
@@ -1817,7 +1822,10 @@ object Similarity {
     val cand = qs.join(ns, col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"), (-ham.cast("double")).as("nham"))
       .groupBy(col("q_id"))
-      .agg(graft.functions.TopK.neighbors(shortlistN)(col("n_id"), col("nham")).as("nb"))
+      .agg((if (shortlistN > 64)
+          graft.functions.TopK.neighborsWide(shortlistN)(col("n_id"), col("nham"))
+        else
+          graft.functions.TopK.neighbors(shortlistN)(col("n_id"), col("nham"))).as("nb"))
       .select(col("q_id"), explode(col("nb")).as("x"))
       .select(col("q_id"), col("x._1").as("n_id"))
     // exact re-rank of the shortlist only: float vectors join back by id

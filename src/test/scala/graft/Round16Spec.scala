@@ -110,7 +110,9 @@ class Round16Spec extends SparkSuite {
     // the threshold per-query or use a different aggregation path: the
     // object hash map cannot spill).
     val bounded = Map(
-      "TopK.scala" -> "k-entry neighbor list (k<=5 at every call site)",
+      "TopK.scala" -> ("k-entry neighbor list (k<=20 at declared call " +
+        "sites) + the wide variant's 2k+1 flat scratch (probe shortlists; " +
+        "both O(k))"),
       "Kmv.scala" -> "k minimum hash values (fixed k)",
       "HeavyHitters.scala" -> "SpaceSaving capacity-bounded counter table",
       "BloomKernels.scala" -> "fixed-width bit array")
@@ -232,6 +234,30 @@ class Round16Spec extends SparkSuite {
       .filter(col("f.v") =!= col("s.v"))
       .count()
     assert(mismatches == 0)
+  }
+
+  // ---- 6b. Wide-shortlist TopK agrees with the list form ------------------
+
+  test("neighborsWide is value-identical to the list TopK at wide k") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    // coarse scores force heavy exact ties — the (round9 desc, id asc)
+    // ordering and the (r9, id) duplicate collapse must match exactly
+    val rows = (1 to 20000).map(i =>
+      (i.toLong % 7, i.toLong, rnd.nextInt(500) / 250.0 - 1.0))
+    val df = rows.toDF("g", "id", "score")
+    def run(agg: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.Column) =
+      df.groupBy("g").agg(agg(col("id"), col("score")).as("nb"))
+        .select(col("g"), explode(col("nb")).as("x"))
+        .select(col("g"), col("x._1"), col("x._2"), col("x._3"))
+        .orderBy("g", "x._3").collect().toSeq
+    val list = run(graft.functions.TopK.neighbors(200))
+    val wide = run(graft.functions.TopK.neighborsWide(200))
+    assert(list.size == 7 * 200)
+    assert(list == wide,
+      s"first diff: ${list.zip(wide).find(p => p._1 != p._2)}")
   }
 
   // ---- 7. PQ codebook training descends the Lloyd objective --------------
