@@ -1753,41 +1753,105 @@ object Similarity {
   private val HamBands = 4   // 4 packed 16-bit sign words …
   private val HamBits = 16   // … = 64 sign bits, 1 bit per dimension
 
+  /** The binary-rung pipeline replayed in DuckDB (signatures from the 64
+    * plane literals, per-band popcount Hamming, shortlist, exact
+    * re-rank); `panel = true` swaps the `vec_id < 10` query side for the
+    * [[sampleModulus]] residue class — the recall row's convention.
+    */
+  private def hammingOracleCtes(panel: Boolean): String = {
+    val mmCte = if (panel) s"$mmSql,\n" else ""
+    val qPred = if (panel) "a.vec_id % (SELECT m FROM mm) = 3"
+                else "a.vec_id < 10"
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |   sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+       | FROM embeddings),
+       |${mmCte}pl(plane, coef) AS (VALUES ${planeValuesSql(HamBands * HamBits)}),
+       |bits AS (SELECT e.vec_id, pl.plane,
+       |    CASE WHEN list_sum(list_transform(range(1,65),
+       |           i -> CAST(e.embedding[i] AS DOUBLE) * coef[i])) >= 0
+       |         THEN CAST(power(2, plane % $HamBits) AS BIGINT) ELSE 0 END AS bit
+       |  FROM e CROSS JOIN pl),
+       |bk AS (SELECT vec_id, CAST(plane // $HamBits AS INT) AS band,
+       |       CAST(sum(bit) AS BIGINT) AS bucket
+       |       FROM bits GROUP BY vec_id, plane // $HamBits),
+       |hm AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+       |    CAST(SUM(bit_count(xor(a.bucket, b.bucket))) AS BIGINT) AS ham
+       |  FROM bk a JOIN bk b ON a.band = b.band AND a.vec_id != b.vec_id
+       |  WHERE $qPred
+       |  GROUP BY a.vec_id, b.vec_id),
+       |cand AS (SELECT q_id, n_id FROM (
+       |   SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+       |     ORDER BY ham, n_id) AS arank FROM hm) WHERE arank <= 20),
+       |sc AS (SELECT cand.q_id, cand.n_id,
+       |    list_sum(list_transform(range(1, 65),
+       |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)))
+       |      / (q.nrm * n.nrm) AS cos
+       |  FROM cand JOIN e q ON q.vec_id = cand.q_id
+       |            JOIN e n ON n.vec_id = cand.n_id),
+       |r AS (SELECT q_id, n_id, cos, CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY round(cos, 9) DESC, n_id) AS INT) AS rank
+       |  FROM sc)
+       |""".stripMargin
+  }
+
   private val simHammingTopk = Q(
     "sim_hamming_topk",
     (s, dir) => hammingTopK(emb(s, dir),
       Tables.load(s, dir, "embeddings")).orderBy("q_id", "rank"),
-    Some(s"""WITH e AS (SELECT vec_id, embedding,
-           |   sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
-           | FROM embeddings),
-           |pl(plane, coef) AS (VALUES ${planeValuesSql(HamBands * HamBits)}),
-           |bits AS (SELECT e.vec_id, pl.plane,
-           |    CASE WHEN list_sum(list_transform(range(1,65),
-           |           i -> CAST(e.embedding[i] AS DOUBLE) * coef[i])) >= 0
-           |         THEN CAST(power(2, plane % $HamBits) AS BIGINT) ELSE 0 END AS bit
-           |  FROM e CROSS JOIN pl),
-           |bk AS (SELECT vec_id, CAST(plane // $HamBits AS INT) AS band,
-           |       CAST(sum(bit) AS BIGINT) AS bucket
-           |       FROM bits GROUP BY vec_id, plane // $HamBits),
-           |hm AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
-           |    CAST(SUM(bit_count(xor(a.bucket, b.bucket))) AS BIGINT) AS ham
-           |  FROM bk a JOIN bk b ON a.band = b.band AND a.vec_id != b.vec_id
-           |  WHERE a.vec_id < 10
-           |  GROUP BY a.vec_id, b.vec_id),
-           |cand AS (SELECT q_id, n_id FROM (
-           |   SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
-           |     ORDER BY ham, n_id) AS arank FROM hm) WHERE arank <= 20),
-           |sc AS (SELECT cand.q_id, cand.n_id,
-           |    list_sum(list_transform(range(1, 65),
-           |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)))
-           |      / (q.nrm * n.nrm) AS cos
-           |  FROM cand JOIN e q ON q.vec_id = cand.q_id
-           |            JOIN e n ON n.vec_id = cand.n_id),
-           |r AS (SELECT q_id, n_id, cos, CAST(ROW_NUMBER() OVER (
-           |    PARTITION BY q_id ORDER BY round(cos, 9) DESC, n_id) AS INT) AS rank
-           |  FROM sc)
-           |SELECT q_id, n_id, round(cos, 6) AS cosine, rank
-           |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin))
+    Some(hammingOracleCtes(panel = false) +
+      """SELECT q_id, n_id, round(cos, 6) AS cosine, rank
+        |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin))
+
+  /** Recall@5 of the binary Hamming rung against the sampled exact ground
+    * truth — the fourth member of the declared recall family
+    * ([[simLshRecall]]/[[simIvfRecall]]/[[simIvfPqRecall]]): all four
+    * candidate generators (hash buckets, probed cells, probed cells ×
+    * residual codes, complete 64-bit sign ordering) priced on the SAME
+    * residue panel by the SAME metric. The Hamming rung's number bounds
+    * what any 64-bit-signature scheme can reach — banded LSH prunes the
+    * same signatures by bucket equality, so this row is its
+    * recall-per-sketch ceiling at the fixed 20-candidate width.
+    */
+  private val simHammingRecall = Q(
+    "sim_hamming_recall",
+    (s, dir) => {
+      VectorKernels.register(s)
+      val e = emb(s, dir)
+      val panel = e.crossJoin(broadcast(sampleModulus(e)))
+        .filter(col("vec_id") % col("m") === 3)
+        .select(col("vec_id"), col("embedding"))
+      val got = hammingTopK(e, Tables.load(s, dir, "embeddings"),
+          panel = Some(panel))
+        .select("q_id", "n_id")
+      val exact = exactTop5(s, dir).select("q_id", "n_id")
+      val hits = exact.join(got, Seq("q_id", "n_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      exact.agg(countDistinct(col("q_id")).as("n_queries"),
+          count(lit(1)).as("n_exact_pairs"))
+        .crossJoin(broadcast(hits))
+        .select(col("n_queries"), col("n_exact_pairs"), col("n_hits"),
+          round(col("n_hits").cast("double") /
+            col("n_exact_pairs").cast("double"), 6).as("recall_at5"))
+    },
+    Some(hammingOracleCtes(panel = true) +
+      s""",got AS (SELECT q_id, n_id FROM r WHERE rank <= 5),
+        |exp AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |      / (a.nrm * b.nrm) AS cos
+        |  FROM e a JOIN e b ON b.vec_id != a.vec_id
+        |  WHERE a.vec_id % (SELECT m FROM mm) = 3),
+        |ex AS (SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY round(cos, 9) DESC, n_id) AS INT) AS xr FROM exp)
+        |  WHERE xr <= 5),
+        |h AS (SELECT count(*) AS n_hits FROM ex
+        |      WHERE EXISTS (SELECT 1 FROM got
+        |                    WHERE got.q_id = ex.q_id AND got.n_id = ex.n_id))
+        |SELECT (SELECT count(DISTINCT q_id) FROM ex) AS n_queries,
+        |  (SELECT count(*) FROM ex) AS n_exact_pairs, n_hits,
+        |  round(CAST(n_hits AS DOUBLE) / (SELECT count(*) FROM ex), 6) AS recall_at5
+        |FROM h""".stripMargin))
 
   /** `e`: spread full vector set; `raw`: unspread scan for the pushed-down
     * query-side read. `panel`/`shortlist`: the [[ivfPqTopK]] conventions —
@@ -4463,5 +4527,6 @@ object Similarity {
     simLshAnnScaled, mlMccSweep, simEmbeddingDrift, simKcenterSeeds,
     simIvfRecall, mlGroupAuc, mlBrierCi, simRecallCurve, mlLearningCurve,
     dedupSemanticClustersScaled, simLshOccupancy, simIvfPqTopk,
-    simHammingTopk, simIvfPqRecall, simPqTrain, simIvfPqTrained)
+    simHammingTopk, simIvfPqRecall, simPqTrain, simIvfPqTrained,
+    simHammingRecall)
 }
