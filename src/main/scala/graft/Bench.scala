@@ -32,7 +32,11 @@ object Bench {
     "sim_lsh_recall", "dedup_tfidf_cosine", "events_quantile_sketch",
     "graph_clustering_coeff", "quality_kendall_tau", "events_ab_test",
     // round 16
-    "sim_ivfpq_topk", "sim_hamming_topk", "sim_ivfpq_recall")
+    "sim_ivfpq_topk", "sim_hamming_topk", "sim_ivfpq_recall",
+    // round 17: the rest of the r16 ANN family (r16 ADVICE symmetry) +
+    // the round's new declared rows
+    "sim_hamming_recall", "sim_pq_train", "sim_ivfpq_trained",
+    "sim_ivfpq_trained_recall", "dedup_semantic_stream_replay")
 
   /** Noise canary: a cheap, code-stable query whose implementation has not
     * changed since round 1. Its best-of-N time moves only with host

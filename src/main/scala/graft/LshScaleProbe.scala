@@ -148,9 +148,12 @@ object LshScaleProbe {
             .agg(functions.TopK.neighbors(1)(col("code"), -col("d2")).as("nb"))
             .select(col("sub"), col("x"),
               col("nb").getItem(0).getField("_1").as("code"))
+          // decimal mean, not avg(): order-independent like the declared
+          // sim_pq_train row, so probe recall numbers cited in SURVEY §6
+          // are bit-reproducible across partitionings (r16 ADVICE)
           val means = asg.select(col("sub"), col("code"), posexplode(col("x")))
             .groupBy(col("sub"), col("code"), col("pos"))
-            .agg(avg(col("col")).as("v"))
+            .agg((functions.Deterministic.dsumFine(col("col")) / count(lit(1))).as("v"))
             .groupBy(col("sub"), col("code"))
             .agg(transform(sort_array(collect_list(struct(col("pos"), col("v")))),
               s => s.getField("v")).as("m_sub"))

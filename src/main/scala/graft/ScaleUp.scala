@@ -45,7 +45,11 @@ object ScaleUp {
   private val Stride = 1L << 40
 
   def main(args: Array[String]): Unit = {
-    val Array(src, dst, fStr, onlyTables @ _*) = args
+    val Array(src, dst, fStr, rest @ _*) = args
+    // `organic` flag (r16 verdict item 1): replica EMBEDDINGS are fresh
+    // full-σ draws instead of ±0.05 clones — see the embeddings rule below
+    val organic = rest.contains("organic")
+    val onlyTables = rest.filterNot(_ == "organic")
     val f = fStr.toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = Sessions.builder(s"local[$cpus]", cpus.toInt)
@@ -100,6 +104,25 @@ object ScaleUp {
         .withColumn("n_chars", length(col("text"))))
     replicate("embeddings")((df, i) =>
       if (i == 0) df
+      else if (organic)
+        // ORGANIC regime: each replica vector is a FRESH deterministic
+        // draw at the source's full per-component σ (0.125, near-Gaussian
+        // via 3 summed ±1 uniforms — the source corpus is isotropic
+        // hash-noise of exactly this shape, measured min/max/σ/kurtosis in
+        // SURVEY §6), NOT a ±0.05 clone of the source vector. The
+        // amplified corpus then prices organic ANN structure: exact top-5
+        // pairs are max-of-n order statistics over independent points
+        // (cosine ~0.4–0.6 at these decades), never same-source replica
+        // pairs at cosine 0.9+ — the honesty split's clone regime is empty
+        // by construction. The label column rides along unchanged (the
+        // source's label-geometry signal is cos ≈ 0.07 — negligible).
+        df.withColumn("vec_id", shift("vec_id", i))
+          .withColumn("embedding", transform(col("embedding"), (_, d) =>
+            (lit(0.125f) *
+              ((hash(col("vec_id"), d, lit(i), lit(1)) % 1000).cast("float") / 1000.0f
+                + (hash(col("vec_id"), d, lit(i), lit(2)) % 1000).cast("float") / 1000.0f
+                + (hash(col("vec_id"), d, lit(i), lit(3)) % 1000).cast("float") / 1000.0f))
+              .cast("float")))
       else df
         .withColumn("vec_id", shift("vec_id", i))
         .withColumn("embedding", transform(col("embedding"), (x, d) =>

@@ -1330,46 +1330,93 @@ object Similarity {
     * bounded above by sim_ivf_recall's). Deterministic end-to-end like
     * its parents, so the recall number is hash-checked, not asserted.
     */
+  /** The residue-class query panel every declared recall row measures on
+    * (the sim_pair_hist convention — [[sampleModulus]] keeps it ~256–512
+    * queries at any corpus).
+    */
+  private def residuePanel(e: DataFrame): DataFrame =
+    e.crossJoin(broadcast(sampleModulus(e)))
+      .filter(col("vec_id") % col("m") === 3)
+      .select(col("vec_id"), col("embedding"))
+
+  /** The shared recall@5 readout: hits of `got` (q_id, n_id candidate
+    * pairs) against the memoized exact panel ground truth — identical
+    * arithmetic in every declared recall row so the family's numbers are
+    * the same metric by construction.
+    */
+  private def panelRecallReadout(s: SparkSession, dir: String,
+                                 got: DataFrame): DataFrame = {
+    val exact = exactTop5(s, dir).select("q_id", "n_id")
+    val hits = exact.join(got, Seq("q_id", "n_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+    exact.agg(countDistinct(col("q_id")).as("n_queries"),
+        count(lit(1)).as("n_exact_pairs"))
+      .crossJoin(broadcast(hits))
+      .select(col("n_queries"), col("n_exact_pairs"), col("n_hits"),
+        round(col("n_hits").cast("double") /
+          col("n_exact_pairs").cast("double"), 6).as("recall_at5"))
+  }
+
+  /** [[panelRecallReadout]]'s oracle twin, spliced after any CTE chain
+    * ending in `r` (q_id, n_id, rank) with `e`/`mm` defined upstream —
+    * byte-identical text in every panel-recall oracle.
+    */
+  private def recallTailSql: String =
+    s""",got AS (SELECT q_id, n_id FROM r WHERE rank <= 5),
+      |exp AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |      / (a.nrm * b.nrm) AS cos
+      |  FROM e a JOIN e b ON b.vec_id != a.vec_id
+      |  WHERE a.vec_id % (SELECT m FROM mm) = 3),
+      |ex AS (SELECT q_id, n_id FROM (
+      |    SELECT q_id, n_id, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+      |      ORDER BY round(cos, 9) DESC, n_id) AS INT) AS xr FROM exp)
+      |  WHERE xr <= 5),
+      |h AS (SELECT count(*) AS n_hits FROM ex
+      |      WHERE EXISTS (SELECT 1 FROM got
+      |                    WHERE got.q_id = ex.q_id AND got.n_id = ex.n_id))
+      |SELECT (SELECT count(DISTINCT q_id) FROM ex) AS n_queries,
+      |  (SELECT count(*) FROM ex) AS n_exact_pairs, n_hits,
+      |  round(CAST(n_hits AS DOUBLE) / (SELECT count(*) FROM ex), 6) AS recall_at5
+      |FROM h""".stripMargin
+
   private val simIvfPqRecall = Q(
     "sim_ivfpq_recall",
     (s, dir) => {
       VectorKernels.register(s)
       val e = emb(s, dir)
-      val panel = e.crossJoin(broadcast(sampleModulus(e)))
-        .filter(col("vec_id") % col("m") === 3)
-        .select(col("vec_id"), col("embedding"))
       val got = ivfPqTopK(e, Tables.load(s, dir, "embeddings"),
-          panel = Some(panel))
+          panel = Some(residuePanel(e)))
         .select("q_id", "n_id")
-      val exact = exactTop5(s, dir).select("q_id", "n_id")
-      val hits = exact.join(got, Seq("q_id", "n_id"), "left_semi")
-        .agg(count(lit(1)).as("n_hits"))
-      exact.agg(countDistinct(col("q_id")).as("n_queries"),
-          count(lit(1)).as("n_exact_pairs"))
-        .crossJoin(broadcast(hits))
-        .select(col("n_queries"), col("n_exact_pairs"), col("n_hits"),
-          round(col("n_hits").cast("double") /
-            col("n_exact_pairs").cast("double"), 6).as("recall_at5"))
+      panelRecallReadout(s, dir, got)
     },
-    Some(ivfPqOracleCtes(panel = true) +
-      s""",got AS (SELECT q_id, n_id FROM r WHERE rank <= 5),
-        |exp AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
-        |    list_sum(list_transform(range(1, 65),
-        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-        |      / (a.nrm * b.nrm) AS cos
-        |  FROM e a JOIN e b ON b.vec_id != a.vec_id
-        |  WHERE a.vec_id % (SELECT m FROM mm) = 3),
-        |ex AS (SELECT q_id, n_id FROM (
-        |    SELECT q_id, n_id, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
-        |      ORDER BY round(cos, 9) DESC, n_id) AS INT) AS xr FROM exp)
-        |  WHERE xr <= 5),
-        |h AS (SELECT count(*) AS n_hits FROM ex
-        |      WHERE EXISTS (SELECT 1 FROM got
-        |                    WHERE got.q_id = ex.q_id AND got.n_id = ex.n_id))
-        |SELECT (SELECT count(DISTINCT q_id) FROM ex) AS n_queries,
-        |  (SELECT count(*) FROM ex) AS n_exact_pairs, n_hits,
-        |  round(CAST(n_hits AS DOUBLE) / (SELECT count(*) FROM ex), 6) AS recall_at5
-        |FROM h""".stripMargin))
+    Some(ivfPqOracleCtes(panel = true) + recallTailSql))
+
+  /** Recall@5 of the fused IVF+PQ path THROUGH the trained codebook — the
+    * declared ladder's top rung (r16 verdict item 2): the seed-book row
+    * ([[simIvfPqRecall]]) isolates what 4-byte residual codes cost BEFORE
+    * Lloyd refinement (0.184 at sf0.01); this row prices the same fused
+    * pipeline AFTER the 2-round training the probe scales up (trained
+    * pqK=256 read 0.978 at the 200 k decade, SURVEY §6). Same residue
+    * panel, same exact ground truth, same metric — and the whole
+    * train → encode → probe → ADC → re-rank chain replays in one oracle
+    * ([[pqTrainCtesSql]] spliced into the trained [[ivfPqOracleCtes]]).
+    */
+  private val simIvfPqTrainedRecall = Q(
+    "sim_ivfpq_trained_recall",
+    (s, dir) => {
+      VectorKernels.register(s)
+      val e = emb(s, dir)
+      val (cb2, _) = pqTrainChain(s, dir)
+      val cbArg = cb2.select(col("code"), col("sub"), col("cb").as("cb_sub"))
+        .withColumn("cb_sq", dotD(col("cb_sub"), col("cb_sub")))
+      val got = ivfPqTopK(e, Tables.load(s, dir, "embeddings"),
+          panel = Some(residuePanel(e)), codebook = Some(cbArg))
+        .select("q_id", "n_id")
+      panelRecallReadout(s, dir, got)
+    },
+    Some(ivfPqOracleCtes(panel = true, trained = true) + recallTailSql))
 
   /** PQ codebook TRAINING as a declared, oracle-replayed row — the
     * machinery behind the probe-measured codebook knob (SURVEY §6 r16:
@@ -1662,7 +1709,18 @@ object Similarity {
         dotD(col("q_sub"), col("cb_sub")).as("part"))
       .groupBy(col("q_id"))
       .agg(transform(sort_array(collect_list(struct(col("i"), col("part")))),
-        s => s.getField("part")).as("dts")))
+        s => s.getField("part")).as("dts"))
+      // the ADC fold indexes dts POSITIONALLY at sub·pqK + code: a sparse
+      // caller-supplied codebook (a hole in [0, pqK) for some sub) would
+      // shift every later lookup and mis-score silently — fail loudly
+      // instead (the seed and Lloyd-trained books are dense by
+      // construction, so declared rows never take this branch)
+      .select(col("q_id"),
+        when(size(col("dts")) === lit(PqM * pqK), col("dts"))
+          .otherwise(raise_error(concat(
+            lit(s"[ivfpq] sparse codebook: expected ${PqM * pqK} " +
+              "distance-table entries per query, got "),
+            size(col("dts")).cast("string")))).as("dts")))
     // pack the PqM codes into ONE row per vector, folding the
     // reconstruction norm² into the same aggregate — the production ADC
     // scan layout (codes contiguous per vector): the candidate stream is
@@ -1817,41 +1875,126 @@ object Similarity {
     (s, dir) => {
       VectorKernels.register(s)
       val e = emb(s, dir)
-      val panel = e.crossJoin(broadcast(sampleModulus(e)))
-        .filter(col("vec_id") % col("m") === 3)
-        .select(col("vec_id"), col("embedding"))
       val got = hammingTopK(e, Tables.load(s, dir, "embeddings"),
-          panel = Some(panel))
+          panel = Some(residuePanel(e)))
         .select("q_id", "n_id")
-      val exact = exactTop5(s, dir).select("q_id", "n_id")
-      val hits = exact.join(got, Seq("q_id", "n_id"), "left_semi")
-        .agg(count(lit(1)).as("n_hits"))
-      exact.agg(countDistinct(col("q_id")).as("n_queries"),
-          count(lit(1)).as("n_exact_pairs"))
-        .crossJoin(broadcast(hits))
-        .select(col("n_queries"), col("n_exact_pairs"), col("n_hits"),
-          round(col("n_hits").cast("double") /
-            col("n_exact_pairs").cast("double"), 6).as("recall_at5"))
+      panelRecallReadout(s, dir, got)
     },
-    Some(hammingOracleCtes(panel = true) +
-      s""",got AS (SELECT q_id, n_id FROM r WHERE rank <= 5),
-        |exp AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
-        |    list_sum(list_transform(range(1, 65),
-        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-        |      / (a.nrm * b.nrm) AS cos
-        |  FROM e a JOIN e b ON b.vec_id != a.vec_id
-        |  WHERE a.vec_id % (SELECT m FROM mm) = 3),
-        |ex AS (SELECT q_id, n_id FROM (
-        |    SELECT q_id, n_id, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
-        |      ORDER BY round(cos, 9) DESC, n_id) AS INT) AS xr FROM exp)
-        |  WHERE xr <= 5),
-        |h AS (SELECT count(*) AS n_hits FROM ex
-        |      WHERE EXISTS (SELECT 1 FROM got
-        |                    WHERE got.q_id = ex.q_id AND got.n_id = ex.n_id))
-        |SELECT (SELECT count(DISTINCT q_id) FROM ex) AS n_queries,
-        |  (SELECT count(*) FROM ex) AS n_exact_pairs, n_hits,
-        |  round(CAST(n_hits AS DOUBLE) / (SELECT count(*) FROM ex), 6) AS recall_at5
-        |FROM h""".stripMargin))
+    Some(hammingOracleCtes(panel = true) + recallTailSql))
+
+  /** The streaming semantic near-dup suppressor's decision function as a
+    * DECLARED, oracle-replayed row (r16 verdict item 3):
+    * [[graft.streaming.SemanticDedupStream]] is deterministic given
+    * arrival order — sign-bucket blocking, (ts, vec_id)-sorted folds,
+    * event-time TTL — so the same `suppress` function run in one batch
+    * pass over a deterministic arrival schedule is exactly replayable as
+    * a per-bucket sequential recursion in SQL (a recursive CTE carrying
+    * each bucket's admitted-entry list — one working row per bucket, the
+    * incremental-dedup row's arrival-rank trick generalized to stateful
+    * near-match). SemanticDedupStreamSpec asserts the true streaming
+    * execution (MemoryStream micro-batches) emits decisions identical to
+    * this batch replay on the same input, closing the loop: oracle ⇔
+    * batch fold ⇔ streaming operator.
+    *
+    * Arrival schedule (both decision branches + the TTL exercised every
+    * run): every vector arrives at t₀ + (vec_id mod 64)·7 s, then
+    * re-arrives under a shifted id — even ids ttl/2 later (inside TTL ⇒
+    * suppressed at Hamming 0 against the original), odd ids 2·ttl later
+    * (original expired ⇒ re-admitted).
+    */
+  private[graft] val SemReplayTtlMs = 600000L
+
+  private[graft] def semReplayArrivals(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    def baseMs = lit(3600000L) + pmod(col("vec_id"), lit(64L)) * lit(7000L)
+    val base = e.select(col("vec_id"),
+      timestamp_millis(baseMs).as("ts"), col("embedding"))
+    val re = e.select((col("vec_id") + 1000000L).as("vec_id"),
+      timestamp_millis(baseMs +
+        when(pmod(col("vec_id"), lit(2L)) === 0, lit(SemReplayTtlMs / 2))
+          .otherwise(lit(SemReplayTtlMs * 2))).as("ts"),
+      col("embedding"))
+    base.unionByName(re)
+  }
+
+  private val dedupSemanticStreamReplay = Q(
+    "dedup_semantic_stream_replay",
+    (s, dir) => {
+      import graft.streaming.SemanticDedupStream
+      SemanticDedupStream.suppress(
+          SemanticDedupStream.signatures(semReplayArrivals(s, dir)),
+          SemReplayTtlMs, streaming = false)
+        .toDF()
+        .orderBy("vec_id")
+    },
+    Some {
+      // the recursion: one working row per (bucket, iteration) carrying
+      // the bucket's live admitted-entry list `st` plus the decision made
+      // at that arrival rank; the inner join on rnk = it + 1 terminates
+      // each bucket when its arrivals are exhausted. Struct key order
+      // ('h' then 'v') makes list_sort the minBy((hamming, vec_id))
+      // tie-break; e.x > n.ms is the event-time TTL prune the operator
+      // applies before matching.
+      s"""WITH RECURSIVE
+         |arr AS (
+         |  SELECT vec_id, 3600000 + (vec_id % 64) * 7000 AS ms, embedding
+         |  FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000,
+         |         3600000 + (vec_id % 64) * 7000
+         |           + CASE WHEN vec_id % 2 = 0 THEN ${SemReplayTtlMs / 2}
+         |             ELSE ${SemReplayTtlMs * 2} END,
+         |         embedding
+         |  FROM embeddings),
+         |pl(plane, coef) AS (VALUES ${planeValuesSql(HamBands * HamBits)}),
+         |bits AS (SELECT a.vec_id, a.ms, pl.plane,
+         |    CASE WHEN list_sum(list_transform(range(1,65),
+         |           i -> CAST(a.embedding[i] AS DOUBLE) * coef[i])) >= 0
+         |         THEN CAST(power(2, plane % $HamBits) AS BIGINT) ELSE 0 END AS bit
+         |  FROM arr a CROSS JOIN pl),
+         |sg AS (SELECT vec_id, ms, CAST(plane // $HamBits AS INT) AS band,
+         |       CAST(sum(bit) AS BIGINT) AS w
+         |       FROM bits GROUP BY vec_id, ms, plane // $HamBits),
+         |sig AS (SELECT vec_id, ms,
+         |         max(CASE WHEN band=0 THEN w END) AS s0,
+         |         max(CASE WHEN band=1 THEN w END) AS s1,
+         |         max(CASE WHEN band=2 THEN w END) AS s2,
+         |         max(CASE WHEN band=3 THEN w END) AS s3
+         |        FROM sg GROUP BY vec_id, ms),
+         |rk AS (SELECT *, CAST(ROW_NUMBER() OVER (
+         |         PARTITION BY s0 ORDER BY ms, vec_id) AS INT) AS rnk
+         |       FROM sig),
+         |dec AS (
+         |  SELECT 1 AS it, s0, vec_id, ms, FALSE AS is_dup,
+         |         CAST(-1 AS BIGINT) AS dup_of, -1 AS ham,
+         |         [{'v': vec_id, 'x': ms + $SemReplayTtlMs,
+         |           'a': s1, 'b': s2, 'c': s3}] AS st
+         |  FROM rk WHERE rnk = 1
+         |  UNION ALL
+         |  SELECT p.it + 1, p.s0, n.vec_id, n.ms,
+         |         L.best.v IS NOT NULL AS is_dup,
+         |         COALESCE(L.best.v, -1) AS dup_of,
+         |         COALESCE(L.best.h, -1) AS ham,
+         |         CASE WHEN L.best.v IS NULL
+         |              THEN list_append(L.live, {'v': n.vec_id,
+         |                'x': n.ms + $SemReplayTtlMs,
+         |                'a': n.s1, 'b': n.s2, 'c': n.s3})
+         |              ELSE L.live END AS st
+         |  FROM dec p
+         |  JOIN rk n ON n.s0 = p.s0 AND n.rnk = p.it + 1,
+         |  LATERAL (SELECT list_filter(p.st, e -> e.x > n.ms) AS live) L1,
+         |  LATERAL (SELECT L1.live AS live, list_sort(list_transform(
+         |        list_filter(L1.live, e ->
+         |          bit_count(xor(e.a, n.s1)) + bit_count(xor(e.b, n.s2))
+         |            + bit_count(xor(e.c, n.s3)) <= ${graft.streaming.SemanticDedupStream.HammingMax}),
+         |        e -> {'h': CAST(bit_count(xor(e.a, n.s1))
+         |                + bit_count(xor(e.b, n.s2))
+         |                + bit_count(xor(e.c, n.s3)) AS INT),
+         |              'v': e.v}))[1] AS best) L)
+         |SELECT vec_id, is_dup, dup_of, ham AS hamming
+         |FROM dec ORDER BY vec_id""".stripMargin
+    })
 
   /** `e`: spread full vector set; `raw`: unspread scan for the pushed-down
     * query-side read. `panel`/`shortlist`: the [[ivfPqTopK]] conventions —
@@ -4528,5 +4671,5 @@ object Similarity {
     simIvfRecall, mlGroupAuc, mlBrierCi, simRecallCurve, mlLearningCurve,
     dedupSemanticClustersScaled, simLshOccupancy, simIvfPqTopk,
     simHammingTopk, simIvfPqRecall, simPqTrain, simIvfPqTrained,
-    simHammingRecall)
+    simHammingRecall, simIvfPqTrainedRecall, dedupSemanticStreamReplay)
 }

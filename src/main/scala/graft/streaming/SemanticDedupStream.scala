@@ -26,7 +26,10 @@ import graft.functions.VectorKernels
   * output is also the streaming edge list of the near-dup graph.
   *
   * Bounded state, the §2.10 contract: entries expire `ttlMs` after their
-  * event time and are pruned against the moving watermark on every group
+  * event time — enforced against each ARRIVING row's event time during
+  * matching (so the decision function is watermark-independent and
+  * batch-replayable: the `dedup_semantic_stream_replay` oracle row) — and
+  * are additionally pruned against the moving watermark on every group
   * invocation; an event-time timeout clears a bucket whose entries have
   * all expired, so dead buckets leave the store. Recall matches ONE LSH
   * band (the blocking key) times the Hamming test — the batch ladder's
@@ -109,6 +112,13 @@ object SemanticDedupStream {
     }
     val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.vec_id))
     val out = sorted.map { r =>
+      // event-time TTL (r16 ADVICE): an entry expires ttlMs after ITS
+      // event time regardless of watermark lag — prune against the
+      // arriving row's event time so an entry older than ttl never
+      // suppresses a later arrival (batch mode, where wm = MinValue, and
+      // micro-batches spanning > ttlMs both hit this). Rows are ts-sorted,
+      // so the prune is monotone within the invocation.
+      entries = entries.filter(_.expiryMs > r.ts.getTime)
       val near = entries.filter(e => hamming(e, r) <= HammingMax)
       if (near.nonEmpty) {
         val best = near.minBy(e => (hamming(e, r), e.vec_id))
