@@ -139,6 +139,17 @@ object TopK {
   * fast-reject bound. Arrays are mutated in place between serializations
   * (the ObjectHashAggregate holds the JVM object; the product encoder
   * writes the arrays only at the partial/final exchange).
+  *
+  * The scratch GROWS lazily (r17): it starts at 64 entries and doubles —
+  * capped at 2k+1 — whenever compaction leaves it more than half full.
+  * Eager 2k+1 allocation OOM'd the 2 M-decade probe at k = 40 000: the
+  * map-side partial aggregate holds one buffer PER GROUP PER TASK
+  * (panel × tasks ≈ 8 000 live buffers × 1.3 MB eager = 10 GB before a
+  * single candidate arrives), and the product encoder serializes the
+  * FULL capacity across the exchange. Lazy growth makes buffer memory
+  * and exchange bytes proportional to candidates actually accepted —
+  * the result is value-identical (compaction is an order-insensitive
+  * dedup + sort + truncate; growth only changes WHEN it runs).
   */
 final case class TopKWideBuf(k: Int, var n: Int, var thr: Double,
                              var ids: Array[Long], var coss: Array[Double]) {
@@ -155,8 +166,14 @@ final case class TopKWideBuf(k: Int, var n: Int, var thr: Double,
       .distinctBy(e => (e._1, e._2)) // the list form's (r9, nId) collapse
       .sortBy { case (r9, id, _) => (-r9, id) }
     val keep = math.min(k, entries.length)
-    val nids = new Array[Long](2 * k + 1)
-    val ncos = new Array[Double](2 * k + 1)
+    // grow when the kept entries crowd the scratch (> half full) — else a
+    // sub-2k capacity would re-compact on every append (O(n log n) per
+    // add); doubling keeps the amortized O(log k) bound at every size
+    val cap = if (keep > ids.length / 2)
+      math.min(math.max(2 * ids.length, 64), 2 * k + 1)
+    else ids.length
+    val nids = new Array[Long](cap)
+    val ncos = new Array[Double](cap)
     var i = 0
     while (i < keep) { nids(i) = entries(i)._2; ncos(i) = entries(i)._3; i += 1 }
     ids = nids; coss = ncos; n = keep
@@ -170,8 +187,8 @@ final case class TopKWideBuf(k: Int, var n: Int, var thr: Double,
     // cannot reach the kept k even after rounding
     if (thr > Double.NegativeInfinity && cos < thr - 1e-9) return this
     if (n == ids.length) compact()
-    // compaction may still leave the scratch full (k == capacity bound
-    // impossible: capacity 2k+1 > k) — append is always safe here
+    // compaction always reclaims or grows: capacity after it is > n
+    // (truncate to k < 2k+1, or the > half-full doubling) — append is safe
     ids(n) = nId; coss(n) = cos; n += 1
     this
   }
@@ -191,7 +208,8 @@ class TopKNeighborsWideAgg(k: Int)
 
   override def zero: TopKWideBuf =
     TopKWideBuf(k, 0, Double.NegativeInfinity,
-      new Array[Long](2 * k + 1), new Array[Double](2 * k + 1))
+      new Array[Long](math.min(64, 2 * k + 1)),
+      new Array[Double](math.min(64, 2 * k + 1)))
 
   override def reduce(b: TopKWideBuf, in: (Long, Double)): TopKWideBuf =
     b.add(in._1, in._2)
