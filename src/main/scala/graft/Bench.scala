@@ -78,6 +78,16 @@ object Bench {
       operators.Similarity.prewarmProductionLists(spark, sfDir)
       (System.nanoTime() - t0) / 1e9
     }
+    // same contract for the shared PQ training chain (r17): three declared
+    // rows consume the memoized 2-round Lloyd chain — pay it here as its
+    // own line item, not on the alphabetically first consumer
+    val pqConsumers = operators.Similarity.pqMemoConsumers
+    val pqBuild = if (onlyQ.exists(qs => qs.intersect(pqConsumers).isEmpty)) 0.0
+    else {
+      val t0 = System.nanoTime()
+      operators.Similarity.prewarmPqTraining(spark, sfDir)
+      (System.nanoTime() - t0) / 1e9
+    }
     // three passes, best-of per query: measured warm floors are only
     // reached after several repetitions in a fresh JVM (first runs carry
     // 2-3× of codegen/JIT cost), so two passes still reported warm-up, not
@@ -108,7 +118,7 @@ object Bench {
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     // total covers the declared queries PLUS the explicitly-priced memo
     // build — the same work r13 boards counted, just attributed honestly
-    val total = results.map(_._2).sum + lshBuild
+    val total = results.map(_._2).sum + lshBuild + pqBuild
     // emit sf bare only when it is a plain decimal number (toDoubleOption
     // would also accept NaN/Infinity, which are invalid bare JSON); anything
     // else is emitted as an escaped JSON string
@@ -147,12 +157,12 @@ object Bench {
     // carries every per-query time for round-over-round comparison
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""canary":${fmt(canary)},"canary_cpu":${fmt(canaryCpu)},""" +
-      s""""lsh_build":${fmt(lshBuild)},"n_queries":${results.size},""" +
+      s""""lsh_build":${fmt(lshBuild)},"pq_build":${fmt(pqBuild)},"n_queries":${results.size},""" +
       s""""full":"bench_full.json","queries":${jsonOf(headlined)},"sf":$sf}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"),
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""canary":${fmt(canary)},"canary_cpu":${fmt(canaryCpu)},""" +
-        s""""lsh_build":${fmt(lshBuild)},"n_queries":${results.size},""" +
+        s""""lsh_build":${fmt(lshBuild)},"pq_build":${fmt(pqBuild)},"n_queries":${results.size},""" +
         s""""queries":${jsonOf(results)},"sf":$sf}""")
     spark.stop()
     // last line of output, after Spark's shutdown noise

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dev/bench utility: amplify a testdata scale-factor directory by an
@@ -63,71 +63,86 @@ object ScaleUp {
     // (the r15 incident documented above — 218 k distinct vec_ids in a
     // "2 M" corpus). raise_error fails the write job with the one-hop
     // instruction instead of producing a corrupt corpus.
-    def shift(c: String, i: Int) =
+    def shift(c: String, rep: Column) =
       when(col(c) < 0L || col(c) >= Stride,
         raise_error(concat(lit(s"[scaleup] $c="), col(c).cast("string"),
           lit(" outside [0, 2^40): input is already amplified — " +
             "amplify from the ORIGINAL directory in ONE hop"))))
-        .otherwise(col(c) + lit(i.toLong * Stride))
+        .otherwise(col(c) + rep.cast("long") * lit(Stride))
 
-    def replicate(name: String)(tx: (DataFrame, Int) => DataFrame): Unit = {
+    // Replication is a broadcast range-join, not an f-way union (r17): the
+    // previous `(0 until f).map(tx).reduce(unionByName)` built an f-child
+    // Union plan whose analysis cost grows with f — fine at ×10, hostile
+    // at the ×10 000 decade. One crossJoin against a broadcast f-row
+    // replica index is a single map-side operator at ANY factor; `rep` is
+    // cast to INT so every hash(vec_id, d, rep, …) value is bit-identical
+    // to the literal-interpolated form the union build used.
+    def replicate(name: String)(tx: (DataFrame, Column) => DataFrame): Unit = {
       if (onlyTables.nonEmpty && !onlyTables.contains(name)) return
       val base = Tables.load(spark, src, name)
-      val out = (0 until f).map(i => tx(base, i)).reduce(_ unionByName _)
+      val reps = broadcast(
+        spark.range(f).select(col("id").cast("int").as("rep_i")))
+      val out = tx(base.crossJoin(reps), col("rep_i")).drop("rep_i")
       out.repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
         .write.mode("overwrite").parquet(s"$dst/$name.parquet")
       println(s"[scaleup] $name x$f written")
     }
 
     Seq("region", "nation").foreach { n =>
-      replicate(n)((df, i) => if (i == 0) df else df.limit(0))
+      // genuinely low-cardinality dims stay fixed: only replica 0 survives
+      replicate(n)((df, rep) => df.filter(rep === 0))
     }
-    replicate("customer")((df, i) => df.withColumn("c_custkey", shift("c_custkey", i)))
-    replicate("supplier")((df, i) => df.withColumn("s_suppkey", shift("s_suppkey", i)))
-    replicate("part")((df, i) => df.withColumn("p_partkey", shift("p_partkey", i)))
-    replicate("orders")((df, i) => df
-      .withColumn("o_orderkey", shift("o_orderkey", i))
-      .withColumn("o_custkey", shift("o_custkey", i)))
-    replicate("lineitem")((df, i) => df
-      .withColumn("l_orderkey", shift("l_orderkey", i))
-      .withColumn("l_partkey", shift("l_partkey", i))
-      .withColumn("l_suppkey", shift("l_suppkey", i)))
-    replicate("events")((df, i) => df
-      .withColumn("event_id", shift("event_id", i))
-      .withColumn("user_id", shift("user_id", i)))
-    replicate("documents")((df, i) =>
-      if (i == 0) df
-      else df
-        .withColumn("doc_id", shift("doc_id", i))
-        .withColumn("text", concat_ws(" ",
-          transform(split(col("text"), " "), w => concat(lit(s"r${i}_"), w))))
-        .withColumn("n_chars", length(col("text"))))
-    replicate("embeddings")((df, i) =>
-      if (i == 0) df
-      else if (organic)
-        // ORGANIC regime: each replica vector is a FRESH deterministic
-        // draw at the source's full per-component σ (0.125, near-Gaussian
-        // via 3 summed ±1 uniforms — the source corpus is isotropic
-        // hash-noise of exactly this shape, measured min/max/σ/kurtosis in
-        // SURVEY §6), NOT a ±0.05 clone of the source vector. The
-        // amplified corpus then prices organic ANN structure: exact top-5
-        // pairs are max-of-n order statistics over independent points
-        // (cosine ~0.4–0.6 at these decades), never same-source replica
-        // pairs at cosine 0.9+ — the honesty split's clone regime is empty
-        // by construction. The label column rides along unchanged (the
-        // source's label-geometry signal is cos ≈ 0.07 — negligible).
-        df.withColumn("vec_id", shift("vec_id", i))
-          .withColumn("embedding", transform(col("embedding"), (_, d) =>
-            (lit(0.125f) *
-              ((hash(col("vec_id"), d, lit(i), lit(1)) % 1000).cast("float") / 1000.0f
-                + (hash(col("vec_id"), d, lit(i), lit(2)) % 1000).cast("float") / 1000.0f
-                + (hash(col("vec_id"), d, lit(i), lit(3)) % 1000).cast("float") / 1000.0f))
-              .cast("float")))
-      else df
-        .withColumn("vec_id", shift("vec_id", i))
-        .withColumn("embedding", transform(col("embedding"), (x, d) =>
-          (x + (hash(col("vec_id"), d, lit(i)) % 1000).cast("float") / 20000.0f)
-            .cast("float"))))
+    replicate("customer")((df, rep) => df.withColumn("c_custkey", shift("c_custkey", rep)))
+    replicate("supplier")((df, rep) => df.withColumn("s_suppkey", shift("s_suppkey", rep)))
+    replicate("part")((df, rep) => df.withColumn("p_partkey", shift("p_partkey", rep)))
+    replicate("orders")((df, rep) => df
+      .withColumn("o_orderkey", shift("o_orderkey", rep))
+      .withColumn("o_custkey", shift("o_custkey", rep)))
+    replicate("lineitem")((df, rep) => df
+      .withColumn("l_orderkey", shift("l_orderkey", rep))
+      .withColumn("l_partkey", shift("l_partkey", rep))
+      .withColumn("l_suppkey", shift("l_suppkey", rep)))
+    replicate("events")((df, rep) => df
+      .withColumn("event_id", shift("event_id", rep))
+      .withColumn("user_id", shift("user_id", rep)))
+    replicate("documents")((df, rep) => df
+      .withColumn("doc_id", shift("doc_id", rep))
+      .withColumn("text", when(rep === 0, col("text")).otherwise(
+        // replica word spaces are DISJOINT ("r3_the"): dfs and near-dup
+        // densities match the source corpus instead of every doc gaining
+        // f − 1 cross-replica near-duplicates
+        concat_ws(" ", transform(split(col("text"), " "),
+          w => concat(lit("r"), rep.cast("string"), lit("_"), w)))))
+      .withColumn("n_chars", length(col("text"))))
+    replicate("embeddings")((df, rep) => df
+      .withColumn("vec_id", shift("vec_id", rep))
+      .withColumn("embedding",
+        when(rep === 0, col("embedding")).otherwise(
+          if (organic)
+            // ORGANIC regime: each replica vector is a FRESH deterministic
+            // draw at the source's full per-component σ (0.125,
+            // near-Gaussian via 3 summed ±1 uniforms — the source corpus
+            // is isotropic hash-noise of exactly this shape, measured
+            // min/max/σ/kurtosis in SURVEY §6), NOT a ±0.05 clone of the
+            // source vector. The amplified corpus then prices organic ANN
+            // structure: exact top-5 pairs are max-of-n order statistics
+            // over independent points (cosine ~0.4–0.6 at these decades),
+            // never same-source replica pairs at cosine 0.9+ — the
+            // honesty split's clone regime is empty by construction. The
+            // label column rides along unchanged (the source's
+            // label-geometry signal is cos ≈ 0.07 — negligible).
+            transform(col("embedding"), (_, d) =>
+              (lit(0.125f) *
+                ((hash(col("vec_id"), d, rep, lit(1)) % 1000).cast("float") / 1000.0f
+                  + (hash(col("vec_id"), d, rep, lit(2)) % 1000).cast("float") / 1000.0f
+                  + (hash(col("vec_id"), d, rep, lit(3)) % 1000).cast("float") / 1000.0f))
+                .cast("float"))
+          else
+            // CLONE regime (default): deterministic ±0.05 hash noise —
+            // replica vectors are genuine new points near the source
+            transform(col("embedding"), (x, d) =>
+              (x + (hash(col("vec_id"), d, rep) % 1000).cast("float") / 20000.0f)
+                .cast("float")))))
     spark.stop()
   }
 }

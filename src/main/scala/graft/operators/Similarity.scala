@@ -1448,14 +1448,24 @@ object Similarity {
   private def pqTrainChain(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     VectorKernels.register(s)
     import graft.functions.Deterministic.dsumFine
-    val raw = Tables.load(s, dir, "embeddings")
-    val subsE = explode(sequence(lit(0), lit(PqM - 1))).as("sub")
-    val sl = ivfResiduals(emb(s, dir), raw)
-      .select(col("vec_id"), subsE, col("res"))
-      .select(col("vec_id"), col("sub"),
-        slice(col("res"), col("sub") * PqSubDim + 1, lit(PqSubDim)).as("x"))
-      .localCheckpoint()
-    val cb0 = sl.filter(col("vec_id") < PqK)
+    // every stage is a [[graft.Caches.memo]] (r17): THREE declared rows
+    // consume this chain (sim_pq_train, sim_ivfpq_trained,
+    // sim_ivfpq_trained_recall) and each previously re-ran the full
+    // 2-round training — the r9 GD-eval lesson repeated (4 trainings per
+    // pass → 1). Builders are deterministic, frames are small (slices =
+    // corpus×PqM rows of 16 doubles at the declared scales; codebooks are
+    // PqM·PqK rows), and memo reuse is value-identical to recomputing.
+    // Bench prices the build as its own `pq_build` line item via
+    // [[prewarmPqTraining]], the lsh_build convention.
+    def sl = graft.Caches.memo(s, s"pq:train:sl:$dir") {
+      val raw = Tables.load(s, dir, "embeddings")
+      val subsE = explode(sequence(lit(0), lit(PqM - 1))).as("sub")
+      ivfResiduals(emb(s, dir), raw)
+        .select(col("vec_id"), subsE, col("res"))
+        .select(col("vec_id"), col("sub"),
+          slice(col("res"), col("sub") * PqSubDim + 1, lit(PqSubDim)).as("x"))
+    }
+    def cb0 = sl.filter(col("vec_id") < PqK)
       .select(col("vec_id").as("code"), col("sub"), col("x").as("cb"))
     def assign(cbN: DataFrame): DataFrame = sl
       .withColumn("x_sq", dotD(col("x"), col("x")))
@@ -1477,11 +1487,25 @@ object Similarity {
       cbPrev.join(means, Seq("sub", "code"), "left")
         .select(col("sub"), col("code"), coalesce(col("m"), col("cb")).as("cb"))
     }
-    val a1 = assign(cb0)
-    val cb1 = update(a1, cb0).localCheckpoint()
-    val a2 = assign(cb1).localCheckpoint()
-    (update(a2, cb1), a2)
+    val cb1 = graft.Caches.memo(s, s"pq:train:cb1:$dir")(update(assign(cb0), cb0))
+    val a2 = graft.Caches.memo(s, s"pq:train:a2:$dir")(assign(cb1))
+    val cb2 = graft.Caches.memo(s, s"pq:train:cb2:$dir")(update(a2, cb1))
+    (cb2, a2)
   }
+
+  /** The declared queries that force the [[pqTrainChain]] memos — the
+    * Bench `pq_build` attribution set, mirroring [[lshMemoConsumers]].
+    */
+  val pqMemoConsumers: Set[String] = Set("sim_pq_train", "sim_ivfpq_trained",
+    "sim_ivfpq_trained_recall")
+
+  /** Force the shared [[pqTrainChain]] memos for `dir` and return the
+    * trained book's row count — Bench's `pq_build` prewarm (the lsh_build
+    * convention: the multi-second training must not land invisibly on
+    * whichever consumer runs first alphabetically).
+    */
+  def prewarmPqTraining(s: SparkSession, dir: String): Long =
+    pqTrainChain(s, dir)._1.count()
 
   private def pqD2Sql(x: String, cb: String) =
     s"list_sum(list_transform(range(1, 17), i -> $x[i]*$x[i]))" +
