@@ -36,7 +36,8 @@ object Bench {
     // round 17: the rest of the r16 ANN family (r16 ADVICE symmetry) +
     // the round's new declared rows
     "sim_hamming_recall", "sim_pq_train", "sim_ivfpq_trained",
-    "sim_ivfpq_trained_recall", "dedup_semantic_stream_replay")
+    "sim_ivfpq_trained_recall", "dedup_semantic_stream_replay",
+    "sim_lsh_multiprobe", "sim_lsh_multiprobe_recall")
 
   /** Noise canary: a cheap, code-stable query whose implementation has not
     * changed since round 1. Its best-of-N time moves only with host

@@ -28,7 +28,8 @@ import org.apache.spark.sql.functions._
   * broadcast map stage + a bounded-state TopK, linear at any decade).
   */
 object LshScaleProbe {
-  private val ModeFlags = Set("only", "auto", "plan", "recall", "ivfpq", "hamming")
+  private val ModeFlags =
+    Set("only", "auto", "plan", "recall", "ivfpq", "hamming", "multiprobe")
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)
@@ -71,7 +72,8 @@ object LshScaleProbe {
         .explainString(org.apache.spark.sql.execution.FormattedMode))
       spark.stop(); return
     }
-    if (args.contains("recall") || args.contains("ivfpq") || args.contains("hamming")) {
+    if (args.contains("recall") || args.contains("ivfpq") ||
+        args.contains("hamming") || args.contains("multiprobe")) {
       import operators.Similarity.{dot, l2norm}
       functions.VectorKernels.register(spark)
       val n = e.count()
@@ -174,6 +176,11 @@ object LshScaleProbe {
         operators.Similarity.hammingTopK(Tables.spread(e), e,
           panel = Some(panel.select(col("q_id").as("vec_id"),
             col("q_emb").as("embedding"))), shortlist = shortlist)
+      else if (args.contains("multiprobe"))
+        // single-bit-flip probing over the SAME adaptive index — the
+        // organic-regime recall lever at (1 + abits)× query candidates
+        operators.Similarity.lshMultiProbeTopK(e,
+          panel = Some(panel.select(col("q_id").as("vec_id"))))
       else
         operators.Similarity.lshTopKAuto(e, 5)
           .join(broadcast(panel.select("q_id")), Seq("q_id"), "left_semi"))
@@ -203,6 +210,7 @@ object LshScaleProbe {
           s"ivfpq_recall shortlist=$shortlist" +
             trainedK.map(k => s" trained_pqK=$k").getOrElse("")
         else if (args.contains("hamming")) s"hamming_recall shortlist=$shortlist"
+        else if (args.contains("multiprobe")) "multiprobe_recall"
         else "recall"
       println(f"[lshprobe] $mode n=$n m=$m queries=$nq exact_pairs=$nExact " +
         f"hits=$hits recall_at5=${ratio(hits, nExact)}%.3f " +

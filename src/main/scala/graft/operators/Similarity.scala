@@ -778,6 +778,126 @@ object Similarity {
     rankBanded(banded, banded, k)
   }
 
+  /** MULTI-PROBE LSH top-k (Lv et al., VLDB 2007) — the organic-regime
+    * recall lever the r17 ladder measured the need for: exact-collision
+    * banding holds the candidate budget constant per decade, so in the
+    * organic regime (neighbors at cosine ≈ 0.5, not near-dup clones)
+    * recall decays with the chooser's growing bit budget (0.157 at 200 k,
+    * 0.082 at 2 M — SURVEY §6 r17, matching the banding closed form).
+    * Multi-probe recovers it THROUGH THE INDEX: each query probes, per
+    * band, its exact bucket plus every bucket at Hamming distance 1 in
+    * sign space (`bucket XOR 2^j`, j < abits) — the buckets a
+    * near-miss neighbor most likely landed in — multiplying the candidate
+    * budget by (1 + abits) at query time with NO index change, no extra
+    * bands, no corpus scan. Closed form at the 2 M organic decade: a
+    * 12-bit band's exact-collision P ≈ 0.011 gains ≈ 0.059 from the 12
+    * single-bit flips → OR-10 recall ≈ 0.5 vs 0.082 exact-only, at
+    * ~(1+12)× the per-band candidate volume (occupancy is the adaptive
+    * geometry's ~256 constant, so probes cost panel × bands × 13 × 256
+    * lookups — bucket equi-joins, never a scan).
+    *
+    * Query side only: the corpus index is [[lshBandedAuto]] unchanged
+    * (one build, both join sides). Candidates are a strict SUPERSET of
+    * the exact-collision path's (the exact bucket is probe 0), so recall
+    * is provably ≥ [[simLshRecall]]'s on the same panel — spec-pinned.
+    * Deterministic end-to-end (the probe set is pure bucket arithmetic),
+    * so the whole expansion replays in the oracle.
+    *
+    * `panel`: optional (vec_id, …) query frame (the probe harness's hash
+    * panel); default is the [[sampleModulus]] residue class the declared
+    * recall family measures on.
+    */
+  def lshMultiProbeTopK(e: DataFrame, k: Int = 5,
+                        panel: Option[DataFrame] = None): DataFrame = {
+    val banded = lshBandedAuto(e)
+    val qside = panel match {
+      case Some(p) =>
+        banded.join(broadcast(p.select(col("vec_id"))), Seq("vec_id"), "left_semi")
+      case None =>
+        banded.crossJoin(broadcast(sampleModulus(e)))
+          .filter(col("vec_id") % col("m") === 3).drop("m")
+    }
+    // per (query, band): 1 + abits probe buckets — the exact bucket and
+    // each single sign-bit flip; 2^j as an exact power-of-two double cast
+    // to long (the oracle's power(2, ·) convention, exact for j ≤ 16)
+    val probes = qside.crossJoin(broadcast(autoBits(e)))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("band"),
+        explode(concat(array(col("bucket")),
+          transform(sequence(lit(0), col("abits") - 1),
+            j => col("bucket").bitwiseXOR(pow(lit(2.0), j).cast("long")))))
+          .as("bucket"))
+    rankBanded(probes, banded, k)
+  }
+
+  /** [[lshMultiProbeTopK]]'s DuckDB replay: the adaptive-geometry CTEs
+    * with the query side expanded to its (1 + abits) probe buckets —
+    * f = 0 is the exact bucket, f = j probes `xor(bucket, 2^(j−1))`.
+    */
+  private def multiProbeOracleCtes: String =
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |   sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+       | FROM embeddings),
+       |$mmSql,
+       |$abitsSql,
+       |pl(plane, coef) AS (VALUES ${planeValuesSql(AutoBands * MaxAutoBits)}),
+       |bits AS (SELECT e.vec_id, pl.plane,
+       |    CASE WHEN list_sum(list_transform(range(1,65),
+       |           i -> CAST(e.embedding[i] AS DOUBLE) * coef[i])) >= 0
+       |         THEN CAST(power(2, plane % (SELECT abits FROM g)) AS BIGINT)
+       |         ELSE 0 END AS bit
+       |  FROM e CROSS JOIN pl WHERE pl.plane < $AutoBands * (SELECT abits FROM g)),
+       |bk AS (SELECT vec_id,
+       |       CAST(plane // (SELECT abits FROM g) AS INT) AS band,
+       |       CAST(sum(bit) AS BIGINT) AS bucket
+       |       FROM bits GROUP BY 1, 2),
+       |pq AS (SELECT vec_id, band,
+       |       CASE WHEN f = 0 THEN bucket
+       |            ELSE xor(bucket, CAST(power(2, f - 1) AS BIGINT)) END AS bucket
+       |       FROM bk, unnest(range(0, (SELECT abits FROM g) + 1)) AS t(f)
+       |       WHERE vec_id % (SELECT m FROM mm) = 3),
+       |cand AS (SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS n_id
+       |  FROM pq a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+       |                     AND a.vec_id != b.vec_id),
+       |sc AS (SELECT cand.q_id, cand.n_id,
+       |    list_sum(list_transform(range(1, 65),
+       |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)))
+       |      / (q.nrm * n.nrm) AS cos
+       |  FROM cand JOIN e q ON q.vec_id = cand.q_id
+       |            JOIN e n ON n.vec_id = cand.n_id),
+       |r AS (SELECT q_id, n_id, cos, CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY round(cos, 9) DESC, n_id) AS INT) AS rank
+       |  FROM sc)
+       |""".stripMargin
+
+  /** The multi-probe lists as a declared row (panel queries × full-corpus
+    * index, the [[simLshAnn]] pricing shape): top-5 per residue-panel
+    * query from the (1 + abits)-probe candidate set, whole expansion
+    * oracle-replayed.
+    */
+  private val simLshMultiprobe = Q(
+    "sim_lsh_multiprobe",
+    (s, dir) => lshMultiProbeTopK(emb(s, dir)).orderBy("q_id", "rank"),
+    Some(multiProbeOracleCtes +
+      """SELECT q_id, n_id, round(cos, 6) AS cosine, rank
+        |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin))
+
+  /** Recall@5 of the multi-probe path on the shared residue panel — the
+    * FIFTH rung of the declared recall family (LSH-exact / multi-probe /
+    * IVF / IVFPQ / Hamming, one panel, one metric): prices what
+    * single-bit probing buys back over exact collision at the same index.
+    * Provably ≥ sim_lsh_recall (candidate superset) — Round17Spec pins
+    * the dominance at both gate scales.
+    */
+  private val simLshMultiprobeRecall = Q(
+    "sim_lsh_multiprobe_recall",
+    (s, dir) => {
+      VectorKernels.register(s)
+      val e = emb(s, dir)
+      val got = lshMultiProbeTopK(e).select("q_id", "n_id")
+      panelRecallReadout(s, dir, got)
+    },
+    Some(multiProbeOracleCtes + recallTailSql))
+
   /** Exact all-pairs cosine >= `minCos` via a triangle-tiled self-join — the
     * distributed shape for exact pairwise similarity when the threshold sits
     * below LSH's useful regime.
@@ -4695,5 +4815,6 @@ object Similarity {
     simIvfRecall, mlGroupAuc, mlBrierCi, simRecallCurve, mlLearningCurve,
     dedupSemanticClustersScaled, simLshOccupancy, simIvfPqTopk,
     simHammingTopk, simIvfPqRecall, simPqTrain, simIvfPqTrained,
-    simHammingRecall, simIvfPqTrainedRecall, dedupSemanticStreamReplay)
+    simHammingRecall, simIvfPqTrainedRecall, dedupSemanticStreamReplay,
+    simLshMultiprobe, simLshMultiprobeRecall)
 }

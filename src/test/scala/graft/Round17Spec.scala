@@ -47,6 +47,17 @@ class Round17Spec extends SparkSuite {
     assert(recallOf("sim_ivfpq_trained_recall", "/root/testdata/sf0.01") >= 0.15)
   }
 
+  test("multi-probe recall dominates exact-collision recall at both gate scales") {
+    // the probe set CONTAINS the exact bucket (f = 0), so candidates are a
+    // strict superset and panel recall can only go up — a probing or
+    // bucket-arithmetic regression that loses the containment fails here
+    for (dir <- Seq(sfDir, "/root/testdata/sf0.01")) {
+      val mp = recallOf("sim_lsh_multiprobe_recall", dir)
+      val ex = recallOf("sim_lsh_recall", dir)
+      assert(mp >= ex, s"$dir: multiprobe $mp < exact-collision $ex")
+    }
+  }
+
   test("streaming micro-batch execution matches the declared batch replay") {
     val s = spark
     import s.implicits._
