@@ -122,6 +122,10 @@ object LshScaleProbe {
       // cluster keeps its previous centroid (the packed distance-table
       // index is positional).
       val trainedK = sys.env.get("SPARK_GRAFT_IVFPQ_TRAINED").map(_.toInt)
+      // SPARK_GRAFT_IVFPQ_NPROBE: probed coarse cells per query (default
+      // the operator's 3 of 8) — the cell-axis recall knob the organic
+      // ladder prices (probed fraction bounds any shortlist's recovery)
+      val nprobe = sys.env.get("SPARK_GRAFT_IVFPQ_NPROBE").map(_.toInt)
       val cbOverride = trainedK.map { pqK =>
         import functions.VectorKernels.ddot
         val sampleMod = math.max(1L, n / 20000L)
@@ -170,7 +174,8 @@ object LshScaleProbe {
         operators.Similarity.ivfPqTopK(Tables.spread(e), e,
           panel = Some(panel.select(col("q_id").as("vec_id"),
             col("q_emb").as("embedding"))), shortlist = shortlist,
-          codebook = cbOverride, pqK = trainedK.getOrElse(16))
+          codebook = cbOverride, pqK = trainedK.getOrElse(16),
+          nprobe = nprobe.getOrElse(3))
       else if (args.contains("hamming"))
         // the exhaustive-rank binary rung, same scaled shortlist rule
         operators.Similarity.hammingTopK(Tables.spread(e), e,
@@ -208,7 +213,8 @@ object LshScaleProbe {
       val mode =
         if (args.contains("ivfpq"))
           s"ivfpq_recall shortlist=$shortlist" +
-            trainedK.map(k => s" trained_pqK=$k").getOrElse("")
+            trainedK.map(k => s" trained_pqK=$k").getOrElse("") +
+            nprobe.map(n => s" nprobe=$n").getOrElse("")
         else if (args.contains("hamming")) s"hamming_recall shortlist=$shortlist"
         else if (args.contains("multiprobe")) "multiprobe_recall"
         else "recall"

@@ -1780,7 +1780,8 @@ object Similarity {
                 panel: Option[DataFrame] = None,
                 shortlist: Int = -1,
                 codebook: Option[DataFrame] = None,
-                pqK: Int = PqK): DataFrame = {
+                pqK: Int = PqK,
+                nprobe: Int = IvfNProbe): DataFrame = {
     val shortlistN = if (shortlist > 0) shortlist else 4 * k
     VectorKernels.register(e.sparkSession)
     import graft.functions.Deterministic.dsumFine
@@ -1839,7 +1840,11 @@ object Similarity {
       .withColumn("qc", dot(col("q_emb"), col("c_emb")))
       .withColumn("cos_c", col("qc") / (col("q_nrm") * col("c_nrm")))
       .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= IvfNProbe)
+      // `nprobe` is the organic-recall knob on the cell axis (the probed
+      // fraction bounds what ANY shortlist can recover — measured in the
+      // r17 organic ladder); the declared rows keep the oracle-pinned
+      // IvfNProbe default
+      .filter(col("rn") <= nprobe)
       .select(col("q_id"), col("q_nrm"), col("cent_id"), col("qc")))
     // per-query residual distance table, packed to ONE 64-double array per
     // query ordered by sub·PqK + code (dense: dt is qv × the full
