@@ -183,9 +183,13 @@ object LshScaleProbe {
             col("q_emb").as("embedding"))), shortlist = shortlist)
       else if (args.contains("multiprobe"))
         // single-bit-flip probing over the SAME adaptive index — the
-        // organic-regime recall lever at (1 + abits)× query candidates
+        // organic-regime recall lever at (1 + abits)× query candidates;
+        // SPARK_GRAFT_MULTIPROBE_FLIPS=0 measures the exact-collision
+        // baseline through the identical broadcast-panel plan
         operators.Similarity.lshMultiProbeTopK(e,
-          panel = Some(panel.select(col("q_id").as("vec_id"))))
+          panel = Some(panel.select(col("q_id").as("vec_id"))),
+          maxFlips = sys.env.get("SPARK_GRAFT_MULTIPROBE_FLIPS")
+            .map(_.toInt).getOrElse(Int.MaxValue))
       else
         operators.Similarity.lshTopKAuto(e, 5)
           .join(broadcast(panel.select("q_id")), Seq("q_id"), "left_semi"))

@@ -805,10 +805,21 @@ object Similarity {
     *
     * `panel`: optional (vec_id, …) query frame (the probe harness's hash
     * panel); default is the [[sampleModulus]] residue class the declared
-    * recall family measures on.
+    * recall family measures on. `maxFlips` caps the per-band flip count
+    * (0 = exact-collision only — the single-probe baseline through the
+    * same plan, so the two rungs are measurable decade-for-decade on one
+    * code path).
+    *
+    * Scale shape: the query side is ALWAYS panel-sized here, so it is
+    * BROADCAST into the candidate join — the 20 M-decade probe of the
+    * hash-partitioned form sorted the corpus-side band rows (embeddings
+    * included, ~70 GB of sort spill) to death; with the panel broadcast
+    * the corpus side never exchanges at all: scan → broadcast-hash join →
+    * partial TopK, the 100 TB shape for panel × corpus candidate joins.
     */
   def lshMultiProbeTopK(e: DataFrame, k: Int = 5,
-                        panel: Option[DataFrame] = None): DataFrame = {
+                        panel: Option[DataFrame] = None,
+                        maxFlips: Int = Int.MaxValue): DataFrame = {
     val banded = lshBandedAuto(e)
     val qside = panel match {
       case Some(p) =>
@@ -817,16 +828,22 @@ object Similarity {
         banded.crossJoin(broadcast(sampleModulus(e)))
           .filter(col("vec_id") % col("m") === 3).drop("m")
     }
-    // per (query, band): 1 + abits probe buckets — the exact bucket and
-    // each single sign-bit flip; 2^j as an exact power-of-two double cast
-    // to long (the oracle's power(2, ·) convention, exact for j ≤ 16)
+    // per (query, band): 1 + min(abits, maxFlips) probe buckets — the
+    // exact bucket and each single sign-bit flip; 2^j as an exact
+    // power-of-two double cast to long (the oracle's power(2, ·)
+    // convention, exact for j ≤ 16). Guarded concat: sequence(0, n−1)
+    // DESCENDS for n ≤ 0 (Spark semantics), so the zero-flip case must
+    // short-circuit to the bare bucket.
+    val nf = least(col("abits"), lit(maxFlips))
     val probes = qside.crossJoin(broadcast(autoBits(e)))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("band"),
-        explode(concat(array(col("bucket")),
-          transform(sequence(lit(0), col("abits") - 1),
-            j => col("bucket").bitwiseXOR(pow(lit(2.0), j).cast("long")))))
+        explode(when(nf > 0,
+          concat(array(col("bucket")),
+            transform(sequence(lit(0), nf - 1),
+              j => col("bucket").bitwiseXOR(pow(lit(2.0), j).cast("long")))))
+          .otherwise(array(col("bucket"))))
           .as("bucket"))
-    rankBanded(probes, banded, k)
+    rankBanded(broadcast(probes), banded, k)
   }
 
   /** [[lshMultiProbeTopK]]'s DuckDB replay: the adaptive-geometry CTEs
