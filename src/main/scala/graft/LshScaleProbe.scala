@@ -175,7 +175,7 @@ object LshScaleProbe {
           panel = Some(panel.select(col("q_id").as("vec_id"),
             col("q_emb").as("embedding"))), shortlist = shortlist,
           codebook = cbOverride, pqK = trainedK.getOrElse(16),
-          nprobe = nprobe.getOrElse(3))
+          nprobe = nprobe.getOrElse(operators.Similarity.IvfNProbe))
       else if (args.contains("hamming"))
         // the exhaustive-rank binary rung, same scaled shortlist rule
         operators.Similarity.hammingTopK(Tables.spread(e), e,

@@ -1038,7 +1038,11 @@ object Similarity {
            |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin))
 
   private val IvfK = 8       // coarse cells
-  private val IvfNProbe = 3  // cells scanned per query
+  // cells scanned per query; private[graft] so the dev probe's nprobe
+  // fallback reads THIS constant instead of duplicating the literal (a
+  // drifted duplicate would silently price a different operator than the
+  // declared rows run — r17 ADVICE)
+  private[graft] val IvfNProbe = 3
 
   /** `e`: spread full vector set; `raw`: unspread scan for the pushed-down
     * centroid/query reads.
@@ -2070,13 +2074,29 @@ object Similarity {
     */
   private[graft] val SemReplayTtlMs = 600000L
 
+  /** Re-arrival id offset: 2⁶² sits provably ABOVE every id this engine
+    * can mint — source vec_ids are table row numbers and [[graft.ScaleUp]]
+    * replicas live at rep·2⁴⁰ + id < 2⁶² for any feasible rep — so a
+    * shifted id can never alias a real vec_id (the r17-ADVICE hazard: at
+    * the old +1 000 000 offset a ≥1 M-row corpus would collide, producing
+    * duplicate vec_id rows, a non-total ORDER BY and wrong dup_of edges).
+    * The plan still guards the assumption loudly rather than trusting it.
+    */
+  private[graft] val SemReplayIdOffset = 1L << 62
+
   private[graft] def semReplayArrivals(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
     def baseMs = lit(3600000L) + pmod(col("vec_id"), lit(64L)) * lit(7000L)
     val base = e.select(col("vec_id"),
       timestamp_millis(baseMs).as("ts"), col("embedding"))
-    val re = e.select((col("vec_id") + 1000000L).as("vec_id"),
+    // in-plan id-space guard (the ScaleUp raise_error convention): any
+    // corpus whose ids escape [0, 2⁶²) fails the build instead of
+    // silently aliasing re-arrivals onto real vectors
+    val guarded = when(col("vec_id") >= 0 && col("vec_id") < SemReplayIdOffset,
+      col("vec_id")).otherwise(raise_error(concat(
+        lit("[sem_replay] vec_id outside [0, 2^62): "), col("vec_id").cast("string"))))
+    val re = e.select((guarded + SemReplayIdOffset).as("vec_id"),
       timestamp_millis(baseMs +
         when(pmod(col("vec_id"), lit(2L)) === 0, lit(SemReplayTtlMs / 2))
           .otherwise(lit(SemReplayTtlMs * 2))).as("ts"),
@@ -2107,7 +2127,7 @@ object Similarity {
          |  SELECT vec_id, 3600000 + (vec_id % 64) * 7000 AS ms, embedding
          |  FROM embeddings
          |  UNION ALL
-         |  SELECT vec_id + 1000000,
+         |  SELECT vec_id + ${SemReplayIdOffset},
          |         3600000 + (vec_id % 64) * 7000
          |           + CASE WHEN vec_id % 2 = 0 THEN ${SemReplayTtlMs / 2}
          |             ELSE ${SemReplayTtlMs * 2} END,

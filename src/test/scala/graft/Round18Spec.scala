@@ -1,0 +1,108 @@
+package graft
+
+import operators.Similarity
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+
+/** Round-18 pins, all closing r17-verdict items:
+  *  1. the multi-probe candidate join's BROADCAST-PANEL shape — the 20 M
+  *     decade survives only because the corpus side never exchanges
+  *     (hash-partitioning it spilled ~70 GB of sort runs); an AQE or
+  *     threshold change reverting it must fail loudly, mirroring
+  *     Round16Spec's IVF hint pins (verdict item 1);
+  *  2. an ABSOLUTE recall floor for the multi-probe row — Round17Spec
+  *     pins dominance (mp ≥ exact-collision) but a correlated regression
+  *     could sink both; the level pin closes that hole (item 3);
+  *  3. [[Similarity.pqMemoConsumers]] membership pinned to actual memo
+  *     access — the hand-maintained set mirrors lshMemoConsumers, whose
+  *     spec guard caught exactly the silent-reattribution failure mode
+  *     this set is still exposed to (r17 ADVICE).
+  */
+class Round18Spec extends SparkSuite {
+
+  private val Sf001 = "/root/testdata/sf0.01"
+
+  /** Flatten a physical plan across AQE boundaries (adaptive root, query
+    * stages, reused stages) so structural assertions see the real tree.
+    */
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    p +: kids.flatMap(flatten)
+  }
+
+  test("multi-probe candidate join broadcasts the panel — corpus side never exchanges") {
+    for (dir <- Seq(sfDir, Sf001)) {
+      val df = SparkEntry.queries("sim_lsh_multiprobe")(spark, dir)
+      df.collect()
+      val nodes = flatten(df.queryExecution.executedPlan)
+      // the candidate join is the one keyed on (band, bucket); the panel
+      // semi-join (keyed on vec_id) and scalar broadcasts don't match
+      val cand = nodes.collect {
+        case b: BroadcastHashJoinExec
+            if b.leftKeys.exists(_.toString.contains("band")) => b
+      }
+      assert(cand.nonEmpty,
+        s"$dir: no (band,bucket)-keyed BroadcastHashJoin — the candidate " +
+          s"join degraded off the broadcast-panel shape\n" +
+          df.queryExecution.executedPlan.toString.take(3000))
+      cand.foreach { b =>
+        assert(b.buildSide == org.apache.spark.sql.catalyst.optimizer.BuildLeft,
+          s"$dir: candidate join builds on the CORPUS side — the probe " +
+            "expansion must be the broadcast side")
+        // the streamed (corpus) subtree must be exchange-free: scan →
+        // explode → join, the shape whose hash-partitioned alternative
+        // spilled ~70 GB at the 20 M decade
+        val shuffles = flatten(b.right).filter {
+          case _: ShuffleExchangeLike => true
+          case p => p.getClass.getSimpleName.contains("Shuffle")
+        }
+        assert(shuffles.isEmpty,
+          s"$dir: corpus side of the multi-probe candidate join exchanges: " +
+            shuffles.map(_.getClass.getSimpleName).mkString(","))
+      }
+      Caches.release(spark); spark.catalog.clearCache()
+    }
+  }
+
+  private def recallOf(name: String, dir: String): Double = {
+    val r = SparkEntry.queries(name)(spark, dir).collect().head
+    Caches.release(spark); spark.catalog.clearCache()
+    assert(r.getAs[Long]("n_exact_pairs") > 0, s"$name: empty exact panel")
+    r.getAs[Double]("recall_at5")
+  }
+
+  test("multi-probe recall@5 holds an absolute floor at both gate scales") {
+    // measured 0.994 / 0.997 at sf0.001 / sf0.01 (r17 verify dumps);
+    // deterministic (literal planes, fixed data), so 0.9 only trips on a
+    // real probing regression — the dominance pin alone would let a
+    // correlated exact+multiprobe collapse slip through
+    assert(recallOf("sim_lsh_multiprobe_recall", sfDir) >= 0.9)
+    assert(recallOf("sim_lsh_multiprobe_recall", Sf001) >= 0.9)
+  }
+
+  test("pqMemoConsumers matches the queries that actually force the training memos") {
+    def forcesPq(name: String): Boolean = {
+      Caches.dropMemos(spark)
+      SparkEntry.queries(name)(spark, sfDir).count()
+      val hit = Caches.memoKeys(spark).exists(_.startsWith("pq:train:"))
+      Caches.release(spark); spark.catalog.clearCache()
+      hit
+    }
+    Similarity.pqMemoConsumers.foreach(n =>
+      assert(forcesPq(n), s"$n is listed in pqMemoConsumers but did not touch the memo"))
+    // PQ-adjacent rows on the SEED codebook must not be charged pq_build —
+    // a new trained-book consumer missing from the set reattributes the
+    // multi-second Lloyd chain onto its own bench row (the r15 lsh lesson)
+    Seq("sim_pq_topk", "sim_ivfpq_topk", "sim_ivfpq_recall")
+      .foreach(n => assert(!forcesPq(n),
+        s"$n forced the pq training memos but is not in pqMemoConsumers — " +
+          "add it or Bench mis-attributes pq_build"))
+    Caches.dropMemos(spark)
+  }
+}
