@@ -185,11 +185,16 @@ object LshScaleProbe {
         // single-bit-flip probing over the SAME adaptive index — the
         // organic-regime recall lever at (1 + abits)× query candidates;
         // SPARK_GRAFT_MULTIPROBE_FLIPS=0 measures the exact-collision
-        // baseline through the identical broadcast-panel plan
+        // baseline through the identical broadcast-panel plan, and
+        // SPARK_GRAFT_MULTIPROBE_PAIRBITS=T adds the query-directed
+        // radius-2 pair probes over the T lowest-margin bits (the r18
+        // organic ladder's axis; 0 = radius-1 only)
         operators.Similarity.lshMultiProbeTopK(e,
           panel = Some(panel.select(col("q_id").as("vec_id"))),
           maxFlips = sys.env.get("SPARK_GRAFT_MULTIPROBE_FLIPS")
-            .map(_.toInt).getOrElse(Int.MaxValue))
+            .map(_.toInt).getOrElse(Int.MaxValue),
+          pairBits = sys.env.get("SPARK_GRAFT_MULTIPROBE_PAIRBITS")
+            .map(_.toInt).getOrElse(0))
       else
         operators.Similarity.lshTopKAuto(e, 5)
           .join(broadcast(panel.select("q_id")), Seq("q_id"), "left_semi"))

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
@@ -325,6 +325,127 @@ case class LshAutoBuckets(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** One band's LSH bits ordered by |hyperplane dot| ASCENDING — the
+  * query-directed multi-probe order (Lv et al., VLDB 2007 §4): a sign bit
+  * whose dot sits near the hyperplane is the one a true neighbor most
+  * likely landed on the other side of, so probe sequences should flip
+  * LOW-MARGIN bits first. Children: (embedding array<float>, abits long —
+  * the in-plan chooser scalar, band int — the exploded band id);
+  * `bands`/`maxBits` are plan constants sizing the shared seed-42 sign
+  * table ([[LshPlanes]] — same table, same (band·abits + j) stride as
+  * [[LshAutoBuckets]], so position j here IS bucket bit j there).
+  *
+  * Determinism contract: each plane dot is the identical sequential
+  * float→double multiply-accumulate as [[LshAutoBuckets]], the order key
+  * is (|dot| asc, bit asc) — total, so the output permutation replays
+  * exactly in the oracle's ROW_NUMBER OVER (ORDER BY abs(d), bit).
+  *
+  * Same kernel-vs-expression rationale as [[LshAutoBuckets]]: a per-plane
+  * expression form would re-blow the generated projection past the JIT
+  * huge-method limit; this loop nest is constant-bytecode at any
+  * geometry. Per-row cost: abits × 64 MACs + an ≤16-element insertion
+  * sort — and it only ever runs on PANEL rows (the probe expansion is
+  * query-side), never the corpus.
+  */
+case class LshAutoFlipOrder(first: Expression, second: Expression,
+                            third: Expression, bands: Int, maxBits: Int)
+    extends TernaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "lsh_afliporder"
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val emb = VecTypeCheck.arrayOf(FloatType, prettyName, "emb" -> first.dataType)
+    if (emb != TypeCheckResult.TypeCheckSuccess) emb
+    else if (second.dataType != org.apache.spark.sql.types.LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects abits: bigint, got ${second.dataType.catalogString}")
+    else if (third.dataType != org.apache.spark.sql.types.IntegerType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects band: int, got ${third.dataType.catalogString}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  private lazy val signs: Array[Byte] = LshPlanes.signsFor(bands * maxBits)
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val ab = math.min(b.asInstanceOf[Long].toInt, maxBits)
+    val band = c.asInstanceOf[Int]
+    if (x.numElements() != 64)
+      throw new IllegalArgumentException(
+        s"lsh_afliporder expects 64-dim embeddings, got ${x.numElements()}")
+    val m = new Array[Double](ab)
+    var j = 0
+    while (j < ab) {
+      val off = (band * ab + j) << 6
+      var acc = 0.0
+      var i = 0
+      while (i < 64) { acc += x.getFloat(i).toDouble * signs(off + i).toDouble; i += 1 }
+      m(j) = math.abs(acc)
+      j += 1
+    }
+    val idx = Array.tabulate(ab)(identity)
+    // insertion sort on (margin asc, bit asc) — bit asc is free: equal
+    // margins keep the ascending-index initial order (stable insert)
+    var p = 1
+    while (p < ab) {
+      val v = idx(p); val mv = m(v)
+      var q = p - 1
+      while (q >= 0 && m(idx(q)) > mv) { idx(q + 1) = idx(q); q -= 1 }
+      idx(q + 1) = v
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(idx)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) => {
+      val s = ctx.addReferenceObj("lshSigns", signs, "byte[]")
+      val ab = ctx.freshName("ab")
+      val m = ctx.freshName("m")
+      val idx = ctx.freshName("idx")
+      val j = ctx.freshName("j")
+      val off = ctx.freshName("off")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val p = ctx.freshName("p")
+      val q = ctx.freshName("q")
+      val v = ctx.freshName("v")
+      val mv = ctx.freshName("mv")
+      s"""
+         |int $ab = (int) java.lang.Math.min($b, (long) $maxBits);
+         |if ($a.numElements() != 64) {
+         |  throw new IllegalArgumentException(
+         |    "lsh_afliporder expects 64-dim embeddings, got " + $a.numElements());
+         |}
+         |double[] $m = new double[$ab];
+         |for (int $j = 0; $j < $ab; $j++) {
+         |  int $off = ($c * $ab + $j) << 6;
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < 64; $i++) {
+         |    $acc += (double) $a.getFloat($i) * (double) $s[$off + $i];
+         |  }
+         |  $m[$j] = java.lang.Math.abs($acc);
+         |}
+         |int[] $idx = new int[$ab];
+         |for (int $j = 0; $j < $ab; $j++) $idx[$j] = $j;
+         |for (int $p = 1; $p < $ab; $p++) {
+         |  int $v = $idx[$p];
+         |  double $mv = $m[$v];
+         |  int $q = $p - 1;
+         |  while ($q >= 0 && $m[$idx[$q]] > $mv) { $idx[$q + 1] = $idx[$q]; $q--; }
+         |  $idx[$q + 1] = $v;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($idx);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** Session registration + Column-level API for the kernels. */
 object VectorKernels {
 
@@ -347,6 +468,10 @@ object VectorKernels {
       exprs => LshAutoBuckets(exprs(0), exprs(1),
         exprs(2).eval(null).asInstanceOf[Int],
         exprs(3).eval(null).asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("lsh_afliporder",
+      exprs => LshAutoFlipOrder(exprs(0), exprs(1), exprs(2),
+        exprs(3).eval(null).asInstanceOf[Int],
+        exprs(4).eval(null).asInstanceOf[Int]), "built-in")
   }
 
   def fdot(a: Column, b: Column): Column = call_function("fvec_dot", a, b)
@@ -355,6 +480,11 @@ object VectorKernels {
   def ddot(a: Column, b: Column): Column = call_function("dvec_dot", a, b)
   def abuckets(emb: Column, abits: Column, bands: Int, maxBits: Int): Column =
     call_function("lsh_abuckets", emb, abits,
+      org.apache.spark.sql.functions.lit(bands),
+      org.apache.spark.sql.functions.lit(maxBits))
+  def afliporder(emb: Column, abits: Column, band: Column,
+                 bands: Int, maxBits: Int): Column =
+    call_function("lsh_afliporder", emb, abits, band,
       org.apache.spark.sql.functions.lit(bands),
       org.apache.spark.sql.functions.lit(maxBits))
 }

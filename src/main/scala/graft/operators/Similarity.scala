@@ -819,7 +819,8 @@ object Similarity {
     */
   def lshMultiProbeTopK(e: DataFrame, k: Int = 5,
                         panel: Option[DataFrame] = None,
-                        maxFlips: Int = Int.MaxValue): DataFrame = {
+                        maxFlips: Int = Int.MaxValue,
+                        pairBits: Int = 0): DataFrame = {
     val banded = lshBandedAuto(e)
     val qside = panel match {
       case Some(p) =>
@@ -835,14 +836,37 @@ object Similarity {
     // DESCENDS for n ≤ 0 (Spark semantics), so the zero-flip case must
     // short-circuit to the bare bucket.
     val nf = least(col("abits"), lit(maxFlips))
-    val probes = qside.crossJoin(broadcast(autoBits(e)))
+    val singles = when(nf > 0,
+      concat(array(col("bucket")),
+        transform(sequence(lit(0), nf - 1),
+          j => col("bucket").bitwiseXOR(pow(lit(2.0), j).cast("long")))))
+      .otherwise(array(col("bucket")))
+    val base = qside.crossJoin(broadcast(autoBits(e)))
+    // `pairBits` = T > 0 adds QUERY-DIRECTED radius-2 probes (Lv et al.
+    // §4): all C(min(T, abits), 2) two-bit flips among the T LOWEST-MARGIN
+    // bits of each band — the [[graft.functions.LshAutoFlipOrder]] order.
+    // Radius-2 is where the organic-regime mass sits (at neighbor cosine
+    // ≈ 0.5 the per-bit flip probability is arccos(.5)/π = 1/3, so a
+    // 12-bit band has P(d=2) ≈ 0.127 vs P(d=1) ≈ 0.046 and P(d=0) ≈
+    // 0.008), and margin-directed pair selection captures most of it at
+    // C(T,2) instead of C(abits,2) probes. pairBits = 0 is byte-identical
+    // to the radius-1 plan (the declared radius-1 rows' pin).
+    val probeArr = if (pairBits <= 0) singles else {
+      val t = least(lit(pairBits.toLong), col("abits"))
+      def flipAt(pos: Column): Column =
+        pow(lit(2.0), element_at(col("fo"), (pos + 1).cast("int"))).cast("long")
+      val pairs = flatten(transform(sequence(lit(0L), t - 2),
+        a => transform(sequence(a + 1, t - 1),
+          b => col("bucket").bitwiseXOR(flipAt(a)).bitwiseXOR(flipAt(b)))))
+      // sequence() descends for t < 2 — same guard discipline as `singles`
+      concat(singles, when(t >= 2, pairs).otherwise(array().cast("array<bigint>")))
+    }
+    val expanded = (if (pairBits <= 0) base else
+      base.withColumn("fo", VectorKernels.afliporder(
+        col("embedding"), col("abits"), col("band"), AutoBands, MaxAutoBits)))
+    val probes = expanded
       .select(col("vec_id"), col("embedding"), col("nrm"), col("band"),
-        explode(when(nf > 0,
-          concat(array(col("bucket")),
-            transform(sequence(lit(0), nf - 1),
-              j => col("bucket").bitwiseXOR(pow(lit(2.0), j).cast("long")))))
-          .otherwise(array(col("bucket"))))
-          .as("bucket"))
+        explode(probeArr).as("bucket"))
     rankBanded(broadcast(probes), banded, k)
   }
 
@@ -914,6 +938,103 @@ object Similarity {
       panelRecallReadout(s, dir, got)
     },
     Some(multiProbeOracleCtes + recallTailSql))
+
+  /** Declared radius-2 probe width T: pairs are drawn from the T
+    * lowest-margin bits per band, C(T,2) = 15 extra probes at full width
+    * (6 at the gate scales' 4-bit geometry). 6 balances the measured
+    * organic-recall gain (most of the radius-2 mass concentrates in the
+    * lowest-margin third of the bits — Lv et al. §4's point) against
+    * candidate growth; [[lshMultiProbeTopK]]'s `pairBits` socket prices
+    * other widths in the SURVEY §6 ladder.
+    */
+  private[graft] val MultiProbePairBits = 6
+
+  /** [[lshMultiProbeTopK]]-with-pairs replayed in DuckDB: the adaptive
+    * CTEs keeping each plane's raw dot `d`, so the per-band flip order is
+    * ROW_NUMBER OVER (ORDER BY abs(d), bit) — exactly
+    * [[graft.functions.LshAutoFlipOrder]]'s (|dot| asc, bit asc) key
+    * (the dot is the same exact-product left-to-right double sum in both
+    * engines, so the permutation replays bit-for-bit). pq1 is the
+    * radius-≤1 probe set, pq2 the margin-directed pairs; candidates are
+    * the DISTINCT union, so probe ORDER never matters, only the set.
+    */
+  private def multiProbe2OracleCtes(t: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |   sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+       | FROM embeddings),
+       |$mmSql,
+       |$abitsSql,
+       |pl(plane, coef) AS (VALUES ${planeValuesSql(AutoBands * MaxAutoBits)}),
+       |dts AS (SELECT e.vec_id, pl.plane,
+       |    list_sum(list_transform(range(1,65),
+       |      i -> CAST(e.embedding[i] AS DOUBLE) * coef[i])) AS d
+       |  FROM e CROSS JOIN pl WHERE pl.plane < $AutoBands * (SELECT abits FROM g)),
+       |bk AS (SELECT vec_id,
+       |       CAST(plane // (SELECT abits FROM g) AS INT) AS band,
+       |       CAST(sum(CASE WHEN d >= 0
+       |         THEN CAST(power(2, plane % (SELECT abits FROM g)) AS BIGINT)
+       |         ELSE 0 END) AS BIGINT) AS bucket
+       |       FROM dts GROUP BY 1, 2),
+       |fo AS (SELECT vec_id,
+       |       CAST(plane // (SELECT abits FROM g) AS INT) AS band,
+       |       CAST(plane % (SELECT abits FROM g) AS INT) AS bit,
+       |       CAST(ROW_NUMBER() OVER (
+       |         PARTITION BY vec_id, plane // (SELECT abits FROM g)
+       |         ORDER BY abs(d), plane % (SELECT abits FROM g)) AS INT) AS mr
+       |  FROM dts WHERE vec_id % (SELECT m FROM mm) = 3),
+       |pq1 AS (SELECT vec_id, band,
+       |       CASE WHEN f = 0 THEN bucket
+       |            ELSE xor(bucket, CAST(power(2, f - 1) AS BIGINT)) END AS bucket
+       |       FROM bk, unnest(range(0, (SELECT abits FROM g) + 1)) AS u(f)
+       |       WHERE vec_id % (SELECT m FROM mm) = 3),
+       |pq2 AS (SELECT a.vec_id, a.band,
+       |       xor(xor(k.bucket, CAST(power(2, a.bit) AS BIGINT)),
+       |           CAST(power(2, b.bit) AS BIGINT)) AS bucket
+       |  FROM fo a JOIN fo b ON a.vec_id = b.vec_id AND a.band = b.band
+       |                     AND a.mr < b.mr
+       |  JOIN bk k ON k.vec_id = a.vec_id AND k.band = a.band
+       |  WHERE b.mr <= least($t, (SELECT abits FROM g))),
+       |pq AS (SELECT * FROM pq1 UNION ALL SELECT * FROM pq2),
+       |cand AS (SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS n_id
+       |  FROM pq a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+       |                     AND a.vec_id != b.vec_id),
+       |sc AS (SELECT cand.q_id, cand.n_id,
+       |    list_sum(list_transform(range(1, 65),
+       |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)))
+       |      / (q.nrm * n.nrm) AS cos
+       |  FROM cand JOIN e q ON q.vec_id = cand.q_id
+       |            JOIN e n ON n.vec_id = cand.n_id),
+       |r AS (SELECT q_id, n_id, cos, CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY round(cos, 9) DESC, n_id) AS INT) AS rank
+       |  FROM sc)
+       |""".stripMargin
+
+  /** The query-directed radius-2 lists as a declared row — the r17
+    * verdict's named organic-recall lever (item 2) as a first-class,
+    * oracle-replayed operator, not just a probe mode.
+    */
+  private val simLshMultiprobe2 = Q(
+    "sim_lsh_multiprobe2",
+    (s, dir) => lshMultiProbeTopK(emb(s, dir), pairBits = MultiProbePairBits)
+      .orderBy("q_id", "rank"),
+    Some(multiProbe2OracleCtes(MultiProbePairBits) +
+      """SELECT q_id, n_id, round(cos, 6) AS cosine, rank
+        |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin))
+
+  /** Recall@5 of the radius-2 path on the shared residue panel — the
+    * SIXTH rung of the declared recall family; prices what margin-directed
+    * pair probing buys back over radius-1 at the same index.
+    */
+  private val simLshMultiprobe2Recall = Q(
+    "sim_lsh_multiprobe2_recall",
+    (s, dir) => {
+      VectorKernels.register(s)
+      val e = emb(s, dir)
+      val got = lshMultiProbeTopK(e, pairBits = MultiProbePairBits)
+        .select("q_id", "n_id")
+      panelRecallReadout(s, dir, got)
+    },
+    Some(multiProbe2OracleCtes(MultiProbePairBits) + recallTailSql))
 
   /** Exact all-pairs cosine >= `minCos` via a triangle-tiled self-join — the
     * distributed shape for exact pairwise similarity when the threshold sits
@@ -4858,5 +4979,6 @@ object Similarity {
     dedupSemanticClustersScaled, simLshOccupancy, simIvfPqTopk,
     simHammingTopk, simIvfPqRecall, simPqTrain, simIvfPqTrained,
     simHammingRecall, simIvfPqTrainedRecall, dedupSemanticStreamReplay,
-    simLshMultiprobe, simLshMultiprobeRecall)
+    simLshMultiprobe, simLshMultiprobeRecall, simLshMultiprobe2,
+    simLshMultiprobe2Recall)
 }

@@ -37,8 +37,9 @@ class Round18Spec extends SparkSuite {
   }
 
   test("multi-probe candidate join broadcasts the panel — corpus side never exchanges") {
-    for (dir <- Seq(sfDir, Sf001)) {
-      val df = SparkEntry.queries("sim_lsh_multiprobe")(spark, dir)
+    for (dir <- Seq(sfDir, Sf001);
+         row <- Seq("sim_lsh_multiprobe", "sim_lsh_multiprobe2")) {
+      val df = SparkEntry.queries(row)(spark, dir)
       df.collect()
       val nodes = flatten(df.queryExecution.executedPlan)
       // the candidate join is the one keyed on (band, bucket); the panel
@@ -84,6 +85,19 @@ class Round18Spec extends SparkSuite {
     // correlated exact+multiprobe collapse slip through
     assert(recallOf("sim_lsh_multiprobe_recall", sfDir) >= 0.9)
     assert(recallOf("sim_lsh_multiprobe_recall", Sf001) >= 0.9)
+  }
+
+  test("radius-2 probing dominates radius-1 at both gate scales") {
+    // pq2's pair probes ADD to pq1's radius-≤1 set, so candidates are a
+    // strict superset and panel recall can only go up — a flip-order or
+    // pair-arithmetic regression that loses the containment fails here
+    // (the Round17Spec dominance pin, one rung up the ladder)
+    for (dir <- Seq(sfDir, Sf001)) {
+      val r2 = recallOf("sim_lsh_multiprobe2_recall", dir)
+      val r1 = recallOf("sim_lsh_multiprobe_recall", dir)
+      assert(r2 >= r1, s"$dir: radius-2 $r2 < radius-1 $r1")
+      assert(r2 >= 0.9, s"$dir: radius-2 recall $r2 under the family floor")
+    }
   }
 
   test("pqMemoConsumers matches the queries that actually force the training memos") {
