@@ -175,7 +175,10 @@ object LshScaleProbe {
           panel = Some(panel.select(col("q_id").as("vec_id"),
             col("q_emb").as("embedding"))), shortlist = shortlist,
           codebook = cbOverride, pqK = trainedK.getOrElse(16),
-          nprobe = nprobe.getOrElse(operators.Similarity.IvfNProbe))
+          nprobe = nprobe.getOrElse(operators.Similarity.IvfNProbe),
+          // SPARK_GRAFT_PQ_ENCODE=join prices the r17 dataflow encode
+          // against the fused kernel (the r18 before/after A-B)
+          encodeKernel = !sys.env.get("SPARK_GRAFT_PQ_ENCODE").contains("join"))
       else if (args.contains("hamming"))
         // the exhaustive-rank binary rung, same scaled shortlist rule
         operators.Similarity.hammingTopK(Tables.spread(e), e,

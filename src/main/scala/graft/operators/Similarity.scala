@@ -1707,7 +1707,7 @@ object Similarity {
     * final assignment (vec_id, sub, x, code, d2)). Deterministic — see
     * [[simPqTrain]]'s scaladoc for the exact conventions.
     */
-  private def pqTrainChain(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[graft] def pqTrainChain(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     VectorKernels.register(s)
     import graft.functions.Deterministic.dsumFine
     // every stage is a [[graft.Caches.memo]] (r17): THREE declared rows
@@ -1876,6 +1876,66 @@ object Similarity {
       """SELECT q_id, n_id, round(cos, 6) AS cosine, rank
         |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin))
 
+  /** The PQ ENCODE stage as a frame: (n_id, cent_id, sub, code) — every
+    * corpus vector's [[PqM]] residual codes against the broadcast-frame
+    * codebook `cb` ((sub, code, cb_sub, cb_sq), codes dense in [0, pqK)).
+    *
+    * `encodeKernel = true` (production): the codebook is collected to a
+    * plan-constant array and ALL codes compute in one
+    * [[graft.functions.PqEncodeCodes]] call per vector — the r18 answer
+    * to the r17-named 20 M knob (the dataflow form's N·PqM·pqK joined
+    * rows + N·PqM-group argmin aggregate were the trained-256 build's
+    * dominant cost). `false` keeps the r17 dataflow shape — the A/B rung
+    * [[graft.PqEncodeProbe]] prices; both paths are value-identical
+    * (same d2 arithmetic order, same round-9 + smallest-code tie), pinned
+    * by PqEncodeSpec and every ivfpq oracle row.
+    */
+  private[graft] def pqCodesFrame(e: DataFrame, raw: DataFrame, cb: DataFrame,
+                                  pqK: Int, encodeKernel: Boolean): DataFrame = {
+    import graft.functions.VectorKernels.ddot
+    def residual(v: DataFrame): DataFrame = ivfResiduals(v, raw)
+    val subs = explode(sequence(lit(0), lit(PqM - 1))).as("sub")
+    def subSlice(a: Column) = slice(a, col("sub") * PqSubDim + 1, lit(PqSubDim))
+    if (encodeKernel) {
+      val cbRows = cb.select(col("sub"), col("code"), col("cb_sub"), col("cb_sq"))
+        .collect()
+      // dense-book check, the dtArr raise_error convention one stage
+      // earlier: a positional hole would mis-encode silently
+      require(cbRows.length == PqM * pqK,
+        s"[ivfpq] sparse codebook: expected ${PqM * pqK} entries, got ${cbRows.length}")
+      val cbFlat = new Array[Double](PqM * pqK * PqSubDim)
+      val cbSq = new Array[Double](PqM * pqK)
+      cbRows.foreach { r =>
+        val slot = r.getInt(0) * pqK + r.getLong(1).toInt
+        val v = r.getSeq[Double](2)
+        var i = 0
+        while (i < PqSubDim) { cbFlat(slot * PqSubDim + i) = v(i); i += 1 }
+        cbSq(slot) = r.getDouble(3)
+      }
+      residual(e)
+        .select(col("vec_id").as("n_id"), col("cent_id"),
+          posexplode(org.apache.spark.sql.GraftBridge.column(
+            graft.functions.PqEncodeCodes(
+              org.apache.spark.sql.GraftBridge.expr(col("res")),
+              cbFlat, cbSq, PqM, pqK, PqSubDim))))
+        .toDF("n_id", "cent_id", "sub", "code")
+    } else residual(e)
+      .select(col("vec_id").as("n_id"), col("cent_id"), subs, col("res"))
+      .select(col("n_id"), col("cent_id"), col("sub"), subSlice(col("res")).as("x_sub"))
+      // hoist |x_sub|² above the codebook join: it is constant per
+      // (vector, subspace) and Catalyst will not lift it out of the
+      // per-code expression on its own — same value, PqK× fewer dots
+      .withColumn("x_sq", ddot(col("x_sub"), col("x_sub")))
+      .join(cb, "sub")
+      .select(col("n_id"), col("cent_id"), col("sub"), col("code"),
+        (col("x_sq") - lit(2) * ddot(col("x_sub"), col("cb_sub"))
+          + col("cb_sq")).as("d2"))
+      .groupBy(col("n_id"), col("cent_id"), col("sub"))
+      .agg(graft.functions.TopK.neighbors(1)(col("code"), -col("d2")).as("nb"))
+      .select(col("n_id"), col("cent_id"), col("sub"),
+        col("nb").getItem(0).getField("_1").as("code"))
+  }
+
   /** Coarse-assign `v`'s vectors to their nearest of [[IvfK]] seed cells
     * (read from `raw`) and emit per-vector residuals in double — exact:
     * both operands are float32, the difference is exactly representable.
@@ -1923,7 +1983,8 @@ object Similarity {
                 shortlist: Int = -1,
                 codebook: Option[DataFrame] = None,
                 pqK: Int = PqK,
-                nprobe: Int = IvfNProbe): DataFrame = {
+                nprobe: Int = IvfNProbe,
+                encodeKernel: Boolean = true): DataFrame = {
     val shortlistN = if (shortlist > 0) shortlist else 4 * k
     VectorKernels.register(e.sparkSession)
     import graft.functions.Deterministic.dsumFine
@@ -1946,23 +2007,16 @@ object Similarity {
         .select(col("code"), col("sub"), subSlice(col("res")).as("cb_sub"))
         .withColumn("cb_sq", dotD(col("cb_sub"), col("cb_sub")))))
     // encode: argmin L2² of (residual slice − codebook slice) per
-    // (vector, subspace), bounded-state TopK at k=1 — no window, no sort
-    // on the N·PqM·PqK encode stream
-    val codes = residual(e)
-      .select(col("vec_id").as("n_id"), col("cent_id"), subs, col("res"))
-      .select(col("n_id"), col("cent_id"), col("sub"), subSlice(col("res")).as("x_sub"))
-      // hoist |x_sub|² above the codebook join: it is constant per
-      // (vector, subspace) and Catalyst will not lift it out of the
-      // per-code expression on its own — same value, PqK× fewer dots
-      .withColumn("x_sq", dotD(col("x_sub"), col("x_sub")))
-      .join(cb, "sub")
-      .select(col("n_id"), col("cent_id"), col("sub"), col("code"),
-        (col("x_sq") - lit(2) * dotD(col("x_sub"), col("cb_sub"))
-          + col("cb_sq")).as("d2"))
-      .groupBy(col("n_id"), col("cent_id"), col("sub"))
-      .agg(graft.functions.TopK.neighbors(1)(col("code"), -col("d2")).as("nb"))
-      .select(col("n_id"), col("cent_id"), col("sub"),
-        col("nb").getItem(0).getField("_1").as("code"))
+    // (vector, subspace). Production path: ONE [[graft.functions.
+    // PqEncodeCodes]] kernel call per vector over the codebook collected
+    // as a plan constant — the dataflow form below materialized N·PqM·pqK
+    // joined rows plus an N·PqM-group aggregate whose row-at-a-time
+    // overhead dominated the 20 M trained-256 build (r17 verdict item 5);
+    // the kernel runs the identical arithmetic (same d2 order, same
+    // round-9 + code tie convention) in a tight loop nest, value-pinned
+    // by PqEncodeSpec and every ivfpq oracle row. `encodeKernel = false`
+    // keeps the dataflow shape — the A/B rung LshScaleProbe prices.
+    val codes = pqCodesFrame(e, raw, cb, pqK, encodeKernel)
     // reconstruction-norm table: |c_sub + cb_sub|² per (cell, sub, code) —
     // IvfK·PqM·PqK = 512 rows, broadcast
     val reconSq = broadcast(cents.select(col("cent_id"), subs, col("c_emb"))

@@ -17,4 +17,11 @@ object GraftBridge {
     */
   def expr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** catalyst Expression → Column — for kernels carrying non-literal plan
+    * constants (e.g. a collected codebook array), which the temp-function
+    * registry cannot express.
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
 }
