@@ -100,6 +100,41 @@ class Round18Spec extends SparkSuite {
     }
   }
 
+  test("streaming suppression recall holds its clone-regime floor") {
+    // the r17-item-6 measurement made a standing alarm: on a deterministic
+    // ±0.05 clone amplification (the ScaleUp clone convention, inline so
+    // the gate needs no /tmp corpus), the single-band-0 blocking key must
+    // keep catching its measured share of in-contract (Hamming ≤ 6)
+    // near-dups. Suppression recall is replica-DENSITY-dependent (a later
+    // arrival is caught if ANY admitted earlier near-dup shares its
+    // bucket): the 200 k ScaleUp corpus at 100 reps/source measured 0.744
+    // against a 0.778 single-band collision bound and a 0.984 4-band-OR
+    // deployment bound (SemStreamProbe, SURVEY §6); this ×4-rep gate
+    // amplification measures 0.366 — fewer qualifying predecessors per
+    // arrival, same machinery. Deterministic end-to-end, so the floor sits
+    // just under the measured value. Organic regime is a measured
+    // NON-regime for this operator: 0 suppressible pairs at 200 k organic
+    // (cos ≈ 0.5 neighborhoods have no cos ≥ 0.96 members).
+    import org.apache.spark.sql.functions._
+    val base = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val stride = 1L << 40
+    val amp = base
+      .select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0L), lit(3L))).as("rep"))
+      .select((col("vec_id") + col("rep") * stride).as("vec_id"),
+        when(col("rep") === 0, col("embedding")).otherwise(
+          transform(col("embedding"), (x, d) =>
+            (x + (hash(col("vec_id"), d, col("rep")) % 1000).cast("float")
+              / 20000.0f).cast("float"))).as("embedding"))
+    val (truth, caught, _, _) = SemStreamProbe.measure(spark, amp, stride)
+    assert(truth > 500, s"clone amplification produced only $truth in-contract pairs")
+    val recall = caught.toDouble / truth
+    info(f"gate-scale clone suppression recall = $recall%.3f ($caught/$truth)")
+    assert(recall >= 0.3, f"suppression recall $recall%.3f under the 0.3 floor")
+    Caches.release(spark); spark.catalog.clearCache()
+  }
+
   test("pqMemoConsumers matches the queries that actually force the training memos") {
     def forcesPq(name: String): Boolean = {
       Caches.dropMemos(spark)
