@@ -126,11 +126,17 @@ object LshScaleProbe {
       // the operator's 3 of 8) — the cell-axis recall knob the organic
       // ladder prices (probed fraction bounds any shortlist's recovery)
       val nprobe = sys.env.get("SPARK_GRAFT_IVFPQ_NPROBE").map(_.toInt)
+      // SPARK_GRAFT_IVFK: coarse-cell count (default the operator's 8) —
+      // the r18 production-geometry axis: nprobe/ivfK is what bounds
+      // recall, and the rig's 8 cells make any nprobe most of the corpus
+      val ivfK = sys.env.get("SPARK_GRAFT_IVFK").map(_.toInt)
+        .getOrElse(operators.Similarity.IvfK)
       val cbOverride = trainedK.map { pqK =>
         import functions.VectorKernels.ddot
         val sampleMod = math.max(1L, n / 20000L)
         val res = operators.Similarity.ivfResiduals(
-          Tables.spread(e).filter(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0), e)
+          Tables.spread(e).filter(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0), e,
+          ivfK)
         val subs = explode(sequence(lit(0), lit(3))).as("sub")
         val slices = res.select(col("vec_id"), subs, col("res"))
           .select(col("vec_id"), col("sub"),
@@ -140,7 +146,7 @@ object LshScaleProbe {
         // vec_ids < pqK): the same first-pqK identity the production
         // default uses, so training isolates the Lloyd refinement
         var cents = operators.Similarity
-          .ivfResiduals(e.filter(col("vec_id") < pqK), e)
+          .ivfResiduals(e.filter(col("vec_id") < pqK), e, ivfK)
           .select(col("vec_id"), subs, col("res"))
           .select(col("vec_id").as("code"), col("sub"),
             slice(col("res"), col("sub") * 16 + 1, lit(16)).as("cb_sub"))
@@ -178,7 +184,8 @@ object LshScaleProbe {
           nprobe = nprobe.getOrElse(operators.Similarity.IvfNProbe),
           // SPARK_GRAFT_PQ_ENCODE=join prices the r17 dataflow encode
           // against the fused kernel (the r18 before/after A-B)
-          encodeKernel = !sys.env.get("SPARK_GRAFT_PQ_ENCODE").contains("join"))
+          encodeKernel = !sys.env.get("SPARK_GRAFT_PQ_ENCODE").contains("join"),
+          ivfK = ivfK)
       else if (args.contains("hamming"))
         // the exhaustive-rank binary rung, same scaled shortlist rule
         operators.Similarity.hammingTopK(Tables.spread(e), e,

@@ -1158,7 +1158,7 @@ object Similarity {
            |SELECT q_id, n_id, round(cos, 6) AS cosine, rank
            |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin))
 
-  private val IvfK = 8       // coarse cells
+  private[graft] val IvfK = 8       // coarse cells
   // cells scanned per query; private[graft] so the dev probe's nprobe
   // fallback reads THIS constant instead of duplicating the literal (a
   // drifted duplicate would silently price a different operator than the
@@ -1891,9 +1891,10 @@ object Similarity {
     * by PqEncodeSpec and every ivfpq oracle row.
     */
   private[graft] def pqCodesFrame(e: DataFrame, raw: DataFrame, cb: DataFrame,
-                                  pqK: Int, encodeKernel: Boolean): DataFrame = {
+                                  pqK: Int, encodeKernel: Boolean,
+                                  ivfK: Int = IvfK): DataFrame = {
     import graft.functions.VectorKernels.ddot
-    def residual(v: DataFrame): DataFrame = ivfResiduals(v, raw)
+    def residual(v: DataFrame): DataFrame = ivfResiduals(v, raw, ivfK)
     val subs = explode(sequence(lit(0), lit(PqM - 1))).as("sub")
     def subSlice(a: Column) = slice(a, col("sub") * PqSubDim + 1, lit(PqSubDim))
     if (encodeKernel) {
@@ -1942,9 +1943,10 @@ object Similarity {
     * Shared by [[ivfPqTopK]] (encode + codebook) and the
     * [[graft.LshScaleProbe]] ivfpq mode's codebook training.
     */
-  private[graft] def ivfResiduals(v: DataFrame, raw: DataFrame): DataFrame = {
+  private[graft] def ivfResiduals(v: DataFrame, raw: DataFrame,
+                                  ivfK: Int = IvfK): DataFrame = {
     VectorKernels.register(v.sparkSession)
-    val cents = broadcast(raw.filter(col("vec_id") < IvfK)
+    val cents = broadcast(raw.filter(col("vec_id") < ivfK)
       .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
         l2norm(col("embedding")).as("c_nrm")))
     v.select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
@@ -1984,16 +1986,20 @@ object Similarity {
                 codebook: Option[DataFrame] = None,
                 pqK: Int = PqK,
                 nprobe: Int = IvfNProbe,
-                encodeKernel: Boolean = true): DataFrame = {
+                encodeKernel: Boolean = true,
+                ivfK: Int = IvfK): DataFrame = {
     val shortlistN = if (shortlist > 0) shortlist else 4 * k
     VectorKernels.register(e.sparkSession)
     import graft.functions.Deterministic.dsumFine
     val qv = panel.getOrElse(raw.filter(col("vec_id") < 10))
       .select(col("vec_id"), col("embedding"))
-    val cents = broadcast(raw.filter(col("vec_id") < IvfK)
+    // `ivfK` is the cell-count axis (the r17 organic ladder priced nprobe
+    // at the rig's 8 cells; production cell counts need both knobs) — the
+    // declared rows keep the oracle-pinned [[IvfK]] default
+    val cents = broadcast(raw.filter(col("vec_id") < ivfK)
       .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
         l2norm(col("embedding")).as("c_nrm")))
-    def residual(v: DataFrame): DataFrame = ivfResiduals(v, raw)
+    def residual(v: DataFrame): DataFrame = ivfResiduals(v, raw, ivfK)
     val subs = explode(sequence(lit(0), lit(PqM - 1))).as("sub")
     def subSlice(a: Column) = slice(a, col("sub") * PqSubDim + 1, lit(PqSubDim))
     // residual codebook: by default the first pqK vectors' residual
@@ -2016,7 +2022,7 @@ object Similarity {
     // round-9 + code tie convention) in a tight loop nest, value-pinned
     // by PqEncodeSpec and every ivfpq oracle row. `encodeKernel = false`
     // keeps the dataflow shape — the A/B rung LshScaleProbe prices.
-    val codes = pqCodesFrame(e, raw, cb, pqK, encodeKernel)
+    val codes = pqCodesFrame(e, raw, cb, pqK, encodeKernel, ivfK)
     // reconstruction-norm table: |c_sub + cb_sub|² per (cell, sub, code) —
     // IvfK·PqM·PqK = 512 rows, broadcast
     val reconSq = broadcast(cents.select(col("cent_id"), subs, col("c_emb"))
