@@ -214,21 +214,25 @@ object Similarity {
   private val BitsPerBand = NumPlanes / Bands
 
   /** Ceiling of the adaptive bit budget ([[autoBits]]):
-    * [[AutoBands]] × [[MaxAutoBits]] seed-42 planes (160 at the current
+    * [[AutoBands]] × [[MaxAutoBits]] seed-42 planes (200 at the current
     * 10-band OR-construction) are baked into the plan
     * (and the oracle) as literals, enough for per-band-bucket occupancy
-    * ≤ ~256 through ~16 M vectors (bits = 16 engages at
-    * n ≥ 256·2¹⁵ ≈ 8.4 M). Raised from 12 in r14 after the 2 M-vector
+    * ≤ ~256 through ~134 M vectors (bits = 20 engages at
+    * n ≥ 256·2¹⁹ ≈ 134 M). Raised from 12 in r14 after the 2 M-vector
     * probe measured the capped geometry densifying (occupancy ~488 at
-    * 4×12); [[autoSignBits]] computes a plane's dot product only when the
-    * CHOSEN budget uses it, so sub-cap corpora pay nothing for the
-    * headroom and keep choosing — and computing — the identical geometry
-    * ([[planesFor]] extends the seed-42 sequence compatibly, a larger cap
-    * only APPENDS plane literals). Beyond 16 a deployment raises this
-    * constant again; each +1 bit costs [[AutoBands]] plane literals in
-    * the replayed oracle text, nothing at sub-cap runtime.
+    * 4×12), and 16 → 20 in r18 after the 20 M organic rung measured the
+    * cap binding (abits pinned at 16 ⇒ occupancy 305 and growing
+    * linearly with every further decade — the exact invariant the
+    * chooser exists to hold). The kernels compute a plane's dot product
+    * only when the CHOSEN budget uses it, so sub-cap corpora pay nothing
+    * for the headroom and keep choosing — and computing — the identical
+    * geometry ([[planesFor]] extends the seed-42 sequence compatibly, a
+    * larger cap only APPENDS plane literals; every sub-cap declared-row
+    * hash is unchanged, re-gated dual-scale). Beyond 20 a deployment
+    * raises this constant again; each +1 bit costs [[AutoBands]] plane
+    * literals in the replayed oracle text, nothing at sub-cap runtime.
     */
-  private val MaxAutoBits = 16
+  private val MaxAutoBits = 20
 
   /** Bands of the CORPUS-ADAPTIVE geometry — the OR-construction width:
     * a true neighbor is admitted if it collides in ANY band, so the miss

@@ -14,10 +14,13 @@ class Round13Spec extends SparkSuite {
   test("autoBits reproduces the measured geometry ladder") {
     // the hand-tuned rungs rounds 9–12 measured: 2 k vectors → the 4×4
     // default, 20 k → the r12 production 4×7, 200 k → the promised 4×10,
-    // 2 M → 13 (the r14 probe decade — was the r13 cap pin), cap 16
-    // beyond ~8.4 M; empty corpus degrades to the floor geometry
+    // 2 M → 13 (the r14 probe decade — was the r13 cap pin), 20 M → 17
+    // (un-capped in r18: the old cap-16 pin measured occupancy 305 and
+    // growing linearly — the invariant the chooser exists to hold), cap
+    // 20 beyond ~134 M; empty corpus degrades to the floor geometry
     val expect = Seq(0L -> 4L, 500L -> 4L, 2000L -> 4L, 20000L -> 7L,
-      200000L -> 10L, 2000000L -> 13L, 20000000L -> 16L)
+      200000L -> 10L, 2000000L -> 13L, 20000000L -> 17L,
+      200000000L -> 20L)
     expect.foreach { case (n, bits) =>
       val got = Similarity.autoBits(spark.range(n).toDF("vec_id"))
         .collect().head.getLong(0)
