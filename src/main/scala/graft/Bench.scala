@@ -72,22 +72,34 @@ object Bench {
     // Skipped (0.000) when a dev-restricted run touches no consumer of the
     // memo — a non-LSH subset board must not carry multi-second work none
     // of its timed queries read (r14 ADVICE).
+    // Best-of-2 with a targeted memo drop between passes (r18 verdict item
+    // 6): the single-shot cold reading swung 5.5 → 22.5 s at sf0.1 on
+    // UNCHANGED prewarm code while best-of-3 query rows held — a one-pass
+    // line item inside a best-of-N board mixes measurement disciplines and
+    // silently inflates cross-round totals. The second pass re-pays the
+    // real build (memo dropped by key prefix, nothing else evicted) and the
+    // LAST pass's memo stays installed for the query loop, so attribution
+    // is unchanged — only the reported number gains the same best-of floor
+    // semantics every other row has.
+    def bestOf2Build(prefix: String)(build: => Unit): Double =
+      (1 to 2).map { i =>
+        if (i > 1) Caches.dropMemos(spark, prefix)
+        val t0 = System.nanoTime()
+        build
+        (System.nanoTime() - t0) / 1e9
+      }.min
     val lshConsumers = operators.Similarity.lshMemoConsumers
     val lshBuild = if (onlyQ.exists(qs => qs.intersect(lshConsumers).isEmpty)) 0.0
-    else {
-      val t0 = System.nanoTime()
-      operators.Similarity.prewarmProductionLists(spark, sfDir)
-      (System.nanoTime() - t0) / 1e9
+    else bestOf2Build("lsh:top5a:") {
+      operators.Similarity.prewarmProductionLists(spark, sfDir): Unit
     }
     // same contract for the shared PQ training chain (r17): three declared
     // rows consume the memoized 2-round Lloyd chain — pay it here as its
     // own line item, not on the alphabetically first consumer
     val pqConsumers = operators.Similarity.pqMemoConsumers
     val pqBuild = if (onlyQ.exists(qs => qs.intersect(pqConsumers).isEmpty)) 0.0
-    else {
-      val t0 = System.nanoTime()
-      operators.Similarity.prewarmPqTraining(spark, sfDir)
-      (System.nanoTime() - t0) / 1e9
+    else bestOf2Build("pq:train:") {
+      operators.Similarity.prewarmPqTraining(spark, sfDir): Unit
     }
     // three passes, best-of per query: measured warm floors are only
     // reached after several repetitions in a fresh JVM (first runs carry

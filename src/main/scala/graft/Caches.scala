@@ -116,11 +116,19 @@ object Caches {
     * ContextCleaner reclaims any forced localCheckpoint blocks), so a spec
     * can observe which keys ONE query installs on a long-lived session.
     */
-  def dropMemos(spark: SparkSession): Unit = {
+  def dropMemos(spark: SparkSession): Unit = dropMemos(spark, "")
+
+  /** Drop only `spark`'s memo cells whose key starts with `prefix` — the
+    * targeted form Bench's best-of-2 prewarm timing needs: re-measuring the
+    * lsh memo build must not also evict an already-paid pq memo (or vice
+    * versa), which would silently reattribute one line item's cost onto
+    * whichever query forces the evicted memo first.
+    */
+  def dropMemos(spark: SparkSession, prefix: String): Unit = {
     val it = memos.keys()
     while (it.hasMoreElements) {
       val key = it.nextElement()
-      if (key._1 eq spark) memos.remove(key)
+      if ((key._1 eq spark) && key._2.startsWith(prefix)) memos.remove(key)
     }
   }
 

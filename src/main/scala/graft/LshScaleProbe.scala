@@ -195,15 +195,25 @@ object LshScaleProbe {
         // single-bit-flip probing over the SAME adaptive index — the
         // organic-regime recall lever at (1 + abits)× query candidates;
         // SPARK_GRAFT_MULTIPROBE_FLIPS=0 measures the exact-collision
-        // baseline through the identical broadcast-panel plan, and
+        // baseline through the identical broadcast-panel plan (flips < 2
+        // also disables pair probes, keeping the rungs nested),
         // SPARK_GRAFT_MULTIPROBE_PAIRBITS=T adds the query-directed
         // radius-2 pair probes over the T lowest-margin bits (the r18
-        // organic ladder's axis; 0 = radius-1 only)
+        // organic ladder's axis; 0 = radius-1 only), and
+        // SPARK_GRAFT_LSH_ABITS pins the band geometry (r19: the
+        // retrieval-deployment socket — e.g. 16 at the 20 M decade, where
+        // the self-join chooser's 17 halves occupancy but costs recall)
+        // SPARK_GRAFT_MULTIPROBE_BUDGET=B switches to the ranked Lv et al.
+        // probe sequence (r19): the B best radius-≤2 probes per band by
+        // margin mass, exclusive of the FLIPS/PAIRBITS radius knobs
         operators.Similarity.lshMultiProbeTopK(e,
           panel = Some(panel.select(col("q_id").as("vec_id"))),
           maxFlips = sys.env.get("SPARK_GRAFT_MULTIPROBE_FLIPS")
             .map(_.toInt).getOrElse(Int.MaxValue),
           pairBits = sys.env.get("SPARK_GRAFT_MULTIPROBE_PAIRBITS")
+            .map(_.toInt).getOrElse(0),
+          fixedBits = sys.env.get("SPARK_GRAFT_LSH_ABITS").map(_.toInt),
+          probeBudget = sys.env.get("SPARK_GRAFT_MULTIPROBE_BUDGET")
             .map(_.toInt).getOrElse(0))
       else
         operators.Similarity.lshTopKAuto(e, 5)

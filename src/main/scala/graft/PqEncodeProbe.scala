@@ -44,8 +44,11 @@ object PqEncodeProbe {
         val t0 = System.nanoTime()
         val rows = operators.Similarity
           .pqCodesFrame(Tables.spread(e), e, cb, pqK, kernel).count()
+        // stamp BEFORE cache teardown (r18 ADVICE): release/clearCache ran
+        // inside the timed window, inflating both arms' absolute numbers
+        val dt = (System.nanoTime() - t0) / 1e9
         Caches.release(spark); spark.catalog.clearCache()
-        ((System.nanoTime() - t0) / 1e9, rows)
+        (dt, rows)
       }
       val label = if (kernel) "kernel  " else "dataflow"
       println(f"[pqencode] $label n=$n pqK=$pqK code_rows=${ts.head._2} " +

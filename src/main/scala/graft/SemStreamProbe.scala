@@ -26,12 +26,27 @@ import org.apache.spark.sql.functions._
   */
 object SemStreamProbe {
 
-  /** (suppressible, operator_caught, b0_collide, or4_collide) over a
-    * (vec_id, embedding) frame whose same-source near-dups live at
+  /** (suppressible, singleband_caught, or4_caught, b0_collide, or4_collide)
+    * over a (vec_id, embedding) frame whose same-source near-dups live at
     * id stride `stride` (the ScaleUp layout).
+    *
+    * Truth-set definition (deliberate, r18 ADVICE): an arrival counts as
+    * suppressible when ANY earlier same-source arrival sits within
+    * HammingMax — including earlier arrivals the operator itself
+    * suppressed. That is the right denominator for a RECALL number: it is
+    * operator-independent (the alternative — only still-admitted
+    * predecessors — makes the truth set depend on the very decisions under
+    * measurement, so two operators would be scored against different
+    * denominators), and it matches the collision bounds printed beside it,
+    * which are also any-predecessor quantities. The operator can still
+    * reach 1.0 on it: a suppressed predecessor within HammingMax of a
+    * later arrival implies its own admitted original is within 2·HammingMax
+    * — and on the clone corpora the whole same-source cluster sits within
+    * the contract, so the chain is catchable in practice (measured: the
+    * OR-keyed fold reads ≥0.95 against this denominator).
     */
   def measure(spark: SparkSession, e: DataFrame,
-              stride: Long): (Long, Long, Long, Long) = {
+              stride: Long): (Long, Long, Long, Long, Long) = {
     val nSrc = e.select(max(pmod(col("vec_id"), lit(stride)))).collect()
       .head.getLong(0) + 1
     val arr = e.select(col("vec_id"),
@@ -40,10 +55,14 @@ object SemStreamProbe {
           pmod(col("vec_id"), lit(stride))) * lit(1000L)).as("ts"),
       col("embedding"))
     val sig = streaming.SemanticDedupStream.signatures(arr).localCheckpoint(true)
-    // the real operator fold, batch mode (ttl >> the schedule's span)
+    // the real operator folds, batch mode (ttl >> the schedule's span):
+    // single-band-0 keying and the r19 4-band-OR keying side by side
     val dec = streaming.SemanticDedupStream
       .suppress(sig, ttlMs = 1000000000000L, streaming = false)
       .toDF().localCheckpoint(true)
+    val decOr = streaming.SemanticDedupStream
+      .suppressOr(sig, ttlMs = 1000000000000L, streaming = false)
+      .localCheckpoint(true)
     // ground truth: same-source pairs within HammingMax, earlier → later
     val s = sig.toDF()
     def side(p: String) = s.select(
@@ -70,7 +89,9 @@ object SemStreamProbe {
     val blockOr = pairs.filter(col("wor")).count()
     val caught = pairs.join(dec.filter(col("is_dup")),
       pairs("b_id") === dec("vec_id"), "left_semi").count()
-    (truth, caught, blockB0, blockOr)
+    val caughtOr = pairs.join(decOr.filter(col("is_dup")),
+      pairs("b_id") === decOr("vec_id"), "left_semi").count()
+    (truth, caught, caughtOr, blockB0, blockOr)
   }
 
   def main(args: Array[String]): Unit = {
@@ -82,10 +103,11 @@ object SemStreamProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val e = Tables.load(spark, dir, "embeddings")
-    val (truth, caught, blockB0, blockOr) = measure(spark, e, 1L << 40)
+    val (truth, caught, caughtOr, blockB0, blockOr) = measure(spark, e, 1L << 40)
     def ratio(a: Long, b: Long) = if (b == 0) Double.NaN else a.toDouble / b
     println(f"[semprobe] n=${e.count()} suppressible=$truth " +
       f"operator_caught=$caught recall=${ratio(caught, truth)}%.3f " +
+      f"or4_caught=$caughtOr recall_or4=${ratio(caughtOr, truth)}%.3f " +
       f"b0_collide=$blockB0 (${ratio(blockB0, truth)}%.3f) " +
       f"or4_collide=$blockOr (${ratio(blockOr, truth)}%.3f)")
     spark.stop()

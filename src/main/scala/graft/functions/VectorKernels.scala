@@ -446,6 +446,188 @@ case class LshAutoFlipOrder(first: Expression, second: Expression,
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** One band's multi-probe sequence under a PROBE BUDGET — the full Lv et
+  * al. (VLDB 2007 §4.1) query-directed ranking the r18 radius split
+  * approximated: every radius-≤2 probe (abits single-bit flips plus
+  * C(abits, 2) pair flips) is scored by its success estimate — the sum of
+  * squared hyperplane margins of the flipped bits (a neighbor lands across
+  * hyperplane j with probability falling in the margin |dot_j|, so low
+  * margin-mass probe sets are the likeliest residences) — and the `budget`
+  * best fire, regardless of radius. A near-axis pair (two tiny margins)
+  * outranks a confident single; the fixed radius split can't express that
+  * frontier point, which is exactly the coarseness the r18 verdict named
+  * (item 3).
+  *
+  * Children: (embedding array<float>, abits long, band int);
+  * `bands`/`maxBits` size the shared seed-42 sign table ([[LshPlanes]],
+  * the [[LshAutoBuckets]] stride), `budget` is the per-band probe count
+  * (plan constant). Returns up to `budget` XOR masks ordered by
+  * (score asc, mask asc) — apply each to the band's exact bucket; the
+  * exact probe itself (mask 0) is NOT emitted, callers prepend it, so the
+  * candidate set is a strict superset of exact collision at any budget.
+  *
+  * Determinism contract: margins are the identical sequential
+  * float→double MACs as [[LshAutoBuckets]]/[[LshAutoFlipOrder]]; scores
+  * are m_i² (singles) and m_i² + m_j², i < j in BIT order (pairs) — IEEE
+  * double products/sums in a fixed association order, so DuckDB's
+  * ma*ma + mb*mb replays them bit-for-bit and the (score, mask) rank is a
+  * total order both engines derive identically. Constant bytecode at any
+  * geometry (≤ 20 + 190 candidates at the MaxAutoBits cap), panel-side
+  * only — the corpus never runs this.
+  */
+case class LshProbeSeq(first: Expression, second: Expression,
+                       third: Expression, bands: Int, maxBits: Int,
+                       budget: Int)
+    extends TernaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "lsh_aprobeseq"
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val emb = VecTypeCheck.arrayOf(FloatType, prettyName, "emb" -> first.dataType)
+    if (emb != TypeCheckResult.TypeCheckSuccess) emb
+    else if (second.dataType != org.apache.spark.sql.types.LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects abits: bigint, got ${second.dataType.catalogString}")
+    else if (third.dataType != org.apache.spark.sql.types.IntegerType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects band: int, got ${third.dataType.catalogString}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  private lazy val signs: Array[Byte] = LshPlanes.signsFor(bands * maxBits)
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val ab = math.min(b.asInstanceOf[Long].toInt, maxBits)
+    val band = c.asInstanceOf[Int]
+    if (x.numElements() != 64)
+      throw new IllegalArgumentException(
+        s"lsh_aprobeseq expects 64-dim embeddings, got ${x.numElements()}")
+    val m = new Array[Double](ab)
+    var j = 0
+    while (j < ab) {
+      val off = (band * ab + j) << 6
+      var acc = 0.0
+      var i = 0
+      while (i < 64) { acc += x.getFloat(i).toDouble * signs(off + i).toDouble; i += 1 }
+      m(j) = math.abs(acc)
+      j += 1
+    }
+    val nCand = ab + ab * (ab - 1) / 2
+    val masks = new Array[Long](nCand)
+    val scores = new Array[Double](nCand)
+    var k = 0
+    j = 0
+    while (j < ab) {
+      masks(k) = 1L << j; scores(k) = m(j) * m(j); k += 1; j += 1
+    }
+    var i = 0
+    while (i < ab) {
+      j = i + 1
+      while (j < ab) {
+        masks(k) = (1L << i) | (1L << j)
+        scores(k) = m(i) * m(i) + m(j) * m(j)
+        k += 1; j += 1
+      }
+      i += 1
+    }
+    val idx = Array.tabulate(nCand)(identity)
+    // insertion sort on (score asc, mask asc) — masks are distinct, so the
+    // key is total and the permutation replays in the oracle's ROW_NUMBER
+    var p = 1
+    while (p < nCand) {
+      val v = idx(p); val sv = scores(v); val kv = masks(v)
+      var q = p - 1
+      while (q >= 0 && (scores(idx(q)) > sv ||
+          (scores(idx(q)) == sv && masks(idx(q)) > kv))) {
+        idx(q + 1) = idx(q); q -= 1
+      }
+      idx(q + 1) = v
+      p += 1
+    }
+    val take = math.min(budget, nCand)
+    val out = new Array[Long](take)
+    p = 0
+    while (p < take) { out(p) = masks(idx(p)); p += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) => {
+      val s = ctx.addReferenceObj("lshSigns", signs, "byte[]")
+      val ab = ctx.freshName("ab")
+      val m = ctx.freshName("m")
+      val j = ctx.freshName("j")
+      val off = ctx.freshName("off")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val nCand = ctx.freshName("nCand")
+      val masks = ctx.freshName("masks")
+      val scores = ctx.freshName("scores")
+      val k = ctx.freshName("k")
+      val idx = ctx.freshName("idx")
+      val p = ctx.freshName("p")
+      val q = ctx.freshName("q")
+      val v = ctx.freshName("v")
+      val sv = ctx.freshName("sv")
+      val kv = ctx.freshName("kv")
+      val take = ctx.freshName("take")
+      val out = ctx.freshName("out")
+      s"""
+         |int $ab = (int) java.lang.Math.min($b, (long) $maxBits);
+         |if ($a.numElements() != 64) {
+         |  throw new IllegalArgumentException(
+         |    "lsh_aprobeseq expects 64-dim embeddings, got " + $a.numElements());
+         |}
+         |double[] $m = new double[$ab];
+         |for (int $j = 0; $j < $ab; $j++) {
+         |  int $off = ($c * $ab + $j) << 6;
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < 64; $i++) {
+         |    $acc += (double) $a.getFloat($i) * (double) $s[$off + $i];
+         |  }
+         |  $m[$j] = java.lang.Math.abs($acc);
+         |}
+         |int $nCand = $ab + $ab * ($ab - 1) / 2;
+         |long[] $masks = new long[$nCand];
+         |double[] $scores = new double[$nCand];
+         |int $k = 0;
+         |for (int $j = 0; $j < $ab; $j++) {
+         |  $masks[$k] = 1L << $j; $scores[$k] = $m[$j] * $m[$j]; $k++;
+         |}
+         |for (int $i = 0; $i < $ab; $i++) {
+         |  for (int $j = $i + 1; $j < $ab; $j++) {
+         |    $masks[$k] = (1L << $i) | (1L << $j);
+         |    $scores[$k] = $m[$i] * $m[$i] + $m[$j] * $m[$j];
+         |    $k++;
+         |  }
+         |}
+         |int[] $idx = new int[$nCand];
+         |for (int $j = 0; $j < $nCand; $j++) $idx[$j] = $j;
+         |for (int $p = 1; $p < $nCand; $p++) {
+         |  int $v = $idx[$p];
+         |  double $sv = $scores[$v];
+         |  long $kv = $masks[$v];
+         |  int $q = $p - 1;
+         |  while ($q >= 0 && ($scores[$idx[$q]] > $sv ||
+         |      ($scores[$idx[$q]] == $sv && $masks[$idx[$q]] > $kv))) {
+         |    $idx[$q + 1] = $idx[$q]; $q--;
+         |  }
+         |  $idx[$q + 1] = $v;
+         |}
+         |int $take = java.lang.Math.min($budget, $nCand);
+         |long[] $out = new long[$take];
+         |for (int $p = 0; $p < $take; $p++) $out[$p] = $masks[$idx[$p]];
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** The round-9 tie convention of the encode argmin, callable from
   * generated code (Scala objects expose static forwarders, so codegen
   * emits `graft.functions.PqEncode.round9(x)`). MUST stay the exact
@@ -479,10 +661,28 @@ object PqEncode {
   * taken from the SAME codebook frame the dataflow joined, so d2 =
   * x_sq − 2·dot + cb_sq is the identical double arithmetic in the
   * identical order.
+  *
+  * Fields are IndexedSeq, not Array (r18 ADVICE): case-class equality on
+  * Array is reference-based, so two semantically identical instances would
+  * never compare equal and Catalyst canonicalization / semanticEquals /
+  * exchange-reuse could not unify plans that rebuild the codebook — an
+  * invisible plan-reuse loss. ArraySeq compares by value; the runtime
+  * loops still read a private unwrapped double[].
   */
-case class PqEncodeCodes(child: Expression, cbFlat: Array[Double],
-                         cbSq: Array[Double], pqM: Int, pqK: Int, subDim: Int)
+case class PqEncodeCodes(child: Expression, cbFlat: IndexedSeq[Double],
+                         cbSq: IndexedSeq[Double], pqM: Int, pqK: Int, subDim: Int)
     extends UnaryExpression {
+
+  // unwrap once (no copy when the caller passed an unsafeWrapArray'd
+  // double[]) — eval and addReferenceObj both want the primitive array
+  @transient private lazy val cbFlatArr: Array[Double] = cbFlat match {
+    case w: scala.collection.immutable.ArraySeq.ofDouble => w.unsafeArray
+    case other => other.toArray
+  }
+  @transient private lazy val cbSqArr: Array[Double] = cbSq match {
+    case w: scala.collection.immutable.ArraySeq.ofDouble => w.unsafeArray
+    case other => other.toArray
+  }
 
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
@@ -511,8 +711,8 @@ case class PqEncodeCodes(child: Expression, cbFlat: Array[Double],
         val off = (sub * pqK + code) * subDim
         var dotV = 0.0
         i = 0
-        while (i < subDim) { dotV += x.getDouble(base + i) * cbFlat(off + i); i += 1 }
-        val s = -(xSq - 2.0 * dotV + cbSq(sub * pqK + code))
+        while (i < subDim) { dotV += x.getDouble(base + i) * cbFlatArr(off + i); i += 1 }
+        val s = -(xSq - 2.0 * dotV + cbSqArr(sub * pqK + code))
         if (s >= bestR9 - 1e-9) {
           val r9 = PqEncode.round9(s)
           if (r9 > bestR9) { bestR9 = r9; bestCode = code.toLong }
@@ -527,8 +727,8 @@ case class PqEncodeCodes(child: Expression, cbFlat: Array[Double],
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val cb = ctx.addReferenceObj("pqCbFlat", cbFlat, "double[]")
-      val sq = ctx.addReferenceObj("pqCbSq", cbSq, "double[]")
+      val cb = ctx.addReferenceObj("pqCbFlat", cbFlatArr, "double[]")
+      val sq = ctx.addReferenceObj("pqCbSq", cbSqArr, "double[]")
       val out = ctx.freshName("out")
       val sub = ctx.freshName("sub")
       val base = ctx.freshName("base")
@@ -604,6 +804,11 @@ object VectorKernels {
       exprs => LshAutoFlipOrder(exprs(0), exprs(1), exprs(2),
         exprs(3).eval(null).asInstanceOf[Int],
         exprs(4).eval(null).asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("lsh_aprobeseq",
+      exprs => LshProbeSeq(exprs(0), exprs(1), exprs(2),
+        exprs(3).eval(null).asInstanceOf[Int],
+        exprs(4).eval(null).asInstanceOf[Int],
+        exprs(5).eval(null).asInstanceOf[Int]), "built-in")
   }
 
   def fdot(a: Column, b: Column): Column = call_function("fvec_dot", a, b)
@@ -619,4 +824,10 @@ object VectorKernels {
     call_function("lsh_afliporder", emb, abits, band,
       org.apache.spark.sql.functions.lit(bands),
       org.apache.spark.sql.functions.lit(maxBits))
+  def aprobeseq(emb: Column, abits: Column, band: Column,
+                bands: Int, maxBits: Int, budget: Int): Column =
+    call_function("lsh_aprobeseq", emb, abits, band,
+      org.apache.spark.sql.functions.lit(bands),
+      org.apache.spark.sql.functions.lit(maxBits),
+      org.apache.spark.sql.functions.lit(budget))
 }

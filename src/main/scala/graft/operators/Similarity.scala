@@ -730,7 +730,28 @@ object Similarity {
       .select((keep.map(col) :+ col("bb.band").as("band")
         :+ col("bb.bucket").as("bucket")): _*)
 
-  private[graft] def lshBandedAuto(e: DataFrame): DataFrame = {
+  /** The band-bit budget as a 1-row broadcastable frame: [[autoBits]]'
+    * in-plan chooser by default, or a RETRIEVAL-PINNED constant when the
+    * deployment overrides it (r18 verdict item 2). The chooser's clamp
+    * serves the SELF-JOIN occupancy invariant — halving candidate pairs is
+    * worth recall there — but a panel-query retrieval deployment pays
+    * per-query probe cost, not pair cost, and at 20 M the r18 cap raise
+    * (abits 16 → 17) cost full-width radius-2 recall 0.635 → 0.482 with no
+    * way back. `fixedBits` is that way back: the SURVEY §6 remedy ("a
+    * retrieval deployment pins its own geometry") as an actual knob.
+    * Clamped to [4, MaxAutoBits] — the planes only exist to the cap.
+    */
+  private def bitsFrame(e: DataFrame, fixedBits: Option[Int]): DataFrame =
+    fixedBits match {
+      case Some(b) =>
+        require(b >= 4 && b <= MaxAutoBits,
+          s"[lsh] fixedBits=$b outside [4, $MaxAutoBits] — no planes exist there")
+        e.sparkSession.range(1).select(lit(b.toLong).as("abits"))
+      case None => autoBits(e)
+    }
+
+  private[graft] def lshBandedAuto(e: DataFrame,
+                                   fixedBits: Option[Int] = None): DataFrame = {
     VectorKernels.register(e.sparkSession)
     // ONE projection computes dots → sign array → packed buckets, and the
     // PERSISTED frame carries only (vec_id, embedding, nrm, bks) — the
@@ -742,7 +763,7 @@ object Similarity {
     // codegen'd, no alias blow-up).
     val withBuckets = graft.Caches.track(
       e.select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
-        .crossJoin(broadcast(autoBits(e)))
+        .crossJoin(broadcast(bitsFrame(e, fixedBits)))
         .select(col("vec_id"), col("embedding"), col("nrm"),
           VectorKernels.abuckets(col("embedding"), col("abits"),
             AutoBands, MaxAutoBits).as("bks")))
@@ -812,7 +833,15 @@ object Similarity {
     * recall family measures on. `maxFlips` caps the per-band flip count
     * (0 = exact-collision only — the single-probe baseline through the
     * same plan, so the two rungs are measurable decade-for-decade on one
-    * code path).
+    * code path), and caps the probe RADIUS with it (maxFlips < 2 disables
+    * `pairBits`' radius-2 pairs so the baseline stays a true subset rung).
+    * `fixedBits` pins the band geometry for a retrieval deployment
+    * ([[bitsFrame]] — the self-join chooser trades recall for occupancy at
+    * cap boundaries; a retrieval index pins the geometry its recall target
+    * was measured at and rebuilds on its own schedule). `probeBudget` = B
+    * > 0 switches probe selection to the ranked Lv et al. sequence: the B
+    * best radius-≤2 probes per band by margin mass
+    * ([[graft.functions.LshProbeSeq]]), exclusive of the radius knobs.
     *
     * Scale shape: the query side is ALWAYS panel-sized here, so it is
     * BROADCAST into the candidate join — the 20 M-decade probe of the
@@ -824,8 +853,13 @@ object Similarity {
   def lshMultiProbeTopK(e: DataFrame, k: Int = 5,
                         panel: Option[DataFrame] = None,
                         maxFlips: Int = Int.MaxValue,
-                        pairBits: Int = 0): DataFrame = {
-    val banded = lshBandedAuto(e)
+                        pairBits: Int = 0,
+                        fixedBits: Option[Int] = None,
+                        probeBudget: Int = 0): DataFrame = {
+    require(probeBudget <= 0 || (pairBits <= 0 && maxFlips == Int.MaxValue),
+      "[multiprobe] probeBudget is its own probe-selection axis — combine " +
+        "it with the radius knobs (maxFlips/pairBits) and the rungs stop nesting")
+    val banded = lshBandedAuto(e, fixedBits)
     val qside = panel match {
       case Some(p) =>
         banded.join(broadcast(p.select(col("vec_id"))), Seq("vec_id"), "left_semi")
@@ -836,16 +870,18 @@ object Similarity {
     // per (query, band): 1 + min(abits, maxFlips) probe buckets — the
     // exact bucket and each single sign-bit flip; 2^j as an exact
     // power-of-two double cast to long (the oracle's power(2, ·)
-    // convention, exact for j ≤ 16). Guarded concat: sequence(0, n−1)
-    // DESCENDS for n ≤ 0 (Spark semantics), so the zero-flip case must
-    // short-circuit to the bare bucket.
+    // convention — exact for any j < 53, so the MaxAutoBits = 20 geometry
+    // and decades of further cap raises stay inside the exact range).
+    // Guarded concat: sequence(0, n−1) DESCENDS for n ≤ 0 (Spark
+    // semantics), so the zero-flip case must short-circuit to the bare
+    // bucket.
     val nf = least(col("abits"), lit(maxFlips))
     val singles = when(nf > 0,
       concat(array(col("bucket")),
         transform(sequence(lit(0), nf - 1),
           j => col("bucket").bitwiseXOR(pow(lit(2.0), j).cast("long")))))
       .otherwise(array(col("bucket")))
-    val base = qside.crossJoin(broadcast(autoBits(e)))
+    val base = qside.crossJoin(broadcast(bitsFrame(e, fixedBits)))
     // `pairBits` = T > 0 adds QUERY-DIRECTED radius-2 probes (Lv et al.
     // §4): all C(min(T, abits), 2) two-bit flips among the T LOWEST-MARGIN
     // bits of each band — the [[graft.functions.LshAutoFlipOrder]] order.
@@ -855,8 +891,27 @@ object Similarity {
     // 0.008), and margin-directed pair selection captures most of it at
     // C(T,2) instead of C(abits,2) probes. pairBits = 0 is byte-identical
     // to the radius-1 plan (the declared radius-1 rows' pin).
-    val probeArr = if (pairBits <= 0) singles else {
-      val t = least(lit(pairBits.toLong), col("abits"))
+    // `maxFlips` caps the probe RADIUS too (r18 ADVICE): pairs are radius-2
+    // probes, so maxFlips < 2 suppresses them — otherwise the
+    // exact-collision baseline mode (maxFlips = 0) would silently gain
+    // radius-2 probes and the ladder's rungs would stop nesting.
+    val effPairBits = if (maxFlips < 2) 0 else pairBits
+    // `probeBudget` = B > 0 replaces the radius split entirely (r18
+    // verdict item 3 — Lv et al. §4.1's ranked probe sequence): the
+    // [[graft.functions.LshProbeSeq]] kernel scores EVERY radius-≤2 probe
+    // by flipped-margin mass and emits the B best per band as XOR masks;
+    // a low-margin pair can outrank a high-margin single, the frontier
+    // point the fixed all-singles-then-all-pairs split cannot reach. The
+    // exact bucket is always probe 0, so candidates remain a strict
+    // superset of exact collision at any budget.
+    val probeArr =
+      if (probeBudget > 0)
+        concat(array(col("bucket")),
+          transform(VectorKernels.aprobeseq(col("embedding"), col("abits"),
+              col("band"), AutoBands, MaxAutoBits, probeBudget),
+            mask => col("bucket").bitwiseXOR(mask)))
+      else if (effPairBits <= 0) singles else {
+      val t = least(lit(effPairBits.toLong), col("abits"))
       def flipAt(pos: Column): Column =
         pow(lit(2.0), element_at(col("fo"), (pos + 1).cast("int"))).cast("long")
       val pairs = flatten(transform(sequence(lit(0L), t - 2),
@@ -865,7 +920,7 @@ object Similarity {
       // sequence() descends for t < 2 — same guard discipline as `singles`
       concat(singles, when(t >= 2, pairs).otherwise(array().cast("array<bigint>")))
     }
-    val expanded = (if (pairBits <= 0) base else
+    val expanded = (if (effPairBits <= 0) base else
       base.withColumn("fo", VectorKernels.afliporder(
         col("embedding"), col("abits"), col("band"), AutoBands, MaxAutoBits)))
     val probes = expanded
@@ -1039,6 +1094,107 @@ object Similarity {
       panelRecallReadout(s, dir, got)
     },
     Some(multiProbe2OracleCtes(MultiProbePairBits) + recallTailSql))
+
+  /** Declared probe budget B: 8 ranked probes per band beyond the exact
+    * bucket. Under the gate geometries (abits 4–5 ⇒ 10–15 radius-≤2
+    * candidates) the selection is genuinely active — some candidates are
+    * rejected — while staying cheaper per band than the radius-2 row's
+    * 1 + abits + C(6,2) fixed expansion; the 2 M organic ladder prices
+    * other budgets through [[graft.LshScaleProbe]]'s
+    * SPARK_GRAFT_MULTIPROBE_BUDGET knob.
+    */
+  private[graft] val MultiProbeBudget = 8
+
+  /** [[lshMultiProbeTopK]]-with-`probeBudget` replayed in DuckDB: the
+    * adaptive CTEs keep each plane's raw dot, every radius-≤2 probe is
+    * scored by its flipped-margin mass — singles m², pairs m_i² + m_j² in
+    * bit order, the [[graft.functions.LshProbeSeq]] doubles exactly — and
+    * ROW_NUMBER OVER (ORDER BY score, mask) takes the B best per
+    * (query, band). Candidates are the DISTINCT union over the exact
+    * bucket plus the selected masks, so probe order never matters, only
+    * the selected set.
+    */
+  private def multiProbeBudgetOracleCtes(b: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |   sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+       | FROM embeddings),
+       |$mmSql,
+       |$abitsSql,
+       |pl(plane, coef) AS (VALUES ${planeValuesSql(AutoBands * MaxAutoBits)}),
+       |dts AS (SELECT e.vec_id, pl.plane,
+       |    list_sum(list_transform(range(1,65),
+       |      i -> CAST(e.embedding[i] AS DOUBLE) * coef[i])) AS d
+       |  FROM e CROSS JOIN pl WHERE pl.plane < $AutoBands * (SELECT abits FROM g)),
+       |bk AS (SELECT vec_id,
+       |       CAST(plane // (SELECT abits FROM g) AS INT) AS band,
+       |       CAST(sum(CASE WHEN d >= 0
+       |         THEN CAST(power(2, plane % (SELECT abits FROM g)) AS BIGINT)
+       |         ELSE 0 END) AS BIGINT) AS bucket
+       |       FROM dts GROUP BY 1, 2),
+       |mg AS (SELECT vec_id,
+       |       CAST(plane // (SELECT abits FROM g) AS INT) AS band,
+       |       CAST(plane % (SELECT abits FROM g) AS INT) AS bit,
+       |       abs(d) AS m
+       |  FROM dts WHERE vec_id % (SELECT m FROM mm) = 3),
+       |cs AS (SELECT vec_id, band, CAST(power(2, bit) AS BIGINT) AS mask,
+       |         m * m AS score
+       |       FROM mg
+       |       UNION ALL
+       |       SELECT a.vec_id, a.band,
+       |         CAST(power(2, a.bit) AS BIGINT) + CAST(power(2, b.bit) AS BIGINT),
+       |         a.m * a.m + b.m * b.m
+       |       FROM mg a JOIN mg b ON a.vec_id = b.vec_id AND a.band = b.band
+       |                          AND a.bit < b.bit),
+       |ps AS (SELECT vec_id, band, mask FROM (
+       |       SELECT vec_id, band, mask, ROW_NUMBER() OVER (
+       |         PARTITION BY vec_id, band ORDER BY score, mask) AS rn
+       |       FROM cs) WHERE rn <= $b),
+       |pq AS (SELECT vec_id, band, bucket FROM bk
+       |       WHERE vec_id % (SELECT m FROM mm) = 3
+       |       UNION ALL
+       |       SELECT p.vec_id, p.band, xor(k.bucket, p.mask)
+       |       FROM ps p JOIN bk k ON k.vec_id = p.vec_id AND k.band = p.band),
+       |cand AS (SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS n_id
+       |  FROM pq a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+       |                     AND a.vec_id != b.vec_id),
+       |sc AS (SELECT cand.q_id, cand.n_id,
+       |    list_sum(list_transform(range(1, 65),
+       |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)))
+       |      / (q.nrm * n.nrm) AS cos
+       |  FROM cand JOIN e q ON q.vec_id = cand.q_id
+       |            JOIN e n ON n.vec_id = cand.n_id),
+       |r AS (SELECT q_id, n_id, cos, CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY round(cos, 9) DESC, n_id) AS INT) AS rank
+       |  FROM sc)
+       |""".stripMargin
+
+  /** The ranked-budget lists as a declared row — the r18 verdict's item 3
+    * (replace the radius split with a query-directed probe BUDGET) as a
+    * first-class, oracle-replayed operator.
+    */
+  private val simLshMultiprobeBudget = Q(
+    "sim_lsh_multiprobe_budget",
+    (s, dir) => lshMultiProbeTopK(emb(s, dir), probeBudget = MultiProbeBudget)
+      .orderBy("q_id", "rank"),
+    Some(multiProbeBudgetOracleCtes(MultiProbeBudget) +
+      """SELECT q_id, n_id, round(cos, 6) AS cosine, rank
+        |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin))
+
+  /** Recall@5 of the budgeted path on the shared residue panel — the
+    * SEVENTH rung of the declared recall family: prices what margin-ranked
+    * probe selection buys per probe over the fixed radius split at the
+    * same index.
+    */
+  private val simLshMultiprobeBudgetRecall = Q(
+    "sim_lsh_multiprobe_budget_recall",
+    (s, dir) => {
+      VectorKernels.register(s)
+      val e = emb(s, dir)
+      val got = lshMultiProbeTopK(e, probeBudget = MultiProbeBudget)
+        .select("q_id", "n_id")
+      panelRecallReadout(s, dir, got)
+    },
+    Some(multiProbeBudgetOracleCtes(MultiProbeBudget) + recallTailSql))
 
   /** Exact all-pairs cosine >= `minCos` via a triangle-tiled self-join — the
     * distributed shape for exact pairwise similarity when the threshold sits
@@ -1905,13 +2061,22 @@ object Similarity {
       val cbRows = cb.select(col("sub"), col("code"), col("cb_sub"), col("cb_sq"))
         .collect()
       // dense-book check, the dtArr raise_error convention one stage
-      // earlier: a positional hole would mis-encode silently
+      // earlier: a positional hole would mis-encode silently. Count alone
+      // is not enough (r18 ADVICE): a duplicated (sub, code) slot paired
+      // with a missing one passes the length check yet leaves a
+      // zero-initialized slot — track per-slot writes and demand exactly
+      // one each.
       require(cbRows.length == PqM * pqK,
         s"[ivfpq] sparse codebook: expected ${PqM * pqK} entries, got ${cbRows.length}")
       val cbFlat = new Array[Double](PqM * pqK * PqSubDim)
       val cbSq = new Array[Double](PqM * pqK)
+      val seen = new Array[Boolean](PqM * pqK)
       cbRows.foreach { r =>
         val slot = r.getInt(0) * pqK + r.getLong(1).toInt
+        require(slot >= 0 && slot < PqM * pqK && !seen(slot),
+          s"[ivfpq] codebook slot (sub=${r.getInt(0)}, code=${r.getLong(1)}) " +
+            "out of range or written twice — a positional hole would mis-encode")
+        seen(slot) = true
         val v = r.getSeq[Double](2)
         var i = 0
         while (i < PqSubDim) { cbFlat(slot * PqSubDim + i) = v(i); i += 1 }
@@ -1922,7 +2087,9 @@ object Similarity {
           posexplode(org.apache.spark.sql.GraftBridge.column(
             graft.functions.PqEncodeCodes(
               org.apache.spark.sql.GraftBridge.expr(col("res")),
-              cbFlat, cbSq, PqM, pqK, PqSubDim))))
+              scala.collection.immutable.ArraySeq.unsafeWrapArray(cbFlat),
+              scala.collection.immutable.ArraySeq.unsafeWrapArray(cbSq),
+              PqM, pqK, PqSubDim))))
         .toDF("n_id", "cent_id", "sub", "code")
     } else residual(e)
       .select(col("vec_id").as("n_id"), col("cent_id"), subs, col("res"))
@@ -2365,6 +2532,103 @@ object Similarity {
          |              'v': e.v}))[1] AS best) L)
          |SELECT vec_id, is_dup, dup_of, ham AS hamming
          |FROM dec ORDER BY vec_id""".stripMargin
+    })
+
+  /** The OR-KEYED streaming suppressor's decision function as a declared
+    * row (r18 verdict item 1): [[graft.streaming.SemanticDedupStream
+    * .suppressOr]] runs the identical per-bucket fold keyed per
+    * (band, bucket) — 4 keys per arrival — and OR-combines the verdicts,
+    * lifting clone-corpus suppression recall from the single band-0 key's
+    * 0.744 collision ceiling toward the measured 0.984 4-band-OR bound
+    * (SemStreamProbe, SURVEY §6). Same arrival schedule and TTL as
+    * [[dedupSemanticStreamReplay]], so the two rows price OR-keying as a
+    * standing correctness alarm; the oracle is the single-band recursion
+    * generalized to a per-(band, bucket) recursion (state entries carry
+    * all four sketch words — the keyed word XORs to zero in-band, exactly
+    * the operator's arithmetic) plus a bool_or/struct-min combine tail
+    * mirroring [[graft.streaming.SemanticDedupStream.combineBandDecisions]]
+    * tie-break for tie-break.
+    */
+  private val dedupSemanticStreamOr = Q(
+    "dedup_semantic_stream_or",
+    (s, dir) => {
+      import graft.streaming.SemanticDedupStream
+      SemanticDedupStream.suppressOr(
+          SemanticDedupStream.signatures(semReplayArrivals(s, dir)),
+          SemReplayTtlMs, streaming = false)
+        .orderBy("vec_id")
+    },
+    Some {
+      s"""WITH RECURSIVE
+         |arr AS (
+         |  SELECT vec_id, 3600000 + (vec_id % 64) * 7000 AS ms, embedding
+         |  FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + ${SemReplayIdOffset},
+         |         3600000 + (vec_id % 64) * 7000
+         |           + CASE WHEN vec_id % 2 = 0 THEN ${SemReplayTtlMs / 2}
+         |             ELSE ${SemReplayTtlMs * 2} END,
+         |         embedding
+         |  FROM embeddings),
+         |pl(plane, coef) AS (VALUES ${planeValuesSql(HamBands * HamBits)}),
+         |bits AS (SELECT a.vec_id, a.ms, pl.plane,
+         |    CASE WHEN list_sum(list_transform(range(1,65),
+         |           i -> CAST(a.embedding[i] AS DOUBLE) * coef[i])) >= 0
+         |         THEN CAST(power(2, plane % $HamBits) AS BIGINT) ELSE 0 END AS bit
+         |  FROM arr a CROSS JOIN pl),
+         |sg AS (SELECT vec_id, ms, CAST(plane // $HamBits AS INT) AS band,
+         |       CAST(sum(bit) AS BIGINT) AS w
+         |       FROM bits GROUP BY vec_id, ms, plane // $HamBits),
+         |sig AS (SELECT vec_id, ms,
+         |         max(CASE WHEN band=0 THEN w END) AS s0,
+         |         max(CASE WHEN band=1 THEN w END) AS s1,
+         |         max(CASE WHEN band=2 THEN w END) AS s2,
+         |         max(CASE WHEN band=3 THEN w END) AS s3
+         |        FROM sg GROUP BY vec_id, ms),
+         |bnd AS (SELECT s.vec_id, s.ms, b.band,
+         |         CASE b.band WHEN 0 THEN s.s0 WHEN 1 THEN s.s1
+         |                     WHEN 2 THEN s.s2 ELSE s.s3 END AS bkt,
+         |         s.s0, s.s1, s.s2, s.s3
+         |        FROM sig s CROSS JOIN (VALUES (0),(1),(2),(3)) b(band)),
+         |rk AS (SELECT *, CAST(ROW_NUMBER() OVER (
+         |         PARTITION BY band, bkt ORDER BY ms, vec_id) AS INT) AS rnk
+         |       FROM bnd),
+         |dec AS (
+         |  SELECT 1 AS it, band, bkt, vec_id, ms, FALSE AS is_dup,
+         |         CAST(-1 AS BIGINT) AS dup_of, -1 AS ham,
+         |         [{'v': vec_id, 'x': ms + $SemReplayTtlMs,
+         |           'a': s0, 'b': s1, 'c': s2, 'd': s3}] AS st
+         |  FROM rk WHERE rnk = 1
+         |  UNION ALL
+         |  SELECT p.it + 1, p.band, p.bkt, n.vec_id, n.ms,
+         |         L.best.v IS NOT NULL AS is_dup,
+         |         COALESCE(L.best.v, -1) AS dup_of,
+         |         COALESCE(L.best.h, -1) AS ham,
+         |         CASE WHEN L.best.v IS NULL
+         |              THEN list_append(L.live, {'v': n.vec_id,
+         |                'x': n.ms + $SemReplayTtlMs,
+         |                'a': n.s0, 'b': n.s1, 'c': n.s2, 'd': n.s3})
+         |              ELSE L.live END AS st
+         |  FROM dec p
+         |  JOIN rk n ON n.band = p.band AND n.bkt = p.bkt AND n.rnk = p.it + 1,
+         |  LATERAL (SELECT list_filter(p.st, e -> e.x > n.ms) AS live) L1,
+         |  LATERAL (SELECT L1.live AS live, list_sort(list_transform(
+         |        list_filter(L1.live, e ->
+         |          bit_count(xor(e.a, n.s0)) + bit_count(xor(e.b, n.s1))
+         |            + bit_count(xor(e.c, n.s2)) + bit_count(xor(e.d, n.s3))
+         |            <= ${graft.streaming.SemanticDedupStream.HammingMax}),
+         |        e -> {'h': CAST(bit_count(xor(e.a, n.s0))
+         |                + bit_count(xor(e.b, n.s1))
+         |                + bit_count(xor(e.c, n.s2))
+         |                + bit_count(xor(e.d, n.s3)) AS INT),
+         |              'v': e.v}))[1] AS best) L),
+         |comb AS (SELECT vec_id, bool_or(is_dup) AS is_dup,
+         |         min(CASE WHEN is_dup THEN {'h': ham, 'v': dup_of} END) AS best
+         |  FROM dec GROUP BY vec_id)
+         |SELECT vec_id, is_dup,
+         |  CAST(COALESCE(best.v, -1) AS BIGINT) AS dup_of,
+         |  CAST(COALESCE(best.h, -1) AS INT) AS hamming
+         |FROM comb ORDER BY vec_id""".stripMargin
     })
 
   /** `e`: spread full vector set; `raw`: unspread scan for the pushed-down
@@ -5043,6 +5307,8 @@ object Similarity {
     dedupSemanticClustersScaled, simLshOccupancy, simIvfPqTopk,
     simHammingTopk, simIvfPqRecall, simPqTrain, simIvfPqTrained,
     simHammingRecall, simIvfPqTrainedRecall, dedupSemanticStreamReplay,
+    dedupSemanticStreamOr,
     simLshMultiprobe, simLshMultiprobeRecall, simLshMultiprobe2,
-    simLshMultiprobe2Recall)
+    simLshMultiprobe2Recall, simLshMultiprobeBudget,
+    simLshMultiprobeBudgetRecall)
 }

@@ -33,10 +33,11 @@ import graft.functions.VectorKernels
   * invocation; an event-time timeout clears a bucket whose entries have
   * all expired, so dead buckets leave the store. Recall matches ONE LSH
   * band (the blocking key) times the Hamming test — the batch ladder's
-  * measured single-band regime; a deployment wanting OR-construction
-  * recall runs the same operator keyed per band and intersects the
-  * suppress decisions (union of admit edges), exactly the banded trade
-  * SURVEY §6 prices for the batch path.
+  * measured single-band regime. [[suppressOr]] is the OR-construction
+  * deployment (r19): the same fold keyed per (band, bucket) — 4 keys per
+  * arrival — with the verdicts OR-combined, trading 4× key/state traffic
+  * for the 4-band collision bound (measured 0.744 → 0.95+ suppression
+  * recall on the 200 k clone corpus, SURVEY §6).
   */
 object SemanticDedupStream {
 
@@ -143,4 +144,126 @@ object SemanticDedupStream {
         state.getCurrentWatermarkMs() + 1)
       state.setTimeoutTimestamp(at)
     }
+
+  // ------------------------------------------------------------------
+  // 4-band-OR keying (r18 verdict item 1): the deployment convention the
+  // single-band doc promised, as an actual operator.
+  // ------------------------------------------------------------------
+
+  /** One arrival exploded to one of its 4 band-keyed rows: `band`'s
+    * blocking bucket is word s_band (the 4×16 geometry's band buckets ARE
+    * the sketch words), the full sketch rides along for the Hamming test.
+    */
+  final case class BandSigRow(vec_id: Long, ts: Timestamp, band: Int,
+                              bucket: Long, s0: Long, s1: Long, s2: Long,
+                              s3: Long)
+
+  /** One band's admit/suppress verdict for one arrival (`ts` rides along
+    * so a streaming deployment can watermark the combine stage).
+    */
+  final case class BandDecision(vec_id: Long, ts: Timestamp, band: Int,
+                                is_dup: Boolean, dup_of: Long, hamming: Int)
+
+  /** Explode signatures to their 4 band-keyed rows — map-side, no shuffle
+    * until the keyed state stage (4× the single-band key traffic, the
+    * whole cost of OR-keying; state volume is also ~4× since each admitted
+    * arrival parks in each band's bucket).
+    */
+  def bandSignatures(rows: Dataset[SigRow]): Dataset[BandSigRow] = {
+    val s = rows.sparkSession
+    import s.implicits._
+    rows.flatMap { r =>
+      val words = Array(r.s0, r.s1, r.s2, r.s3)
+      (0 until 4).map(b =>
+        BandSigRow(r.vec_id, r.ts, b, words(b), r.s0, r.s1, r.s2, r.s3))
+    }
+  }
+
+  /** The per-band suppression fold: the SAME decision function as
+    * [[suppress]] — event-time-then-id arrival order, event-time TTL,
+    * minBy (hamming, vec_id) tie-break, admit-on-miss insertion — keyed by
+    * (band, bucket) instead of bucket-0 alone. Band 0's slice is
+    * decision-identical to [[suppress]] by construction (same key space,
+    * same fold). INSERTION IS LOCAL: an arrival that misses in band b
+    * parks in band b's state even when another band catches it, so a
+    * suppressed arrival remains a suppression witness in the bands that
+    * missed it — the only insertion rule a one-pass keyed fold can apply
+    * (global admission isn't known inside one band's group), and recall
+    * under the any-predecessor contract only gains from the extra
+    * witnesses. dup_of therefore points at a near entry that may itself be
+    * suppressed elsewhere; the survivor SET (is_dup = false after the OR)
+    * is unambiguous, and edges chain to an admitted root transitively.
+    */
+  def suppressPerBand(rows: Dataset[BandSigRow], ttlMs: Long = 10 * 60 * 1000L,
+                      streaming: Boolean = true): Dataset[BandDecision] = {
+    val s = rows.sparkSession
+    import s.implicits._
+    rows.groupByKey(r => (r.band, r.bucket))
+      .flatMapGroupsWithState[BucketState, BandDecision](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        processBandBucket(ttlMs, streaming))
+  }
+
+  /** [[processBucket]] generalized to the (band, bucket) key. */
+  def processBandBucket(ttlMs: Long, streaming: Boolean)(
+      key: (Int, Long), rows: Iterator[BandSigRow],
+      state: GroupState[BucketState]): Iterator[BandDecision] = {
+    val wm = if (streaming) state.getCurrentWatermarkMs() else Long.MinValue
+    var entries = state.getOption.map(_.entries).getOrElse(Nil)
+      .filter(_.expiryMs > wm)
+    if (!rows.hasNext) {
+      if (entries.isEmpty) state.remove()
+      else { state.update(BucketState(entries)); arm(state, entries, streaming) }
+      return Iterator.empty
+    }
+    val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.vec_id))
+    def ham(e: Entry, r: BandSigRow): Int =
+      java.lang.Long.bitCount(e.s0 ^ r.s0) + java.lang.Long.bitCount(e.s1 ^ r.s1) +
+        java.lang.Long.bitCount(e.s2 ^ r.s2) + java.lang.Long.bitCount(e.s3 ^ r.s3)
+    val out = sorted.map { r =>
+      entries = entries.filter(_.expiryMs > r.ts.getTime)
+      val near = entries.filter(e => ham(e, r) <= HammingMax)
+      if (near.nonEmpty) {
+        val best = near.minBy(e => (ham(e, r), e.vec_id))
+        BandDecision(r.vec_id, r.ts, key._1, is_dup = true, best.vec_id,
+          ham(best, r))
+      } else {
+        entries ::= Entry(r.vec_id, r.ts.getTime + ttlMs, r.s0, r.s1, r.s2, r.s3)
+        BandDecision(r.vec_id, r.ts, key._1, is_dup = false, -1L, -1)
+      }
+    }
+    if (entries.isEmpty) state.remove()
+    else { state.update(BucketState(entries)); arm(state, entries, streaming) }
+    out.iterator
+  }
+
+  /** OR-combine the 4 per-band verdicts into one [[Decision]]-shaped row
+    * per arrival: suppressed if ANY band suppressed, the referenced
+    * original the (hamming, dup_of)-min over the hitting bands — a total,
+    * replayable tie-break. Plain aggregation: batch callers use it
+    * directly; a streaming deployment runs it windowed-by-`ts` under a
+    * watermark downstream of [[suppressPerBand]] (each arrival's 4
+    * verdicts carry one event time, so any window groups them intact).
+    */
+  def combineBandDecisions(dec: DataFrame): DataFrame =
+    dec.groupBy(col("vec_id"))
+      .agg(max(col("is_dup")).as("is_dup"),
+        min(when(col("is_dup"), struct(col("hamming"), col("dup_of")))).as("b"))
+      .select(col("vec_id"), col("is_dup"),
+        coalesce(col("b.dup_of"), lit(-1L)).as("dup_of"),
+        coalesce(col("b.hamming"), lit(-1)).as("hamming"))
+
+  /** Batch entry point for the OR-keyed suppressor (the declared
+    * `dedup_semantic_stream_or` row's machinery): explode → per-band fold
+    * → OR-combine. Measured on the 200 k/100-rep clone corpus the OR
+    * keying lifts suppression recall 0.744 → ≥0.95 of the in-contract
+    * pairs (SemStreamProbe, SURVEY §6 r19) — the single band-0 key was
+    * ceiling-bound at its 0.778 collision probability; four independent
+    * 16-bit keys bound the miss at the 4-band OR collision bound (0.984
+    * measured on the same corpus).
+    */
+  def suppressOr(rows: Dataset[SigRow], ttlMs: Long = 10 * 60 * 1000L,
+                 streaming: Boolean = false): DataFrame =
+    combineBandDecisions(
+      suppressPerBand(bandSignatures(rows), ttlMs, streaming).toDF())
 }

@@ -127,7 +127,7 @@ class Round18Spec extends SparkSuite {
           transform(col("embedding"), (x, d) =>
             (x + (hash(col("vec_id"), d, col("rep")) % 1000).cast("float")
               / 20000.0f).cast("float"))).as("embedding"))
-    val (truth, caught, _, _) = SemStreamProbe.measure(spark, amp, stride)
+    val (truth, caught, _, _, _) = SemStreamProbe.measure(spark, amp, stride)
     assert(truth > 500, s"clone amplification produced only $truth in-contract pairs")
     val recall = caught.toDouble / truth
     info(f"gate-scale clone suppression recall = $recall%.3f ($caught/$truth)")
