@@ -31,6 +31,59 @@ object LshScaleProbe {
   private val ModeFlags =
     Set("only", "auto", "plan", "recall", "ivfpq", "hamming", "multiprobe")
 
+  /** The probe-rig Lloyd trainer (2 iterations over a ~20 k hash sample of
+    * residuals, per subspace) — the scaled-up twin of the declared
+    * sim_pq_train chain, shared with [[IvfPqStageProbe]] so the stage
+    * decomposition trains the IDENTICAL book the end-to-end probe queries.
+    * Codes stay DENSE in [0, pqK): an emptied cluster keeps its previous
+    * centroid (the packed distance-table index is positional). Decimal
+    * means, not avg(): order-independent, so probe recalls cited in SURVEY
+    * §6 are bit-reproducible across partitionings (r16 ADVICE).
+    */
+  private[graft] def trainCodebook(e: org.apache.spark.sql.DataFrame, n: Long,
+                                   pqK: Int, ivfK: Int): org.apache.spark.sql.DataFrame = {
+    import functions.VectorKernels.ddot
+    val sampleMod = math.max(1L, n / 20000L)
+    val res = operators.Similarity.ivfResiduals(
+      Tables.spread(e).filter(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0), e,
+      ivfK)
+    val subs = explode(sequence(lit(0), lit(3))).as("sub")
+    val slices = res.select(col("vec_id"), subs, col("res"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("res"), col("sub") * 16 + 1, lit(16)).as("x"))
+      .localCheckpoint(true)
+    // seeds from the UNSAMPLED corpus (the hash sample need not contain
+    // vec_ids < pqK): the same first-pqK identity the production
+    // default uses, so training isolates the Lloyd refinement
+    var cents = operators.Similarity
+      .ivfResiduals(e.filter(col("vec_id") < pqK), e, ivfK)
+      .select(col("vec_id"), subs, col("res"))
+      .select(col("vec_id").as("code"), col("sub"),
+        slice(col("res"), col("sub") * 16 + 1, lit(16)).as("cb_sub"))
+      .localCheckpoint(true)
+    for (_ <- 1 to 2) {
+      val asg = slices.join(broadcast(cents), "sub")
+        .select(col("vec_id"), col("sub"), col("x"), col("code"),
+          (ddot(col("x"), col("x")) - lit(2) * ddot(col("x"), col("cb_sub"))
+            + ddot(col("cb_sub"), col("cb_sub"))).as("d2"))
+        .groupBy(col("vec_id"), col("sub"), col("x"))
+        .agg(functions.TopK.neighbors(1)(col("code"), -col("d2")).as("nb"))
+        .select(col("sub"), col("x"),
+          col("nb").getItem(0).getField("_1").as("code"))
+      val means = asg.select(col("sub"), col("code"), posexplode(col("x")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg((functions.Deterministic.dsumFine(col("col")) / count(lit(1))).as("v"))
+        .groupBy(col("sub"), col("code"))
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("v")))),
+          s => s.getField("v")).as("m_sub"))
+      cents = cents.join(means, Seq("sub", "code"), "left")
+        .select(col("sub"), col("code"),
+          coalesce(col("m_sub"), col("cb_sub")).as("cb_sub"))
+        .localCheckpoint(true)
+    }
+    cents.withColumn("cb_sq", ddot(col("cb_sub"), col("cb_sub")))
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     // numeric operands are bands/bits; word operands are mode flags —
@@ -131,51 +184,8 @@ object LshScaleProbe {
       // recall, and the rig's 8 cells make any nprobe most of the corpus
       val ivfK = sys.env.get("SPARK_GRAFT_IVFK").map(_.toInt)
         .getOrElse(operators.Similarity.IvfK)
-      val cbOverride = trainedK.map { pqK =>
-        import functions.VectorKernels.ddot
-        val sampleMod = math.max(1L, n / 20000L)
-        val res = operators.Similarity.ivfResiduals(
-          Tables.spread(e).filter(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0), e,
-          ivfK)
-        val subs = explode(sequence(lit(0), lit(3))).as("sub")
-        val slices = res.select(col("vec_id"), subs, col("res"))
-          .select(col("vec_id"), col("sub"),
-            slice(col("res"), col("sub") * 16 + 1, lit(16)).as("x"))
-          .localCheckpoint(true)
-        // seeds from the UNSAMPLED corpus (the hash sample need not contain
-        // vec_ids < pqK): the same first-pqK identity the production
-        // default uses, so training isolates the Lloyd refinement
-        var cents = operators.Similarity
-          .ivfResiduals(e.filter(col("vec_id") < pqK), e, ivfK)
-          .select(col("vec_id"), subs, col("res"))
-          .select(col("vec_id").as("code"), col("sub"),
-            slice(col("res"), col("sub") * 16 + 1, lit(16)).as("cb_sub"))
-          .localCheckpoint(true)
-        for (_ <- 1 to 2) {
-          val asg = slices.join(broadcast(cents), "sub")
-            .select(col("vec_id"), col("sub"), col("x"), col("code"),
-              (ddot(col("x"), col("x")) - lit(2) * ddot(col("x"), col("cb_sub"))
-                + ddot(col("cb_sub"), col("cb_sub"))).as("d2"))
-            .groupBy(col("vec_id"), col("sub"), col("x"))
-            .agg(functions.TopK.neighbors(1)(col("code"), -col("d2")).as("nb"))
-            .select(col("sub"), col("x"),
-              col("nb").getItem(0).getField("_1").as("code"))
-          // decimal mean, not avg(): order-independent like the declared
-          // sim_pq_train row, so probe recall numbers cited in SURVEY §6
-          // are bit-reproducible across partitionings (r16 ADVICE)
-          val means = asg.select(col("sub"), col("code"), posexplode(col("x")))
-            .groupBy(col("sub"), col("code"), col("pos"))
-            .agg((functions.Deterministic.dsumFine(col("col")) / count(lit(1))).as("v"))
-            .groupBy(col("sub"), col("code"))
-            .agg(transform(sort_array(collect_list(struct(col("pos"), col("v")))),
-              s => s.getField("v")).as("m_sub"))
-          cents = cents.join(means, Seq("sub", "code"), "left")
-            .select(col("sub"), col("code"),
-              coalesce(col("m_sub"), col("cb_sub")).as("cb_sub"))
-            .localCheckpoint(true)
-        }
-        cents.withColumn("cb_sq", ddot(col("cb_sub"), col("cb_sub")))
-      }
+      val cbOverride = trainedK.map(pqK =>
+        trainCodebook(e, n, pqK, ivfK))
       val got = (if (args.contains("ivfpq"))
         operators.Similarity.ivfPqTopK(Tables.spread(e), e,
           panel = Some(panel.select(col("q_id").as("vec_id"),

@@ -47,9 +47,16 @@ object ScaleUp {
   def main(args: Array[String]): Unit = {
     val Array(src, dst, fStr, rest @ _*) = args
     // `organic` flag (r16 verdict item 1): replica EMBEDDINGS are fresh
-    // full-σ draws instead of ±0.05 clones — see the embeddings rule below
+    // full-σ draws instead of ±0.05 clones — see the embeddings rule below.
+    // `clustered` flag (r18 verdict item 5): fresh draws from a
+    // mixture-of-Gaussians instead of one isotropic ball — the regime
+    // where IVF's recall-per-probed-fraction argument can actually hold
+    // (the r18 cell-axis negative was measured on isotropic data, which
+    // CANNOT show it). SPARK_GRAFT_CLUSTERS sets the mixture width
+    // (default 64 components).
     val organic = rest.contains("organic")
-    val onlyTables = rest.filterNot(_ == "organic")
+    val clustered = rest.contains("clustered")
+    val onlyTables = rest.filterNot(f => f == "organic" || f == "clustered")
     val f = fStr.toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = Sessions.builder(s"local[$cpus]", cpus.toInt)
@@ -114,11 +121,33 @@ object ScaleUp {
         concat_ws(" ", transform(split(col("text"), " "),
           w => concat(lit("r"), rep.cast("string"), lit("_"), w)))))
       .withColumn("n_chars", length(col("text"))))
+    val mixtureK = sys.env.getOrElse("SPARK_GRAFT_CLUSTERS", "64").toInt
     replicate("embeddings")((df, rep) => df
       .withColumn("vec_id", shift("vec_id", rep))
       .withColumn("embedding",
         when(rep === 0, col("embedding")).otherwise(
-          if (organic)
+          if (clustered) {
+            // CLUSTERED regime: vector = centroid(component) + tight noise,
+            // both deterministic hash draws (the organic 3-uniform shape).
+            // Component centroids draw at the source's full 0.125 σ
+            // (|μ| ≈ 1.0 over 64 dims); within-component noise at half σ
+            // (|ε|² ≈ 0.25) puts same-component cosine ≈ 0.8 — real
+            // neighborhood structure for a coarse quantizer to exploit,
+            // far below the ±0.05 clone regime's 0.9+. Component id is a
+            // hash of (vec_id, rep), so components are balanced ~n/k and
+            // replica spaces share the SAME mixture (a real sharded crawl
+            // of one distribution, not f private distributions).
+            val comp = pmod(hash(col("vec_id"), rep, lit(77)), lit(mixtureK))
+            def u(seed: Int, c: Column, d: Column) =
+              (hash(c, d, lit(seed)) % 1000).cast("float") / 1000.0f
+            transform(col("embedding"), (_, d) =>
+              (lit(0.125f) * (u(11, comp, d) + u(12, comp, d) + u(13, comp, d))
+                + lit(0.0625f) *
+                  ((hash(col("vec_id"), d, rep, lit(4)) % 1000).cast("float") / 1000.0f
+                    + (hash(col("vec_id"), d, rep, lit(5)) % 1000).cast("float") / 1000.0f
+                    + (hash(col("vec_id"), d, rep, lit(6)) % 1000).cast("float") / 1000.0f))
+                .cast("float"))
+          } else if (organic)
             // ORGANIC regime: each replica vector is a FRESH deterministic
             // draw at the source's full per-component σ (0.125,
             // near-Gaussian via 3 summed ±1 uniforms — the source corpus
