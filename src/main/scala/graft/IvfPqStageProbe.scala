@@ -108,6 +108,11 @@ object IvfPqStageProbe {
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nprobe)
       .select(col("q_id"), col("q_nrm"), col("cent_id"), col("qc")))
+    // replicates the operator's r19 flat ADC fragments (pre-cast decimal
+    // table + codegen add chain); SPARK_GRAFT_ADC_FOLD=1 keeps the r18
+    // `aggregate()` HOF form as the A/B rung the r19 SURVEY table prices
+    val hofFold = sys.env.get("SPARK_GRAFT_ADC_FOLD").contains("1")
+    val dec3320 = org.apache.spark.sql.types.DecimalType(33, 20)
     val dtArr = broadcast(panel
       .select(col("vec_id").as("q_id"), subs, col("embedding"))
       .select(col("q_id"), col("sub"),
@@ -117,16 +122,29 @@ object IvfPqStageProbe {
         ddot(col("q_sub"), col("cb_sub")).as("part"))
       .groupBy(col("q_id"))
       .agg(transform(sort_array(collect_list(struct(col("i"), col("part")))),
-        s => s.getField("part")).as("dts")))
+        s => if (hofFold) s.getField("part")
+             else s.getField("part").cast(dec3320)).as("dts")))
     val dec3420 = org.apache.spark.sql.types.DecimalType(34, 20)
     val decZero = lit(new java.math.BigDecimal(0)).cast(dec3420)
     def rpart(cs: org.apache.spark.sql.Column,
               dts: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      aggregate(cs, decZero,
-        (acc, c) => (acc + element_at(dts,
-          (c.getField("sub") * pqK + c.getField("code") + 1).cast("int"))
-          .cast(org.apache.spark.sql.types.DecimalType(33, 20))).cast(dec3420),
-        acc => acc.cast("double"))
+      if (hofFold)
+        aggregate(cs, decZero,
+          (acc, c) => (acc + element_at(dts,
+            (c.getField("sub") * pqK + c.getField("code") + 1).cast("int"))
+            .cast(dec3320)).cast(dec3420),
+          acc => acc.cast("double"))
+      else {
+        val sum = (0 until 4).map { j =>
+          val c = element_at(cs, j + 1)
+          element_at(dts,
+            (c.getField("sub") * pqK + c.getField("code") + 1).cast("int"))
+        }.reduce(_ + _)
+        when(size(cs) === lit(4), sum.cast("double"))
+          .otherwise(raise_error(concat(
+            lit("[ivfpqstage] packed code row with size(cs) != 4: "),
+            size(cs).cast("string"))))
+      }
     timed("adc+rank") {
       val cand = probes.join(nvec, "cent_id")
         .filter(col("n_id") =!= col("q_id"))

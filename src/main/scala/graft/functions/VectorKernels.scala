@@ -778,6 +778,125 @@ case class PqEncodeCodes(child: Expression, cbFlat: IndexedSeq[Double],
     copy(child = newChild)
 }
 
+/** A vector's nearest coarse cell in one kernel: argmax_{c < ivfK}
+  * cos(x, cent[c]) with the (round(cos, 9) desc, cent_id asc) tie
+  * convention — value-identical to the dataflow coarse assign it replaces
+  * (crossJoin × ivfK cents → per-cell cos → bounded-state TopK at k = 1),
+  * including the [[TopK]] 1e-9 fast-reject margin at k = 1: a candidate
+  * with cos < best's r9 − 1e-9 provably cannot win after rounding, so
+  * BigDecimal runs only on improving candidates.
+  *
+  * Why a kernel (r19 — the stage probe named encode the 20 M trained
+  * build's dominant term at 435 s, and the PQ code kernel is only ~80 s
+  * of it): the dataflow assign materializes N·ivfK joined rows, shuffles
+  * all N embeddings for an ObjectHashAggregate GROUPED ON THE EMBEDDING
+  * ARRAY (the group key hashes 64 floats per row), then joins the corpus
+  * AGAIN to recover the winning centroid — at 20 M that is 160 M
+  * crossJoin rows + a 20 M-row × 64-float shuffle for what is
+  * arithmetically ivfK·dim MACs per vector. Here the same cos arithmetic
+  * runs per row in one loop nest (dot and norm accumulate in the exact
+  * [[FloatVecDot]]/[[FloatVecNorm]] order; cent norms arrive as the SAME
+  * doubles the dataflow's cents frame computed, collected once), the
+  * plan stays a shuffle-free scan, and the residual join against the
+  * broadcast cents frame is the only remaining step.
+  *
+  * IndexedSeq fields for value equality (the [[PqEncodeCodes]] r18-ADVICE
+  * convention), unwrapped once for the runtime loops.
+  */
+case class IvfAssignCell(child: Expression, centFlat: IndexedSeq[Float],
+                         centNrm: IndexedSeq[Double], ivfK: Int, dim: Int)
+    extends UnaryExpression {
+
+  @transient private lazy val centFlatArr: Array[Float] = centFlat match {
+    case w: scala.collection.immutable.ArraySeq.ofFloat => w.unsafeArray
+    case other => other.toArray
+  }
+  @transient private lazy val centNrmArr: Array[Double] = centNrm match {
+    case w: scala.collection.immutable.ArraySeq.ofDouble => w.unsafeArray
+    case other => other.toArray
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "ivf_assign"
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeCheck.arrayOf(FloatType, prettyName, "emb" -> child.dataType)
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    if (x.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"ivf_assign expects $dim-dim embeddings, got ${x.numElements()}")
+    var nSq = 0.0
+    var i = 0
+    while (i < dim) { val v = x.getFloat(i).toDouble; nSq += v * v; i += 1 }
+    val nrm = math.sqrt(nSq)
+    var bestCent = -1L
+    var bestR9 = Double.NegativeInfinity
+    var c = 0
+    while (c < ivfK) {
+      val off = c * dim
+      var dotV = 0.0
+      i = 0
+      while (i < dim) {
+        dotV += x.getFloat(i).toDouble * centFlatArr(off + i).toDouble; i += 1
+      }
+      val s = dotV / (nrm * centNrmArr(c))
+      if (s >= bestR9 - 1e-9) {
+        val r9 = PqEncode.round9(s)
+        if (r9 > bestR9) { bestR9 = r9; bestCent = c.toLong }
+      }
+      c += 1
+    }
+    bestCent
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cf = ctx.addReferenceObj("ivfCentFlat", centFlatArr, "float[]")
+      val cn = ctx.addReferenceObj("ivfCentNrm", centNrmArr, "double[]")
+      val nSq = ctx.freshName("nSq")
+      val nrm = ctx.freshName("nrm")
+      val i = ctx.freshName("i")
+      val v = ctx.freshName("v")
+      val bestCent = ctx.freshName("bestCent")
+      val bestR9 = ctx.freshName("bestR9")
+      val c = ctx.freshName("c")
+      val off = ctx.freshName("off")
+      val dotV = ctx.freshName("dotV")
+      val s = ctx.freshName("s")
+      val r9 = ctx.freshName("r9")
+      s"""
+         |if ($a.numElements() != $dim) {
+         |  throw new IllegalArgumentException(
+         |    "ivf_assign expects $dim-dim embeddings, got " + $a.numElements());
+         |}
+         |double $nSq = 0.0;
+         |for (int $i = 0; $i < $dim; $i++) {
+         |  double $v = (double) $a.getFloat($i); $nSq += $v * $v;
+         |}
+         |double $nrm = java.lang.Math.sqrt($nSq);
+         |long $bestCent = -1L;
+         |double $bestR9 = Double.NEGATIVE_INFINITY;
+         |for (int $c = 0; $c < $ivfK; $c++) {
+         |  int $off = $c * $dim;
+         |  double $dotV = 0.0;
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    $dotV += (double) $a.getFloat($i) * (double) $cf[$off + $i];
+         |  }
+         |  double $s = $dotV / ($nrm * $cn[$c]);
+         |  if ($s >= $bestR9 - 1e-9) {
+         |    double $r9 = graft.functions.PqEncode.round9($s);
+         |    if ($r9 > $bestR9) { $bestR9 = $r9; $bestCent = (long) $c; }
+         |  }
+         |}
+         |${ev.value} = $bestCent;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Session registration + Column-level API for the kernels. */
 object VectorKernels {
 

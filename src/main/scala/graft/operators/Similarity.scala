@@ -2115,19 +2115,60 @@ object Similarity {
     * [[graft.LshScaleProbe]] ivfpq mode's codebook training.
     */
   private[graft] def ivfResiduals(v: DataFrame, raw: DataFrame,
-                                  ivfK: Int = IvfK): DataFrame = {
+                                  ivfK: Int = IvfK,
+                                  assignKernel: Boolean = true): DataFrame = {
     VectorKernels.register(v.sparkSession)
     val cents = broadcast(raw.filter(col("vec_id") < ivfK)
       .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
         l2norm(col("embedding")).as("c_nrm")))
-    v.select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("cent_id"),
-        (dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm"))).as("cos_c"))
-      .groupBy(col("vec_id"), col("embedding"))
-      .agg(graft.functions.TopK.neighbors(1)(col("cent_id"), col("cos_c")).as("nb"))
-      .select(col("vec_id"), col("embedding"),
-        col("nb").getItem(0).getField("_1").as("cent_id"))
+    val assigned =
+      if (assignKernel) {
+        // r19: the stage probe named the coarse assign the trained build's
+        // dominant cost (the dataflow below is N·ivfK crossJoin rows + an
+        // ObjectHashAggregate whose group key is the 64-float embedding +
+        // a full-corpus shuffle + a re-join — for ivfK·dim MACs/vector).
+        // [[graft.functions.IvfAssignCell]] runs the identical cos
+        // arithmetic per row against the centroids as a plan constant
+        // (collected ONCE from the same cents frame, c_nrm the very
+        // doubles the dataflow multiplied by), keeping the corpus pass
+        // shuffle-free. Dense-slot require = the PqEncodeCodes collect
+        // convention: a hole or duplicate would mis-assign silently.
+        val dim = PqM * PqSubDim
+        val centRows = cents.select(col("cent_id"), col("c_emb"), col("c_nrm"))
+          .collect()
+        require(centRows.length == ivfK,
+          s"[ivf] expected $ivfK centroid rows (vec_id dense in [0, $ivfK)), " +
+            s"got ${centRows.length}")
+        val centFlat = new Array[Float](ivfK * dim)
+        val centNrm = new Array[Double](ivfK)
+        val seen = new Array[Boolean](ivfK)
+        centRows.foreach { r =>
+          val slot = r.getLong(0).toInt
+          require(slot >= 0 && slot < ivfK && !seen(slot),
+            s"[ivf] centroid slot $slot out of range or written twice")
+          seen(slot) = true
+          val e = r.getSeq[Float](1)
+          var i = 0
+          while (i < dim) { centFlat(slot * dim + i) = e(i); i += 1 }
+          centNrm(slot) = r.getDouble(2)
+        }
+        v.select(col("vec_id"), col("embedding"),
+          org.apache.spark.sql.GraftBridge.column(
+            graft.functions.IvfAssignCell(
+              org.apache.spark.sql.GraftBridge.expr(col("embedding")),
+              scala.collection.immutable.ArraySeq.unsafeWrapArray(centFlat),
+              scala.collection.immutable.ArraySeq.unsafeWrapArray(centNrm),
+              ivfK, dim)).as("cent_id"))
+      } else
+        v.select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
+          .crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("embedding"), col("cent_id"),
+            (dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm"))).as("cos_c"))
+          .groupBy(col("vec_id"), col("embedding"))
+          .agg(graft.functions.TopK.neighbors(1)(col("cent_id"), col("cos_c")).as("nb"))
+          .select(col("vec_id"), col("embedding"),
+            col("nb").getItem(0).getField("_1").as("cent_id"))
+    assigned
       .join(broadcast(cents.select(col("cent_id"), col("c_emb"))), "cent_id")
       .select(col("vec_id"), col("cent_id"),
         zip_with(col("embedding"), col("c_emb"),
@@ -2222,6 +2263,11 @@ object Similarity {
     // per-query residual distance table, packed to ONE 64-double array per
     // query ordered by sub·PqK + code (dense: dt is qv × the full
     // codebook), so a pair's PqM lookups are array indexing, not a join
+    // parts are pre-cast to scale-20 decimals HERE, once per query (64
+    // entries), not inside the ADC fold (once per candidate × PqM — a
+    // BigDecimal construction through Double.toString, ~2 G calls at the
+    // 20 M geometry): the same HALF_UP 20-digit round of the same double,
+    // so every downstream digit is unchanged (r19, stage-probe measured)
     val dtArr = broadcast(qv
       .select(col("vec_id").as("q_id"), subs, col("embedding"))
       .select(col("q_id"), col("sub"),
@@ -2231,7 +2277,8 @@ object Similarity {
         dotD(col("q_sub"), col("cb_sub")).as("part"))
       .groupBy(col("q_id"))
       .agg(transform(sort_array(collect_list(struct(col("i"), col("part")))),
-        s => s.getField("part")).as("dts"))
+        s => s.getField("part")
+          .cast(org.apache.spark.sql.types.DecimalType(33, 20))).as("dts"))
       // the ADC fold indexes dts POSITIONALLY at sub·pqK + code: a sparse
       // caller-supplied codebook (a hole in [0, pqK) for some sub) would
       // shift every later lookup and mis-score silently — fail loudly
@@ -2256,20 +2303,30 @@ object Similarity {
       .groupBy(col("n_id"), col("cent_id"))
       .agg(sort_array(collect_list(struct(col("sub"), col("code")))).as("cs"),
         dsumFine(col("recon_sq")).as("rsq"))
-    // exact fixed-point fold: parts cast to scale-20 decimals exactly as
-    // dsumFine does (same HALF_UP 20-digit round of the double), then
-    // added with integer-digit headroom so NO step ever rounds — (34,20)
-    // + (33,20) = (35,20), cast back to (34,20) loses nothing while
-    // |sum| < 10¹⁴ (parts are O(1) subspace dots) — so the fold equals
-    // the grouped decimal sum it replaces digit-for-digit
-    val dec3420 = org.apache.spark.sql.types.DecimalType(34, 20)
-    val decZero = lit(new java.math.BigDecimal(0)).cast(dec3420)
-    def rpart(cs: Column, dts: Column): Column = aggregate(
-      cs, decZero,
-      (acc, c) => (acc + element_at(dts,
-        (c.getField("sub") * pqK + c.getField("code") + 1).cast("int"))
-        .cast(org.apache.spark.sql.types.DecimalType(33, 20))).cast(dec3420),
-      acc => acc.cast("double"))
+    // exact fixed-point ADC sum, FLAT (r19): a PqM-term decimal add chain
+    // over the pre-cast table — (33,20)+(33,20)=(34,20), +(33,20)=(35,20),
+    // +(33,20)=(36,20): scale stays 20 and precision headroom only grows,
+    // so NO step ever rounds and the chain equals the grouped decimal sum
+    // it descends from digit-for-digit (|sum| < 10¹³ — parts are O(1)
+    // subspace dots). The r16–r18 form was an `aggregate()` higher-order
+    // fold: HOFs are CodegenFallback, so EVERY candidate row dropped out
+    // of whole-stage codegen and paid lambda dispatch + a per-element
+    // double→decimal conversion; the flat chain is plain codegen'd
+    // expressions (stage-probe A/B in SURVEY §6 r19). Size-guarded the
+    // dtArr way: the fold summed whatever was present, the flat form
+    // indexes PqM fixed positions — a short cs would silently drop terms,
+    // so fail loudly instead (dense books always pack exactly PqM).
+    def rpart(cs: Column, dts: Column): Column = {
+      val sum = (0 until PqM).map { j =>
+        val c = element_at(cs, j + 1)
+        element_at(dts,
+          (c.getField("sub") * pqK + c.getField("code") + 1).cast("int"))
+      }.reduce(_ + _)
+      when(size(cs) === lit(PqM), sum.cast("double"))
+        .otherwise(raise_error(concat(
+          lit(s"[ivfpq] packed code row with size(cs) != $PqM: "),
+          size(cs).cast("string"))))
+    }
     // the fusion: probed-cell equi-join prunes candidates (IVF), the
     // packed codes score against the broadcast per-query table (PQ ADC) —
     // shuffle carries codes, never floats; shortlist via the bounded-state

@@ -161,4 +161,34 @@ class Round19Spec extends SparkSuite {
     assert(or4 >= 0.85, f"OR-keyed suppression recall $or4%.3f under the 0.85 floor")
     Caches.release(spark); spark.catalog.clearCache()
   }
+
+  test("coarse-assign kernel is value-identical to the dataflow and shuffle-free") {
+    // r19 item 4: the stage probe named the coarse assign (crossJoin ×
+    // ivfK + embedding-keyed ObjectHashAggregate + corpus shuffle +
+    // re-join) the 20 M trained build's dominant term; IvfAssignCell runs
+    // the identical cos arithmetic per row against plan-constant
+    // centroids. Pin (a) full value identity of (vec_id, cent_id, res)
+    // against the retained dataflow rung on both gate corpora, and (b)
+    // the kernel path's plan has NO shuffle — the 100 TB shape is a
+    // single map pass over the corpus.
+    for (dir <- Seq(sfDir, Sf001)) {
+      val e = Tables.load(spark, dir, "embeddings")
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toList)
+      val kernel = Similarity.ivfResiduals(e, e)
+      val viaKernel = kernel.collect().map(key).toSet
+      val viaFlow = Similarity.ivfResiduals(e, e, assignKernel = false)
+        .collect().map(key).toSet
+      assert(viaKernel == viaFlow,
+        s"$dir: kernel coarse assign diverged from the dataflow " +
+          s"(${(viaKernel -- viaFlow).size} kernel-only, " +
+          s"${(viaFlow -- viaKernel).size} flow-only)")
+      val shuffles = kernel.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+      }
+      assert(shuffles.isEmpty,
+        s"$dir: kernel residual plan still shuffles (${shuffles.size} exchanges)")
+      Caches.release(spark); spark.catalog.clearCache()
+    }
+  }
 }
