@@ -37,7 +37,11 @@ object Bench {
     // the round's new declared rows
     "sim_hamming_recall", "sim_pq_train", "sim_ivfpq_trained",
     "sim_ivfpq_trained_recall", "dedup_semantic_stream_replay",
-    "sim_lsh_multiprobe", "sim_lsh_multiprobe_recall")
+    "sim_lsh_multiprobe", "sim_lsh_multiprobe_recall",
+    // round 19: the ranked-budget frontier row, the OR-keyed suppressor
+    // replay, and the r18 radius-2 row the list missed
+    "sim_lsh_multiprobe2_recall", "sim_lsh_multiprobe_budget_recall",
+    "dedup_semantic_stream_or")
 
   /** Noise canary: a cheap, code-stable query whose implementation has not
     * changed since round 1. Its best-of-N time moves only with host

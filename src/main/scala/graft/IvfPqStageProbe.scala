@@ -68,13 +68,12 @@ object IvfPqStageProbe {
     val cb = timed("train") {
       broadcast(LshScaleProbe.trainCodebook(e, n, pqK, ivfK).localCheckpoint(true))
     }
-    // ---- stage 2: coarse assign + residuals + fused encode -------------
-    val codes = timed("encode") {
-      operators.Similarity
-        .pqCodesFrame(Tables.spread(e), e, cb, pqK, encodeKernel = true, ivfK)
-        .localCheckpoint(true)
-    }
-    // ---- stage 3: pack codes into the per-vector ADC layout ------------
+    // ---- stages 2+3: encode + pack -------------------------------------
+    // r19 default: the operator's FUSED shape (kernel codes kept as an
+    // array, cs a transform, rsq the PqPackRsq kernel — one shuffle-free
+    // map pass, timed as encode+pack). SPARK_GRAFT_PACK_FUSED=0 keeps the
+    // r18 two-stage rung (exploded codes checkpoint, then recon join +
+    // (n_id, cent_id) re-group) as the priced A/B.
     import graft.functions.Deterministic.dsumFine
     val subs = explode(sequence(lit(0), lit(3))).as("sub")
     def subSlice(a: org.apache.spark.sql.Column) =
@@ -89,13 +88,28 @@ object IvfPqStageProbe {
       .withColumn("recon_sub", zip_with(col("c_sub"), col("cb_sub"), (a, b) => a + b))
       .select(col("cent_id"), col("sub"), col("code"),
         ddot(col("recon_sub"), col("recon_sub")).as("recon_sq")))
-    val nvec = timed("pack") {
-      codes.join(reconSq, Seq("cent_id", "sub", "code"))
-        .groupBy(col("n_id"), col("cent_id"))
-        .agg(sort_array(collect_list(struct(col("sub"), col("code")))).as("cs"),
-          dsumFine(col("recon_sq")).as("rsq"))
-        .localCheckpoint(true)
-    }
+    val packFused = !sys.env.get("SPARK_GRAFT_PACK_FUSED").contains("0")
+    val nvec =
+      if (packFused)
+        timed("enc+pack") {
+          operators.Similarity
+            .pqPackedFrame(Tables.spread(e), e, cb, reconSq, pqK, ivfK)
+            .localCheckpoint(true)
+        }
+      else {
+        val codes = timed("encode") {
+          operators.Similarity
+            .pqCodesFrame(Tables.spread(e), e, cb, pqK, encodeKernel = true, ivfK)
+            .localCheckpoint(true)
+        }
+        timed("pack") {
+          codes.join(reconSq, Seq("cent_id", "sub", "code"))
+            .groupBy(col("n_id"), col("cent_id"))
+            .agg(sort_array(collect_list(struct(col("sub"), col("code")))).as("cs"),
+              dsumFine(col("recon_sq")).as("rsq"))
+            .localCheckpoint(true)
+        }
+      }
     // ---- stage 4: probed-cell ADC scan + shortlist + exact re-rank -----
     val wProbe = Window.partitionBy("q_id")
       .orderBy(round(col("cos_c"), 9).desc, col("cent_id"))

@@ -778,6 +778,106 @@ case class PqEncodeCodes(child: Expression, cbFlat: IndexedSeq[Double],
     copy(child = newChild)
 }
 
+/** The packed ADC layout's reconstruction norm² in one kernel: rsq =
+  * Σ_{sub < pqM} recon_sq(cent_id, sub, code[sub]) with EXACTLY the
+  * grouped `dsumFine` arithmetic it replaces — each double is rounded to
+  * a scale-20 HALF_UP decimal through the same `Double.toString` path
+  * Spark's double→Decimal(38,20) cast takes (precomputed ONCE per slot at
+  * plan build; the doubles are plan constants so the rounds are too),
+  * then summed with exact BigDecimal adds and collapsed with
+  * `BigDecimal.doubleValue` (= `Decimal.toDouble` at this precision) —
+  * digit-identical to `sum(cast(recon_sq as decimal(38,20))).cast(double)`.
+  *
+  * Why (r19 pack fusion): the pack stage joined N·PqM exploded code rows
+  * against the broadcast recon table and re-grouped them per vector
+  * (sort_array collect_list + decimal-sum ObjectHashAggregate — a full-
+  * corpus shuffle). With codes kept as the encode kernel's array, cs is a
+  * `transform` and rsq is this kernel: the corpus-side build pipeline
+  * becomes a single shuffle-free map pass.
+  */
+case class PqPackRsq(centId: Expression, codes: Expression,
+                     recFlat: IndexedSeq[Double], pqM: Int, pqK: Int)
+    extends BinaryExpression {
+
+  override def left: Expression = centId
+  override def right: Expression = codes
+
+  @transient private lazy val recDec: Array[java.math.BigDecimal] = {
+    val arr = new Array[java.math.BigDecimal](recFlat.length)
+    var i = 0
+    while (i < recFlat.length) {
+      arr(i) = new java.math.BigDecimal(java.lang.Double.toString(recFlat(i)))
+        .setScale(20, java.math.RoundingMode.HALF_UP)
+      i += 1
+    }
+    arr
+  }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_pack_rsq"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (centId.dataType != org.apache.spark.sql.types.LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects cent_id: bigint, got ${centId.dataType.catalogString}")
+    else if (codes.dataType != ArrayType(org.apache.spark.sql.types.LongType, false))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects codes: array<bigint> (containsNull=false), " +
+          s"got ${codes.dataType.catalogString}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val cent = a.asInstanceOf[Long].toInt
+    val cs = b.asInstanceOf[ArrayData]
+    if (cs.numElements() != pqM)
+      throw new IllegalArgumentException(
+        s"pq_pack_rsq expects $pqM codes, got ${cs.numElements()}")
+    var acc = java.math.BigDecimal.ZERO
+    var sub = 0
+    while (sub < pqM) {
+      val idx = (cent * pqM + sub) * pqK + cs.getLong(sub).toInt
+      if (idx < 0 || idx >= recDec.length)
+        throw new IllegalArgumentException(
+          s"pq_pack_rsq slot (cent=$cent, sub=$sub, code=${cs.getLong(sub)}) " +
+            s"outside the ${recDec.length}-entry recon table")
+      acc = acc.add(recDec(idx))
+      sub += 1
+    }
+    acc.doubleValue
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val rec = ctx.addReferenceObj("pqRecDec", recDec, "java.math.BigDecimal[]")
+      val cent = ctx.freshName("cent")
+      val acc = ctx.freshName("acc")
+      val sub = ctx.freshName("sub")
+      val idx = ctx.freshName("idx")
+      s"""
+         |if ($b.numElements() != $pqM) {
+         |  throw new IllegalArgumentException(
+         |    "pq_pack_rsq expects $pqM codes, got " + $b.numElements());
+         |}
+         |int $cent = (int) $a;
+         |java.math.BigDecimal $acc = java.math.BigDecimal.ZERO;
+         |for (int $sub = 0; $sub < $pqM; $sub++) {
+         |  int $idx = ($cent * $pqM + $sub) * $pqK + (int) $b.getLong($sub);
+         |  if ($idx < 0 || $idx >= $rec.length) {
+         |    throw new IllegalArgumentException(
+         |      "pq_pack_rsq slot (cent=" + $cent + ", sub=" + $sub +
+         |        ", code=" + $b.getLong($sub) + ") outside the " +
+         |        $rec.length + "-entry recon table");
+         |  }
+         |  $acc = $acc.add($rec[$idx]);
+         |}
+         |${ev.value} = $acc.doubleValue();
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(centId = newLeft, codes = newRight)
+}
+
 /** A vector's nearest coarse cell in one kernel: argmax_{c < ivfK}
   * cos(x, cent[c]) with the (round(cos, 9) desc, cent_id asc) tie
   * convention — value-identical to the dataflow coarse assign it replaces

@@ -2058,38 +2058,8 @@ object Similarity {
     val subs = explode(sequence(lit(0), lit(PqM - 1))).as("sub")
     def subSlice(a: Column) = slice(a, col("sub") * PqSubDim + 1, lit(PqSubDim))
     if (encodeKernel) {
-      val cbRows = cb.select(col("sub"), col("code"), col("cb_sub"), col("cb_sq"))
-        .collect()
-      // dense-book check, the dtArr raise_error convention one stage
-      // earlier: a positional hole would mis-encode silently. Count alone
-      // is not enough (r18 ADVICE): a duplicated (sub, code) slot paired
-      // with a missing one passes the length check yet leaves a
-      // zero-initialized slot — track per-slot writes and demand exactly
-      // one each.
-      require(cbRows.length == PqM * pqK,
-        s"[ivfpq] sparse codebook: expected ${PqM * pqK} entries, got ${cbRows.length}")
-      val cbFlat = new Array[Double](PqM * pqK * PqSubDim)
-      val cbSq = new Array[Double](PqM * pqK)
-      val seen = new Array[Boolean](PqM * pqK)
-      cbRows.foreach { r =>
-        val slot = r.getInt(0) * pqK + r.getLong(1).toInt
-        require(slot >= 0 && slot < PqM * pqK && !seen(slot),
-          s"[ivfpq] codebook slot (sub=${r.getInt(0)}, code=${r.getLong(1)}) " +
-            "out of range or written twice — a positional hole would mis-encode")
-        seen(slot) = true
-        val v = r.getSeq[Double](2)
-        var i = 0
-        while (i < PqSubDim) { cbFlat(slot * PqSubDim + i) = v(i); i += 1 }
-        cbSq(slot) = r.getDouble(3)
-      }
-      residual(e)
-        .select(col("vec_id").as("n_id"), col("cent_id"),
-          posexplode(org.apache.spark.sql.GraftBridge.column(
-            graft.functions.PqEncodeCodes(
-              org.apache.spark.sql.GraftBridge.expr(col("res")),
-              scala.collection.immutable.ArraySeq.unsafeWrapArray(cbFlat),
-              scala.collection.immutable.ArraySeq.unsafeWrapArray(cbSq),
-              PqM, pqK, PqSubDim))))
+      pqCodesArray(e, raw, cb, pqK, ivfK)
+        .select(col("n_id"), col("cent_id"), posexplode(col("codes")))
         .toDF("n_id", "cent_id", "sub", "code")
     } else residual(e)
       .select(col("vec_id").as("n_id"), col("cent_id"), subs, col("res"))
@@ -2106,6 +2076,90 @@ object Similarity {
       .agg(graft.functions.TopK.neighbors(1)(col("code"), -col("d2")).as("nb"))
       .select(col("n_id"), col("cent_id"), col("sub"),
         col("nb").getItem(0).getField("_1").as("code"))
+  }
+
+  /** The kernel encode as an ARRAY frame: (n_id, cent_id, codes) with
+    * codes(sub) = the vector's PqM codes in subspace order — the shared
+    * substrate of [[pqCodesFrame]] (posexplode for the row form) and the
+    * r19 packed ADC layout ([[pqPackedFrame]], no explode at all).
+    * Collects the codebook to a plan constant with the slot-uniqueness
+    * require (r18 ADVICE): a positional hole or duplicate would
+    * mis-encode silently.
+    */
+  private[graft] def pqCodesArray(e: DataFrame, raw: DataFrame, cb: DataFrame,
+                                  pqK: Int, ivfK: Int = IvfK): DataFrame = {
+    val cbRows = cb.select(col("sub"), col("code"), col("cb_sub"), col("cb_sq"))
+      .collect()
+    require(cbRows.length == PqM * pqK,
+      s"[ivfpq] sparse codebook: expected ${PqM * pqK} entries, got ${cbRows.length}")
+    val cbFlat = new Array[Double](PqM * pqK * PqSubDim)
+    val cbSq = new Array[Double](PqM * pqK)
+    val seen = new Array[Boolean](PqM * pqK)
+    cbRows.foreach { r =>
+      val slot = r.getInt(0) * pqK + r.getLong(1).toInt
+      require(slot >= 0 && slot < PqM * pqK && !seen(slot),
+        s"[ivfpq] codebook slot (sub=${r.getInt(0)}, code=${r.getLong(1)}) " +
+          "out of range or written twice — a positional hole would mis-encode")
+      seen(slot) = true
+      val v = r.getSeq[Double](2)
+      var i = 0
+      while (i < PqSubDim) { cbFlat(slot * PqSubDim + i) = v(i); i += 1 }
+      cbSq(slot) = r.getDouble(3)
+    }
+    ivfResiduals(e, raw, ivfK)
+      .select(col("vec_id").as("n_id"), col("cent_id"),
+        org.apache.spark.sql.GraftBridge.column(
+          graft.functions.PqEncodeCodes(
+            org.apache.spark.sql.GraftBridge.expr(col("res")),
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(cbFlat),
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(cbSq),
+            PqM, pqK, PqSubDim)).as("codes"))
+  }
+
+  /** The packed per-vector ADC layout (n_id, cent_id, cs, rsq) in ONE
+    * shuffle-free map pass (r19 pack fusion). The r16–r18 form exploded
+    * the kernel's code array to N·PqM rows, joined the broadcast
+    * recon-norm table, and re-grouped per vector (sort_array collect_list
+    * + decimal-sum ObjectHashAggregate — a full-corpus shuffle keyed on
+    * (n_id, cent_id)). Here `cs` is a `transform` over the code array
+    * (codes are emitted in subspace order, so the struct array is already
+    * the sorted (sub, code) list the collect_list produced) and `rsq` is
+    * the [[graft.functions.PqPackRsq]] kernel against the recon table as
+    * a plan constant — each slot's scale-20 HALF_UP decimal precomputed
+    * from the same doubles the dataflow's `dsumFine` cast, summed with
+    * the same exact adds (digit-identical; Round19Spec pins full value
+    * equality against the dataflow rung). Slot-uniqueness require on the
+    * collect, the [[pqCodesArray]] convention.
+    */
+  private[graft] def pqPackedFrame(e: DataFrame, raw: DataFrame, cb: DataFrame,
+                                   reconSq: DataFrame, pqK: Int,
+                                   ivfK: Int = IvfK): DataFrame = {
+    val recRows = reconSq
+      .select(col("cent_id"), col("sub"), col("code"), col("recon_sq"))
+      .collect()
+    require(recRows.length == ivfK * PqM * pqK,
+      s"[ivfpq] sparse recon table: expected ${ivfK * PqM * pqK} entries, " +
+        s"got ${recRows.length}")
+    val recFlat = new Array[Double](ivfK * PqM * pqK)
+    val seen = new Array[Boolean](ivfK * PqM * pqK)
+    recRows.foreach { r =>
+      val slot = (r.getLong(0).toInt * PqM + r.getInt(1)) * pqK + r.getLong(2).toInt
+      require(slot >= 0 && slot < recFlat.length && !seen(slot),
+        s"[ivfpq] recon slot (cent=${r.getLong(0)}, sub=${r.getInt(1)}, " +
+          s"code=${r.getLong(2)}) out of range or written twice")
+      seen(slot) = true
+      recFlat(slot) = r.getDouble(3)
+    }
+    pqCodesArray(e, raw, cb, pqK, ivfK)
+      .select(col("n_id"), col("cent_id"),
+        transform(col("codes"),
+          (c, i) => struct(i.cast("int").as("sub"), c.as("code"))).as("cs"),
+        org.apache.spark.sql.GraftBridge.column(
+          graft.functions.PqPackRsq(
+            org.apache.spark.sql.GraftBridge.expr(col("cent_id")),
+            org.apache.spark.sql.GraftBridge.expr(col("codes")),
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(recFlat),
+            PqM, pqK)).as("rsq"))
   }
 
   /** Coarse-assign `v`'s vectors to their nearest of [[IvfK]] seed cells
@@ -2227,14 +2281,15 @@ object Similarity {
     // encode: argmin L2² of (residual slice − codebook slice) per
     // (vector, subspace). Production path: ONE [[graft.functions.
     // PqEncodeCodes]] kernel call per vector over the codebook collected
-    // as a plan constant — the dataflow form below materialized N·PqM·pqK
+    // as a plan constant — the dataflow form materialized N·PqM·pqK
     // joined rows plus an N·PqM-group aggregate whose row-at-a-time
     // overhead dominated the 20 M trained-256 build (r17 verdict item 5);
     // the kernel runs the identical arithmetic (same d2 order, same
     // round-9 + code tie convention) in a tight loop nest, value-pinned
     // by PqEncodeSpec and every ivfpq oracle row. `encodeKernel = false`
-    // keeps the dataflow shape — the A/B rung LshScaleProbe prices.
-    val codes = pqCodesFrame(e, raw, cb, pqK, encodeKernel, ivfK)
+    // keeps the dataflow shape — the A/B rung LshScaleProbe prices. The
+    // encode feeds `nvec` below (r19: fused with the pack on the kernel
+    // path — see [[pqPackedFrame]]).
     // reconstruction-norm table: |c_sub + cb_sub|² per (cell, sub, code) —
     // IvfK·PqM·PqK = 512 rows, broadcast
     val reconSq = broadcast(cents.select(col("cent_id"), subs, col("c_emb"))
@@ -2291,18 +2346,23 @@ object Similarity {
               "distance-table entries per query, got "),
             size(col("dts")).cast("string")))).as("dts")))
     // pack the PqM codes into ONE row per vector, folding the
-    // reconstruction norm² into the same aggregate — the production ADC
-    // scan layout (codes contiguous per vector): the candidate stream is
-    // 1 row per (query, candidate) instead of PqM, and the per-pair ADC
-    // sum becomes a fixed-order PqM-term decimal expression instead of a
+    // reconstruction norm² in — the production ADC scan layout (codes
+    // contiguous per vector): the candidate stream is 1 row per
+    // (query, candidate) instead of PqM, and the per-pair ADC sum is a
+    // fixed-order PqM-term decimal expression instead of a
     // panel×candidates hash aggregate (r16, measured: that aggregate was
-    // the recall row's dominant cost). Decimal addition is exact, so the
-    // fixed-order sum is VALUE-identical to the grouped dsumFine it
-    // replaces — every hash unchanged.
-    val nvec = codes.join(reconSq, Seq("cent_id", "sub", "code"))
-      .groupBy(col("n_id"), col("cent_id"))
-      .agg(sort_array(collect_list(struct(col("sub"), col("code")))).as("cs"),
-        dsumFine(col("recon_sq")).as("rsq"))
+    // the recall row's dominant cost). r19: on the kernel path the pack
+    // itself is FUSED ([[pqPackedFrame]]) — no explode, no recon join, no
+    // (n_id, cent_id) re-group shuffle; the corpus build pipeline is one
+    // map pass. The dataflow A/B rung keeps the r16 join + grouped
+    // decimal sum (value-identical both ways — decimal addition is exact).
+    val nvec =
+      if (encodeKernel) pqPackedFrame(e, raw, cb, reconSq, pqK, ivfK)
+      else pqCodesFrame(e, raw, cb, pqK, encodeKernel = false, ivfK)
+        .join(reconSq, Seq("cent_id", "sub", "code"))
+        .groupBy(col("n_id"), col("cent_id"))
+        .agg(sort_array(collect_list(struct(col("sub"), col("code")))).as("cs"),
+          dsumFine(col("recon_sq")).as("rsq"))
     // exact fixed-point ADC sum, FLAT (r19): a PqM-term decimal add chain
     // over the pre-cast table — (33,20)+(33,20)=(34,20), +(33,20)=(35,20),
     // +(33,20)=(36,20): scale stays 20 and precision headroom only grows,

@@ -191,4 +191,61 @@ class Round19Spec extends SparkSuite {
       Caches.release(spark); spark.catalog.clearCache()
     }
   }
+
+  private def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val kids = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    p +: kids.flatMap(flatten)
+  }
+
+  test("fused ADC pack: kernel path equals the dataflow rung; corpus build never shuffles") {
+    // r19 pack fusion: the kernel path keeps codes as the encode kernel's
+    // array (cs = transform, rsq = PqPackRsq against the plan-constant
+    // recon table) — the r16 explode → recon-join → (n_id, cent_id)
+    // re-group shuffle is gone. Pin (a) end-to-end value identity of
+    // ivfPqTopK against the dataflow rung (which still runs the r16 pack)
+    // at both gate scales, and (b) the packed subtree — everything below
+    // the rsq projection — is exchange-free across AQE boundaries.
+    for (dir <- Seq(sfDir, Sf001)) {
+      val raw = Tables.load(spark, dir, "embeddings")
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+      val fused = Similarity.ivfPqTopK(Tables.spread(raw), raw)
+      val viaKernel = fused.collect().map(key).toSet
+      val nodes = flatten(fused.queryExecution.executedPlan)
+      // the node whose OWN projections compute rsq (a whole-tree toString
+      // would match every ancestor and drag the TopK exchange into scope)
+      val packed = nodes.collect {
+        case p: org.apache.spark.sql.execution.ProjectExec
+            if p.projectList.exists(_.toString.contains("pq_pack_rsq")) => p
+      }
+      assert(packed.nonEmpty, s"$dir: no pq_pack_rsq projection — the fused " +
+        "pack fell off the kernel path")
+      // Tables.spread's deliberate round-robin repartition
+      // (REPARTITION_BY_NUM) is the corpus-scan convention, not a pack
+      // shuffle — the pin rejects planner-inserted ENSURE_REQUIREMENTS
+      // exchanges (the r16 pack's (n_id, cent_id) re-group)
+      val shuffles = flatten(packed.head).collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if s.shuffleOrigin ==
+              org.apache.spark.sql.execution.exchange.ENSURE_REQUIREMENTS => s
+      }
+      assert(shuffles.isEmpty,
+        s"$dir: packed ADC subtree carries planner-inserted exchanges: " +
+          shuffles.map(_.outputPartitioning.toString).mkString(","))
+      Caches.release(spark); spark.catalog.clearCache()
+      val viaFlow = Similarity.ivfPqTopK(Tables.spread(raw), raw,
+        encodeKernel = false).collect().map(key).toSet
+      assert(viaKernel == viaFlow,
+        s"$dir: fused pack diverged from the dataflow rung " +
+          s"(${(viaKernel -- viaFlow).size} fused-only, " +
+          s"${(viaFlow -- viaKernel).size} flow-only)")
+      Caches.release(spark); spark.catalog.clearCache()
+    }
+  }
 }
