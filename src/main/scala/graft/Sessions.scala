@@ -53,6 +53,17 @@ object Sessions {
     // pressure but lets execution evict them to disk — iteration re-reads
     // then pay a disk read instead of the whole job failing
     "spark.memory.storageFraction" -> "0.2",
+    // always use the sort-based shuffle writer, never the bypass-merge
+    // writer (r19, guide §2.1/§6 small-files): below this threshold each
+    // map task opens one file PER REDUCER (maps × reducers files per
+    // shuffle — 1024 creates for a 32×32 exchange, measured ~9 ms/map-task
+    // of pure file churn at any data size); production reducer counts are
+    // far above any bypass threshold, so the sort path is what runs at
+    // scale anyway — pinning it here aligns local plans with production
+    // and halves the fixed cost of every wide exchange (measured 0.37 →
+    // 0.20 s on a 32-map-task exchange, 0.37 → 0.19 s on a 600 k-row
+    // group-by, DecProbe A/B)
+    "spark.shuffle.sort.bypassMergeThreshold" -> "1",
     "spark.sql.session.timeZone" -> "UTC")
 
   /** The one config-application fold both [[builder]] and [[s3aBuilder]]

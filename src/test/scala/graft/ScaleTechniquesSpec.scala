@@ -71,8 +71,10 @@ class ScaleTechniquesSpec extends SparkSuite {
     // size literal throws), and the session reads them back. Core keys
     // (spark.memory.*) are STATIC — only settable at builder time — so
     // they are asserted on the map, not round-tripped through a session.
-    val (core, sql) = Sessions.scaleDefaults.partition(_._1.startsWith("spark.memory."))
-    assert(core.keySet == Set("spark.memory.storageFraction"))
+    val (core, sql) = Sessions.scaleDefaults.partition(k =>
+      k._1.startsWith("spark.memory.") || k._1.startsWith("spark.shuffle."))
+    assert(core.keySet == Set("spark.memory.storageFraction",
+      "spark.shuffle.sort.bypassMergeThreshold"))
     val saved = sql.keys.map(k => k -> spark.conf.getOption(k)).toMap
     try {
       sql.foreach { case (k, v) => spark.conf.set(k, v) }
