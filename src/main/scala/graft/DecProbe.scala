@@ -3,24 +3,32 @@ import org.apache.spark.sql.functions._
 
 object DecProbe {
   def main(args: Array[String]): Unit = {
-    val bypass = sys.env.getOrElse("BYPASS", "200")
     val spark = Sessions.builder("local[32]", 32)
-      .config("spark.ui.enabled", "false")
-      .config("spark.shuffle.sort.bypassMergeThreshold", bypass)
-      .getOrCreate()
+      .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val edges = spark.range(0, 50000L, 1, 32)
+      .select((col("id") % 3000).as("src"), (col("id") % 7001).as("dst"), lit(1.0).as("cnt"))
+    val nodes = spark.range(0, 3000L, 1, 32).select(col("id"))
+    val edB = edges.repartition(col("src")).persist(); edB.count()
+    val ndB = nodes.repartition(col("id")).persist(); ndB.count()
+    def iter(ranks: org.apache.spark.sql.DataFrame) = {
+      val contrib = ranks.join(edB, col("id") === col("src"))
+        .groupBy(col("dst").as("cid")).agg(sum(col("pr") / col("cnt")).as("contrib"))
+      ndB.join(contrib, col("id") === col("cid"), "left")
+        .select(col("id"), coalesce(col("contrib"), lit(0.0)).as("pr"))
+    }
+    val r0 = ndB.select(col("id"), lit(1.0).as("pr"))
+    val r2 = iter(iter(r0))
+    r2.count()
+    val plan = r2.queryExecution.executedPlan.toString
+    println("EXCHANGES=" + "Exchange hashpartitioning".r.findAllIn(plan).length)
+    println(plan.split("\n").filter(s => s.contains("Exchange") || s.contains("Join") || s.contains("InMemory")).map(_.take(120)).mkString("\n"))
     def time(label: String)(b: => Unit): Unit = {
       val ts = (1 to 5).map { _ =>
         val t0 = System.nanoTime(); b; (System.nanoTime() - t0) / 1e9 }
-      println(f"DECPROBE bypass=$bypass $label best=${ts.min}%.3f runs=${ts.map(t => f"$t%.3f").mkString(",")}")
+      println(f"DECPROBE $label best=${ts.min}%.3f runs=${ts.map(t => f"$t%.3f").mkString(",")}")
     }
-    def base(n: Int) = spark.range(0, 100000L, 1, n).select(col("id"), (col("id") % 97).as("k"))
-    def agg(n: Int) = base(n).groupBy("k").count()
-    time("exch_in32 ") { agg(32).write.format("noop").mode("overwrite").save() }
-    time("exch_in8  ") { agg(8).write.format("noop").mode("overwrite").save() }
-    // a beefier shuffle: 600k lineitem-ish rows
-    val big = spark.range(0, 600000L, 1, 32).select(col("id"), (col("id") % 10007).as("k"), rand(5).as("v"))
-    time("big_group ") { big.groupBy("k").agg(sum(col("v"))).write.format("noop").mode("overwrite").save() }
+    time("persist coPart 2iter") { r2.write.format("noop").mode("overwrite").save() }
     spark.stop()
   }
 }

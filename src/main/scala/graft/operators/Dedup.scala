@@ -407,7 +407,14 @@ object Dedup {
   def connectedComponentsCounted(edges: DataFrame,
                                  maxIter: Int = 20): (DataFrame, Int) = {
     // persist BEFORE the symmetrizing union: both union branches read the
-    // (possibly expensive) edge computation, and every iteration reads sym
+    // (possibly expensive) edge computation, and every iteration reads sym.
+    // (r19 A/B note: co-partitioning sym on `v` via repartition+persist —
+    // the pageRank iterSubstrate discipline — was tried and REVERTED: the
+    // InMemoryRelation pins the full partition count on frames AQE would
+    // otherwise coalesce, and the full board read the CC consumers 0.3 to
+    // 0.4 s WORSE per row; exactly the trade the paragraph below warned
+    // about. The per-round exchange here moves post-dedup label-scale rows,
+    // not the edge frame.)
     val e = graft.Caches.track(edges)
     val sym = graft.Caches.track(
       e.select(col("doc_a").as("u"), col("doc_b").as("v"))

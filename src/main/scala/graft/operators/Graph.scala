@@ -230,21 +230,37 @@ object Graph {
   private def distinctBy(df: DataFrame, wide: Boolean, cols: String*): DataFrame =
     (if (wide) df.repartition(cols.map(col): _*) else df).distinct()
 
+  /** Co-partitioned cached iteration substrate shared by [[pageRank]] and
+    * [[personalizedPageRank]] (r19, guide §2.4 "operations keyed the same
+    * way share one exchange"): the adjacency is hash-partitioned on its
+    * per-round join key `src` and the node universe on `id`, both cached
+    * via [[graft.Caches.track]]. `persist` (unlike `localCheckpoint`,
+    * which reports UnknownPartitioning — measured) PRESERVES the hash
+    * partitioning through InMemoryRelation, so every round's
+    * ranks ⋈ adjacency probe and the nodes ⋈ contrib rank update satisfy
+    * their distribution requirements straight off the cache: the planner
+    * elides the per-round exchanges that previously re-shuffled both
+    * frames every iteration (3 rounds × 2 exchanges at any scale — at
+    * 100 TB these are corpus-sized shuffles, the dominant iteration
+    * cost). Cache substitution happens before optimization, so the
+    * round-i plan's 2^i embedded copies of round i−1 all collapse to
+    * InMemoryRelation scans — the same lineage-truncation effect the old
+    * eager localCheckpoint bought, without losing the partitioning.
+    * Value-identical: hash repartitioning only re-buckets rows; every
+    * per-round sum is an order-independent exact decimal ([[dsumFine]]).
+    */
+  private def iterSubstrate(edges: DataFrame): (DataFrame, DataFrame, Boolean) = {
+    val wide = edges.count() > AdjacencySetEdgeCap
+    val edgesDeg = graft.Caches.track(
+      degreeAdjacency(edges, wide).repartition(col("src")))
+    val nodes = graft.Caches.track(
+      nodeIds(edgesDeg, wide).repartition(col("id")))
+    (edgesDeg, nodes, wide)
+  }
+
   def pageRank(edges: DataFrame, iters: Int = Iters,
                damping: Double = Damping): DataFrame = {
-    // localCheckpoint (eager, small: one row per distinct edge + degree):
-    // every iteration re-joins this adjacency, and without lineage
-    // truncation round i's plan embeds i copies of the aggregation —
-    // compounding optimizer/codegen cost per round (the graphLabelProp
-    // precedent at :368)
-    val wide = edges.count() > AdjacencySetEdgeCap
-    val edgesDeg = degreeAdjacency(edges, wide).localCheckpoint()
-    // nodes and the 1-row meta are read by EVERY iteration (ranks init, the
-    // per-round scalars, the left-join spine) — without truncation the
-    // union+distinct shuffle is re-embedded ~3× per round and the iter-3
-    // plan carries ~8 copies (measured 4.4 s vs 2.0 s for the structurally
-    // identical PPR, whose per-round scalars touch only edgesDeg)
-    val nodes = nodeIds(edgesDeg, wide).localCheckpoint()
+    val (edgesDeg, nodes, _) = iterSubstrate(edges)
     val meta = nodes.agg(count(lit(1)).as("n")).localCheckpoint()
     var ranks = nodes.crossJoin(broadcast(meta))
       .select(col("id"), (lit(1.0) / col("n")).as("pr"))
@@ -255,14 +271,14 @@ object Graph {
       val totalPrev = lit(1.0) -
         lit(dp) * (lit(1.0) - col("n") * (lit(1.0) / col("n")))
       // contrib is read TWICE per round (the csum scalar and the rank-update
-      // left join): checkpointing it truncates the otherwise 2^i-fanout
-      // lineage — round i's plan would embed two copies of round i-1's,
-      // each embedding two of i-2's. The frame is tiny (one row per node
-      // with in-edges).
-      val contrib = ranks.join(edgesDeg, col("id") === col("src"))
-        .groupBy(col("dst").as("cid"))
-        .agg(dsumFine(col("pr") / col("cnt")).as("contrib"))
-        .localCheckpoint()
+      // left join): caching it cuts the otherwise 2^i-fanout recomputation
+      // the way the old localCheckpoint did, AND keeps its groupBy hash
+      // partitioning on cid, so the rank-update join needs no exchange on
+      // either side (nodes is id-partitioned off the substrate cache).
+      val contrib = graft.Caches.track(
+        ranks.join(edgesDeg, col("id") === col("src"))
+          .groupBy(col("dst").as("cid"))
+          .agg(dsumFine(col("pr") / col("cnt")).as("contrib")))
       // SUM over zero rows is NULL — a rank vector whose every node is
       // dangling (no in-edge destinations) must yield 0, not null-poison
       // every rank
@@ -681,7 +697,13 @@ object Graph {
     */
   def personalizedPageRank(edges: DataFrame, iters: Int = Iters,
                            damping: Double = Damping): DataFrame = {
-    // same lineage-truncation rationale as pageRank's edgesDeg
+    // NOT on pageRank's iterSubstrate (r19 A/B): PPR's per-round scalars
+    // touch only edgesDeg, so its old checkpointed shape was already the
+    // cheap one — riding the cached co-partitioned substrate read 2.29 →
+    // 3.06 s on the full board (InMemoryRelation pins 32 partitions on
+    // frames AQE otherwise coalesces), while pageRank, whose meta/nodes
+    // reuse the cache every round, kept a 4.36 → 3.19 win. Same lesson as
+    // the CC revert in Dedup.connectedComponentsCounted.
     val wide = edges.count() > AdjacencySetEdgeCap
     val edgesDeg = degreeAdjacency(edges, wide).localCheckpoint()
     val nodes = nodeIds(edgesDeg, wide).localCheckpoint()

@@ -55,8 +55,9 @@ object Multimodal {
   private val multimodalDecode = Q(
     "multimodal_decode",
     (s, dir) => {
-      val d = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      // spread: per-payload decode at full parallelism (Tables.spread doc)
+      val d = Tables.spread(Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload")))
       decodeImages(s, d)
         .select(col("doc_id"), col("width"), col("height"),
           col("n_channels"), round(col("mean_intensity"), 6).as("mean_intensity"))
@@ -105,10 +106,42 @@ object Multimodal {
       }
   }
 
-  /** ImageIO decode; None when no registered reader accepts the bytes. */
+  /** ImageIO decode; None when no registered reader accepts the bytes.
+    *
+    * r19 per-row cost fixes (guide §1.2 step 2), both value-identical:
+    *  - ImageIO's default stream cache is a DISK-backed
+    *    FileCacheImageInputStream — a temp-file create+delete PER CALL;
+    *    `setUseCache(false)` keeps the probe in memory (we already hold
+    *    the full payload as a byte array).
+    *  - A magic-byte sniff skips the reader-registry scan outright for
+    *    payloads no JDK reader can accept. Every registered JDK reader
+    *    (PNG/JPEG/GIF/BMP/WBMP/TIFF) gates `canDecodeInput` on exactly
+    *    these leading bytes, so "no magic matches" already implied
+    *    `ImageIO.read` returning null — the sniff just answers without
+    *    constructing streams. Payloads that DO carry a magic still take
+    *    the full decode (a corrupt body then returns null/throws as
+    *    before).
+    */
+  private def maybeImage(bytes: Array[Byte]): Boolean = {
+    if (bytes.length < 2) return false
+    val b0 = bytes(0) & 0xff
+    val b1 = bytes(1) & 0xff
+    (b0 == 0x89 && b1 == 0x50) || // PNG
+    (b0 == 0xff && b1 == 0xd8) || // JPEG
+    (b0 == 'G' && b1 == 'I') ||   // GIF
+    (b0 == 'B' && b1 == 'M') ||   // BMP
+    (b0 == 'I' && b1 == 'I') ||   // TIFF little-endian
+    (b0 == 'M' && b1 == 'M') ||   // TIFF big-endian
+    (b0 == 0x00 && b1 == 0x00)    // WBMP type 0
+  }
+
   private def decodeOne(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
-    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-    catch { case _: Exception => None }
+    if (!maybeImage(bytes)) None
+    else
+      try {
+        javax.imageio.ImageIO.setUseCache(false)
+        Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      } catch { case _: Exception => None }
 
   /** Mean of per-pixel (r+g+b)/3 over the full image. */
   private def meanLuminance(img: java.awt.image.BufferedImage): Double = {
@@ -233,6 +266,10 @@ object Multimodal {
     */
   private def decodeFrames(bytes: Array[Byte], stride: Int)
       : Option[IndexedSeq[(Int, java.awt.image.BufferedImage)]] = {
+    // same magic sniff + in-memory stream cache as decodeOne: "no reader
+    // magic" already meant getImageReaders came back empty → None
+    if (!maybeImage(bytes)) return None
+    javax.imageio.ImageIO.setUseCache(false)
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
     try {
@@ -261,8 +298,9 @@ object Multimodal {
   private val multimodalResize = Q(
     "multimodal_resize",
     (s, dir) => {
-      val d = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      // spread: per-payload resample at full parallelism (Tables.spread doc)
+      val d = Tables.spread(Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload")))
       resizeImages(s, d)
         .select(col("doc_id"), col("out_width"), col("out_height"),
           round(col("mean_intensity"), 6).as("mean_intensity"))
@@ -288,8 +326,9 @@ object Multimodal {
   private val multimodalFrames = Q(
     "multimodal_frames",
     (s, dir) => {
-      val d = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      // spread: per-payload frame decode at full parallelism
+      val d = Tables.spread(Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload")))
       sampleFrames(s, d)
         .orderBy("doc_id", "frame_idx")
         .toDF()
@@ -391,8 +430,9 @@ object Multimodal {
   private val multimodalPhash = Q(
     "multimodal_phash",
     (s, dir) => {
-      val d = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      // spread: per-payload hashing at full parallelism (Tables.spread doc)
+      val d = Tables.spread(Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload")))
       imageHashes(s, d).orderBy("doc_id").toDF()
     },
     Some("""WITH base AS (SELECT doc_id, text, length(text) AS clen FROM documents),
@@ -885,9 +925,14 @@ object Multimodal {
     val mask = (1L << bits) - 1
     val tierNames = Seq(s"0_dup_le${nBands - 1}", s"1_near_${nBands}_8",
       "2_far_9_16", "3_bg_17_32", "4_anti_33_64")
-    val d = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-    val hashes = imageHashes(s, d).toDF().select("doc_id", "ahash")
+    // spread: the per-payload hash runs at scan parallelism (one local
+    // partition otherwise); track: the hash frame is read FOUR times (both
+    // sides of the band self-join + both Hamming verification joins) and
+    // would re-run the decode per consumer without the cache
+    val d = Tables.spread(Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload")))
+    val hashes = graft.Caches.track(
+      imageHashes(s, d).toDF().select("doc_id", "ahash"))
     val bands = hashes.select(col("doc_id"), col("ahash"),
         explode(array((0 until nBands).map(lit): _*)).as("band"))
       .withColumn("bv", expr(s"shiftright(ahash, band * $bits) & $mask"))

@@ -2773,11 +2773,19 @@ object Similarity {
     val ns = signed(e).toDF("n_id", "n_emb", "n_nrm", "n_sig")
     // XOR + popcount over the four packed words; −hamming feeds the
     // bounded-state TopK (integers are exact at the 9-dp round, ordering
-    // ≡ (hamming asc, n_id asc))
-    val ham = aggregate(
-      zip_with(col("q_sig"), col("n_sig"),
-        (a, b) => call_function("bit_count", a.bitwiseXOR(b)).cast("long")),
-      lit(0L), (acc, x) => acc + x)
+    // ≡ (hamming asc, n_id asc)).
+    // UNROLLED, not aggregate(zip_with(...)) (r19): the higher-order fold
+    // is CodegenFallback — every panel × corpus candidate row dropped out
+    // of whole-stage codegen and paid an interpreted lambda plus a
+    // per-row array allocation (the same pathology the r19 build round
+    // evicted from the ADC fold). Four fixed element_at/bit_count terms
+    // stay inside codegen; integer adds in any order are the identical
+    // exact hamming count.
+    val ham = (0 until HamBands).map { i =>
+      call_function("bit_count",
+        element_at(col("q_sig"), i + 1)
+          .bitwiseXOR(element_at(col("n_sig"), i + 1))).cast("long")
+    }.reduce(_ + _)
     val cand = qs.join(ns, col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"), (-ham.cast("double")).as("nham"))
       .groupBy(col("q_id"))
@@ -5102,8 +5110,14 @@ object Similarity {
         // eager localCheckpoint per step (≤ 5 rows): each step reads
         // `picks` twice (broadcast selected-set + anti-join exclusion), so
         // without truncation step t's plan embeds 2^t copies of the
-        // scan+argmax chain — the pageRank contrib-checkpoint precedent
-        picks = picks.unionByName(next).localCheckpoint(true)
+        // scan+argmax chain — the pageRank contrib-checkpoint precedent.
+        // coalesce(1) first (r19): the union otherwise accumulates the
+        // spread frame's ~32 near-empty partitions PER STEP, and every
+        // later step re-scans them all twice — Profile read 612 tasks /
+        // 28 jobs on a query whose state is ≤ 5 rows; one narrow coalesce
+        // keeps each checkpointed state a single task at any scale (the
+        // picked-set is k-bounded by construction, never corpus-sized)
+        picks = picks.unionByName(next).coalesce(1).localCheckpoint(true)
       }
       picks.select(col("pick_order"), col("vec_id"),
           round(col("min_dist"), 6).as("min_dist"))

@@ -659,7 +659,13 @@ object TextAnalysis {
     "text_llr_collocations",
     (s, dir) => {
       val w = words(col("text"))
-      val bg = docs(s, dir).filter(size(w) >= 2)
+      // docsSpread, not docs (r19): the pair explode and the k11 partial
+      // aggregate run BEFORE the first exchange, i.e. at the scan's
+      // parallelism — on the local single-file scan that serialized ~2.6 s
+      // of per-row work on one task (Profile: 10 stages, 10 tasks); at
+      // cluster scale the scan arrives wide and the spread is a no-op
+      // round-robin of a tiny frame
+      val bg = docsSpread(s, dir).filter(size(w) >= 2)
         .select(explode(transform(sequence(lit(1), size(w) - 1),
           i => struct(element_at(w, i).as("a"), element_at(w, i + 1).as("b"))))
           .as("p"))
@@ -1224,7 +1230,7 @@ object TextAnalysis {
 
   private val textLmScore = Q(
     "text_lm_score",
-    (s, dir) => lmScore(docs(s, dir)),
+    (s, dir) => lmScore(docsSpread(s, dir)),
     Some("""WITH d AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
            |bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
            |       FROM d, unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
@@ -1363,7 +1369,9 @@ object TextAnalysis {
     "text_phrase_mine",
     (s, dir) => {
       val w = words(col("text"))
-      docs(s, dir)
+      // docsSpread (r19): the 5-gram window explode is the query's CPU and
+      // runs pre-exchange — spread it off the single-partition local scan
+      docsSpread(s, dir)
         .filter(size(w) >= 5)
         .select(col("doc_id"), explode(transform(
           sequence(lit(1), size(w) - 4),
@@ -1454,7 +1462,7 @@ object TextAnalysis {
 
   private val textKnScore = Q(
     "text_kn_score",
-    (s, dir) => knScore(docs(s, dir)),
+    (s, dir) => knScore(docsSpread(s, dir)),
     Some("""WITH d AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
            |bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
            |       FROM d, unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
@@ -1819,7 +1827,8 @@ object TextAnalysis {
   private val textKmvSetops = Q(
     "text_kmv_setops",
     (s, dir) => kmvPanel(
-      docs(s, dir).filter(col("lang").isin("en", "de"))
+      // docsSpread (r19): shingle explode + per-shingle md5 pre-exchange
+      docsSpread(s, dir).filter(col("lang").isin("en", "de"))
         .select(col("lang"), explode(shingles(col("text"))).as("g"))
         .select(col("lang"), md5Hash32(col("g")).as("h")).distinct(),
       a = "en", b = "de"),
@@ -1897,7 +1906,8 @@ object TextAnalysis {
   private val textRakeKeywords = Q(
     "text_rake_keywords",
     (s, dir) => {
-      val toks = docs(s, dir).filter(col("lang") === "en")
+      // docsSpread (r19): the posexplode runs pre-exchange
+      val toks = docsSpread(s, dir).filter(col("lang") === "en")
         .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "w")))
         .withColumn("stop", col("w").isin(StopWords.map(x => x: Any): _*))
       val wp = Window.partitionBy("doc_id").orderBy("pos")
@@ -2330,7 +2340,10 @@ object TextAnalysis {
   private lazy val mlNaiveBayes = Q(
     "ml_naive_bayes",
     (s, dir) => {
-      val d = docs(s, dir)
+      // docsSpread (r19): the token explode and the per-doc multiplicity
+      // partial aggregate run pre-exchange at scan parallelism — serialized
+      // on the local single-file scan (Profile: 20 stages, 20 tasks)
+      val d = docsSpread(s, dir)
       val tok = d.select(col("doc_id"), col("lang"),
         explode(words(col("text"))).as("w")).filter(length(col("w")) > 0)
       // ONE token explode (the r12 langid-trigram stance): class counts

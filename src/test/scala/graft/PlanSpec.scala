@@ -292,21 +292,35 @@ class PlanSpec extends SparkSuite {
     }
   }
 
-  test("graph_pagerank's final plan is shallow — checkpoints truncate iteration lineage") {
+  test("graph_pagerank's final plan is shallow — caches truncate iteration lineage") {
     val df = Queries.byName("graph_pagerank").run(spark, sfDir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("isFinalPlan=true"), p.take(500))
-    // round-10 discipline: the adjacency, nodes and each round's contrib are
-    // localCheckpoint'd, so the FINAL action's plan reads pinned RDDs and
-    // carries only the last readout's exchanges — a deep plan here means a
-    // checkpoint was dropped and iteration lineage is compounding again
-    // (the readout itself carries ~11 Exchange/BroadcastExchange nodes —
-    // rank spine, contrib join, scalar broadcasts; re-embedded iterations
-    // would multiply that)
+    // round-10 discipline, r19 form: the adjacency/nodes substrate and each
+    // round's contrib are CACHED co-partitioned (Graph.iterSubstrate), so
+    // the FINAL action EXECUTES only the last readout's exchanges — a deep
+    // executed tree means a cache was dropped and iteration lineage is
+    // compounding again. Count real exchange NODES in the executed tree
+    // (descending through AQE stages, stopping at InMemoryTableScan leaves
+    // — execution stops there too): the plan STRING is no longer a valid
+    // proxy because InMemoryRelation.toString recursively prints its
+    // cached child plan, nesting one full iteration per round.
     assert(p.contains("ExistingRDD"), p.take(3000))
-    assert("Exchange".r.findAllIn(p).size <= 13,
-      s"final pagerank plan re-embeds iteration shuffles\n${p.take(3000)}")
+    def executedExchanges(plan: org.apache.spark.sql.execution.SparkPlan): Int = {
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.Exchange
+      val self = plan match { case _: Exchange => 1; case _ => 0 }
+      val kids = plan match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      self + kids.map(executedExchanges).sum
+    }
+    val n = executedExchanges(df.queryExecution.executedPlan)
+    assert(n <= 13,
+      s"final pagerank plan executes $n exchanges — iteration lineage is compounding\n${p.take(3000)}")
   }
 
   test("sample_reservoir takes its k-min sample as TakeOrderedAndProject") {
