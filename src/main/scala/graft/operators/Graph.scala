@@ -1005,14 +1005,21 @@ object Graph {
     * [[graphHits]]'s Scaladoc. Returns max-normalized top-`k` rows per
     * kind: (kind ∈ {authority, hub}, node label, score ∈ (0, 1]).
     */
-  def hits(edges: DataFrame, k: Int = 10): DataFrame = {
+  def hits(edges: DataFrame, k: Int = 10,
+           assumeDistinct: Boolean = false): DataFrame = {
     val wide = edges.count() > AdjacencySetEdgeCap
     // no pinning even on wide graphs: the three consumers (a1, h1, a2)
     // sit in ONE physical plan, so the dedup's exchange is read three
     // times via ReusedExchange from shuffle files on disk — zero extra
     // memory, where caching an edge-scale frame is heap-sized at the
-    // 100× corpus
-    val e = distinctBy(edges, wide, "src", "dst")
+    // 100× corpus.
+    // `assumeDistinct` (r19): callers holding a provably-distinct edge
+    // frame (the declared row's memoized purchaseEdges ends in
+    // .distinct()) skip the defensive dedup — a full edge-scale
+    // exchange + aggregate that re-proves a property the input already
+    // has. Value-identical by definition on distinct input; arbitrary
+    // inputs keep the dedup.
+    val e = if (assumeDistinct) edges else distinctBy(edges, wide, "src", "dst")
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val a1 = e.groupBy("dst").agg(count(lit(1)).cast(dec).as("a1"))
     val h1j = e.join(a1, "dst")
@@ -1035,7 +1042,9 @@ object Graph {
 
   private val graphHits = Q(
     "graph_hits",
-    (s, dir) => hits(purchaseEdges(s, dir)),
+    // assumeDistinct: purchaseEdges is DISTINCT by construction (the memo
+    // dedups once for the whole family) — skip hits' defensive re-dedup
+    (s, dir) => hits(purchaseEdges(s, dir), assumeDistinct = true),
     Some("""WITH e AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
            |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
            |a1 AS (SELECT dst, CAST(count(*) AS DECIMAL(38,0)) AS a1
